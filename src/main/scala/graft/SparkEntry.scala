@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of every implemented operator group; each key
+  * has a matching DuckDB oracle in `oracleSql` unless the operator is
+  * not SQL-expressible (then the driver records a rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (SURVEY §7.1 slice): BUILDING-segment customers →
+    * their orders via the property-graph `placed` edge → count per
+    * customer. Exercises label filter, secondary-index predicate, one-hop
+    * traversal, and aggregation. Driver smoke-checks rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.filter($"c_mktsegment" === "BUILDING")
+      .join(o, $"c_custkey" === $"o_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"c_custkey")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.StoreOps.defs ++
+      graft.queries.Relational.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.StoreOps.oracle ++
+      graft.queries.Relational.oracle
 }

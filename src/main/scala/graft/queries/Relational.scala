@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** The relational/aggregate surface the reference delegates to the
+  * engine above the store (SURVEY.md §2.3): IN conditions
+  * (TikvFeatures.java:52-54), contains (:71-79), order-by (:66-69), and
+  * every aggregate beyond COUNT (TikvTable.java:137-139 throws on all
+  * others). In Spark these are native, codegen'd operators.
+  *
+  * Money aggregates use the exact integer-cents pattern (graft.util.Exact)
+  * so results hash-match the DuckDB oracle bit-for-bit.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: wide agg surface in one pass. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sumDollars($"l_extendedprice").as("sum_base_price"),
+        (sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))) / 100.0)
+          .as("sum_disc_price"),
+        (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** MIN/MAX/AVG/COUNT-DISTINCT per group — aggregates the reference
+    * store cannot push (supportsAggregateProperty=false,
+    * TikvFeatures.java:119-121); partial aggregation makes this one
+    * shuffle of pre-combined partials at scale.
+    */
+  def qAggMinmax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        (sum(cents($"o_totalprice")) / 100.0).as("sum_price"),
+        countDistinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Revenue per nation: big-big shuffle join (customer ⋈ orders) plus
+    * a broadcast dim join (nation) — the join-strategy split that holds
+    * at 100 TB: only the dim is broadcast.
+    */
+  def qJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(
+        (sum(cents($"o_totalprice")) / 100.0).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"n_name")
+  }
+
+  /** Top-3 orders per market segment — window row_number, the top-k-
+    * per-group analytic absent from the reference (SURVEY §2.5 note).
+    */
+  def qTopkWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select($"c_mktsegment", $"o_orderkey", $"o_totalprice")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    joined.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .orderBy($"c_mktsegment", $"rk")
+  }
+
+  /** ORDER BY + LIMIT — Spark plans TakeOrderedAndProject (per-partition
+    * top-k then merge on driver), no full sort at scale.
+    */
+  def qOrderbyLimit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  /** DISTINCT — map-side partial dedup then one shuffle. */
+  def qDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus")
+      .distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** IN condition — `within(a,b,c)`; the reference store cannot push IN
+    * (supportsQueryWithInCondition=false, TikvFeatures.java:52-54) so
+    * its engine evaluates it above the scan; Spark pushes it to Parquet.
+    */
+  def qInCondition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** textContains — the SEARCH_INDEX analog (TikvTables.java:203-210):
+    * substring predicate evaluated in the scan, no index table.
+    */
+  def qTextContains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_name".contains("ol"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"p_brand")
+  }
+
+  /** Semi join (EXISTS) — customers having an urgent order. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Anti join (NOT EXISTS) — customers with no order above 350k. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 350000.0)
+      .select($"o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Union + dedup — the `both()` set-union shape witnessed by the dual
+    * edge tables (TikvTables.java:128-143).
+    */
+  def qUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val hi = o.filter($"o_totalprice" > 300000.0).select($"o_custkey")
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    hi.union(urgent).distinct()
+      .withColumnRenamed("o_custkey", "custkey")
+      .orderBy($"custkey")
+  }
+
+  /** GROUP BY + HAVING — post-aggregation filter. */
+  def qHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents($"o_totalprice")) / 100.0).as("total_spent"))
+      .filter($"n_orders" >= 15)
+      .orderBy($"o_custkey")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_agg_minmax" -> (qAggMinmax _),
+    "q_join_revenue" -> (qJoinRevenue _),
+    "q_topk_window" -> (qTopkWindow _),
+    "q_orderby_limit" -> (qOrderbyLimit _),
+    "q_distinct" -> (qDistinct _),
+    "q_in_condition" -> (qInCondition _),
+    "q_text_contains" -> (qTextContains _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_union" -> (qUnion _),
+    "q_having" -> (qHaving _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  SUM(CAST(ROUND((l_extendedprice)*100) AS BIGINT))/100.0 AS sum_base_price,
+        |  SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT))/100.0 AS sum_disc_price,
+        |  SUM(l_quantity)/COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_minmax" ->
+      """SELECT o_orderpriority,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS sum_price,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_revenue" ->
+      """SELECT n_name,
+        |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_topk_window" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+    "q_orderby_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_in_condition" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_text_contains" ->
+      """SELECT p_brand, COUNT(*) AS n FROM part
+        |WHERE p_name LIKE '%ol%'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_union" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) ORDER BY custkey""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total_spent
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin,
+  )
+}

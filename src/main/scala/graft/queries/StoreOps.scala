@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Spark-native realizations of the reference's read-path store
+  * operators (SURVEY.md §2.1, R1–R13).
+  *
+  * The reference dispatches `Query` subtypes onto KV scans
+  * (TikvTable.java:159-189); here each access path is a declarative
+  * DataFrame plan so Catalyst pushes bounds/prefixes into the Parquet
+  * scan (the analog of TiKV seek bounds, TikvTable.java:216-236) and
+  * leaves residual predicates above it (TikvStdSessions.java:622-658).
+  *
+  * Every query takes (spark, sfDir) and returns a deterministic,
+  * explicitly ordered DataFrame whose column names match the oracle SQL.
+  */
+object StoreOps {
+
+  /** R1: full table scan (TikvTable.java:191-200) — projection pruned. */
+  def r1FullScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** R2: point get by id (TikvTable.java:207-214). */
+  def r2PointGet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .filter($"c_custkey" === 42L)
+      .select($"c_custkey", $"c_name", $"c_mktsegment", $"c_acctbal")
+  }
+
+  /** R3: id-prefix scan — all columns of one entry (TikvTable.java:202-205):
+    * every lineitem of one order, key-ordered.
+    */
+  def r3PrefixScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" === 7L)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      .orderBy($"l_linenumber")
+  }
+
+  /** R4: prefix + start-bound scan (TikvTable.java:216-223, SCAN_GTE_BEGIN):
+    * within one order's entries, resume from a sort-key position.
+    */
+  def r4PrefixRangeScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" === 7L && $"l_linenumber" >= 2)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .orderBy($"l_linenumber")
+  }
+
+  /** R5: range scan with [start, end) bounds (TikvTable.java:225-236;
+    * inclusivity bitmask TikvSessions.java:52-58 — GTE begin, LT end).
+    */
+  def r5RangeScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" >= 100L && $"o_orderkey" < 200L)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** R5b: the complementary inclusivity combo (GT begin, LTE end) —
+    * exclusive lower bound is the reference's `increaseOne` rewrite
+    * (TikvTables.java:264-268).
+    */
+  def r5RangeScanExclusive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" > 100L && $"o_orderkey" <= 200L)
+      .select($"o_orderkey", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  /** R6: multi-id batch lookup preserving INPUT order
+    * (TikvTable.java:177-184; supportsQuerySortByInputIds,
+    * TikvFeatures.java:61-64). Spark joins destroy order, so the input
+    * position is carried explicitly and restored with a final sort.
+    */
+  def r6MultiIdOrdered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Seq(90L, 7L, 120L, 33L, 7L).zipWithIndex
+      .toDF("c_custkey", "pos")
+    // broadcast: the id list is tiny; the lookup is a broadcast-hash
+    // join against the big table, the distributed analog of the
+    // reference's per-id lazy get loop.
+    Tables.customer(s, dir)
+      .join(broadcast(ids), "c_custkey")
+      .select($"pos", $"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"pos")
+  }
+
+  /** R7/R8: shard scan (TikvTable.java:238-269) — a disjoint slice of
+    * the keyspace read independently; here a deterministic hash bucket.
+    */
+  def r7ShardScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter(pmod($"o_orderkey", lit(8)) === 3)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  /** R9: range-index condition scan (TikvTables.java:227-279) — typed
+    * numeric range predicate; Parquet row-group stats replace the
+    * RANGE_DOUBLE_INDEX table.
+    */
+  def r9RangeIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .filter($"c_acctbal" > 1000.0 && $"c_acctbal" <= 5000.0)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** R10: COUNT pushdown (TikvTable.java:135-148) — the only aggregate
+    * the reference can push; Spark answers it from Parquet metadata.
+    */
+  def r10Count(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** R11: LIMIT-0 short circuit (TikvTable.java:151-157) — Catalyst
+    * folds this to an empty relation without touching the store.
+    */
+  def r11Limit0(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus").limit(0)
+  }
+
+  /** R12: residual filter above a partial pushdown
+    * (TikvStdSessions.java:542-658): string prefix seek + a predicate
+    * the "store" can't serve (suffix match) evaluated above the scan.
+    */
+  def r12ResidualFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_name".startsWith("b") && $"p_size" > 20)
+      .select($"p_partkey", $"p_name", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  /** R13: entry re-grouping (TikvTable.java:271-282) — columns folded
+    * into one entry per id-prefix becomes collect_list per key.
+    */
+  def r13EntryRegroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" <= 50L)
+      .groupBy($"l_orderkey")
+      .agg(
+        sort_array(collect_list($"l_linenumber")).as("linenumbers"),
+        count(lit(1)).cast("long").as("n_lines"))
+      .orderBy($"l_orderkey")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_full_scan" -> (r1FullScan _),
+    "r2_point_get" -> (r2PointGet _),
+    "r3_prefix_scan" -> (r3PrefixScan _),
+    "r4_prefix_range_scan" -> (r4PrefixRangeScan _),
+    "r5_range_scan" -> (r5RangeScan _),
+    "r5b_range_scan_excl" -> (r5RangeScanExclusive _),
+    "r6_multi_id_ordered" -> (r6MultiIdOrdered _),
+    "r7_shard_scan" -> (r7ShardScan _),
+    "r9_range_index" -> (r9RangeIndex _),
+    "r10_count" -> (r10Count _),
+    "r11_limit0" -> (r11Limit0 _),
+    "r12_residual_filter" -> (r12ResidualFilter _),
+    "r13_entry_regroup" -> (r13EntryRegroup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "r1_full_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "r2_point_get" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
+    "r3_prefix_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_orderkey = 7 ORDER BY l_linenumber""".stripMargin,
+    "r4_prefix_range_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_orderkey = 7 AND l_linenumber >= 2
+        |ORDER BY l_linenumber""".stripMargin,
+    "r5_range_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin,
+    "r5b_range_scan_excl" ->
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
+        |ORDER BY o_orderkey""".stripMargin,
+    "r6_multi_id_ordered" ->
+      """SELECT v.pos, c.c_custkey, c.c_name, c.c_acctbal
+        |FROM (VALUES (90, 0), (7, 1), (120, 2), (33, 3), (7, 4)) v(k, pos)
+        |JOIN customer c ON c.c_custkey = v.k
+        |ORDER BY v.pos""".stripMargin,
+    "r7_shard_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority
+        |FROM orders WHERE o_orderkey % 8 = 3 ORDER BY o_orderkey""".stripMargin,
+    "r9_range_index" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_acctbal > 1000.0 AND c_acctbal <= 5000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "r10_count" -> "SELECT COUNT(*) AS cnt FROM lineitem",
+    "r11_limit0" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders LIMIT 0",
+    "r12_residual_filter" ->
+      """SELECT p_partkey, p_name, p_size
+        |FROM part WHERE p_name LIKE 'b%' AND p_size > 20
+        |ORDER BY p_partkey""".stripMargin,
+    "r13_entry_regroup" ->
+      """SELECT l_orderkey,
+        |       list_sort(list(l_linenumber)) AS linenumbers,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem WHERE l_orderkey <= 50
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+  )
+}
