@@ -31,12 +31,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.StoreOps.defs ++
-      graft.queries.Relational.defs
+      graft.queries.Relational.defs ++
+      graft.queries.GraphQueries.defs ++
+      graft.queries.AlgoQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.StoreOps.oracle ++
-      graft.queries.Relational.oracle
+      graft.queries.Relational.oracle ++
+      graft.queries.GraphQueries.oracle ++
+      graft.queries.AlgoQueries.oracle
 }

@@ -1,0 +1,77 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX bridge — the analytics layer the reference exposes only
+  * indirectly through its OLAP split generator (R14,
+  * TikvTable.java:284-336): external engines were expected to
+  * shard-read the whole graph and run algorithms elsewhere
+  * (hugegraph-computer). Here the engine IS Spark, so the splits
+  * operator dissolves into native partitioning and the algorithms run
+  * in-process on GraphX (BASELINE.json spark_approach).
+  *
+  * Iterative algorithms are the one place RDDs beat DataFrames
+  * (SURVEY §4.2.2): Pregel keeps per-superstep state off the driver
+  * and avoids re-planning a growing DataFrame lineage each iteration.
+  */
+object Algorithms {
+
+  /** Edge list of the property graph (optionally label-filtered) as a
+    * GraphX edge RDD with unit attributes.
+    */
+  def edgeRdd(g: PropertyGraph, labels: Seq[String] = Nil): RDD[Edge[Int]] = {
+    val e = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    e.select(col("src"), col("dst")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+  }
+
+  def toGraphX(g: PropertyGraph, labels: Seq[String] = Nil): Graph[Int, Int] =
+    Graph.fromEdges(edgeRdd(g, labels), defaultValue = 0)
+
+  /** degrees (parallel edges counted, as in the reference's dual edge
+    * tables where each adjacency row is its own KV).
+    */
+  def degrees(s: SparkSession, g: PropertyGraph, labels: Seq[String] = Nil): DataFrame = {
+    import s.implicits._
+    toGraphX(g, labels).degrees.toDF("id", "degree")
+  }
+
+  /** static PageRank, fixed iteration count for determinism. */
+  def pageRank(s: SparkSession, g: PropertyGraph, iters: Int = 10): DataFrame = {
+    import s.implicits._
+    toGraphX(g).staticPageRank(iters).vertices.toDF("id", "rank")
+  }
+
+  /** connected components (undirected reachability; component id = min
+    * vertex id, so output is deterministic).
+    */
+  def connectedComponents(s: SparkSession, g: PropertyGraph): DataFrame = {
+    import s.implicits._
+    org.apache.spark.graphx.lib.ConnectedComponents
+      .run(toGraphX(g)).vertices.toDF("id", "component")
+  }
+
+  /** single-source shortest hop-distance via Pregel. `reverse` follows
+    * edges dst→src (e.g. region → its nations → their customers).
+    */
+  def ssspHops(s: SparkSession, g: PropertyGraph, source: VertexId,
+               labels: Seq[String] = Nil, reverse: Boolean = false): DataFrame = {
+    import s.implicits._
+    val base = toGraphX(g, labels)
+    val graph0 = (if (reverse) base.reverse else base)
+      .mapVertices((id, _) => if (id == source) 0.0 else Double.PositiveInfinity)
+    val res = graph0.pregel(Double.PositiveInfinity)(
+      (_, dist, msg) => math.min(dist, msg),
+      triplet =>
+        if (triplet.srcAttr + 1.0 < triplet.dstAttr)
+          Iterator((triplet.dstId, triplet.srcAttr + 1.0))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 < Double.PositiveInfinity)
+      .mapValues(_.toLong).toDF("id", "dist")
+  }
+}

@@ -1,0 +1,156 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Property predicates — the HugeGraph/TinkerPop `P`/`Text` surface the
+  * store contract serves (SURVEY §2.4): eq/gt/gte/lt/lte/between/
+  * inside/within/textContains. Each compiles to one Catalyst predicate;
+  * the reference instead routed these through its index tables
+  * (SECONDARY, RANGE_x, SEARCH — TikvTables.java:176-316).
+  */
+sealed trait P { def toColumn(c: Column): Column }
+object P {
+  final case class Eq(v: Any) extends P { def toColumn(c: Column) = c === v }
+  final case class Neq(v: Any) extends P { def toColumn(c: Column) = c =!= v }
+  final case class Gt(v: Any) extends P { def toColumn(c: Column) = c > v }
+  final case class Gte(v: Any) extends P { def toColumn(c: Column) = c >= v }
+  final case class Lt(v: Any) extends P { def toColumn(c: Column) = c < v }
+  final case class Lte(v: Any) extends P { def toColumn(c: Column) = c <= v }
+  /** inclusive-lo, exclusive-hi — HugeGraph `inside` */
+  final case class Between(lo: Any, hi: Any) extends P {
+    def toColumn(c: Column) = c >= lo && c < hi
+  }
+  final case class Within(vs: Seq[Any]) extends P {
+    def toColumn(c: Column) = c.isin(vs: _*)
+  }
+  final case class Without(vs: Seq[Any]) extends P {
+    def toColumn(c: Column) = !c.isin(vs: _*)
+  }
+  final case class TextContains(s: String) extends P {
+    def toColumn(c: Column) = c.contains(s)
+  }
+  final case class StartsWith(s: String) extends P {
+    def toColumn(c: Column) = c.startsWith(s)
+  }
+}
+
+/** Gremlin-ish traversal DSL compiled to DataFrame operators.
+  *
+  * The reference's engine executes a traversal as a loop of indexed KV
+  * lookups per hop (R2–R6, TikvTable.java:159-189); here each hop is a
+  * *single distributed join* against the edges DataFrame — the central
+  * architectural inversion (SURVEY §3.1). Catalyst picks broadcast-hash
+  * when the frontier is small (with AQE converting at runtime) and
+  * sort-merge otherwise, so one plan scales from 6k rows to 100 TB.
+  *
+  * Bag semantics (duplicates preserved) match Gremlin; `dedup()` is
+  * explicit, as is input-order preservation (the reference's
+  * supportsQuerySortByInputIds, TikvFeatures.java:61-64).
+  *
+  * The frontier DataFrame always carries the full vertex/edge row;
+  * Catalyst column pruning drops unused property columns, so this
+  * costs nothing over an id-only frontier.
+  */
+final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
+  import Traversal._
+
+  private def requireV(): Unit =
+    require(!isEdge, "vertex step applied to edge frontier")
+  private def requireE(): Unit =
+    require(isEdge, "edge step applied to vertex frontier")
+
+  def hasLabel(ls: String*): Traversal =
+    copy(df = df.filter(col("label").isin(ls: _*)))
+
+  def has(key: String, p: P): Traversal = copy(df = df.filter(p.toColumn(col(key))))
+  def has(key: String, value: Any): Traversal = has(key, P.Eq(value))
+
+  /** out-edges of the frontier (EDGE_OUT prefix scan analog,
+    * TikvTables.java:128-143): join frontier ids to edges on src.
+    *
+    * Column references are name-based only (the frontier side is
+    * reduced to a single uniquely-named id column) so repeated hops —
+    * self-joins of the same edges/vertices DataFrames — resolve
+    * unambiguously.
+    */
+  def outE(ls: String*): Traversal = {
+    requireV()
+    val e = filterEdges(g.edges, ls).withColumn(OTHER, col("dst"))
+    val res = df.select(col("id").as(FRONT)).join(e, col(FRONT) === col("src"))
+    Traversal(g, res, isEdge = true)
+  }
+
+  /** in-edges (EDGE_IN analog): same edges table joined on dst — no
+    * second edge copy needed.
+    */
+  def inE(ls: String*): Traversal = {
+    requireV()
+    val e = filterEdges(g.edges, ls).withColumn(OTHER, col("src"))
+    val res = df.select(col("id").as(FRONT)).join(e, col(FRONT) === col("dst"))
+    Traversal(g, res, isEdge = true)
+  }
+
+  /** union of out and in — the dual-table `both()` shape; an undirected
+    * edge traversed from both ends appears twice, as in the reference.
+    */
+  def bothE(ls: String*): Traversal = {
+    requireV()
+    val o = outE(ls: _*)
+    val i = inE(ls: _*)
+    Traversal(g, o.df.union(i.df), isEdge = true)
+  }
+
+  /** move from edge frontier to the far-end vertex. */
+  def otherV: Traversal = toVertex(OTHER)
+  def inV: Traversal = toVertex("dst")
+  def outV: Traversal = toVertex("src")
+
+  private def toVertex(end: String): Traversal = {
+    requireE()
+    val res = df.select(col(end).as(HOP))
+      .join(g.vertices, col(HOP) === col("id")).drop(HOP)
+    Traversal(g, res, isEdge = false)
+  }
+
+  def out(ls: String*): Traversal = outE(ls: _*).otherV
+  def in(ls: String*): Traversal = inE(ls: _*).otherV
+  def both(ls: String*): Traversal = bothE(ls: _*).otherV
+
+  def dedup(): Traversal =
+    if (isEdge) copy(df = df.dropDuplicates("src", "dst", "label", "sort_key"))
+    else copy(df = df.dropDuplicates("id"))
+
+  def limit(n: Int): Traversal = copy(df = df.limit(n))
+
+  def order(key: String, asc: Boolean = true): Traversal =
+    copy(df = df.orderBy(if (asc) col(key).asc else col(key).desc))
+
+  /** terminal: bag of property values. */
+  def values(key: String): DataFrame = df.select(col(key))
+
+  /** terminal: COUNT — the one aggregate the reference pushes down
+    * (R10, TikvTable.java:135-148).
+    */
+  def count(): DataFrame = df.agg(count_lit_one.as("cnt"))
+
+  /** terminal: the raw frontier. */
+  def toDF: DataFrame = df
+}
+
+object Traversal {
+  private val FRONT = "__frontier_id"
+  private val OTHER = "__other"
+  private val HOP = "__hop_id"
+  private def count_lit_one = count(lit(1))
+
+  private def filterEdges(e: DataFrame, ls: Seq[String]): DataFrame =
+    if (ls.isEmpty) e else e.filter(col("label").isin(ls: _*))
+
+  def vertices(g: PropertyGraph): Traversal = Traversal(g, g.vertices, isEdge = false)
+
+  def vertexIds(g: PropertyGraph, ids: Seq[Long]): Traversal =
+    Traversal(g, g.vertices.filter(col("id").isin(ids: _*)), isEdge = false)
+
+  def edges(g: PropertyGraph): Traversal = Traversal(g, g.edges, isEdge = true)
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{Algorithms, PropertyGraph}
+
+/** GraphX analytics queries (SURVEY §2.4 last row: PageRank/WCC/SSSP/
+  * degrees — the hugegraph-computer layer fed by the reference's split
+  * operator R14). Where the result is derivable relationally, a DuckDB
+  * oracle is declared; PageRank/WCC are checked by unit tests on
+  * hand-built graphs plus rows-only here.
+  */
+object AlgoQueries {
+
+  private def g(s: SparkSession, dir: String) = PropertyGraph.fromTpch(s, dir)
+
+  /** degrees on the `contains` subgraph — orders' out-degree + parts'
+    * in-degree, cross-checkable in SQL.
+    */
+  def aDegrees(s: SparkSession, dir: String): DataFrame =
+    Algorithms.degrees(s, g(s, dir), Seq("contains"))
+      .orderBy(col("id"))
+
+  /** hop distance from region 0 following reversed part_of/located_in
+    * edges: region(0) → nations(1) → customers+suppliers(2); summarized
+    * as (dist, n) so the oracle is a three-branch relational count.
+    */
+  def aSsspHops(s: SparkSession, dir: String): DataFrame =
+    Algorithms.ssspHops(s, g(s, dir),
+      PropertyGraph.encodeId("region", 0L),
+      labels = Seq("part_of", "located_in"), reverse = true)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      .orderBy(col("dist"))
+
+  /** static PageRank over the full graph: top 20 vertices. Rank values
+    * are float-order-sensitive, so the declared output is the *ranking*
+    * (ids), not the scores — deterministic under fixed iterations.
+    */
+  def aPagerankTop(s: SparkSession, dir: String): DataFrame =
+    Algorithms.pageRank(s, g(s, dir), iters = 10)
+      .orderBy(col("rank").desc, col("id").asc)
+      .limit(20)
+      .select(col("id"))
+
+  /** connected components summarized as (component, size). */
+  def aComponents(s: SparkSession, dir: String): DataFrame =
+    Algorithms.connectedComponents(s, g(s, dir))
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .orderBy(col("component"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_degrees" -> (aDegrees _),
+    "a_sssp_hops" -> (aSsspHops _),
+    "a_pagerank_top" -> (aPagerankTop _),
+    "a_components" -> (aComponents _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a_degrees" ->
+      s"""SELECT id, CAST(degree AS INT) AS degree FROM (
+         |  SELECT ${PropertyGraph.sqlEncode("order", "l_orderkey")} AS id,
+         |         COUNT(*) AS degree
+         |  FROM lineitem GROUP BY l_orderkey
+         |  UNION ALL
+         |  SELECT ${PropertyGraph.sqlEncode("part", "l_partkey")} AS id,
+         |         COUNT(*) AS degree
+         |  FROM lineitem GROUP BY l_partkey
+         |) ORDER BY id""".stripMargin,
+    "a_sssp_hops" ->
+      """SELECT dist, n FROM (
+        |  SELECT CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS n
+        |  UNION ALL
+        |  SELECT 1, COUNT(*) FROM nation WHERE n_regionkey = 0
+        |  UNION ALL
+        |  SELECT 2, (SELECT COUNT(*) FROM customer JOIN nation
+        |               ON c_nationkey = n_nationkey WHERE n_regionkey = 0)
+        |           + (SELECT COUNT(*) FROM supplier JOIN nation
+        |               ON s_nationkey = n_nationkey WHERE n_regionkey = 0)
+        |) WHERE n > 0 ORDER BY dist""".stripMargin,
+  )
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{P, PropertyGraph}
+
+/** Traversal-surface queries (SURVEY §2.4 — the Gremlin verbs the
+  * reference's store contract exists to serve), run through the
+  * graft.graph DSL over the TPC-H property-graph view, with DuckDB
+  * oracles expressed over the base tables.
+  */
+object GraphQueries {
+
+  private def g(s: SparkSession, dir: String): PropertyGraph =
+    PropertyGraph.fromTpch(s, dir)
+
+  /** g.V().hasLabel(customer).has(mktsegment, BUILDING).out(placed).count() */
+  def g1OutCount(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
+      .out("placed").count()
+
+  /** two-hop + dedup: distinct parts bought by BUILDING customers. */
+  def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
+      .out("placed").out("contains").dedup().count()
+
+  /** in()-traversal (EDGE_IN analog): orders containing part 5. */
+  def g3InCount(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V(PropertyGraph.encodeId("part", 5L)).in("contains").count()
+
+  /** both(): full degree of nation 3 = located_in in-edges + part_of out. */
+  def g4BothCount(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V(PropertyGraph.encodeId("nation", 3L)).both().count()
+
+  /** edge-property predicate on E(): contains edges with quantity > 45. */
+  def g5EdgePropFilter(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).E.hasLabel("contains").has("quantity", P.Gt(45.0)).count()
+
+  /** label cardinality — VERTEX_LABEL_INDEX analog (TikvStore.java:363-366). */
+  def g6LabelCount(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.toDF.groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")
+
+  /** out-degree histogram over placed edges (degree → #customers). */
+  def g7DegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val e = g(s, dir).edges.filter(col("label") === "placed")
+    e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("degree"))
+  }
+
+  /** values() + order + limit: top-10 BUILDING customer balances. */
+  def g8ValuesTopk(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
+      .toDF.select(col("id"), col("acctbal"))
+      .orderBy(col("acctbal").desc, col("id").asc).limit(10)
+
+  /** edge sort-key range inside one vertex's out-edges — the reference's
+    * prefix + sort-key scan (R4, TikvTable.java:216-223).
+    */
+  def g9SortKeyRange(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V(PropertyGraph.encodeId("order", 7L))
+      .outE("contains").has("sort_key", P.Between(2L, 5L))
+      .toDF.select(col("sort_key"), col("quantity"))
+      .orderBy(col("sort_key"))
+
+  /** textContains through traversal — SEARCH_INDEX analog: lineitems of
+    * parts whose name mentions "bolt".
+    */
+  def g10TextTraversal(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("part").has("name", P.TextContains("bolt"))
+      .in("contains").count()
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_out_count" -> (g1OutCount _),
+    "g2_two_hop_distinct" -> (g2TwoHopDistinct _),
+    "g3_in_count" -> (g3InCount _),
+    "g4_both_count" -> (g4BothCount _),
+    "g5_edge_prop_filter" -> (g5EdgePropFilter _),
+    "g6_label_count" -> (g6LabelCount _),
+    "g7_degree_hist" -> (g7DegreeHist _),
+    "g8_values_topk" -> (g8ValuesTopk _),
+    "g9_sort_key_range" -> (g9SortKeyRange _),
+    "g10_text_traversal" -> (g10TextTraversal _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g1_out_count" ->
+      """SELECT COUNT(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "g2_two_hop_distinct" ->
+      """SELECT COUNT(*) AS cnt FROM (
+        |  SELECT DISTINCT l_partkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+    "g3_in_count" ->
+      "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_partkey = 5",
+    "g4_both_count" ->
+      """SELECT ((SELECT COUNT(*) FROM customer WHERE c_nationkey = 3)
+        |      + (SELECT COUNT(*) FROM supplier WHERE s_nationkey = 3)
+        |      + 1) AS cnt""".stripMargin,
+    "g5_edge_prop_filter" ->
+      "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity > 45.0",
+    "g6_label_count" ->
+      """SELECT label, n FROM (
+        |  SELECT 'customer' AS label, COUNT(*) AS n FROM customer UNION ALL
+        |  SELECT 'order', COUNT(*) FROM orders UNION ALL
+        |  SELECT 'part', COUNT(*) FROM part UNION ALL
+        |  SELECT 'supplier', COUNT(*) FROM supplier UNION ALL
+        |  SELECT 'nation', COUNT(*) FROM nation UNION ALL
+        |  SELECT 'region', COUNT(*) FROM region
+        |) ORDER BY label""".stripMargin,
+    "g7_degree_hist" ->
+      """SELECT degree, COUNT(*) AS n_vertices FROM (
+        |  SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY o_custkey
+        |) GROUP BY degree ORDER BY degree""".stripMargin,
+    "g8_values_topk" ->
+      s"""SELECT ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS id, c_acctbal AS acctbal
+         |FROM customer WHERE c_mktsegment = 'BUILDING'
+         |ORDER BY acctbal DESC, id ASC LIMIT 10""".stripMargin,
+    "g9_sort_key_range" ->
+      """SELECT CAST(l_linenumber AS BIGINT) AS sort_key, l_quantity AS quantity
+        |FROM lineitem WHERE l_orderkey = 7 AND l_linenumber >= 2 AND l_linenumber < 5
+        |ORDER BY sort_key""".stripMargin,
+    "g10_text_traversal" ->
+      """SELECT COUNT(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_name LIKE '%bolt%'""".stripMargin,
+  )
+}
