@@ -33,7 +33,9 @@ object SparkEntry {
     graft.queries.StoreOps.defs ++
       graft.queries.Relational.defs ++
       graft.queries.GraphQueries.defs ++
-      graft.queries.AlgoQueries.defs
+      graft.queries.AlgoQueries.defs ++
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.StreamingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +44,7 @@ object SparkEntry {
     graft.queries.StoreOps.oracle ++
       graft.queries.Relational.oracle ++
       graft.queries.GraphQueries.oracle ++
-      graft.queries.AlgoQueries.oracle
+      graft.queries.AlgoQueries.oracle ++
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.StreamingQueries.oracle
 }

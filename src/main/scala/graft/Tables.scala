@@ -29,7 +29,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
+    * which Spark has no native type for. With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
+    * builder here) the column arrives as LongType nanos; convert to a
+    * microsecond TimestampType via integer division (a double division
+    * would lose precision above 2^53 ns).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case _ => df
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

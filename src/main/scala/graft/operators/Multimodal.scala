@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (BASELINE.json north-star surface):
+  * image/audio/video as opaque BinaryType columns with typed metadata.
+  *
+  * The media codecs are NOT in this container, so the decode kernel is
+  * a clearly-marked deterministic STUB; everything Spark-side — the
+  * schema, the batched per-partition execution shape, partitioning, and
+  * the feature-frame contract — is real and tested. Swapping
+  * `decodeStub` for a JNI/FFI codec changes no plan shape.
+  *
+  * Scale notes: binary payloads ride in their own Parquet column, so
+  * metadata-only queries never read bytes (column pruning); decode runs
+  * via mapPartitions (one codec init per partition, the Scala analog of
+  * a batched pandas-UDF), map-only — no shuffle.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+                      width: Int, height: Int, sample_rate: Int)
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           checksum: String, mean_byte: Double,
+                           n_frames: Int, feature: Array[Float])
+
+  /** Synthesize a media table from the documents table: payload =
+    * UTF-8 bytes of the text (deterministic fake), metadata derived
+    * from doc fields. Stands in for a real image/audio ingest.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(8)) * 90 + 180).cast("int").as("height"),
+      when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(44100)
+        .cast("int").as("sample_rate"))
+
+  /** STUB decode kernel — deterministic fake standing in for the real
+    * codec (??? in production this calls libjpeg/ffmpeg via FFI).
+    * Runs per-partition so a real codec would init once per partition.
+    */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    val bytes = row.bytes
+    val mean = if (bytes.isEmpty) 0.0
+    else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+    // fake 8-dim "embedding": byte histogram over 8 value buckets
+    val hist = new Array[Float](8)
+    bytes.foreach(b => hist(((b & 0xff) >> 5)) += 1f)
+    val nFrames = row.kind match {
+      case "video" => bytes.length / 64 // pretend 64-byte frames
+      case "audio" => bytes.length / 32
+      case _ => 1
+    }
+    MediaFeatures(row.media_id, row.kind, bytes.length.toLong,
+      bytes.map("%02x".format(_)).mkString.take(16), mean, nFrames, hist)
+  }
+
+  /** decode / feature-extract over the media table — the batched
+    * narrow-transformation shape a real pipeline uses.
+    */
+  def extractFeatures(s: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import s.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      // real impl: init codec here, once per partition
+      it.map(decodeStub)
+    }
+  }
+
+  /** "Frame sampling" for video rows: every `stride`-th byte as a
+    * stand-in for every-Nth-frame extraction; array output demonstrates
+    * the explode-ready batch shape.
+    */
+  def frameSample(media: DataFrame, stride: Int = 64): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        transform(
+          sequence(lit(0L), floor((length(col("bytes")) - 1) / stride).cast("long")),
+          i => substring(col("bytes"), (i * stride + 1).cast("int"), lit(1)))
+          .as("frames"))
+      .select(col("media_id"), size(col("frames")).as("n_frames"))
+
+  /** Metadata-only scan — must not read the bytes column (verified by
+    * plan inspection in tests: ReadSchema excludes `bytes`).
+    */
+  def metaOnly(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"), col("width"), col("height"))
+}

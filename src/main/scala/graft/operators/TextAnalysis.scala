@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north-star surface; no reference analog — the
+  * reference's only text operator is the SEARCH_INDEX tokenizer,
+  * TikvTables.java:203-210).
+  *
+  * Everything here is per-row, codegen'd Catalyst expressions — no
+  * UDFs, no shuffles — so a 100 TB documents table maps straight
+  * through with zero exchange; only downstream aggregations shuffle.
+  */
+object TextAnalysis {
+
+  /** whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, single digits, single
+    * punctuation — a cheap, deterministic proxy for tokenizer cost.
+    */
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  def bpeishCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+
+  def punctCount(text: Column): Column = regexp_count(text, lit("[.!?,;:]"))
+
+  /** average token length (chars excluding whitespace / token count). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCount(text)
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "be", "this", "that")
+
+  def stopwordCount(text: Column, stops: Seq[String] = EnStopwords): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stopArr, t)))
+  }
+
+  /** composite quality score in [0,1]: length saturation, low
+    * punctuation noise, natural-language stopword density. Per-row
+    * double arithmetic — deterministic and engine-portable.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthTerm = least(nTok / 50.0, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio * 5.0)
+    val stopTerm = least(
+      stopwordCount(text).cast("double") / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
+    round(lengthTerm * 0.4 + punctTerm * 0.3 + stopTerm * 0.3, 6)
+  }
+
+  /** document fingerprint: md5 of case/whitespace-canonicalized text —
+    * the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Language-ID by stopword-profile hits: argmax over per-language
+    * function-word counts (classic n-gram/function-word heuristic).
+    * Pure Catalyst expressions: one pass, no shuffle, no UDF.
+    */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "que", "dans"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "per", "con", "sono"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    // score per language, pick max (ties broken by language order)
+    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(arr, t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** one-pass per-document stats frame. */
+  def stats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishCount(col("text")).as("n_bpeish"),
+      punctCount(col("text")).as("n_punct"),
+      length(col("text")).as("n_chars_measured"),
+      round(avgTokenLen(col("text")), 6).as("avg_token_len"),
+      stopwordCount(col("text")).as("n_stopwords"),
+      qualityScore(col("text")).as("quality"),
+      fingerprint(col("text")).as("fingerprint"),
+      langId(col("text")).as("lang_pred"))
+}

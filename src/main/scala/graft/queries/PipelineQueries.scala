@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline queries (SURVEY §2.5 / BASELINE.json north star):
+  * dedup, text analysis, similarity search, multimodal — over the
+  * documents/embeddings tables, with DuckDB oracles where the kernel is
+  * SQL-expressible (hash-based kernels are covered by unit tests +
+  * rows-only checks instead).
+  */
+object PipelineQueries {
+
+  // ------------------------------------------------------------- dedup
+
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir)).orderBy(col("fingerprint"))
+
+  def d2TextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(Tables.documents(s, dir))
+      .drop("lang_pred") // argmax-over-profiles is unit-tested, not oracled
+      .orderBy(col("doc_id"))
+
+  /** predicted-language distribution (rows-only: heuristic argmax). */
+  def d3LangidDist(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(Tables.documents(s, dir))
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_pred"))
+
+  /** exact token-set Jaccard over a bounded pair set (oracle for the
+    * MinHash path).
+    */
+  def d4JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), k = 1, threshold = 0.3,
+        maxDocId = 60)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** MinHash-LSH near-dup pairs (rows-only: xxhash64 isn't portable to
+    * the oracle; recall/precision asserted in DedupSpec).
+    */
+  def d5MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDup(Tables.documents(s, dir), k = 1, threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** SimHash signatures (rows-only; deterministic). */
+  def d6SimhashSigs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  // -------------------------------------------------------- similarity
+
+  private def queriesDf(s: SparkSession, dir: String, n: Long): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  /** brute-force exact top-3 cosine neighbors for 5 query vectors. */
+  def e1KnnBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(queriesDf(s, dir, 5), Tables.embeddings(s, dir), 3)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** LSH-bucketed approximate top-3 (rows-only: approximate by design). */
+  def e2LshTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(queriesDf(s, dir, 20), Tables.embeddings(s, dir), 3,
+        nBits = 8)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** IVF-cell approximate top-3 (rows-only: approximate by design). */
+  def e3IvfTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(queriesDf(s, dir, 20), Tables.embeddings(s, dir), 3)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** embedding cosine near-dup pairs over a bounded set — exact oracle. */
+  def e4EmbNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.2,
+        maxVecId = 80)
+      .orderBy(col("a_id"), col("b_id"))
+
+  // -------------------------------------------------------- multimodal
+
+  /** metadata of the synthesized media table (bytes column untouched —
+    * plan prunes it).
+    */
+  def m1MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaTable(Tables.documents(s, dir))
+    media.select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("sample_rate"), length(col("bytes")).as("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  /** stubbed decode/feature-extract via mapPartitions (rows-only: the
+    * fake features aren't SQL; the batch shape is what's exercised).
+    */
+  def m2MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        round(col("mean_byte"), 6).as("mean_byte"), col("n_frames"))
+      .orderBy(col("media_id"))
+
+  /** frame sampling over video rows — oracle via ceil arithmetic. */
+  def m3FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.mediaTable(Tables.documents(s, dir)))
+      .orderBy(col("media_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_text_stats" -> (d2TextStats _),
+    "d3_langid_dist" -> (d3LangidDist _),
+    "d4_jaccard_pairs" -> (d4JaccardPairs _),
+    "d5_minhash_pairs" -> (d5MinhashPairs _),
+    "d6_simhash_sigs" -> (d6SimhashSigs _),
+    "e1_knn_brute" -> (e1KnnBrute _),
+    "e2_lsh_topk" -> (e2LshTopk _),
+    "e3_ivf_topk" -> (e3IvfTopk _),
+    "e4_emb_near_dup" -> (e4EmbNearDup _),
+    "m1_media_meta" -> (m1MediaMeta _),
+    "m2_media_features" -> (m2MediaFeatures _),
+    "m3_frame_sample" -> (m3FrameSample _),
+  )
+
+  private val fingerprintSql =
+    "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+  private val tokensSql = "string_split_regex(text, '\\s+')"
+  private val stopListSql = TextAnalysis.EnStopwords
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""SELECT $fingerprintSql AS fingerprint, MIN(doc_id) AS keep_id,
+         |  COUNT(*) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "d2_text_stats" ->
+      s"""SELECT doc_id,
+         |  len($tokensSql) AS n_tokens,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpeish,
+         |  len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+         |  length(text) AS n_chars_measured,
+         |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |        / len($tokensSql), 6) AS avg_token_len,
+         |  len(list_filter($tokensSql, t -> list_contains($stopListSql, t)))
+         |    AS n_stopwords,
+         |  round(least(len($tokensSql) / 50.0, 1.0) * 0.4
+         |    + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[.!?,;:]'))
+         |        / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 5.0) * 0.3
+         |    + least(len(list_filter($tokensSql, t -> list_contains($stopListSql, t)))
+         |        / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3,
+         |    6) AS quality,
+         |  $fingerprintSql AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d4_jaccard_pairs" ->
+      """SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |  FROM (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS sh
+        |        FROM documents WHERE doc_id < 60) a
+        |  JOIN (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS sh
+        |        FROM documents WHERE doc_id < 60) b
+        |    ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+    "e1_knn_brute" ->
+      """SELECT query_id, rank, vec_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |        CAST(q.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "e4_emb_near_dup" ->
+      """SELECT a_id, b_id, cosine FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 80 AND b.vec_id < 80
+        |) WHERE cosine >= 0.2 ORDER BY a_id, b_id""".stripMargin,
+    "m1_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  CAST((doc_id % 8) * 160 + 320 AS INT) AS width,
+        |  CAST((doc_id % 8) * 90 + 180 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS INT)
+        |    AS sample_rate,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m3_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((octet_length(encode(text)) - 1) // 64 + 1 AS INT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY media_id""".stripMargin,
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.EventsPipeline
+
+/** Event-pipeline queries (SURVEY §2.5 streaming row / M6). The driver
+  * gate runs these in batch mode; the identical transforms run under
+  * Structured Streaming with watermarks in StreamingSpec (unified
+  * batch/stream contract — see graft.streaming.EventsPipeline).
+  */
+object StreamingQueries {
+
+  def s1Tumbling(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.tumblingCounts(Tables.events(s, dir))
+      .orderBy(col("bucket"), col("event_type"))
+
+  def s2Sliding(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.slidingCounts(Tables.events(s, dir))
+      .orderBy(col("bucket"), col("event_type"))
+
+  def s3Sessions(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.sessionize(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
+  def s4DedupCounts(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.dedupedCounts(Tables.events(s, dir))
+      .orderBy(col("event_type"))
+
+  def s5UserTotals(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.userTotals(Tables.events(s, dir))
+      .orderBy(col("user_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_tumbling" -> (s1Tumbling _),
+    "s2_sliding" -> (s2Sliding _),
+    "s3_sessions" -> (s3Sessions _),
+    "s4_dedup_counts" -> (s4DedupCounts _),
+    "s5_user_totals" -> (s5UserTotals _),
+  )
+
+  private val bucketSql =
+    "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "s1_tumbling" ->
+      s"""SELECT $bucketSql AS bucket, event_type, COUNT(*) AS n,
+         |  SUM(CAST(ROUND((value)*100) AS BIGINT))/100.0 AS value_sum
+         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "s2_sliding" ->
+      s"""SELECT bucket, event_type, COUNT(*) AS n FROM (
+         |  SELECT $bucketSql AS bucket, event_type FROM events
+         |  UNION ALL
+         |  SELECT $bucketSql - 300 AS bucket, event_type FROM events
+         |) GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "s3_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                >= INTERVAL '30 minutes'
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "s4_dedup_counts" ->
+      s"""SELECT event_type, COUNT(*) AS n FROM (
+         |  SELECT DISTINCT user_id, event_type, $bucketSql FROM events
+         |) GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "s5_user_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  SUM(CAST(ROUND((value)*100) AS BIGINT))/100.0 AS value_total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}
