@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.GraphQueries.defs ++
       graft.queries.AlgoQueries.defs ++
       graft.queries.PipelineQueries.defs ++
-      graft.queries.StreamingQueries.defs
+      graft.queries.StreamingQueries.defs ++
+      graft.queries.WriteQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.GraphQueries.oracle ++
       graft.queries.AlgoQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
-      graft.queries.StreamingQueries.oracle
+      graft.queries.StreamingQueries.oracle ++
+      graft.queries.WriteQueries.oracle
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Write-path operators (SURVEY §2.2, W1–W12), re-expressed as pure
+  * DataFrame→DataFrame transforms.
+  *
+  * The reference's write path is a buffered KV mutation batch
+  * (TikvStdSessions.java:239-291) with no cross-key transaction
+  * (supportsTransaction=false, TikvFeatures.java:109-111). In Spark the
+  * batch IS the write job; these transforms define the merge semantics,
+  * and a table format (Delta/Iceberg) supplies the atomicity the
+  * reference lacks. Everything here is also the oracle-checkable core
+  * of a MERGE INTO: the same anti-join + union shape a Delta merge
+  * compiles to.
+  */
+object Writer {
+
+  /** W1 insert: append rows (schema-aligned by name). */
+  def insert(base: DataFrame, rows: DataFrame): DataFrame =
+    base.unionByName(rows)
+
+  /** W3/W10 upsert (MERGE): new rows win over base rows with the same
+    * key. One shuffle on the key (the anti-join); at scale this is the
+    * standard copy-on-write merge.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+
+  /** W2 delete by key set. */
+  def delete(base: DataFrame, deleteKeys: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(deleteKeys.select(keys.map(col): _*), keys, "left_anti")
+
+  /** W7 delete-range on an ordered key. */
+  def deleteRange(base: DataFrame, key: String, from: Any, until: Any): DataFrame =
+    base.filter(!(col(key) >= from && col(key) < until))
+
+  /** W4 eliminate: null a property out (the reference deletes the cell,
+    * TikvTable.java:129-132).
+    */
+  def eliminate(base: DataFrame, prop: String, where: Column): DataFrame =
+    base.withColumn(prop, when(where, lit(null)).otherwise(col(prop)))
+
+  /** W6/W11 truncate. */
+  def truncate(base: DataFrame): DataFrame = base.limit(0)
+
+  /** W1 TTL: attach an expiry timestamp column. The reference converts
+    * ms→s and lets TiKV expire entries (TikvTable.java:95-101); here
+    * expiry is a filter-on-read view over `expire_at`.
+    */
+  def withTtl(base: DataFrame, tsCol: String, ttl: Column): DataFrame =
+    base.withColumn("expire_at", col(tsCol) + ttl)
+
+  /** TTL filter-on-read (the read-side half of W1). */
+  def liveAsOf(base: DataFrame, asOf: Column): DataFrame =
+    base.filter(col("expire_at") > asOf)
+
+  /** UNIQUE_INDEX constraint (TikvTables.java:212-219): key groups with
+    * more than one row. Empty result ⇒ constraint holds; callers reject
+    * the batch otherwise (ingest-time check, SURVEY §7.3).
+    */
+  def uniqueViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** W8 counter / id allocation. The reference's counter is a racy
+    * read-add-put (TikvStdSessions.java:396-405); deterministic dense
+    * ids from a total order replace it (SURVEY §7.4: do not replicate
+    * the race). Note: a global row_number is a single-partition sort at
+    * scale — use per-partition allocation (zipWithUniqueId) when ids
+    * need not be dense.
+    */
+  def allocateIds(df: DataFrame, orderBy: Seq[String], start: Long = 1L,
+                  idCol: String = "alloc_id"): DataFrame =
+    df.withColumn(idCol,
+      row_number().over(Window.orderBy(orderBy.map(col): _*)) + (start - 1))
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Writer
+
+/** Write-path semantics exercised as read-only, oracle-checkable
+  * queries (SURVEY §2.2): each applies a Writer transform to a base
+  * table plus a deterministic synthetic batch, then summarizes the
+  * post-write state. The DuckDB oracle replays the same merge
+  * relationally — exactly what a MERGE INTO audit would do.
+  */
+object WriteQueries {
+
+  /** W3/W10 upsert: orders with orderkey<100 get totalprice+1000 (update
+    * branch) and 50 synthetic rows appear (insert branch).
+    */
+  def w1Upsert(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val updates = o.filter(col("o_orderkey") < 100)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = o.filter(col("o_orderkey") < 50)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val merged = Writer.upsert(o, updates.unionByName(inserts), Seq("o_orderkey"))
+    merged.agg(
+      count(lit(1)).as("n"),
+      (sum(graft.util.Exact.cents(col("o_totalprice"))) / 100.0).as("total"))
+  }
+
+  /** W2 delete: every 10th order deleted; summarize survivors. */
+  def w2Delete(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val doomed = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"))
+    Writer.delete(o, doomed, Seq("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.util.Exact.cents(col("o_totalprice"))) / 100.0).as("total"))
+  }
+
+  /** W7 delete-range: orderkeys [1000, 2000) removed. */
+  def w3DeleteRange(s: SparkSession, dir: String): DataFrame =
+    Writer.deleteRange(Tables.orders(s, dir), "o_orderkey", 1000L, 2000L)
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+
+  /** W1 TTL + filter-on-read: orders expire 90 days after orderdate;
+    * count those still live at a fixed as-of instant.
+    */
+  def w4Ttl(s: SparkSession, dir: String): DataFrame = {
+    val withTtl = Writer.withTtl(Tables.orders(s, dir), "o_orderdate",
+      expr("INTERVAL 90 DAYS"))
+    Writer.liveAsOf(withTtl, to_timestamp(lit("1998-06-01 00:00:00")))
+      .agg(count(lit(1)).as("n_live"))
+  }
+
+  /** W4 eliminate: null out priority of low-value orders, count nulls. */
+  def w5Eliminate(s: SparkSession, dir: String): DataFrame =
+    Writer.eliminate(Tables.orders(s, dir), "o_orderpriority",
+        col("o_totalprice") < 50000.0)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isNull, 1).otherwise(0)).cast("long")
+          .as("n_nulled"))
+
+  /** UNIQUE_INDEX check: (nationkey, mktsegment) is intentionally
+    * non-unique — the violation report itself is the result.
+    */
+  def w6UniqueCheck(s: SparkSession, dir: String): DataFrame =
+    Writer.uniqueViolations(
+        Tables.customer(s, dir).select(col("c_nationkey"), col("c_mktsegment")),
+        Seq("c_nationkey", "c_mktsegment"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** W8 deterministic id allocation for the region table (tiny —
+    * the global-order window is the documented non-scale path).
+    */
+  def w7AllocIds(s: SparkSession, dir: String): DataFrame =
+    Writer.allocateIds(Tables.region(s, dir), Seq("r_name"), start = 100L)
+      .select(col("alloc_id"), col("r_regionkey"), col("r_name"))
+      .orderBy(col("alloc_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_upsert" -> (w1Upsert _),
+    "w2_delete" -> (w2Delete _),
+    "w3_delete_range" -> (w3DeleteRange _),
+    "w4_ttl" -> (w4Ttl _),
+    "w5_eliminate" -> (w5Eliminate _),
+    "w6_unique_check" -> (w6UniqueCheck _),
+    "w7_alloc_ids" -> (w7AllocIds _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_upsert" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey < 100
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey < 50),
+        |merged AS (
+        |  SELECT o.o_orderkey, o.o_totalprice FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM updates)
+        |SELECT COUNT(*) AS n,
+        |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total
+        |FROM merged""".stripMargin,
+    "w2_delete" ->
+      """SELECT COUNT(*) AS n,
+        |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total
+        |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin,
+    "w3_delete_range" ->
+      """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 2000)""".stripMargin,
+    "w4_ttl" ->
+      """SELECT COUNT(*) AS n_live FROM orders
+        |WHERE o_orderdate + INTERVAL 90 DAY > TIMESTAMP '1998-06-01 00:00:00'""".stripMargin,
+    "w5_eliminate" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_totalprice < 50000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulled
+        |FROM orders""".stripMargin,
+    "w6_unique_check" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows
+        |FROM customer GROUP BY 1, 2 HAVING COUNT(*) > 1
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "w7_alloc_ids" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY r_name) + 99 AS alloc_id,
+        |  r_regionkey, r_name
+        |FROM region ORDER BY alloc_id""".stripMargin,
+  )
+}

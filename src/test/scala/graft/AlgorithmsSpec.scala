@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.{Algorithms, PropertyGraph}
+
+/** Golden-value tests on hand-built graphs (FIXTURES.md: chain5,
+  * two-component graph) for the GraphX bridge.
+  */
+class AlgorithmsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkGraph(edges: Seq[(Long, Long)]): PropertyGraph = {
+    val vids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val v = vids.map(id => (id, "node")).toDF("id", "label")
+    val e = edges.map { case (s, d) => (s, d, "link", null.asInstanceOf[java.lang.Long]) }
+      .toDF("src", "dst", "label", "sort_key")
+    PropertyGraph(v, e)
+  }
+
+  test("sssp hops on chain5") {
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val got = Algorithms.ssspHops(spark, g, 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("sssp reverse follows edges backwards") {
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L)))
+    val got = Algorithms.ssspHops(spark, g, 3L, reverse = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 0L, 2L -> 1L, 1L -> 2L))
+  }
+
+  test("connected components: two islands get min-id components") {
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val got = Algorithms.connectedComponents(spark, g)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+  }
+
+  test("degrees counts parallel edges") {
+    val g = mkGraph(Seq((1L, 2L), (1L, 2L), (2L, 3L)))
+    val got = Algorithms.degrees(spark, g).as[(Long, Int)].collect().toMap
+    assert(got(1L) == 2 && got(2L) == 3 && got(3L) == 1)
+  }
+
+  test("pagerank: sink-feeding star ranks center highest") {
+    val g = mkGraph(Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (9L, 1L)))
+    val top = Algorithms.pageRank(spark, g, iters = 20)
+      .orderBy(col("rank").desc).select("id").as[Long].first()
+    assert(top == 9L)
+  }
+}

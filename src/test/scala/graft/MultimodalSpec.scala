@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Seq((0L, "hello world"), (1L, "abc"), (2L, "x" * 200))
+    .toDF("doc_id", "text")
+
+  test("media table kinds cycle deterministically") {
+    val kinds = Multimodal.mediaTable(docs).select("media_id", "kind")
+      .as[(Long, String)].collect().toMap
+    assert(kinds == Map(0L -> "image", 1L -> "audio", 2L -> "video"))
+  }
+
+  test("decode stub features are deterministic and sized right") {
+    val feats = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(0L).n_bytes == 11)
+    assert(feats(0L).feature.length == 8)
+    assert(feats(2L).n_frames == 200 / 64) // video: 64-byte "frames"
+    val again = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs))
+      .collect().map(f => f.media_id -> f.checksum).toMap
+    assert(feats.map { case (k, v) => k -> v.checksum } == again)
+  }
+
+  test("metadata-only scan does not touch the bytes column") {
+    val plan = Multimodal.metaOnly(Multimodal.mediaTable(docs))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("bytes"))
+  }
+
+  test("frame sample counts ceil(n_bytes/stride)") {
+    val got = Multimodal.frameSample(Multimodal.mediaTable(docs), stride = 64)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(2L -> 4)) // 200 bytes → ceil(200/64)=4
+  }
+}

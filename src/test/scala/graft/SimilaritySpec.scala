@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine kernel exact values") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(-1f, 0f, 0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val got = df.as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(got(2) == -1.0)
+  }
+
+  test("brute-force top-k finds the planted nearest neighbor first") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),
+      (11L, Array(0.9f, 0.1f, 0f, 0f)), // nearest to query
+      (12L, Array(0f, 1f, 0f, 0f)),
+      (13L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1f, 0f, 0f, 0f))).toDF("query_id", "query_vec")
+    val got = Similarity.bruteForceTopK(queries, corpus, 2)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(got.toSeq == Seq(11L, 12L)) // excludes self (vec_id == query_id)
+  }
+
+  test("lsh top-k: identical vectors share a bucket and rank first") {
+    val vecs = (0 until 32).map { i =>
+      val v = new Array[Float](8); v(i % 8) = 1f; v((i + 3) % 8) = 0.5f
+      (i.toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // query 100 = exact copy of corpus vector 5
+    val queries = Seq((100L, vecs(5)._2)).toDF("query_id", "query_vec")
+    val got = Similarity.lshTopK(queries, corpus, 1, nBits = 6, dim = 8)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(got.nonEmpty && got.head._2 == 1.0)
+  }
+
+  test("ivf top-k returns k ranked candidates per query") {
+    val corpus = (0 until 64).map { i =>
+      val v = Array.tabulate(8)(j => math.cos(i * (j + 1)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.limit(3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = Similarity.ivfTopK(queries, corpus, 3, nCentroids = 4)
+    val counts = got.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ <= 3) && counts.nonEmpty)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.EventsPipeline
+
+/** top-level so Spark encoders can instantiate it (inner classes need
+  * an outer pointer the deserializer doesn't have).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Streaming-mode semantics (SURVEY §5.4): the SAME EventsPipeline
+  * transforms that pass the batch oracle, driven through MemoryStream
+  * with watermarks — window emission, late-data drop, dedup state,
+  * session merge, and mapGroupsWithState running counts.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click",
+                 v: Double = 1.0) =
+    Ev(id, Timestamp.valueOf(t), user, typ, v)
+
+  private def runStream[T](stream: MemoryStream[Ev],
+                           plan: org.apache.spark.sql.DataFrame,
+                           name: String, mode: OutputMode = OutputMode.Append)
+                          (batches: Seq[Seq[Ev]]): org.apache.spark.sql.DataFrame = {
+    val q = plan.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling windows emit on watermark passage; late data dropped") {
+    val stream = MemoryStream[Ev]
+    val out = runStream(stream,
+      EventsPipeline.tumblingCounts(stream.toDF()), "t_tumbling")(Seq(
+      Seq(ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00")),
+      // this event is 2 min late but within the 10-min watermark → counted
+      Seq(ev(3, "2024-01-01 00:14:00"), ev(4, "2024-01-01 00:12:00")),
+      // advance watermark beyond 00:05 so window [00:00,00:05) closes
+      Seq(ev(5, "2024-01-01 00:30:00")),
+      // 25 min late, beyond watermark → dropped silently
+      Seq(ev(6, "2024-01-01 00:03:00")),
+      Seq(ev(7, "2024-01-01 00:55:00")) // close remaining windows
+    ))
+    val rows = out.select("bucket", "n").as[(Long, Long)].collect().toMap
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    assert(rows(base) == 2) // late event 6 NOT counted
+    assert(rows(base + 600) == 2) // 00:10 window: events 3+4
+    assert(rows(base + 1800) == 1)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups per key bucket") {
+    val stream = MemoryStream[Ev]
+    val out = runStream(stream,
+      EventsPipeline.dedupedCounts(stream.toDF()), "t_dedup",
+      OutputMode.Update)(Seq(
+      Seq(ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00"),
+        ev(3, "2024-01-01 00:03:30", typ = "buy")),
+      Seq(ev(9, "2024-01-01 01:00:00", typ = "other"))
+    ))
+    val rows = out.groupBy("event_type").agg(max("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(rows("click") == 1) // events 1,2 share (user,type,bucket)
+    assert(rows("buy") == 1)
+  }
+
+  test("session windows merge events within gap") {
+    val stream = MemoryStream[Ev]
+    val out = runStream(stream,
+      EventsPipeline.sessionize(stream.toDF()), "t_sessions")(Seq(
+      Seq(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:10:00"),
+        ev(3, "2024-01-01 01:00:00")), // gap > 30 min → second session
+      Seq(ev(4, "2024-01-01 04:00:00")) // advance watermark, close sessions
+    ))
+    val rows = out.select("session_start", "n_events").as[(Long, Long)].collect().toMap
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    assert(rows(base) == 2)
+    assert(rows(base + 3600) == 1)
+  }
+
+  test("mapGroupsWithState keeps running per-user counts across batches") {
+    val stream = MemoryStream[Ev]
+    val counts = stream.toDS().groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counts.toDF("user_id", "n").writeStream.format("memory")
+      .queryName("t_state").outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(Seq(ev(1, "2024-01-01 00:00:00", user = 7),
+        ev(2, "2024-01-01 00:01:00", user = 7)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(3, "2024-01-01 00:02:00", user = 7)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("t_state").groupBy("user_id").agg(max("n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(last(7L) == 3L) // state carried across micro-batches
+  }
+
+  test("streaming and batch tumblingCounts agree on the same data") {
+    val evs = Seq(ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00"),
+      ev(3, "2024-01-01 00:07:00", typ = "buy"), ev(4, "2024-01-01 00:11:00"))
+    val batch = EventsPipeline.tumblingCounts(evs.toDF())
+      .select("bucket", "event_type", "n").as[(Long, String, Long)].collect().toSet
+    val stream = MemoryStream[Ev]
+    val out = runStream(stream,
+      EventsPipeline.tumblingCounts(stream.toDF()), "t_parity")(Seq(
+      evs, Seq(ev(9, "2024-01-01 02:00:00", typ = "flush"))))
+    val streamed = out.select("bucket", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(batch.subsetOf(streamed ++ batch.filter(_._2 == "flush"))
+      && streamed.intersect(batch) == batch)
+  }
+}

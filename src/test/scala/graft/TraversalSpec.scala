@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.{P, PropertyGraph, Traversal}
+
+/** Micro-graph traversal semantics (FIXTURES.md hand-crafted graphs):
+  * out/in/both symmetry mirroring the dual edge tables
+  * (TikvTables.java:128-143), dedup under both(), predicate matrix
+  * (TikvSessions.java:52-58 inclusivity combos).
+  */
+class TraversalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** triangle: 1→2, 2→3, 3→1 */
+  lazy val triangle: PropertyGraph = {
+    val v = Seq((1L, "node", 10), (2L, "node", 20), (3L, "node", 30))
+      .toDF("id", "label", "score")
+    val e = Seq((1L, 2L, "next", 1L), (2L, 3L, "next", 2L), (3L, 1L, "next", 3L))
+      .toDF("src", "dst", "label", "sort_key")
+    PropertyGraph(v, e)
+  }
+
+  test("out follows edge direction") {
+    val got = triangle.V(1L).out("next").toDF.select("id").as[Long].collect()
+    assert(got.toSeq == Seq(2L))
+  }
+
+  test("in follows reverse direction") {
+    val got = triangle.V(1L).in("next").toDF.select("id").as[Long].collect()
+    assert(got.toSeq == Seq(3L))
+  }
+
+  test("both is the union of out and in (bag semantics)") {
+    val got = triangle.V(1L).both("next").toDF.select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("three-hop cycle returns to origin") {
+    val got = triangle.V(1L).out().out().out().toDF.select("id").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("bothE from every vertex sees each edge twice in total") {
+    val n = triangle.V.bothE("next").toDF.count()
+    assert(n == 6) // 3 edges × 2 directions
+  }
+
+  test("dedup collapses duplicate frontier rows") {
+    // 1 and 2 both reach 3: out from {1,2} via next-next vs next
+    val dup = triangle.V(1L, 2L).out("next").out("next").toDF.select("id")
+      .union(triangle.V(1L, 2L).out("next").toDF.select("id"))
+    assert(dup.count() == 4)
+    val t = Traversal(triangle, dup.join(triangle.vertices, "id"), isEdge = false)
+    assert(t.dedup().toDF.count() == 3)
+  }
+
+  test("predicate inclusivity matrix (GT/GTE/LT/LTE/Between)") {
+    val g = triangle
+    def ids(p: P): Set[Long] =
+      g.V.has("score", p).toDF.select("id").as[Long].collect().toSet
+    assert(ids(P.Gt(10)) == Set(2L, 3L))
+    assert(ids(P.Gte(20)) == Set(2L, 3L))
+    assert(ids(P.Lt(30)) == Set(1L, 2L))
+    assert(ids(P.Lte(20)) == Set(1L, 2L))
+    assert(ids(P.Between(10, 30)) == Set(1L, 2L)) // [lo, hi)
+    assert(ids(P.Within(Seq(10, 30))) == Set(1L, 3L))
+    assert(ids(P.Without(Seq(10, 30))) == Set(2L))
+  }
+
+  test("edge sort-key range scan (R4 analog)") {
+    val got = triangle.V.outE("next").has("sort_key", P.Between(2L, 4L))
+      .toDF.select("sort_key").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("hasLabel filters vertices") {
+    assert(triangle.V.hasLabel("node").toDF.count() == 3)
+    assert(triangle.V.hasLabel("nope").toDF.count() == 0)
+  }
+
+  test("vertex step on edge frontier fails fast") {
+    intercept[IllegalArgumentException] { triangle.V.outE("next").out() }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Writer
+
+class WriterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("id", "name", "v")
+
+  test("upsert: update wins, insert appends") {
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "name", "v")
+    val got = Writer.upsert(base, updates, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+  }
+
+  test("delete removes exactly the keyed rows") {
+    val got = Writer.delete(base, Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
+  test("deleteRange is [from, until)") {
+    val got = Writer.deleteRange(base, "id", 1L, 3L)
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(3L))
+  }
+
+  test("eliminate nulls the property only where predicate holds") {
+    val got = Writer.eliminate(base, "name", col("v") < 25.0)
+      .orderBy("id").select("name").collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(None, None, Some("c")))
+  }
+
+  test("ttl + liveAsOf filters expired rows") {
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("id", "created")
+    val ttl = Writer.withTtl(df, "created", expr("INTERVAL 30 DAYS"))
+    val live = Writer.liveAsOf(ttl, to_timestamp(lit("2024-02-01 00:00:00")))
+      .select("id").as[Long].collect()
+    assert(live.toSeq == Seq(2L))
+  }
+
+  test("uniqueViolations flags duplicate keys only") {
+    val dup = base.unionByName(Seq((1L, "a2", 11.0)).toDF("id", "name", "v"))
+    val got = Writer.uniqueViolations(dup, Seq("id")).as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+    assert(Writer.uniqueViolations(base, Seq("id")).isEmpty)
+  }
+
+  test("allocateIds is dense and deterministic by order column") {
+    val got = Writer.allocateIds(base, Seq("name"), start = 5L)
+      .select("alloc_id", "name").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((5L, "a"), (6L, "b"), (7L, "c")))
+  }
+}
