@@ -40,22 +40,50 @@ object Dedup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** deterministic 64-bit hash of a shingle under seed i. */
-  private def seededHash(shingle: Column, seed: Int): Column =
-    xxhash64(lit(seed), shingle)
+  /** hash function i derived from one base hash: xor with a
+    * well-mixed per-i constant (murmur-finalized in Scala, where
+    * wrapping multiply is legal) followed by a xorshift64 avalanche —
+    * only xor/shift Column ops, which are codegen'd and exempt from
+    * ANSI overflow checks (Column `*` on longs throws on wrap in
+    * Spark 4's default ANSI mode). Hashing each shingle string once
+    * and mixing 64 ways is ~50× cheaper than 64 seeded string hashes.
+    */
+  private def derivedHash(h: Column, i: Int): Column = {
+    val c = {
+      var x = (i + 1) * 0x9E3779B97F4A7C15L
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    val s0 = h.bitwiseXOR(lit(c))
+    val s1 = s0.bitwiseXOR(shiftleft(s0, 13))
+    val s2 = s1.bitwiseXOR(shiftrightunsigned(s1, 7))
+    s2.bitwiseXOR(shiftleft(s2, 17))
+  }
 
   // -------------------------------------------------------- MinHash + LSH
 
-  /** MinHash signatures: numHashes independent min-hashes per doc.
-    * Computed per-row over the shingle array (no explode, no shuffle):
-    * signature_i = min over shingles of xxhash64(seed_i, shingle).
+  /** MinHash signatures: numHashes independent min-hashes per doc as
+    * `signature: array<long>`.
+    *
+    * Shape chosen for scale AND local CPU: explode shingles → hash each
+    * string ONCE → numHashes codegen'd MIN aggregates over derived
+    * hashes → reassemble the signature array. Spark's higher-order
+    * array functions are interpreted per element, so the seemingly
+    * shuffle-free per-row formulation (64 × transform+array_min) is two
+    * orders of magnitude slower; the explode shape runs in whole-stage
+    * codegen with map-side partial mins, so the one shuffle carries
+    * only (doc_id, 64 longs) rows.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = shingles(col("text"), k)
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
-    docs.select(col("doc_id"), sig.as("signature"), sh.as("shingles"))
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val aggs = (0 until numHashes).map(i => min(derivedHash(col("h"), i)).as(s"m$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("signature"))
   }
 
   /** Near-duplicate pairs via MinHash-LSH banding + exact-Jaccard
@@ -64,12 +92,24 @@ object Dedup {
     * bands × rowsPerBand = numHashes; a pair collides if any band's
     * signature slice matches exactly. Collision probability for true
     * Jaccard j is 1-(1-j^rows)^bands (the standard S-curve).
+    *
+    * Scale shape (learned from the sf0.1 bench): the candidate
+    * shuffles carry ONLY narrow (a_id, b_id) pairs — shingle arrays are
+    * joined back after pair dedup, so the band self-join and the
+    * dropDuplicates never ship payloads. `maxBucketSize` is the skew
+    * guard: a band bucket holding more docs than this is
+    * non-discriminative (its members pair via other bands if truly
+    * similar) and would otherwise explode quadratically — the LSH
+    * equivalent of a skewed-join salt-or-drop decision.
     */
   def minhashNearDup(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
-                     bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                     bands: Int = 16, threshold: Double = 0.5,
+                     maxBucketSize: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, k, numHashes)
+    val shingleTable = docs.select(col("doc_id"),
+      shingles(col("text"), k).as("shingles"))
 
     // (band, bucket=hash(slice), doc) — one row per band per doc
     val bandStructs = array((0 until bands).map { b =>
@@ -78,24 +118,31 @@ object Dedup {
           col("signature").getItem(b * rows + r)): _*).as("bucket"))
     }: _*)
     val buckets = sigs
-      .select(col("doc_id"), col("shingles"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("shingles"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    // candidate pairs: self-join within (band, bucket); a.id < b.id
-    val a = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("a_id"), col("shingles").as("a_sh"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    // skew guard: drop non-discriminative mega-buckets
+    val sized = buckets
+      .withColumn("bsize", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bsize") <= maxBucketSize)
+      .drop("bsize")
+
+    // candidate pairs: narrow ids only through the self-join + dedup
+    val a = sized.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = sized.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     val cands = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
 
-    // verify: exact Jaccard over shingle sets (arrays already distinct)
+    // verify: join shingle sets back, exact Jaccard (arrays distinct)
+    val withSh = cands
+      .join(shingleTable.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(shingleTable.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
     val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
     val uni = size(array_union(col("a_sh"), col("b_sh"))).cast("double")
-    cands
+    withSh
       .withColumn("jaccard", round(inter / uni, 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
@@ -126,20 +173,28 @@ object Dedup {
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document: sign-sum of per-token hash bits.
-    * Per-row expression tree (transform + aggregate over the token
-    * array), no explode — one map-only pass at scale.
+    *
+    * Same explode + codegen'd-aggregate shape as minhashSignatures
+    * (interpreted higher-order folds are the local bottleneck): one
+    * xxhash64 per distinct token, 64 SUM aggregates of ±1 bit votes,
+    * bits reassembled with shift/or. Map-side partial sums keep the
+    * shuffle narrow at scale.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = array_distinct(TextAnalysis.tokens(col("text")))
-    val hashes = transform(toks, t => xxhash64(t))
-    // bit j of simhash = 1 if sum over tokens of (bit j set ? +1 : -1) > 0
-    val bits: Seq[Column] = (0 until 64).map { j =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val voteAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
     }
-    docs.select(col("doc_id"),
-      bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    val bits: Seq[Column] = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    exploded.groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks

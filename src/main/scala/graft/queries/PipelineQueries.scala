@@ -38,10 +38,16 @@ object PipelineQueries {
       .orderBy(col("a_id"), col("b_id"))
 
   /** MinHash-LSH near-dup pairs (rows-only: xxhash64 isn't portable to
-    * the oracle; recall/precision asserted in DedupSpec).
+    * the oracle; recall/precision asserted in DedupSpec). Threshold 0.9
+    * on token sets: this corpus shares a tiny vocabulary, so lower
+    * thresholds make near-everything a "duplicate" (jaccard ≥ 0.5 holds
+    * for ~half of all pairs — measured at sf0.1).
     */
   def d5MinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDup(Tables.documents(s, dir), k = 1, threshold = 0.5)
+    // bands=8 → 8 rows/band: the S-curve knee sits at ~0.88, matched to
+    // the 0.9 threshold (rows=4 would flood candidates with j≈0.6 pairs)
+    Dedup.minhashNearDup(Tables.documents(s, dir), k = 1, numHashes = 64,
+        bands = 8, threshold = 0.9)
       .orderBy(col("a_id"), col("b_id"))
 
   /** SimHash signatures (rows-only; deterministic). */
