@@ -21,15 +21,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** dot product of two float-array columns, accumulated in double
-    * left-to-right (deterministic).
+    * left-to-right (deterministic). Backed by the codegen'd
+    * graft.functions.FloatVecDot expression — the composable
+    * zip_with + aggregate formulation is interpreted per element and
+    * measured ~100× slower (see FloatVecDot scaladoc).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vec_cosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * queries: (query_id, query_vec); corpus: (vec_id, embedding).
