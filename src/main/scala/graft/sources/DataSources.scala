@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface beyond the driver's Parquet tables.
+  *
+  * The reference reads exactly one source (TiKV KV ranges); a
+  * Spark-native engine inherits every DataSource V2 format. These
+  * helpers pin the conventions that matter at scale: explicit schemas
+  * (no inference job over 100 TB), UTC timestamps, and
+  * partitioned/compressed writes.
+  */
+object DataSources {
+
+  /** CSV with an explicit schema — schema inference at scale means an
+    * extra full pass over the data; never rely on it.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** JSON-lines with an explicit schema. */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Partitioned columnar write — the default sink shape. */
+  def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** Physical graph storage layout — the 100 TB design.
+  *
+  * The reference materializes every edge twice — EDGE_OUT keyed by
+  * source vertex, EDGE_IN keyed by target (TikvTables.java:128-143) —
+  * so either direction of traversal is a local prefix scan. The
+  * Spark-native equivalent of that exact trade is storing the edges
+  * table twice, BUCKETED on `src` and on `dst` respectively: a
+  * traversal join against the matching copy is then co-partitioned and
+  * plans with NO shuffle on the edge side (bucketed scan ↔ the
+  * reference's region-local scan). Vertices are partitioned by label,
+  * so `hasLabel` prunes whole directories — the VERTEX_LABEL_INDEX
+  * analog (TikvStore.java:363-366).
+  *
+  * Bucket counts size to the cluster: at 100 TB with 1000 executors,
+  * O(10k) buckets keep each bucket a few GB; locally the demo uses 8.
+  */
+object GraphStorage {
+
+  /** Drop a managed table AND its leftover warehouse location (the
+    * in-memory catalog forgets tables across JVMs while the warehouse
+    * directory persists, which otherwise fails CREATE with
+    * LOCATION_ALREADY_EXISTS).
+    */
+  private def dropTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$wh/$name")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Persist the graph: label-partitioned vertices + dual bucketed edge
+    * tables (`<prefix>_edges_by_src`, `<prefix>_edges_by_dst`).
+    */
+  def saveGraph(spark: SparkSession, g: PropertyGraph, prefix: String,
+                buckets: Int = 8): Unit = {
+    Seq(s"${prefix}_vertices", s"${prefix}_edges_by_src", s"${prefix}_edges_by_dst")
+      .foreach(dropTable(spark, _))
+    g.vertices.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .partitionBy("label")
+      .saveAsTable(s"${prefix}_vertices")
+    g.edges.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, "src").sortBy("src", "sort_key")
+      .saveAsTable(s"${prefix}_edges_by_src")
+    g.edges.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, "dst").sortBy("dst")
+      .saveAsTable(s"${prefix}_edges_by_dst")
+  }
+
+  /** Load the stored graph; `forward` picks the edge clustering the
+    * traversal direction wants (out → by_src, in → by_dst).
+    */
+  def loadGraph(spark: SparkSession, prefix: String,
+                forward: Boolean = true): PropertyGraph = {
+    val edges = spark.table(
+      if (forward) s"${prefix}_edges_by_src" else s"${prefix}_edges_by_dst")
+    PropertyGraph(spark.table(s"${prefix}_vertices"), edges)
+  }
+}

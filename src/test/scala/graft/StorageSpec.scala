@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+import graft.sources.{DataSources, GraphStorage}
+
+/** Physical layout semantics: label-partition pruning, dual bucketed
+  * edge tables (EDGE_OUT/EDGE_IN analog) eliminating the edge-side
+  * shuffle, and source round-trips.
+  */
+class StorageSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    s
+  }
+  import spark.implicits._
+
+  private val wh = "target/test-output"
+
+  lazy val stored: Unit = {
+    val g = PropertyGraph.fromTpch(spark, TestSpark.sfDir)
+    GraphStorage.saveGraph(spark, g, "t1graph", buckets = 4)
+  }
+
+  test("vertices are label-partitioned and hasLabel prunes partitions") {
+    stored
+    val g = GraphStorage.loadGraph(spark, "t1graph")
+    val plan = g.V.hasLabel("customer").toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("label#") || plan.contains("isnotnull(label"))
+    assert(g.V.hasLabel("customer").toDF.count() == 150)
+  }
+
+  test("out-traversal join against by_src bucketed edges has no edge-side shuffle") {
+    stored
+    val g = GraphStorage.loadGraph(spark, "t1graph", forward = true)
+    // big-big join path: disable broadcast so the bucketed layout is
+    // what saves the shuffle (the 100 TB scenario)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = g.vertices.filter(col("label") === "customer")
+        .select(col("id")).join(g.edges, col("id") === col("src"))
+      val plan = q.queryExecution.executedPlan.toString
+      // exactly one exchange: the vertex side; edge side reads buckets
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange (vertex side only), got $exchanges:\n$plan")
+      assert(q.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("csv and json round-trip with explicit schema") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    DataSources.writeCsv(df, s"$wh/csv_rt")
+    DataSources.writeJsonLines(df, s"$wh/json_rt")
+    val back = DataSources.readCsv(spark, s"$wh/csv_rt", df.schema)
+    val backJ = DataSources.readJsonLines(spark, s"$wh/json_rt", df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    assert(backJ.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("partitioned parquet write prunes on partition column") {
+    val df = Seq((1L, "x", "2024"), (2L, "y", "2025")).toDF("id", "name", "year")
+    DataSources.writeParquet(df, s"$wh/part_rt", Seq("year"))
+    val back = DataSources.readParquet(spark, s"$wh/part_rt")
+      .filter(col("year") === "2024")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(back.count() == 1)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.TtlFilterRule
+
+/** TTL auto-filter rule (store-side expiry analog,
+  * TikvTable.java:95-101): scans of relations carrying `expire_at`
+  * transparently exclude expired rows once the rule is installed.
+  */
+class TtlRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val path = "target/test-output/ttl_table"
+
+  private def writeFixture(): Unit = {
+    val past = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val future = java.sql.Timestamp.valueOf("2999-01-01 00:00:00")
+    Seq((1L, past), (2L, future), (3L, future))
+      .toDF("id", "expire_at")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def withRule[T](body: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TtlFilterRule
+    try body
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == TtlFilterRule)
+  }
+
+  test("expired rows vanish transparently when the rule is installed") {
+    writeFixture()
+    val without = spark.read.parquet(path).count()
+    assert(without == 3)
+    withRule {
+      assert(spark.read.parquet(path).count() == 2)
+      assert(spark.read.parquet(path).select("id").as[Long].collect().sorted
+        .toSeq == Seq(2L, 3L))
+    }
+  }
+
+  test("tables without expire_at are untouched") {
+    withRule {
+      assert(graft.Tables.customer(spark, TestSpark.sfDir).count() == 150)
+    }
+  }
+
+  test("rule is disabled by spark.graft.ttl.enabled=false") {
+    writeFixture()
+    spark.conf.set("spark.graft.ttl.enabled", "false")
+    try withRule {
+      assert(spark.read.parquet(path).count() == 3)
+    } finally spark.conf.unset("spark.graft.ttl.enabled")
+  }
+
+  test("injected predicate pushes down to the parquet scan") {
+    writeFixture()
+    withRule {
+      val plan = spark.read.parquet(path).queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("expire_at"),
+        s"expected expire_at pushed filter in:\n$plan")
+    }
+  }
+}
