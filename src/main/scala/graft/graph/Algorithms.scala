@@ -55,6 +55,17 @@ object Algorithms {
       .run(toGraphX(g)).vertices.toDF("id", "component")
   }
 
+  /** triangle count per vertex (GraphX canonicalizes direction).
+    * Graph must be partitioned for triangleCount's requirements.
+    */
+  def triangleCounts(s: SparkSession, g: PropertyGraph,
+                     labels: Seq[String] = Nil): DataFrame = {
+    import s.implicits._
+    toGraphX(g, labels)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+      .triangleCount().vertices.toDF("id", "triangles")
+  }
+
   /** single-source shortest hop-distance via Pregel. `reverse` follows
     * edges dst→src (e.g. region → its nations → their customers).
     */

@@ -117,6 +117,38 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   def in(ls: String*): Traversal = inE(ls: _*).otherV
   def both(ls: String*): Traversal = bothE(ls: _*).otherV
 
+  /** Gremlin repeat(out(...)).times(n): n-hop expansion as n chained
+    * joins — each hop stays one distributed join (no driver loop).
+    */
+  def repeat(n: Int)(step: Traversal => Traversal): Traversal =
+    (1 to n).foldLeft(this)((t, _) => step(t))
+
+  /** filter frontier by vertex/edge ids. */
+  def hasId(ids: Long*): Traversal = {
+    requireV()
+    copy(df = df.filter(col("id").isin(ids: _*)))
+  }
+
+  /** deterministic sample: hash-bucket of the id — stable across runs
+    * and engines, unlike rand().
+    */
+  def sample(denominator: Int, bucket: Int = 0): Traversal = {
+    val key = if (isEdge) xxhash64(col("src"), col("dst"), col("label"))
+    else xxhash64(col("id"))
+    copy(df = df.filter(pmod(key, lit(denominator)) === bucket))
+  }
+
+  /** terminal: Gremlin valueMap — id plus the requested properties. */
+  def valueMap(keys: String*): DataFrame = {
+    requireV()
+    df.select((Seq(col("id")) ++ keys.map(col)): _*)
+  }
+
+  /** terminal: Gremlin groupCount().by(key). */
+  def groupCount(key: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+
   def dedup(): Traversal =
     if (isEdge) copy(df = df.dropDuplicates("src", "dst", "label", "sort_key"))
     else copy(df = df.dropDuplicates("id"))

@@ -48,11 +48,23 @@ object AlgoQueries {
       .groupBy(col("component")).agg(count(lit(1)).as("size"))
       .orderBy(col("component"))
 
+  /** triangle count over the whole graph. The star schema is
+    * triangle-free by construction (customer→order→part→supplier and
+    * the geo chain never close a 3-cycle), so the oracle is the
+    * structural zero; the nonzero path is covered on micro-graphs in
+    * AlgorithmsSpec.
+    */
+  def aTriangles(s: SparkSession, dir: String): DataFrame =
+    Algorithms.triangleCounts(s, g(s, dir))
+      .agg(sum(col("triangles")).cast("long").as("total_triangles"),
+        count(lit(1)).as("n_vertices"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_degrees" -> (aDegrees _),
     "a_sssp_hops" -> (aSsspHops _),
     "a_pagerank_top" -> (aPagerankTop _),
     "a_components" -> (aComponents _),
+    "a_triangles" -> (aTriangles _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -77,5 +89,11 @@ object AlgoQueries {
         |           + (SELECT COUNT(*) FROM supplier JOIN nation
         |               ON s_nationkey = n_nationkey WHERE n_regionkey = 0)
         |) WHERE n > 0 ORDER BY dist""".stripMargin,
+    "a_triangles" ->
+      """SELECT CAST(0 AS BIGINT) AS total_triangles,
+        |  ((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
+        | + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM supplier)
+        | + (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region))
+        |    AS n_vertices""".stripMargin,
   )
 }

@@ -178,7 +178,42 @@ object Relational {
       .orderBy($"o_custkey")
   }
 
+  /** HLL++ approximate distinct (SURVEY §4.2 "free" list) — rows-only:
+    * Spark's HLL++ and DuckDB's approx sketch differ by design; the
+    * relative-error bound is asserted in RelationalSpec instead.
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Raw SQL entry path: the same engine surface through spark.sql —
+    * views registered over the parquet tables, text identical to the
+    * DuckDB oracle (dialect-portable subset).
+    */
+  def qSqlRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(SqlRevenueText)
+  }
+
+  // 100.0 must be CAST AS DOUBLE: Spark SQL reads a bare 100.0 literal
+  // as DECIMAL(3,1) (decimal division result), DuckDB as DOUBLE.
+  val SqlRevenueText: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderpriority <> '5-LOW'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_sql_revenue" -> (qSqlRevenue _),
     "q1_agg" -> (q1Agg _),
     "q_agg_minmax" -> (qAggMinmax _),
     "q_join_revenue" -> (qJoinRevenue _),
@@ -194,6 +229,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_revenue" -> SqlRevenueText,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

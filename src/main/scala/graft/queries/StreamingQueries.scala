@@ -32,12 +32,27 @@ object StreamingQueries {
     EventsPipeline.userTotals(Tables.events(s, dir))
       .orderBy(col("user_id"))
 
+  /** semi-structured event props: JSON string column parsed in-plan
+    * (the schema-dynamic property bag of the reference's serialized
+    * property cell, TikvFeatures.java:92-95 — here queryable directly).
+    */
+  def s6JsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("k_sum"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_tumbling" -> (s1Tumbling _),
     "s2_sliding" -> (s2Sliding _),
     "s3_sessions" -> (s3Sessions _),
     "s4_dedup_counts" -> (s4DedupCounts _),
     "s5_user_totals" -> (s5UserTotals _),
+    "s6_json_props" -> (s6JsonProps _),
   )
 
   private val bucketSql =
@@ -79,5 +94,10 @@ object StreamingQueries {
       """SELECT user_id, COUNT(*) AS n_events,
         |  SUM(CAST(ROUND((value)*100) AS BIGINT))/100.0 AS value_total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s6_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -47,6 +47,12 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got(1L) == 2 && got(2L) == 3 && got(3L) == 1)
   }
 
+  test("triangle count finds the planted triangle") {
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    val got = Algorithms.triangleCounts(spark, g).as[(Long, Int)].collect().toMap
+    assert(got(1L) == 1 && got(2L) == 1 && got(3L) == 1 && got(4L) == 0)
+  }
+
   test("pagerank: sink-feeding star ranks center highest") {
     val g = mkGraph(Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (9L, 1L)))
     val top = Algorithms.pageRank(spark, g, iters = 20)

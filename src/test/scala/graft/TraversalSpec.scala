@@ -83,4 +83,31 @@ class TraversalSpec extends AnyFunSuite {
   test("vertex step on edge frontier fails fast") {
     intercept[IllegalArgumentException] { triangle.V.outE("next").out() }
   }
+
+  test("repeat(n)(out) expands n hops") {
+    val got = triangle.V(1L).repeat(3)(_.out("next")).toDF
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(1L)) // 3-cycle returns home
+    val two = triangle.V(1L).repeat(2)(_.out("next")).toDF
+      .select("id").as[Long].collect()
+    assert(two.toSeq == Seq(3L))
+  }
+
+  test("hasId filters the frontier") {
+    assert(triangle.V.hasId(1L, 3L).toDF.count() == 2)
+  }
+
+  test("sample partitions the graph deterministically") {
+    val parts = (0 until 3).map(b => triangle.V.sample(3, b).toDF.count()).sum
+    assert(parts == 3) // buckets tile the vertex set
+    val again = triangle.V.sample(3, 0).toDF.count()
+    assert(again == triangle.V.sample(3, 0).toDF.count())
+  }
+
+  test("valueMap and groupCount terminals") {
+    val vm = triangle.V(2L).valueMap("score").collect()(0)
+    assert(vm.getLong(0) == 2L && vm.getInt(1) == 20)
+    val gc = triangle.V.groupCount("label").as[(String, Long)].collect().toMap
+    assert(gc == Map("node" -> 3L))
+  }
 }
