@@ -161,7 +161,23 @@ object StoreOps {
       .orderBy($"l_orderkey")
   }
 
+  /** R14: split generation (TikvTable.java:284-336) — the reference
+    * walks TiKV region boundaries to hand shards to external engines;
+    * Spark's file source generates InputPartitions natively. Rows-only
+    * (split sizing is engine-specific): per-partition row counts of a
+    * parallel scan, proving the table reads as disjoint splits.
+    */
+  def r14Splits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy(spark_partition_id().as("split"))
+      .agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).cast("long").as("n_splits"),
+        sum($"n_rows").cast("long").as("total_rows"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r14_splits" -> (r14Splits _),
     "r1_full_scan" -> (r1FullScan _),
     "r2_point_get" -> (r2PointGet _),
     "r3_prefix_scan" -> (r3PrefixScan _),
