@@ -84,17 +84,58 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** one-pass per-document stats frame. */
-  def stats(docs: DataFrame): DataFrame =
-    docs.select(
+  /** Per-document stats frame.
+    *
+    * Two-path shape chosen for CPU at scale: the per-row scalar
+    * columns (regexp counts, lengths, md5) are codegen'd natively, but
+    * token-membership counts (stopwords, language profiles) through
+    * higher-order `filter` are interpreted per element — measured 6s+
+    * at sf0.1. Those counts instead come from ONE exploded token pass
+    * with conditional-sum aggregates (whole-stage codegen, map-side
+    * partials), joined back on doc_id. Output values are identical to
+    * the declarative formulation, so the DuckDB oracle is unchanged.
+    */
+  def stats(docs: DataFrame): DataFrame = {
+    // one exploded pass; stopwords match raw tokens (as stopwordCount
+    // does), language profiles match lowercased tokens (as langId does)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val langSums = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      sum(when(lower(col("t")).isin(words: _*), 1).otherwise(0)).as(s"lang_$lang")
+    }
+    val stopArr = EnStopwords
+    val tokAgg = tok.groupBy(col("doc_id")).agg(
+      sum(when(col("t").isin(stopArr: _*), 1).otherwise(0)).cast("int")
+        .as("n_stopwords"),
+      langSums: _*)
+
+    // argmax over language scores (ties → lexicographically-last lang,
+    // matching the struct-compare semantics of langId)
+    val scored = LangProfiles.keys.toSeq.sorted.map { lang =>
+      struct(col(s"lang_$lang").as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    val langPred = when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+
+    val nTok = tokenCount(col("text")).cast("double")
+    val punctRatio = punctCount(col("text")).cast("double") / greatest(nTok, lit(1.0))
+    val stopTerm = least(
+      col("n_stopwords").cast("double") / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
+    val quality = round(
+      least(nTok / 50.0, lit(1.0)) * 0.4 +
+        greatest(lit(0.0), lit(1.0) - punctRatio * 5.0) * 0.3 +
+        stopTerm * 0.3, 6)
+
+    docs.join(tokAgg, "doc_id").select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
       bpeishCount(col("text")).as("n_bpeish"),
       punctCount(col("text")).as("n_punct"),
       length(col("text")).as("n_chars_measured"),
       round(avgTokenLen(col("text")), 6).as("avg_token_len"),
-      stopwordCount(col("text")).as("n_stopwords"),
-      qualityScore(col("text")).as("quality"),
+      col("n_stopwords"),
+      quality.as("quality"),
       fingerprint(col("text")).as("fingerprint"),
-      langId(col("text")).as("lang_pred"))
+      langPred.as("lang_pred"))
+  }
 }
