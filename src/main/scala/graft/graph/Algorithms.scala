@@ -55,6 +55,26 @@ object Algorithms {
       .run(toGraphX(g)).vertices.toDF("id", "component")
   }
 
+  /** Neighborhood aggregation via GraphX aggregateMessages — the
+    * Pregel substrate exposed directly: per destination vertex, count
+    * and integer-cents sum of an edge property over incident edges
+    * (exact, so the relational oracle matches bit-for-bit).
+    */
+  def neighborEdgeSum(s: SparkSession, g: PropertyGraph, label: String,
+                      prop: String): DataFrame = {
+    import s.implicits._
+    val e = g.edges.filter(col("label") === label)
+      .select(col("src"), col("dst"),
+        (org.apache.spark.sql.functions.round(col(prop) * 100)).cast("long").as("cents"))
+      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val graph = Graph.fromEdges(e, defaultValue = 0)
+    graph.aggregateMessages[(Long, Long)](
+        ctx => ctx.sendToDst((1L, ctx.attr)),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      .map { case (id, (n, cents)) => (id, n, cents / 100.0) }
+      .toDF("id", "n_edges", "prop_sum")
+  }
+
   /** triangle count per vertex (GraphX canonicalizes direction).
     * Graph must be partitioned for triangleCount's requirements.
     */

@@ -59,12 +59,21 @@ object AlgoQueries {
       .agg(sum(col("triangles")).cast("long").as("total_triangles"),
         count(lit(1)).as("n_vertices"))
 
+  /** aggregateMessages neighborhood sum: per part vertex, count and
+    * quantity-sum over incoming `contains` edges — exact integer-cents
+    * arithmetic, so the relational replay is an exact oracle.
+    */
+  def aNeighborSum(s: SparkSession, dir: String): DataFrame =
+    Algorithms.neighborEdgeSum(s, g(s, dir), "contains", "quantity")
+      .orderBy(col("id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_degrees" -> (aDegrees _),
     "a_sssp_hops" -> (aSsspHops _),
     "a_pagerank_top" -> (aPagerankTop _),
     "a_components" -> (aComponents _),
     "a_triangles" -> (aTriangles _),
+    "a_neighbor_sum" -> (aNeighborSum _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,6 +98,11 @@ object AlgoQueries {
         |           + (SELECT COUNT(*) FROM supplier JOIN nation
         |               ON s_nationkey = n_nationkey WHERE n_regionkey = 0)
         |) WHERE n > 0 ORDER BY dist""".stripMargin,
+    "a_neighbor_sum" ->
+      s"""SELECT ${PropertyGraph.sqlEncode("part", "l_partkey")} AS id,
+         |  COUNT(*) AS n_edges,
+         |  SUM(CAST(ROUND((l_quantity)*100) AS BIGINT))/100.0 AS prop_sum
+         |FROM lineitem GROUP BY l_partkey ORDER BY id""".stripMargin,
     "a_triangles" ->
       """SELECT CAST(0 AS BIGINT) AS total_triangles,
         |  ((SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)

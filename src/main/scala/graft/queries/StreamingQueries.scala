@@ -46,6 +46,22 @@ object StreamingQueries {
         max(col("k")).as("k_max"))
       .orderBy(col("event_type"))
 
+  /** as-of join: each error event → same user's latest prior click. */
+  def s7AsofJoin(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.asOfJoin(Tables.events(s, dir), "error", "click")
+      .orderBy(col("event_id"))
+
+  /** interval join (10-minute lookback window). */
+  def s8IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    EventsPipeline.intervalJoin(
+        ev.filter(col("event_type") === "error"),
+        ev.filter(col("event_type") === "click"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_tumbling" -> (s1Tumbling _),
     "s2_sliding" -> (s2Sliding _),
@@ -53,6 +69,8 @@ object StreamingQueries {
     "s4_dedup_counts" -> (s4DedupCounts _),
     "s5_user_totals" -> (s5UserTotals _),
     "s6_json_props" -> (s6JsonProps _),
+    "s7_asof_join" -> (s7AsofJoin _),
+    "s8_interval_join" -> (s8IntervalJoin _),
   )
 
   private val bucketSql =
@@ -99,5 +117,25 @@ object StreamingQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's ns to µs, matching the
+    // engine's ns→µs conversion — without it, boundary comparisons and
+    // window order ties can differ at sub-µs precision.
+    "s7_asof_join" ->
+      """SELECT event_id, user_id, asof_ref_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ref_id
+        |  FROM events WHERE event_type IN ('error', 'click')
+        |) WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "s8_interval_join" ->
+      """SELECT e.user_id, COUNT(*) AS n_pairs
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL '600 seconds'
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
   )
 }

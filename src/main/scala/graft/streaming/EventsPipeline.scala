@@ -78,4 +78,41 @@ object EventsPipeline {
     df.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         (sum(graft.util.Exact.cents(col("value"))) / 100.0).as("value_total"))
+
+  /** As-of join composed from built-ins (SURVEY §7.3 decision table
+    * path (a): compose before customizing): for every event of
+    * `needType`, attach the same user's most recent prior-or-equal
+    * event of `refType`. One union + one window — no range-join
+    * blowup; at scale this is a single shuffle on user_id with the
+    * window running sorted within partitions.
+    */
+  def asOfJoin(df: DataFrame, needType: String, refType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tagged = df.filter(col("event_type").isin(needType, refType))
+      .withColumn("ref_id",
+        when(col("event_type") === refType, col("event_id")))
+    tagged
+      .withColumn("asof_ref_id", last(col("ref_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === needType)
+      .select(col("event_id"), col("user_id"), col("asof_ref_id"))
+  }
+
+  /** Stream-stream interval join (exercised with watermarks in
+    * StreamingSpec): error events joined to the same user's click
+    * events within the preceding `windowSec` seconds.
+    */
+  def intervalJoin(errors: DataFrame, clicks: DataFrame, windowSec: Int = 600): DataFrame = {
+    val e = errors.select(col("event_id").as("err_id"), col("user_id"),
+      col("ts").as("err_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    e.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("err_ts") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("err_id"), col("user_id"), col("click_id"))
+  }
 }

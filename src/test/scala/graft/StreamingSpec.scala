@@ -110,6 +110,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(7L) == 3L) // state carried across micro-batches
   }
 
+  test("stream-stream interval join pairs clicks with subsequent errors") {
+    val errors = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventsPipeline.intervalJoin(
+      errors.toDF().withWatermark("ts", "10 minutes"),
+      clicks.toDF().withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Seq(ev(10, "2024-01-01 00:00:00", user = 1, typ = "click"),
+        ev(11, "2024-01-01 00:20:00", user = 1, typ = "click")))
+      errors.addData(Seq(ev(20, "2024-01-01 00:05:00", user = 1, typ = "error"),
+        ev(21, "2024-01-01 00:40:00", user = 1, typ = "error")))
+      q.processAllAvailable()
+      // advance both watermarks to flush
+      clicks.addData(Seq(ev(12, "2024-01-01 02:00:00", user = 9, typ = "click")))
+      errors.addData(Seq(ev(22, "2024-01-01 02:00:00", user = 9, typ = "error")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("t_ssjoin").select("err_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+    // error 20 pairs with click 10 (5 min before); error 21 pairs with
+    // neither (click 11 is 20 min before > 600s window)
+    assert(pairs.contains((20L, 10L)))
+    assert(!pairs.exists(_._1 == 21L))
+  }
+
   test("streaming and batch tumblingCounts agree on the same data") {
     val evs = Seq(ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00"),
       ev(3, "2024-01-01 00:07:00", typ = "buy"), ev(4, "2024-01-01 00:11:00"))
