@@ -60,6 +60,25 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   private def requireE(): Unit =
     require(isEdge, "edge step applied to vertex frontier")
 
+  private def hasPath: Boolean = df.columns.contains(PATH)
+
+  /** enable Gremlin path() tracking: subsequent hops append the
+    * visited vertex id to a `path` array carried WITH the frontier —
+    * distributed, never driver-side.
+    */
+  def withPath: Traversal = {
+    requireV()
+    copy(df = df.withColumn(PATH, array(col("id"))))
+  }
+
+  /** terminal: tracked paths as array<long> rows (bag semantics — one
+    * row per distinct edge walk, like Gremlin path()).
+    */
+  def paths: DataFrame = {
+    require(hasPath, "call withPath before traversing to track paths")
+    df.select(col(PATH).as("path"))
+  }
+
   def hasLabel(ls: String*): Traversal =
     copy(df = df.filter(col("label").isin(ls: _*)))
 
@@ -74,10 +93,13 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     * self-joins of the same edges/vertices DataFrames — resolve
     * unambiguously.
     */
+  private def frontierCols: Seq[Column] =
+    if (hasPath) Seq(col("id").as(FRONT), col(PATH)) else Seq(col("id").as(FRONT))
+
   def outE(ls: String*): Traversal = {
     requireV()
     val e = filterEdges(g.edges, ls).withColumn(OTHER, col("dst"))
-    val res = df.select(col("id").as(FRONT)).join(e, col(FRONT) === col("src"))
+    val res = df.select(frontierCols: _*).join(e, col(FRONT) === col("src"))
     Traversal(g, res, isEdge = true)
   }
 
@@ -87,7 +109,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   def inE(ls: String*): Traversal = {
     requireV()
     val e = filterEdges(g.edges, ls).withColumn(OTHER, col("src"))
-    val res = df.select(col("id").as(FRONT)).join(e, col(FRONT) === col("dst"))
+    val res = df.select(frontierCols: _*).join(e, col(FRONT) === col("dst"))
     Traversal(g, res, isEdge = true)
   }
 
@@ -108,8 +130,11 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
 
   private def toVertex(end: String): Traversal = {
     requireE()
-    val res = df.select(col(end).as(HOP))
-      .join(g.vertices, col(HOP) === col("id")).drop(HOP)
+    val keep = if (hasPath) Seq(col(end).as(HOP), col(PATH)) else Seq(col(end).as(HOP))
+    val joined = df.select(keep: _*).join(g.vertices, col(HOP) === col("id")).drop(HOP)
+    val res = if (hasPath)
+      joined.withColumn(PATH, concat(col(PATH), array(col("id"))))
+    else joined
     Traversal(g, res, isEdge = false)
   }
 
@@ -171,9 +196,10 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
 }
 
 object Traversal {
-  private val FRONT = "__frontier_id"
-  private val OTHER = "__other"
-  private val HOP = "__hop_id"
+  private[graph] val FRONT = "__frontier_id"
+  private[graph] val OTHER = "__other"
+  private[graph] val HOP = "__hop_id"
+  private[graph] val PATH = "__path"
   private def count_lit_one = count(lit(1))
 
   private def filterEdges(e: DataFrame, ls: Seq[String]): DataFrame =

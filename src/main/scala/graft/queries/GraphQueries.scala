@@ -70,7 +70,26 @@ object GraphQueries {
     g(s, dir).V.hasLabel("part").has("name", P.TextContains("bolt"))
       .in("contains").count()
 
+  /** Gremlin path(): full two-hop walks customer 7 → orders → parts
+    * as id arrays — paths stay distributed (array column), never
+    * collected to the driver.
+    */
+  def g11Paths(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V(PropertyGraph.encodeId("customer", 7L)).withPath
+      .out("placed").out("contains").paths
+      .orderBy(col("path"))
+
+  /** groupCount terminal: order count per market segment via the
+    * traversal API (frontier property aggregation).
+    */
+  def g12GroupCount(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("order").in("placed")
+      .groupCount("mktsegment")
+      .orderBy(col("mktsegment"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g11_paths" -> (g11Paths _),
+    "g12_group_count" -> (g12GroupCount _),
     "g1_out_count" -> (g1OutCount _),
     "g2_two_hop_distinct" -> (g2TwoHopDistinct _),
     "g3_in_count" -> (g3InCount _),
@@ -84,6 +103,16 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "g11_paths" ->
+      s"""SELECT [${PropertyGraph.sqlEncode("customer", "o_custkey")},
+         |        ${PropertyGraph.sqlEncode("order", "o_orderkey")},
+         |        ${PropertyGraph.sqlEncode("part", "l_partkey")}] AS path
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE o_custkey = 7 ORDER BY path""".stripMargin,
+    "g12_group_count" ->
+      """SELECT c_mktsegment AS mktsegment, COUNT(*) AS cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY mktsegment""".stripMargin,
     "g1_out_count" ->
       """SELECT COUNT(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,

@@ -137,6 +137,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 21L))
   }
 
+  test("file-source streaming: readStream over parquet matches batch") {
+    // copy the tiny events table into an isolated stream-input dir
+    val dir = "target/test-output/stream_in"
+    // fresh checkpoint each run — a stale one resumes past the input
+    // and emits nothing
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/test-output/stream_ckpt"))
+    val batchDf = Tables.events(spark, TestSpark.sfDir)
+    batchDf.write.mode("overwrite").parquet(dir)
+    val schema = batchDf.schema
+    val streamed = spark.readStream.schema(schema).parquet(dir)
+    val q = EventsPipeline.tumblingCounts(streamed)
+      .writeStream.format("memory").queryName("t_filestream")
+      .option("checkpointLocation", "target/test-output/stream_ckpt")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode only emits windows sealed by the watermark; every
+    // emitted row must match the batch result exactly
+    val batch = EventsPipeline.tumblingCounts(batchDf)
+      .select("bucket", "event_type", "n").as[(Long, String, Long)]
+      .collect().toMap2
+    val emitted = spark.table("t_filestream")
+      .select("bucket", "event_type", "n").as[(Long, String, Long)].collect()
+    assert(emitted.nonEmpty)
+    emitted.foreach { case (b, t, n) => assert(batch((b, t)) == n) }
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, String, Long)]) {
+    def toMap2: Map[(Long, String), Long] =
+      rows.map { case (a, b, c) => (a, b) -> c }.toMap
+  }
+
   test("streaming and batch tumblingCounts agree on the same data") {
     val evs = Seq(ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00"),
       ev(3, "2024-01-01 00:07:00", typ = "buy"), ev(4, "2024-01-01 00:11:00"))

@@ -104,6 +104,15 @@ class TraversalSpec extends AnyFunSuite {
     assert(again == triangle.V.sample(3, 0).toDF.count())
   }
 
+  test("withPath tracks full walks") {
+    val got = triangle.V(1L).withPath.out("next").out("next").paths
+      .select("path").as[Seq[Long]].collect()
+    assert(got.toSeq == Seq(Seq(1L, 2L, 3L)))
+    val cycle = triangle.V(1L).withPath.repeat(3)(_.out("next")).paths
+      .as[Seq[Long]].collect()
+    assert(cycle.toSeq == Seq(Seq(1L, 2L, 3L, 1L)))
+  }
+
   test("valueMap and groupCount terminals") {
     val vm = triangle.V(2L).valueMap("score").collect()(0)
     assert(vm.getLong(0) == 2L && vm.getInt(1) == 20)
