@@ -211,7 +211,67 @@ object Relational {
       |WHERE o_orderpriority <> '5-LOW'
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** analytic window suite: lag + running sum per customer's order
+    * history (frames, not just ranking functions).
+    */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .filter($"o_custkey" <= 40)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        cents($"o_totalprice").as("price_cents"))
+      .withColumn("prev_order", lag($"o_orderkey", 1).over(w))
+      .withColumn("running_spend",
+        (sum($"price_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100.0))
+      .drop("price_cents", "o_orderdate")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** ROLLUP: subtotal + grand-total rows (NULL group keys). */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents($"o_totalprice")) / 100.0).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** pivot: order counts per status × priority, priorities as columns
+    * (oracle replays via conditional aggregation).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .pivot($"o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map("1-URGENT" -> "p1", "2-HIGH" -> "p2",
+        "3-MEDIUM" -> "p3", "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** exact interpolated percentiles (both engines: continuous
+    * quantile); values are sums of identical inputs → deterministic.
+    */
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_running" -> (qWindowRunning _),
+    "q_rollup" -> (qRollup _),
+    "q_pivot" -> (qPivot _),
+    "q_percentile" -> (qPercentile _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_sql_revenue" -> (qSqlRevenue _),
     "q1_agg" -> (q1Agg _),
@@ -229,6 +289,35 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_orderkey, 1) OVER w AS prev_order,
+        |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+        |    AS running_spend
+        |FROM orders WHERE o_custkey <= 40
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sql_revenue" -> SqlRevenueText,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
