@@ -174,6 +174,30 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     df.groupBy(col(key))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
 
+  /** Gremlin where(traversal): keep frontier rows for which the
+    * sub-traversal produces at least one result — a LEFT SEMI join
+    * (the reference's engine runs the inner traversal per row; here
+    * it's one distributed semi-join).
+    */
+  def where(sub: Traversal => Traversal): Traversal =
+    semiFilter(sub, anti = false)
+
+  /** Gremlin not(traversal): LEFT ANTI counterpart. */
+  def not(sub: Traversal => Traversal): Traversal =
+    semiFilter(sub, anti = true)
+
+  private def semiFilter(sub: Traversal => Traversal, anti: Boolean): Traversal = {
+    requireV()
+    // run the sub-traversal from the full frontier, tracking origins
+    val origin = copy(df = df.withColumn(PATH, array(col("id"))))
+    val reached = sub(origin).df
+      .select(element_at(col(PATH), 1).as("__origin"))
+      .distinct()
+    val joined = df.join(reached, col("id") === col("__origin"),
+      if (anti) "left_anti" else "left_semi")
+    copy(df = joined)
+  }
+
   def dedup(): Traversal =
     if (isEdge) copy(df = df.dropDuplicates("src", "dst", "label", "sort_key"))
     else copy(df = df.dropDuplicates("id"))

@@ -87,7 +87,25 @@ object GraphQueries {
       .groupCount("mktsegment")
       .orderBy(col("mktsegment"))
 
+  /** Gremlin not(): customers with no URGENT order — anti semi-join
+    * through the traversal DSL.
+    */
+  def g13NotStep(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("customer")
+      .not(_.outE("placed").has("orderdate", P.Gte(
+        java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))))
+      .toDF.select(col("id"), col("name"))
+      .orderBy(col("id"))
+
+  /** Gremlin where(): parts that appear in some high-quantity line. */
+  def g14WhereStep(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("part")
+      .where(_.inE("contains").has("quantity", P.Gt(49.0)))
+      .count()
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g13_not_step" -> (g13NotStep _),
+    "g14_where_step" -> (g14WhereStep _),
     "g11_paths" -> (g11Paths _),
     "g12_group_count" -> (g12GroupCount _),
     "g1_out_count" -> (g1OutCount _),
@@ -103,6 +121,18 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "g13_not_step" ->
+      s"""SELECT ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS id,
+         |  c_name AS name
+         |FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+         |ORDER BY id""".stripMargin,
+    "g14_where_step" ->
+      """SELECT COUNT(*) AS cnt FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity > 49.0)""".stripMargin,
     "g11_paths" ->
       s"""SELECT [${PropertyGraph.sqlEncode("customer", "o_custkey")},
          |        ${PropertyGraph.sqlEncode("order", "o_orderkey")},

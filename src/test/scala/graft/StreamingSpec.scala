@@ -87,6 +87,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(base + 3600) == 1)
   }
 
+  test("foreachBatch upsert sink: streaming writes with MERGE semantics") {
+    val target = "target/test-output/upsert_sink"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(target))
+    // seed state
+    Seq((1L, "old-1"), (2L, "old-2")).toDF("user_id", "tag")
+      .write.mode("overwrite").parquet(target)
+    val stream = MemoryStream[Ev]
+    val q = stream.toDF()
+      .select(col("user_id"), concat(lit("new-"), col("event_id")).as("tag"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the reference's buffered mutation batch (W9) = one micro-batch;
+        // upsert gives the MERGE semantics its commit applies
+        val current = spark.read.parquet(target)
+        val merged = graft.operators.Writer
+          .upsert(current, batch.dropDuplicates("user_id"), Seq("user_id"))
+        merged.write.mode("overwrite").parquet(target + ".tmp")
+        val fresh = spark.read.parquet(target + ".tmp")
+        fresh.write.mode("overwrite").parquet(target)
+        ()
+      }
+      .option("checkpointLocation", "target/test-output/upsert_ckpt_" +
+        System.nanoTime())
+      .start()
+    try {
+      stream.addData(Seq(ev(10, "2024-01-01 00:00:00", user = 2),
+        ev(11, "2024-01-01 00:01:00", user = 3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.parquet(target)
+      .as[(Long, String)].collect().toMap
+    assert(state(1L) == "old-1")    // untouched
+    assert(state(2L) == "new-10")   // updated
+    assert(state(3L) == "new-11")   // inserted
+  }
+
   test("mapGroupsWithState keeps running per-user counts across batches") {
     val stream = MemoryStream[Ev]
     val counts = stream.toDS().groupByKey(_.user_id)

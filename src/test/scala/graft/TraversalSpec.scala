@@ -104,6 +104,17 @@ class TraversalSpec extends AnyFunSuite {
     assert(again == triangle.V.sample(3, 0).toDF.count())
   }
 
+  test("where/not filter by sub-traversal existence") {
+    // vertex 1 has an out-edge with sort_key 1; only vertex 3's edge
+    // has sort_key 3
+    val has3 = triangle.V.where(_.outE("next").has("sort_key", P.Eq(3L)))
+      .toDF.select("id").as[Long].collect()
+    assert(has3.toSeq == Seq(3L))
+    val not3 = triangle.V.not(_.outE("next").has("sort_key", P.Eq(3L)))
+      .toDF.select("id").as[Long].collect().sorted
+    assert(not3.toSeq == Seq(1L, 2L))
+  }
+
   test("withPath tracks full walks") {
     val got = triangle.V(1L).withPath.out("next").out("next").paths
       .select("path").as[Seq[Long]].collect()
