@@ -267,7 +267,26 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** group-wise top-k via the map-side TopKAggregator (same answer as
+    * q_topk_window through a shuffle-light plan: the shuffle carries at
+    * most k rows per group per input partition, not every row — see
+    * graft.functions.TopKAggregator).
+    */
+  def qTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select($"c_mktsegment", $"o_orderkey", cents($"o_totalprice").as("price_cents"))
+    graft.functions.TopKAggregator
+      .topKPerGroup(joined, Seq("c_mktsegment"), "price_cents", "o_orderkey", 3)
+      .select($"c_mktsegment", $"rank", $"o_orderkey",
+        ($"price_cents" / 100.0).as("o_totalprice"))
+      .orderBy($"c_mktsegment", $"rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_agg" -> (qTopkAgg _),
     "q_window_running" -> (qWindowRunning _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
@@ -289,6 +308,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_topk_agg" ->
+      """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, cents/100.0 AS o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents DESC, o_orderkey ASC) AS INT) AS rank
+        |  FROM (SELECT c_mktsegment, o_orderkey,
+        |          CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+        |        FROM orders JOIN customer ON o_custkey = c_custkey)
+        |) WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  LAG(o_orderkey, 1) OVER w AS prev_order,

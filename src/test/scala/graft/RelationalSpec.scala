@@ -19,6 +19,16 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAggregator matches the window row_number formulation") {
+    val viaAgg = graft.queries.Relational.qTopkAgg(spark, TestSpark.sfDir)
+      .select("c_mktsegment", "rank", "o_orderkey")
+      .as[(String, Int, Long)].collect().toSet
+    val viaWindow = graft.queries.Relational.qTopkWindow(spark, TestSpark.sfDir)
+      .select("c_mktsegment", "rk", "o_orderkey")
+      .as[(String, Int, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("sql entry path and DataFrame path agree") {
     val sql = graft.queries.Relational.qSqlRevenue(spark, TestSpark.sfDir)
       .collect().map(_.toSeq)
