@@ -109,7 +109,35 @@ object PipelineQueries {
     Multimodal.frameSample(Multimodal.mediaTable(Tables.documents(s, dir)))
       .orderBy(col("media_id"))
 
+  /** Flagship corpus-curation composite — the end-to-end shape of a
+    * training-data pipeline, each stage an operator from this module:
+    * quality-gate → exact dedup (keep lowest doc_id) → per-language
+    * token/char budget report. Deterministic throughout, so the whole
+    * pipeline is one SQL oracle.
+    */
+  def p1CorpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val gated = scored.filter(col("quality") >= 0.5)
+    // exact dedup: survivor = min doc_id per fingerprint
+    val winners = gated.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val kept = gated.join(winners, Seq("fingerprint", "doc_id"))
+    // avg quality via exact micro-units (a double SUM would be
+    // association-order dependent across engines)
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        (sum(round(col("quality") * 1000000).cast("long")) / 1000000.0 /
+          count(lit(1))).as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_corpus_curation" -> (p1CorpusCuration _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
     "d3_langid_dist" -> (d3LangidDist _),
@@ -132,6 +160,28 @@ object PipelineQueries {
     .map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "p1_corpus_curation" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    round(least(len($tokensSql) / 50.0, 1.0) * 0.4
+         |      + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[.!?,;:]'))
+         |          / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 5.0) * 0.3
+         |      + least(len(list_filter($tokensSql, t -> list_contains($stopListSql, t)))
+         |          / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3,
+         |      6) AS quality,
+         |    $fingerprintSql AS fingerprint,
+         |    len($tokensSql) AS n_tokens
+         |  FROM documents),
+         |gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+         |winners AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM gated
+         |            GROUP BY fingerprint),
+         |kept AS (SELECT g.* FROM gated g JOIN winners w
+         |         ON g.fingerprint = w.fingerprint AND g.doc_id = w.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CAST(ROUND(quality*1000000) AS BIGINT)) AS DOUBLE)
+         |    / 1000000.0 / COUNT(*) AS avg_quality
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "d1_exact_dedup" ->
       s"""SELECT $fingerprintSql AS fingerprint, MIN(doc_id) AS keep_id,
          |  COUNT(*) AS n_copies

