@@ -17,15 +17,13 @@ object SparkEntry {
     * traversal, and aggregation. Driver smoke-checks rows > 0 on sf0.001.
     */
   def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val dir = "/root/testdata/sf0.001"
-    val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
-    c.filter($"c_mktsegment" === "BUILDING")
-      .join(o, $"c_custkey" === $"o_custkey")
-      .groupBy($"c_custkey", $"c_name")
+    val g = graft.graph.PropertyGraph.fromTpch(spark, "/root/testdata/sf0.001")
+    g.V.hasLabel("customer").has("mktsegment", "BUILDING")
+      .withPath.out("placed").paths
+      .select(element_at(col("path"), 1).as("customer_id"))
+      .groupBy(col("customer_id"))
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy($"c_custkey")
+      .orderBy(col("customer_id"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
