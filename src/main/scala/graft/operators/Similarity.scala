@@ -68,20 +68,45 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Approximate top-k: candidates = corpus rows whose signature equals
-    * the query signature (single-probe); rank candidates by exact
-    * cosine. Bucket equality is a shuffle-join key, so the pair space
-    * never materializes. May return < k rows per query (approximate).
+  /** Approximate top-k via multi-TABLE, multi-PROBE sign-LSH — the
+    * textbook scheme: L independent hash tables of nBits hyperplane
+    * bits each; a query probes, in every table, its own bucket plus all
+    * buckets at hamming distance 1. Recall for a neighbor with
+    * per-bit agreement p is 1-(1-P_table)^L with
+    * P_table ≈ p^b + b(1-p)p^(b-1) — tunable via (L, nBits) without
+    * touching the plan shape. Candidates rank by exact cosine
+    * (codegen'd kernel).
+    *
+    * Cost shape at scale: corpus explodes ×L (the classic LSH space
+    * trade — L small ints per vector, streamed, never shuffled w/
+    * payload); the query side is broadcast ×L×(nBits+1).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nBits: Int = 12, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nBits, dim)
-    val qs = queries.select(col("query_id"), col("query_vec"),
-      lshSignature(col("query_vec"), planes).as("sig"))
-    val cs = corpus.select(col("vec_id"), col("embedding"),
-      lshSignature(col("embedding"), planes).as("sig"))
-    val scored = cs.join(broadcast(qs), Seq("sig"))
+              nBits: Int = 8, dim: Int = 64, tables: Int = 8): DataFrame = {
+    val allPlanes = (0 until tables).map(t =>
+      hyperplanes(nBits, dim, seed = 42L + t))
+
+    def sigs(vec: Column): Column = array((0 until tables).map { t =>
+      struct(lit(t).as("table"), lshSignature(vec, allPlanes(t)).as("sig"))
+    }: _*)
+
+    val probes = array(
+      (lit(0L) +: (0 until nBits).map(b => shiftleft(lit(1L), b))): _*)
+    val qs = queries
+      .select(col("query_id"), col("query_vec"),
+        explode(sigs(col("query_vec"))).as("ts"))
+      .withColumn("flip", explode(probes))
+      .select(col("query_id"), col("query_vec"), col("ts.table").as("table"),
+        col("ts.sig").bitwiseXOR(col("flip")).as("sig"))
+    val cs = corpus
+      .select(col("vec_id"), col("embedding"), explode(sigs(col("embedding"))).as("ts"))
+      .select(col("vec_id"), col("embedding"),
+        col("ts.table").as("table"), col("ts.sig").as("sig"))
+    val scored = cs.join(broadcast(qs), Seq("table", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
+      // a candidate can match several (table, probe) cells — dedup
+      // narrow ids before the (cheap) cosine rank
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("cosine", round(cosine(col("embedding"), col("query_vec")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
