@@ -72,11 +72,13 @@ object GraphQueries {
 
   /** Gremlin path(): full two-hop walks customer 7 → orders → parts
     * as id arrays — paths stay distributed (array column), never
-    * collected to the driver.
+    * collected to the driver. Rendered to a string column for the
+    * oracle compare (array cells don't hash portably).
     */
   def g11Paths(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V(PropertyGraph.encodeId("customer", 7L)).withPath
       .out("placed").out("contains").paths
+      .select(concat_ws("->", col("path").cast("array<string>")).as("path"))
       .orderBy(col("path"))
 
   /** groupCount terminal: order count per market segment via the
@@ -134,9 +136,9 @@ object GraphQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_partkey = p_partkey AND l_quantity > 49.0)""".stripMargin,
     "g11_paths" ->
-      s"""SELECT [${PropertyGraph.sqlEncode("customer", "o_custkey")},
+      s"""SELECT array_to_string([${PropertyGraph.sqlEncode("customer", "o_custkey")},
          |        ${PropertyGraph.sqlEncode("order", "o_orderkey")},
-         |        ${PropertyGraph.sqlEncode("part", "l_partkey")}] AS path
+         |        ${PropertyGraph.sqlEncode("part", "l_partkey")}], '->') AS path
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |WHERE o_custkey = 7 ORDER BY path""".stripMargin,
     "g12_group_count" ->

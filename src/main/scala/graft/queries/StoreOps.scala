@@ -156,7 +156,8 @@ object StoreOps {
       .filter($"l_orderkey" <= 50L)
       .groupBy($"l_orderkey")
       .agg(
-        sort_array(collect_list($"l_linenumber")).as("linenumbers"),
+        concat_ws(",", sort_array(collect_list($"l_linenumber"))
+          .cast("array<string>")).as("linenumbers"),
         count(lit(1)).cast("long").as("n_lines"))
       .orderBy($"l_orderkey")
   }
@@ -236,7 +237,7 @@ object StoreOps {
         |ORDER BY p_partkey""".stripMargin,
     "r13_entry_regroup" ->
       """SELECT l_orderkey,
-        |       list_sort(list(l_linenumber)) AS linenumbers,
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
         |       COUNT(*) AS n_lines
         |FROM lineitem WHERE l_orderkey <= 50
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
