@@ -34,12 +34,30 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vec_cosine(a, b)
 
+  /** Query sets above this row count are NOT broadcast: the join
+    * degrades to a shuffle join instead of OOMing the broadcast. The
+    * guard costs one count() job over the (narrow) query frame,
+    * amortized against the corpus-sized join it protects.
+    */
+  val DefaultMaxBroadcastRows: Long = 1000000L
+
+  /** Broadcast `side` only when `counted` (the un-exploded query frame)
+    * is verifiably small; otherwise leave the hint off and let AQE pick
+    * the join strategy.
+    */
+  private def maybeBroadcast(side: DataFrame, counted: DataFrame,
+                             maxRows: Long): DataFrame =
+    if (maxRows > 0 && counted.count() <= maxRows) broadcast(side) else side
+
   /** Exact top-k cosine neighbors for each query vector.
     * queries: (query_id, query_vec); corpus: (vec_id, embedding).
-    * The query side is broadcast — the corpus never shuffles.
+    * Small query sets are broadcast — the corpus never shuffles; large
+    * query sets fall back to a (cartesian) shuffle join.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("query_id"), col("query_vec")))
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
+    val q = maybeBroadcast(
+      queries.select(col("query_id"), col("query_vec")), queries, maxBroadcastRows)
     val scored = corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
@@ -82,7 +100,8 @@ object Similarity {
     * payload); the query side is broadcast ×L×(nBits+1).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nBits: Int = 8, dim: Int = 64, tables: Int = 8): DataFrame = {
+              nBits: Int = 8, dim: Int = 64, tables: Int = 8,
+              maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     val allPlanes = (0 until tables).map(t =>
       hyperplanes(nBits, dim, seed = 42L + t))
 
@@ -102,7 +121,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), explode(sigs(col("embedding"))).as("ts"))
       .select(col("vec_id"), col("embedding"),
         col("ts.table").as("table"), col("ts.sig").as("sig"))
-    val scored = cs.join(broadcast(qs), Seq("table", "sig"))
+    val scored = cs.join(maybeBroadcast(qs, queries, maxBroadcastRows), Seq("table", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       // a candidate can match several (table, probe) cells — dedup
       // narrow ids before the (cheap) cosine rank
@@ -115,31 +134,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
 
+  /** Map-only nearest-centroid assignment: per-row argmax over literal
+    * centroid vectors via `greatest(struct(cosine, -centroid_id))` —
+    * the same pattern as TextAnalysis.langId. No join, no window, no
+    * Exchange (pinned in PlanSpec): at 100 TB the corpus assigns cells
+    * in the same stage as the parquet scan. The negated id reproduces
+    * the ORDER BY cdist DESC, centroid_id ASC tie-break.
+    */
+  private[graft] def assignCells(df: DataFrame, vec: String,
+      centroids: Array[(Long, Array[Float])]): DataFrame = {
+    val scored = centroids.map { case (cid, cvec) =>
+      val cvLit = array(cvec.map(x => lit(x)): _*)
+      struct(cosine(col(vec), cvLit).as("cdist"), lit(-cid).as("ncid"))
+    }
+    df.withColumn("centroid_id", -greatest(scored.toSeq: _*).getField("ncid"))
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest
     * of `nCentroids` deterministic seed centroids (sampled corpus rows),
-    * then search only the query's centroid cell. One broadcast of the
-    * centroid table; corpus scan assigns cells map-only.
+    * then search only the query's centroid cell.
+    *
+    * The centroid table is nCentroids rows — the coarse quantizer is
+    * tiny by construction — so it is materialized to the driver ONCE
+    * and embedded as literal float arrays; assignment is then map-only
+    * (see assignCells). This collect is scale-bounded (k centroids, not
+    * corpus rows) — the standard IVF shape.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int = 8): DataFrame = {
+              nCentroids: Int = 8,
+              maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     // deterministic centroids: lowest vec_ids (stand-in for k-means at
     // scale; the assignment/search machinery is identical)
-    val centroids = corpus.orderBy(col("vec_id").asc).limit(nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val centroids: Array[(Long, Array[Float])] =
+      corpus.orderBy(col("vec_id").asc).limit(nCentroids)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
-    def assign(df: DataFrame, vec: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("cdist", cosine(col(vec), col("centroid_vec")))
-      val w = Window.partitionBy(df.columns.map(col): _*)
-        .orderBy(col("cdist").desc, col("centroid_id").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .drop("cdist", "crank", "centroid_vec")
-    }
-
-    val qs = assign(queries.select(col("query_id"), col("query_vec")), "query_vec")
-    val cs = assign(corpus.select(col("vec_id"), col("embedding")), "embedding")
-    val scored = cs.join(broadcast(qs), Seq("centroid_id"))
+    val qs = assignCells(
+      queries.select(col("query_id"), col("query_vec")), "query_vec", centroids)
+    val cs = assignCells(
+      corpus.select(col("vec_id"), col("embedding")), "embedding", centroids)
+    val scored = cs.join(maybeBroadcast(qs, queries, maxBroadcastRows), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("embedding"), col("query_vec")), 6))
     val w = Window.partitionBy(col("query_id"))

@@ -57,4 +57,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("r11_limit0")
     assert(!p.contains("Scan parquet") || p.contains("LocalTableScan"))
   }
+
+  test("ivf centroid assignment is map-only: no Exchange in assign stage") {
+    import spark.implicits._
+    val corpus = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(4)(j => math.cos(i * (j + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Array((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+    val p = graft.operators.Similarity.assignCells(corpus, "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(p) == 0, s"assign stage must not shuffle:\n$p")
+    assert(!p.contains("Window"), "assign stage must not sort/window")
+  }
 }

@@ -61,6 +61,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= exact.size / 2, s"recall collapsed: $hits/${exact.size}")
   }
 
+  test("large query set degrades to a shuffle join instead of broadcast") {
+    val corpus = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // maxBroadcastRows = 0 models a query set over the safety threshold.
+    // Auto-broadcast is off for the assertion so only a HARD-CODED hint
+    // (the old bug) could still produce a broadcast join.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Similarity.lshTopK(queries, corpus, 1, nBits = 4, dim = 8,
+          tables = 2, maxBroadcastRows = 0)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"query side must not carry a forced broadcast hint:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ivf top-k returns k ranked candidates per query") {
     val corpus = (0 until 64).map { i =>
       val v = Array.tabulate(8)(j => math.cos(i * (j + 1)).toFloat)
