@@ -52,7 +52,14 @@ object PropertyGraph {
 
   private val vertexProps = Seq(
     "name", "mktsegment", "acctbal", "totalprice", "orderdate", "priority",
-    "status", "brand", "ptype", "size", "retailprice", "nationkey")
+    "status", "brand", "ptype", "size", "retailprice", "nationkey",
+    "tags", "props")
+
+  // collection-valued properties (LIST/SET cardinality + the dynamic
+  // property bag of SURVEY §1.3) need typed nulls for the union
+  private val typedNulls: Map[String, Column] = Map(
+    "tags" -> lit(null).cast("array<string>"),
+    "props" -> lit(null).cast("map<string,string>"))
 
   /** Align a per-label projection onto the union vertex schema.
     * At scale this wide-union stays cheap: Parquet is columnar, so
@@ -61,7 +68,7 @@ object PropertyGraph {
     */
   private def align(df: DataFrame, have: Map[String, Column]): DataFrame = {
     val cols = col("id") +: col("label") +: vertexProps.map { p =>
-      have.getOrElse(p, lit(null)).as(p)
+      have.getOrElse(p, typedNulls.getOrElse(p, lit(null))).as(p)
     }
     df.select(cols: _*)
   }
@@ -84,13 +91,26 @@ object PropertyGraph {
           lit("customer").as("label"), col("c_name"), col("c_mktsegment"),
           col("c_acctbal"), col("c_nationkey")),
         Map("name" -> col("c_name"), "mktsegment" -> col("c_mktsegment"),
-          "acctbal" -> col("c_acctbal"), "nationkey" -> col("c_nationkey"))) union
+          "acctbal" -> col("c_acctbal"), "nationkey" -> col("c_nationkey"),
+          // SET-cardinality property (deterministic from scalar props)
+          // + dynamic bag — the reference serializer's list/set
+          // cardinality and ContainsKey surface (TikvFeatures.java:71-79)
+          "tags" -> array(
+            concat(lit("seg_"), lower(col("c_mktsegment"))),
+            concat(lit("nat_"), col("c_nationkey").cast("string"))),
+          "props" -> map(
+            lit("segment"), col("c_mktsegment"),
+            lit("nation"), col("c_nationkey").cast("string")))) union
       align(
         o.select(encode("order", col("o_orderkey")).as("id"),
           lit("order").as("label"), col("o_orderstatus"), col("o_totalprice"),
           col("o_orderdate"), col("o_orderpriority")),
         Map("status" -> col("o_orderstatus"), "totalprice" -> col("o_totalprice"),
-          "orderdate" -> col("o_orderdate"), "priority" -> col("o_orderpriority"))) union
+          "orderdate" -> col("o_orderdate"), "priority" -> col("o_orderpriority"),
+          "tags" -> array(concat(lit("status_"), col("o_orderstatus"))),
+          "props" -> map(
+            lit("status"), col("o_orderstatus"),
+            lit("priority"), col("o_orderpriority")))) union
       align(
         p.select(encode("part", col("p_partkey")).as("id"),
           lit("part").as("label"), col("p_name"), col("p_brand"),

@@ -33,6 +33,30 @@ object P {
   final case class StartsWith(s: String) extends P {
     def toColumn(c: Column) = c.startsWith(s)
   }
+  /** membership in a collection-valued (LIST/SET-cardinality) property —
+    * the `supportsQueryWithContains=false` engine-side obligation
+    * (TikvFeatures.java:71-74): the store can't evaluate it, so the
+    * engine must. Compiles to codegen'd array_contains.
+    */
+  final case class Contains(v: Any) extends P {
+    def toColumn(c: Column) = array_contains(c, v)
+  }
+  /** key present in the dynamic property bag (map-valued property) —
+    * ContainsKey (TikvFeatures.java:76-79).
+    */
+  final case class ContainsKey(k: String) extends P {
+    def toColumn(c: Column) = map_contains_key(c, k)
+  }
+  /** tokenized SEARCH_INDEX semantics (TikvTables.java:203-210): the
+    * index stores whole WORDS, so a hit means some token equals a query
+    * word — unlike TextContains, which is substring and matches
+    * mid-word. `textContainsAny(ws)` = any query word appears as a
+    * token. Case-insensitive, like the reference's analyzer.
+    */
+  final case class TextContainsAny(words: Seq[String]) extends P {
+    def toColumn(c: Column) = arrays_overlap(
+      split(lower(c), "\\s+"), array(words.map(w => lit(w.toLowerCase)): _*))
+  }
 }
 
 /** Gremlin-ish traversal DSL compiled to DataFrame operators.
@@ -147,6 +171,42 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     */
   def repeat(n: Int)(step: Traversal => Traversal): Traversal =
     (1 to n).foldLeft(this)((t, _) => step(t))
+
+  /** Gremlin repeat(step).until(frontier empty) — variable-depth
+    * expansion to a fixed point (reachability / unbounded repeats the
+    * hugegraph engine runs over this store). Result = every vertex
+    * reached at depth ≥ 1, dedup'd.
+    *
+    * Shape per round: one distributed join (the step) + one anti-join
+    * against the visited set; `localCheckpoint` truncates the growing
+    * lineage so round N doesn't replay rounds 1..N-1 (on a real
+    * cluster with an HDFS checkpoint dir, `checkpoint` — same call
+    * shape). Only the emptiness TEST touches the driver — frontiers
+    * and the visited set stay distributed, so this is BFS with
+    * O(diameter) rounds, not a driver loop over rows. `maxDepth` caps
+    * runaway cycles (safety net, not semantics — visited-exclusion
+    * already terminates any finite graph).
+    */
+  def repeatUntil(step: Traversal => Traversal, maxDepth: Int = 50): Traversal = {
+    requireV()
+    val vcols = g.vertices.columns.map(col)
+    var frontier = df.select(vcols: _*).dropDuplicates("id").localCheckpoint()
+    var visited = frontier.select(col("id"))
+    var reached: Option[DataFrame] = None
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val stepped = step(copy(df = frontier))
+      require(!stepped.isEdge, "repeatUntil step must end on a vertex frontier")
+      val next = stepped.df.select(vcols: _*).dropDuplicates("id")
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint()
+      reached = Some(reached.map(_.union(next)).getOrElse(next))
+      visited = visited.union(next.select(col("id"))).localCheckpoint()
+      frontier = next
+      depth += 1
+    }
+    copy(df = reached.getOrElse(df.limit(0)))
+  }
 
   /** filter frontier by vertex/edge ids. */
   def hasId(ids: Long*): Traversal = {

@@ -105,7 +105,52 @@ object GraphQueries {
       .where(_.inE("contains").has("quantity", P.Gt(49.0)))
       .count()
 
+  /** P.Contains over a SET-cardinality property (TikvFeatures.java:71-74:
+    * `supportsQueryWithContains=false` — the engine, not the store,
+    * evaluates membership): customers tagged nat_3, with the tag list
+    * rendered to a string for the portable hash compare.
+    */
+  def g15Contains(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("customer").has("tags", P.Contains("nat_3"))
+      .toDF.select(col("id"), concat_ws(",", col("tags")).as("tags"))
+      .orderBy(col("id"))
+
+  /** P.ContainsKey over the dynamic property bag (map-valued property,
+    * TikvFeatures.java:76-79) + value extraction: only order vertices
+    * carry a `priority` key.
+    */
+  def g16ContainsKey(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.has("props", P.ContainsKey("priority"))
+      .toDF.select(col("id"), element_at(col("props"), "priority").as("priority"))
+      .orderBy(col("id")).limit(20)
+
+  /** textContainsAny — tokenized SEARCH_INDEX semantics
+    * (TikvTables.java:203-210): whole-word match, unlike the substring
+    * TextContains of g10.
+    */
+  def g17TextAny(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("part")
+      .has("name", P.TextContainsAny(Seq("bolt", "chiffon")))
+      .count()
+
+  /** repeat(in()).until(no new vertices) — variable-depth reachability
+    * from region 0 over reversed edges, the unbounded-repeat shape the
+    * hugegraph engine runs against the store. Closure: region 0 →
+    * nations → {customers, suppliers} → parts (supplied_by) → orders
+    * (contains) → customers (placed); per-label counts of everything
+    * reached.
+    */
+  def g18ReachUntil(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V(PropertyGraph.encodeId("region", 0L))
+      .repeatUntil(_.in())
+      .toDF.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("label"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g15_contains" -> (g15Contains _),
+    "g16_contains_key" -> (g16ContainsKey _),
+    "g17_text_any" -> (g17TextAny _),
+    "g18_reach_until" -> (g18ReachUntil _),
     "g13_not_step" -> (g13NotStep _),
     "g14_where_step" -> (g14WhereStep _),
     "g11_paths" -> (g11Paths _),
@@ -123,6 +168,42 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "g15_contains" ->
+      s"""SELECT ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS id,
+         |  array_to_string(['seg_' || lower(c_mktsegment),
+         |                   'nat_' || CAST(c_nationkey AS VARCHAR)], ',') AS tags
+         |FROM customer
+         |WHERE list_contains(['seg_' || lower(c_mktsegment),
+         |                     'nat_' || CAST(c_nationkey AS VARCHAR)], 'nat_3')
+         |ORDER BY id""".stripMargin,
+    "g16_contains_key" ->
+      s"""SELECT ${PropertyGraph.sqlEncode("order", "o_orderkey")} AS id,
+         |  o_orderpriority AS priority
+         |FROM orders ORDER BY id LIMIT 20""".stripMargin,
+    "g17_text_any" ->
+      """SELECT COUNT(*) AS cnt FROM part
+        |WHERE list_has_any(string_split_regex(lower(p_name), '\s+'),
+        |                   ['bolt', 'chiffon'])""".stripMargin,
+    "g18_reach_until" ->
+      """WITH n0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
+        |s0 AS (SELECT s_suppkey FROM supplier
+        |       WHERE s_nationkey IN (SELECT n_nationkey FROM n0)),
+        |p0 AS (SELECT DISTINCT l_partkey FROM lineitem
+        |       WHERE l_suppkey IN (SELECT s_suppkey FROM s0)),
+        |o0 AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |       WHERE l_partkey IN (SELECT l_partkey FROM p0)),
+        |c0 AS (SELECT c_custkey FROM customer
+        |       WHERE c_nationkey IN (SELECT n_nationkey FROM n0)
+        |       UNION
+        |       SELECT o_custkey FROM orders
+        |       WHERE o_orderkey IN (SELECT l_orderkey FROM o0))
+        |SELECT label, cnt FROM (
+        |  SELECT 'customer' AS label, COUNT(*) AS cnt FROM c0
+        |  UNION ALL SELECT 'nation', COUNT(*) FROM n0
+        |  UNION ALL SELECT 'order', COUNT(*) FROM o0
+        |  UNION ALL SELECT 'part', COUNT(*) FROM p0
+        |  UNION ALL SELECT 'supplier', COUNT(*) FROM s0)
+        |ORDER BY label""".stripMargin,
     "g13_not_step" ->
       s"""SELECT ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS id,
          |  c_name AS name

@@ -101,15 +101,45 @@ final case class GraphSchema(propertyKeys: Seq[PropertyKeyDef],
     labelErrs.toSeq ++ uniqueErrs
   }
 
-  /** Validation failures for an edges DataFrame. */
-  def validateEdges(df: DataFrame): Seq[String] = {
+  /** Validation failures for an edges DataFrame. When `vertices` is
+    * given, also checks every edge's (src-label, dst-label) pair
+    * against the declared EdgeLabelDefs — the check hugegraph-core
+    * runs above the store. Two distributed left-joins + a distinct
+    * over label triples; only the (tiny) distinct triple set reaches
+    * the driver, so this scales with label count, not edge count.
+    * The same edge-label name may be declared more than once with
+    * different endpoints (e.g. located_in: customer→nation and
+    * supplier→nation).
+    */
+  def validateEdges(df: DataFrame, vertices: Option[DataFrame] = None): Seq[String] = {
     val structural = Seq("src", "dst", "label")
       .filterNot(df.columns.contains).map(c => s"missing column: $c")
     if (structural.nonEmpty) return structural
     val declared = edgeLabels.map(_.name)
-    df.select(col("label")).distinct()
+    val labelErrs = df.select(col("label")).distinct()
       .filter(!col("label").isin(declared: _*))
       .collect().map(r => s"undeclared edge label in data: ${r.getString(0)}").toSeq
+
+    val endpointErrs = vertices.toSeq.flatMap { v =>
+      val srcLab = v.select(col("id").as("__sid"), col("label").as("__src_label"))
+      val dstLab = v.select(col("id").as("__did"), col("label").as("__dst_label"))
+      val triples = df.select(col("src"), col("dst"), col("label"))
+        .join(srcLab, col("src") === col("__sid"), "left")
+        .join(dstLab, col("dst") === col("__did"), "left")
+        .select(col("label"), col("__src_label"), col("__dst_label"))
+        .distinct().collect()
+      val declaredEnds = edgeLabels.map(e => (e.name, e.srcLabel, e.dstLabel)).toSet
+      triples.flatMap { r =>
+        val (l, sl, dl) = (r.getString(0), r.getString(1), r.getString(2))
+        if (sl == null || dl == null)
+          Some(s"edge label $l: endpoint vertex missing from vertices frame " +
+            s"(src-label=$sl, dst-label=$dl)")
+        else if (!declaredEnds((l, sl, dl)))
+          Some(s"edge label $l: undeclared endpoint pair ($sl -> $dl)")
+        else None
+      }
+    }
+    labelErrs ++ endpointErrs
   }
 }
 
@@ -125,10 +155,18 @@ object GraphSchema {
       PropertyKeyDef("orderdate", TimestampNTZType), PropertyKeyDef("priority", StringType),
       PropertyKeyDef("status", StringType), PropertyKeyDef("brand", StringType),
       PropertyKeyDef("ptype", StringType), PropertyKeyDef("size", IntegerType),
-      PropertyKeyDef("retailprice", DoubleType), PropertyKeyDef("nationkey", IntegerType)),
+      PropertyKeyDef("retailprice", DoubleType), PropertyKeyDef("nationkey", IntegerType),
+      // SET-cardinality property + the dynamic property bag (SURVEY
+      // §1.3) — the list/set cardinality the reference serializer
+      // carries and the Contains/ContainsKey query surface
+      // (TikvFeatures.java:71-79)
+      PropertyKeyDef("tags", ArrayType(StringType), Cardinality.Set),
+      PropertyKeyDef("props", MapType(StringType, StringType))),
     vertexLabels = Seq(
-      VertexLabelDef("customer", Seq("name", "mktsegment", "acctbal", "nationkey"), 1L),
-      VertexLabelDef("order", Seq("status", "totalprice", "orderdate", "priority"), 2L),
+      VertexLabelDef("customer",
+        Seq("name", "mktsegment", "acctbal", "nationkey", "tags", "props"), 1L),
+      VertexLabelDef("order",
+        Seq("status", "totalprice", "orderdate", "priority", "tags", "props"), 2L),
       VertexLabelDef("part", Seq("name", "brand", "ptype", "size", "retailprice"), 3L),
       VertexLabelDef("supplier", Seq("name", "acctbal", "nationkey"), 4L),
       VertexLabelDef("nation", Seq("name"), 5L),
@@ -138,7 +176,10 @@ object GraphSchema {
       EdgeLabelDef("contains", "order", "part",
         Seq("quantity", "extendedprice", "discount"), sortKey = Some("sort_key")),
       EdgeLabelDef("supplied_by", "part", "supplier"),
+      // located_in has two declared endpoint pairs — PropertyGraph
+      // emits both customer→nation and supplier→nation edges
       EdgeLabelDef("located_in", "customer", "nation"),
+      EdgeLabelDef("located_in", "supplier", "nation"),
       EdgeLabelDef("part_of", "nation", "region")),
     indexLabels = Seq(
       IndexLabelDef("customer_by_segment", "customer", Seq("mktsegment"),

@@ -11,7 +11,28 @@ class GraphSchemaSpec extends AnyFunSuite {
   test("tpch graph passes its declared schema") {
     val g = PropertyGraph.fromTpch(spark, TestSpark.sfDir)
     assert(GraphSchema.tpch.validateVertices(g.vertices).isEmpty)
-    assert(GraphSchema.tpch.validateEdges(g.edges).isEmpty)
+    assert(GraphSchema.tpch.validateEdges(g.edges, Some(g.vertices)).isEmpty)
+  }
+
+  test("edge with undeclared endpoint pair is rejected") {
+    import org.apache.spark.sql.functions._
+    val g = PropertyGraph.fromTpch(spark, TestSpark.sfDir)
+    // redirect one placed edge to point part→order instead of
+    // customer→order: label exists, endpoint pair does not
+    val bad = g.edges.limit(0).unionByName(
+      g.edges.filter($"label" === "placed").limit(1)
+        .withColumn("src", lit(PropertyGraph.encodeId("part", 1L))))
+    val errs = GraphSchema.tpch.validateEdges(bad, Some(g.vertices))
+    assert(errs.exists(_.contains("undeclared endpoint pair (part -> order)")))
+  }
+
+  test("edge endpoint missing from vertices is rejected") {
+    import org.apache.spark.sql.functions._
+    val g = PropertyGraph.fromTpch(spark, TestSpark.sfDir)
+    val dangling = g.edges.filter($"label" === "placed").limit(1)
+      .withColumn("src", lit(Long.MaxValue))
+    val errs = GraphSchema.tpch.validateEdges(dangling, Some(g.vertices))
+    assert(errs.exists(_.contains("endpoint vertex missing")))
   }
 
   test("undeclared label is rejected") {

@@ -124,6 +124,60 @@ class TraversalSpec extends AnyFunSuite {
     assert(cycle.toSeq == Seq(Seq(1L, 2L, 3L, 1L)))
   }
 
+  test("Contains/ContainsKey over collection-valued properties") {
+    val v = Seq(
+      (1L, "doc", Seq("red", "blue"), Map("lang" -> "en")),
+      (2L, "doc", Seq("blue"), Map("lang" -> "fr", "src" -> "web")),
+      (3L, "doc", Seq.empty[String], Map.empty[String, String]))
+      .toDF("id", "label", "tags", "props")
+    val g = PropertyGraph(v, triangle.edges.limit(0))
+    def ids(t: graft.graph.Traversal): Set[Long] =
+      t.toDF.select("id").as[Long].collect().toSet
+    assert(ids(g.V.has("tags", P.Contains("blue"))) == Set(1L, 2L))
+    assert(ids(g.V.has("tags", P.Contains("red"))) == Set(1L))
+    assert(ids(g.V.has("props", P.ContainsKey("src"))) == Set(2L))
+    assert(ids(g.V.has("props", P.ContainsKey("lang"))) == Set(1L, 2L))
+  }
+
+  test("TextContainsAny matches whole tokens, unlike substring TextContains") {
+    val v = Seq((1L, "doc", "steel bolt kit"), (2L, "doc", "bolted flange"),
+      (3L, "doc", "copper pipe")).toDF("id", "label", "name")
+    val g = PropertyGraph(v, triangle.edges.limit(0))
+    val tokenHits = g.V.has("name", P.TextContainsAny(Seq("bolt", "pipe")))
+      .toDF.select("id").as[Long].collect().toSet
+    assert(tokenHits == Set(1L, 3L)) // "bolted" is NOT a token match
+    val substrHits = g.V.has("name", P.TextContains("bolt"))
+      .toDF.select("id").as[Long].collect().toSet
+    assert(substrHits == Set(1L, 2L)) // substring matches mid-word
+  }
+
+  test("repeatUntil reaches the fixed point and excludes the start") {
+    // chain with a cycle at the end: 10→11→12→10, plus isolated 13
+    val v = Seq((10L, "n", 0), (11L, "n", 0), (12L, "n", 0), (13L, "n", 0))
+      .toDF("id", "label", "score")
+    val e = Seq((10L, 11L, "next", 1L), (11L, 12L, "next", 2L), (12L, 10L, "next", 3L))
+      .toDF("src", "dst", "label", "sort_key")
+    val g = PropertyGraph(v, e)
+    val reached = g.V(10L).repeatUntil(_.out("next")).toDF
+      .select("id").as[Long].collect().toSet
+    // the start vertex seeds the visited set, so the cycle back to 10
+    // does not re-add it — the result is the strict downstream closure
+    assert(reached == Set(11L, 12L))
+    val fromIsolated = g.V(13L).repeatUntil(_.out("next")).toDF.count()
+    assert(fromIsolated == 0)
+  }
+
+  test("repeatUntil respects maxDepth cap") {
+    val v = Seq((10L, "n", 0), (11L, "n", 0), (12L, "n", 0), (13L, "n", 0))
+      .toDF("id", "label", "score")
+    val e = Seq((10L, 11L, "next", 1L), (11L, 12L, "next", 2L), (12L, 13L, "next", 3L))
+      .toDF("src", "dst", "label", "sort_key")
+    val g = PropertyGraph(v, e)
+    val capped = g.V(10L).repeatUntil(_.out("next"), maxDepth = 2).toDF
+      .select("id").as[Long].collect().toSet
+    assert(capped == Set(11L, 12L))
+  }
+
   test("valueMap and groupCount terminals") {
     val vm = triangle.V(2L).valueMap("score").collect()(0)
     assert(vm.getLong(0) == 2L && vm.getInt(1) == 20)
