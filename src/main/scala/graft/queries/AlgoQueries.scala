@@ -77,6 +77,27 @@ object AlgoQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // The TPC-H graph's component structure is relationally derivable:
+    // customers/suppliers chain to nations→regions and orders→parts, so
+    // every vertex except never-ordered parts joins one giant component
+    // whose GraphX label is the minimum vertex id in it (the smallest
+    // customer id); parts absent from lineitem are singletons.
+    "a_components" ->
+      s"""WITH iso AS (SELECT p_partkey FROM part
+         |  WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)),
+         |total AS (SELECT
+         |    (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
+         |  + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM supplier)
+         |  + (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS n)
+         |SELECT component, size FROM (
+         |  SELECT CAST(${PropertyGraph.sqlEncode("customer",
+            "(SELECT MIN(c_custkey) FROM customer)")} AS BIGINT) AS component,
+         |    CAST((SELECT n FROM total) - (SELECT COUNT(*) FROM iso) AS BIGINT)
+         |      AS size
+         |  UNION ALL
+         |  SELECT CAST(${PropertyGraph.sqlEncode("part", "p_partkey")} AS BIGINT),
+         |    CAST(1 AS BIGINT) FROM iso
+         |) ORDER BY component""".stripMargin,
     "a_degrees" ->
       s"""SELECT id, CAST(degree AS INT) AS degree FROM (
          |  SELECT ${PropertyGraph.sqlEncode("order", "l_orderkey")} AS id,

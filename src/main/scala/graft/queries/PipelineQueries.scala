@@ -159,7 +159,50 @@ object PipelineQueries {
   private val stopListSql = TextAnalysis.EnStopwords
     .map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB replay of TextAnalysis.langId's struct-argmax: max score,
+    * ties to the lexicographically-largest language (greatest() over
+    * (score, lang) structs compares score first, then lang). Generated
+    * from LangProfiles so the two sides cannot drift.
+    */
+  private val langIdSql: String = {
+    val langs = TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(tk, t -> list_contains($list, t))) AS s_$l"
+    }.mkString(",\n    ")
+    val maxE = langs.map("s_" + _._1).mkString("greatest(", ", ", ")")
+    val tieCases = langs.map(_._1).sorted.reverse
+      .map(l => s"WHEN s_$l = $maxE THEN '$l'").mkString("\n      ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+       |              FROM documents),
+       |scores AS (SELECT doc_id,
+       |    $scoreCols
+       |  FROM toks),
+       |pred AS (SELECT doc_id,
+       |    CASE WHEN $maxE = 0 THEN 'und'
+       |      $tieCases
+       |    END AS lang_pred
+       |  FROM scores)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "d3_langid_dist" ->
+      s"""$langIdSql
+         |SELECT lang_pred, COUNT(*) AS n FROM pred
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    "m2_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lower(substr(hex(text), 1, 16)) AS checksum,
+        |  round(list_sum(list_transform(split(text, ''), c -> ord(c)))
+        |        / CAST(octet_length(encode(text)) AS DOUBLE), 6) AS mean_byte,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 2 THEN octet_length(encode(text)) // 64
+        |    WHEN 1 THEN octet_length(encode(text)) // 32
+        |    ELSE 1 END AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
     "p1_corpus_curation" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,
