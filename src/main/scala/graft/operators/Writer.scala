@@ -67,15 +67,42 @@ object Writer {
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
 
-  /** W8 counter / id allocation. The reference's counter is a racy
-    * read-add-put (TikvStdSessions.java:396-405); deterministic dense
-    * ids from a total order replace it (SURVEY §7.4: do not replicate
-    * the race). Note: a global row_number is a single-partition sort at
-    * scale — use per-partition allocation (zipWithUniqueId) when ids
-    * need not be dense.
+  /** W8 counter / id allocation, tiny-dimension path. The reference's
+    * counter is a racy read-add-put (TikvStdSessions.java:396-405);
+    * deterministic dense ids from a total order replace it (SURVEY
+    * §7.4: do not replicate the race). A global row_number is a
+    * single-partition sort — acceptable only for small dims; use
+    * [[allocateIdsPartitioned]] for anything large.
     */
   def allocateIds(df: DataFrame, orderBy: Seq[String], start: Long = 1L,
                   idCol: String = "alloc_id"): DataFrame =
     df.withColumn(idCol,
-      row_number().over(Window.orderBy(orderBy.map(col): _*)) + (start - 1))
+      (row_number().over(Window.orderBy(orderBy.map(col): _*)) + (start - 1))
+        .cast("long"))
+
+  /** W8 at scale: the same deterministic dense ids with NO
+    * single-partition sort. Range-partition on the order keys (so
+    * partition i holds a contiguous, ordered key range), sort within
+    * partitions — a fully parallel sort — then assign
+    * `start + globalIndex` via zipWithIndex, whose only extra cost is
+    * one lightweight count job to compute per-partition offsets.
+    * Output ids are identical to [[allocateIds]] when `orderBy` is a
+    * total order (the determinism contract both paths share); rows
+    * with equal keys get arbitrary but stable-within-run relative ids.
+    */
+  def allocateIdsPartitioned(df: DataFrame, orderBy: Seq[String], start: Long = 1L,
+                             idCol: String = "alloc_id",
+                             numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val cols = orderBy.map(col)
+    val sorted = df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+    val schema = sorted.schema.add(idCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (start + i))
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

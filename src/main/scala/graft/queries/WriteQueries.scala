@@ -79,7 +79,20 @@ object WriteQueries {
       .select(col("alloc_id"), col("r_regionkey"), col("r_name"))
       .orderBy(col("alloc_id"))
 
+  /** W8 at scale: partition-offset id allocation over the orders table
+    * (range-partitioned parallel sort + zipWithIndex offsets — no
+    * single-partition window; ids verified identical to a global
+    * ROW_NUMBER by the oracle).
+    */
+  def w8AllocPartitioned(s: SparkSession, dir: String): DataFrame =
+    Writer.allocateIdsPartitioned(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        Seq("o_orderkey"), start = 1000L)
+      .select(col("alloc_id"), col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("alloc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w8_alloc_partitioned" -> (w8AllocPartitioned _),
     "w1_upsert" -> (w1Upsert _),
     "w2_delete" -> (w2Delete _),
     "w3_delete_range" -> (w3DeleteRange _),
@@ -90,6 +103,10 @@ object WriteQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "w8_alloc_partitioned" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) + 999 AS alloc_id,
+        |  o_orderkey, o_custkey
+        |FROM orders ORDER BY alloc_id""".stripMargin,
     "w1_upsert" ->
       """WITH updates AS (
         |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice

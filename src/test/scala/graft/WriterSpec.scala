@@ -59,4 +59,21 @@ class WriterSpec extends AnyFunSuite {
       .select("alloc_id", "name").as[(Long, String)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((5L, "a"), (6L, "b"), (7L, "c")))
   }
+
+  test("allocateIdsPartitioned matches the window path with no 1-partition sort") {
+    val big = spark.range(0, 10000).select(
+      (col("id") * 37 % 10007).as("key"), col("id").as("payload"))
+    val viaWindow = Writer.allocateIds(big, Seq("key"), start = 42L)
+      .select("alloc_id", "key").as[(Long, Long)].collect().sortBy(_._1)
+    val part = Writer.allocateIdsPartitioned(big, Seq("key"), start = 42L,
+      numPartitions = 8)
+    // the allocation ran on 8 range partitions end-to-end — proof the
+    // sort was parallel, not a single-partition window
+    assert(part.rdd.getNumPartitions == 8)
+    val viaPart = part.select("alloc_id", "key").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(viaPart.toSeq == viaWindow.toSeq)
+    // dense, starting at 42
+    assert(viaPart.head._1 == 42L && viaPart.last._1 == 42L + 9999L)
+  }
 }
