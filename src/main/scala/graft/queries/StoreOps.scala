@@ -177,7 +177,21 @@ object StoreOps {
         sum($"n_rows").cast("long").as("total_rows"))
   }
 
+  /** R1 paging (`supportsQueryByPage`, TikvFeatures.java:81-84): two
+    * resumed keyset pages of 50 stitched together must equal the first
+    * 100 rows of the sorted scan — the page-position contract of
+    * TikvTable.java:191-198.
+    */
+  def r1bPagedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Paging.stitch(
+        Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        "o_orderkey", n = 50, pages = 2)
+      .orderBy($"o_orderkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1b_paged_scan" -> (r1bPagedScan _),
     "r14_splits" -> (r14Splits _),
     "r1_full_scan" -> (r1FullScan _),
     "r2_point_get" -> (r2PointGet _),
@@ -195,6 +209,9 @@ object StoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "r1b_paged_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
     "r1_full_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
