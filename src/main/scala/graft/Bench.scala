@@ -35,21 +35,32 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { n => try materialize(n, warmDir) catch { case _: Throwable => } }
 
+    // median of `runs` timed executions per query: single-run numbers
+    // proved noisy round-to-round (a 0.6 s swing misread as a
+    // regression); the median of 3 kills one-off GC/JIT outliers.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try materialize(name, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(name, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> ts(runs / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // stop() BEFORE the JSON line: any executor/ui shutdown logging
     // lands above it, keeping the JSON as the final stdout line for
-    // the driver's parser.
-    spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver's parser. A shutdown-race exception must not swallow
+    // results computed successfully (ADVICE r2).
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
   }
 }
