@@ -190,7 +190,24 @@ object StoreOps {
       .orderBy($"o_orderkey")
   }
 
+  /** R15 metrics hook: run a filtered scan under the QueryMetrics
+    * listener and report the row count THE LISTENER observed — an
+    * end-to-end check that the hook sees real execution metrics (the
+    * oracle recomputes the same count relationally).
+    */
+  def r15Metrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = graft.sources.QueryMetrics.capture(s) {
+      Tables.orders(s, dir).filter($"o_orderkey" <= 1000L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val rows = recs.filterNot(_.failed).flatMap(_.outputRows)
+      .headOption.getOrElse(-1L)
+    Seq(rows).toDF("rows_out")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r15_metrics" -> (r15Metrics _),
     "r1b_paged_scan" -> (r1bPagedScan _),
     "r14_splits" -> (r14Splits _),
     "r1_full_scan" -> (r1FullScan _),
@@ -209,6 +226,9 @@ object StoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "r15_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS rows_out
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin,
     "r1b_paged_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
