@@ -91,7 +91,34 @@ object WriteQueries {
       .select(col("alloc_id"), col("o_orderkey"), col("o_custkey"))
       .orderBy(col("alloc_id"))
 
+  /** W1's reclaim half — TTL physical expiry: stage orders with a
+    * 90-day TTL as a managed table, VACUUM it (physical rewrite, not a
+    * read filter), then summarize what the rewritten table actually
+    * contains — read back from storage, proving expired rows are gone
+    * from disk, not hidden.
+    */
+  def w9TtlVacuum(s: SparkSession, dir: String): DataFrame = {
+    val table = "w9_vacuum_orders"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    Writer.withTtl(Tables.orders(s, dir), "o_orderdate", expr("INTERVAL 90 DAYS"))
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    graft.sources.GraphStorage.vacuumExpired(s, table,
+      to_timestamp(lit("1998-06-01 00:00:00")))
+    s.table(table).agg(count(lit(1)).as("n_live"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("oldest"),
+      (sum(graft.util.Exact.cents(col("o_totalprice"))) / 100.0).as("total"))
+  }
+
+  /** W6/W11 truncate/clear: schema survives, rows do not. */
+  def w10Truncate(s: SparkSession, dir: String): DataFrame = {
+    val truncated = Writer.truncate(Tables.orders(s, dir))
+    truncated.agg(count(lit(1)).as("n"))
+      .withColumn("n_cols", lit(truncated.columns.length).cast("int"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_ttl_vacuum" -> (w9TtlVacuum _),
+    "w10_truncate" -> (w10Truncate _),
     "w8_alloc_partitioned" -> (w8AllocPartitioned _),
     "w1_upsert" -> (w1Upsert _),
     "w2_delete" -> (w2Delete _),
@@ -103,6 +130,14 @@ object WriteQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "w9_ttl_vacuum" ->
+      """SELECT COUNT(*) AS n_live,
+        |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS oldest,
+        |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total
+        |FROM orders
+        |WHERE o_orderdate + INTERVAL 90 DAY > TIMESTAMP '1998-06-01 00:00:00'""".stripMargin,
+    "w10_truncate" ->
+      "SELECT CAST(0 AS BIGINT) AS n, CAST(6 AS INT) AS n_cols",
     "w8_alloc_partitioned" ->
       """SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) + 999 AS alloc_id,
         |  o_orderkey, o_custkey

@@ -65,4 +65,28 @@ object GraphStorage {
       if (forward) s"${prefix}_edges_by_src" else s"${prefix}_edges_by_dst")
     PropertyGraph(spark.table(s"${prefix}_vertices"), edges)
   }
+
+  /** TTL physical expiry — the reclaim half of W1. The reference hands
+    * expiry to the store (TTL on the KV put, TikvTable.java:95-101);
+    * the batch analog is a COMPACTION: rewrite the table keeping only
+    * rows whose `expire_at` is after `asOf`, so expired data stops
+    * occupying storage (TtlFilterRule/liveAsOf only hide it at read).
+    * Returns (kept, reclaimed) row counts.
+    *
+    * The live set is materialized (localCheckpoint) before the
+    * overwrite because a table cannot be rewritten while being read;
+    * on a real deployment the same operator targets a transactional
+    * format (Delta/Iceberg) where the rewrite is a new snapshot and
+    * the swap is atomic — the plan shape (one filtered scan, one
+    * write, no shuffle) is identical.
+    */
+  def vacuumExpired(spark: SparkSession, table: String,
+                    asOf: org.apache.spark.sql.Column): (Long, Long) = {
+    val df = spark.table(table)
+    val total = df.count()
+    val live = df.filter(col("expire_at") > asOf).localCheckpoint()
+    val kept = live.count()
+    live.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+    (kept, total - kept)
+  }
 }

@@ -54,6 +54,25 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuumExpired physically rewrites the table without expired rows") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS vac_t")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-07-01 00:00:00")))
+      .toDF("id", "created")
+    graft.operators.Writer.withTtl(df, "created", expr("INTERVAL 30 DAYS"))
+      .write.mode("overwrite").format("parquet").saveAsTable("vac_t")
+    val (kept, reclaimed) = GraphStorage.vacuumExpired(spark, "vac_t",
+      to_timestamp(lit("2024-06-15 00:00:00")))
+    assert(kept == 2 && reclaimed == 1)
+    // read back from storage: the expired row is gone from disk, and a
+    // raw scan (no TTL filter) cannot resurrect it
+    val back = spark.table("vac_t").select("id").as[Long].collect().sorted
+    assert(back.toSeq == Seq(2L, 3L))
+  }
+
   test("csv and json round-trip with explicit schema") {
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
     DataSources.writeCsv(df, s"$wh/csv_rt")
