@@ -37,6 +37,17 @@ object PipelineQueries {
         maxDocId = 60)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** n-gram (k=3 word-shingle) Jaccard over the same bounded pair set —
+    * the higher-order shingle variant of d4 (distinguishes word ORDER,
+    * which token-set Jaccard cannot), exact-oracled in SQL.
+    */
+  def d7ShingleJaccard(s: SparkSession, dir: String): DataFrame =
+    // threshold 0.5 isolates the corpus's clone pairs; 3-gram overlap
+    // between unrelated docs tops out ≈0.02, so the gap is wide
+    Dedup.jaccardPairs(Tables.documents(s, dir), k = 3, threshold = 0.5,
+        maxDocId = 500)
+      .orderBy(col("a_id"), col("b_id"))
+
   /** MinHash-LSH near-dup pairs (rows-only: xxhash64 isn't portable to
     * the oracle; recall/precision asserted in DedupSpec). Threshold 0.9
     * on token sets: this corpus shares a tiny vocabulary, so lower
@@ -142,6 +153,7 @@ object PipelineQueries {
     "d2_text_stats" -> (d2TextStats _),
     "d3_langid_dist" -> (d3LangidDist _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
+    "d7_shingle_jaccard" -> (d7ShingleJaccard _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
     "e1_knn_brute" -> (e1KnnBrute _),
@@ -258,6 +270,22 @@ object PipelineQueries {
         |        FROM documents WHERE doc_id < 60) b
         |    ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+    "d7_shingle_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split_regex(text, '\s+')) >= 3
+        |      THEN list_distinct(list_transform(
+        |        range(len(string_split_regex(text, '\s+')) - 2),
+        |        i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+3], ' ')))
+        |      ELSE [array_to_string(string_split_regex(text, '\s+'), ' ')]
+        |    END AS sg
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    round(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
     "e1_knn_brute" ->
       """SELECT query_id, rank, vec_id, cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -99,7 +99,9 @@ object WriteQueries {
     */
   def w9TtlVacuum(s: SparkSession, dir: String): DataFrame = {
     val table = "w9_vacuum_orders"
-    s.sql(s"DROP TABLE IF EXISTS $table")
+    // drops the catalog entry AND any warehouse directory left by a
+    // previous JVM (in-memory catalog forgets tables across sessions)
+    graft.sources.GraphStorage.dropTable(s, table)
     Writer.withTtl(Tables.orders(s, dir), "o_orderdate", expr("INTERVAL 90 DAYS"))
       .write.mode("overwrite").format("parquet").saveAsTable(table)
     graft.sources.GraphStorage.vacuumExpired(s, table,

@@ -27,7 +27,7 @@ object GraphStorage {
     * directory persists, which otherwise fails CREATE with
     * LOCATION_ALREADY_EXISTS).
     */
-  private def dropTable(spark: SparkSession, name: String): Unit = {
+  def dropTable(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(s"$wh/$name")

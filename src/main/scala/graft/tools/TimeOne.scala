@@ -23,8 +23,9 @@ object TimeOne {
         graft.SparkEntry.queries(n)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"$n%-24s median=${ts(runs / 2)}%7.2fs  all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      }
+      val sorted = ts.sorted
+      println(f"$n%-24s median=${sorted(runs / 2)}%7.2fs  in-order=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }
