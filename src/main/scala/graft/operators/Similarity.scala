@@ -150,9 +150,72 @@ object Similarity {
     df.withColumn("centroid_id", -greatest(scored.toSeq: _*).getField("ncid"))
   }
 
+  /** Deterministic Lloyd k-means for the IVF coarse quantizer.
+    *
+    * Seeding is farthest-point (k-center greedy): start from the
+    * min-hash row, then repeatedly take the corpus row least similar
+    * to every seed so far — one map pass + TakeOrdered(1) per seed,
+    * deterministic (vec_id tie-break), and immune to the
+    * all-seeds-in-one-cluster failure of random/lowest-id sampling.
+    * Each Lloyd iteration is one map-only assignCells pass fused with
+    * a posexplode of the vector, then a per-(centroid, dim) mean —
+    * partial aggregation keeps the shuffle at nCentroids × dim rows
+    * regardless of corpus size, and only the k×dim mean table is
+    * collected per iteration (scale-bounded, the canonical
+    * distributed k-means).
+    *
+    * Dimension means accumulate in exact micro-units (longs), not
+    * float sums: float addition is association-order dependent across
+    * partitions and would make trained centroids — and every
+    * downstream cell assignment — nondeterministic run to run.
+    * An emptied cell keeps its previous centroid.
+    */
+  def trainCentroids(corpus: DataFrame, vec: String = "embedding",
+                     nCentroids: Int = 8, iters: Int = 3): Array[(Long, Array[Float])] = {
+    // the training loop scans this projection once per seed + once per
+    // iteration — cache it for the loop (released before returning)
+    val base = corpus.select(col("vec_id"), col(vec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rowVec(r: org.apache.spark.sql.Row): Array[Float] =
+      r.getSeq[Float](1).toArray
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      rowVec(base.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+        .limit(1).collect()(0)))
+    while (seeds.length < nCentroids) {
+      val sims = seeds.toSeq.map { s =>
+        cosine(col(vec), array(s.map(x => lit(x)): _*))
+      }
+      val nearest = if (sims.length == 1) sims.head else greatest(sims: _*)
+      seeds += rowVec(base.withColumn("__near", nearest)
+        .orderBy(col("__near").asc, col("vec_id").asc).limit(1).collect()(0))
+    }
+    var centroids: Array[(Long, Array[Float])] =
+      seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
+    for (_ <- 1 to iters) {
+      val means = assignCells(base.select(col(vec)), vec, centroids)
+        .select(col("centroid_id"), posexplode(col(vec)).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg((sum(round(col("x") * 1000000).cast("long")) / 1000000.0 /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val m = new Array[Float](rows.length)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+          cid -> m
+        }
+      centroids = centroids.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old))
+      }
+    }
+    base.unpersist(blocking = true)
+    centroids
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest
-    * of `nCentroids` deterministic seed centroids (sampled corpus rows),
-    * then search only the query's centroid cell.
+    * of `nCentroids` k-means centroids (trainCentroids; `trainIters=0`
+    * falls back to the raw seeds), then search only the query's
+    * centroid cell.
     *
     * The centroid table is nCentroids rows — the coarse quantizer is
     * tiny by construction — so it is materialized to the driver ONCE
@@ -161,15 +224,9 @@ object Similarity {
     * corpus rows) — the standard IVF shape.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int = 8,
+              nCentroids: Int = 8, trainIters: Int = 2,
               maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
-    // deterministic centroids: lowest vec_ids (stand-in for k-means at
-    // scale; the assignment/search machinery is identical)
-    val centroids: Array[(Long, Array[Float])] =
-      corpus.orderBy(col("vec_id").asc).limit(nCentroids)
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centroids = trainCentroids(corpus, "embedding", nCentroids, trainIters)
 
     val qs = assignCells(
       queries.select(col("query_id"), col("query_vec")), "query_vec", centroids)

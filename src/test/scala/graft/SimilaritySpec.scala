@@ -81,6 +81,30 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("k-means centroids separate planted clusters and are deterministic") {
+    // three tight clusters around orthogonal axes
+    val rows = (0 until 30).map { i =>
+      val axis = i % 3
+      val v = new Array[Float](6)
+      v(axis) = 1f
+      v(3 + axis) = 0.05f * (i / 3) // small within-cluster spread
+      (i.toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, nCentroids = 3, iters = 3)
+    val assigned = Similarity.assignCells(corpus, "embedding", cents)
+      .select(col("vec_id"), col("centroid_id")).as[(Long, Long)].collect().toMap
+    // every cluster lands wholly in one distinct cell
+    val cells = (0 until 3).map(a => rows.collect {
+      case (id, _) if id % 3 == a => assigned(id)
+    }.toSet)
+    assert(cells.forall(_.size == 1), s"clusters split across cells: $cells")
+    assert(cells.flatten.toSet.size == 3, s"clusters merged: $cells")
+    // determinism: retraining yields bit-identical centroids
+    val again = Similarity.trainCentroids(corpus, nCentroids = 3, iters = 3)
+    assert(cents.map(_._2.toSeq).toSeq == again.map(_._2.toSeq).toSeq)
+  }
+
   test("ivf top-k returns k ranked candidates per query") {
     val corpus = (0 until 64).map { i =>
       val v = Array.tabulate(8)(j => math.cos(i * (j + 1)).toFloat)
