@@ -31,7 +31,29 @@ object TtlFilterRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
+      // V1 file relations and DSv2 relations both match: the reader
+      // config (spark.sql.sources.useV1SourceList) decides which node
+      // a parquet scan plans to, and TTL must hold under either.
       case r: LogicalRelation
+          if r.getTagValue(applied).isEmpty &&
+            r.output.exists(_.name == TtlColumn) =>
+        r.setTagValue(applied, true)
+        val attr = r.output.find(_.name == TtlColumn).get
+        Filter(GreaterThan(attr, CurrentTimestamp()), r)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.getTagValue(applied).isEmpty &&
+            r.output.exists(_.name == TtlColumn) =>
+        r.setTagValue(applied, true)
+        val attr = r.output.find(_.name == TtlColumn).get
+        Filter(GreaterThan(attr, CurrentTimestamp()), r)
+      // After V2ScanRelationPushDown the V2 read is a scan relation.
+      // NOTE: that rule also prunes columns, so a query that never
+      // references expire_at (e.g. a bare count) has no attribute left
+      // to filter on by post-hoc time — installing via GraftExtensions
+      // (injectOptimizerRule → operator-optimization batch, BEFORE
+      // pushdown) closes that window; this arm covers post-hoc
+      // installs for reads that keep the column.
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
           if r.getTagValue(applied).isEmpty &&
             r.output.exists(_.name == TtlColumn) =>
         r.setTagValue(applied, true)

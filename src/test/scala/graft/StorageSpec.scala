@@ -56,7 +56,7 @@ class StorageSpec extends AnyFunSuite {
 
   test("vacuumExpired physically rewrites the table without expired rows") {
     import org.apache.spark.sql.functions._
-    spark.sql("DROP TABLE IF EXISTS vac_t")
+    GraphStorage.dropTable(spark, "vac_t") // also clears stale warehouse dirs
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
       (2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")),

@@ -55,6 +55,31 @@ class TtlRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ttl.enabled")
   }
 
+  test("rule also fires on DSv2 relations (empty useV1SourceList)") {
+    writeFixture()
+    val prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try {
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      val df = spark.read.parquet(path)
+      val analyzed = df.queryExecution.analyzed
+      assert(analyzed.toString.contains("RelationV2"),
+        s"fixture did not plan as DSv2:\n$analyzed")
+      // the production install point (GraftExtensions →
+      // injectOptimizerRule) runs the rule on the pre-pushdown
+      // DataSourceV2Relation — apply it there and check the injection
+      val transformed = TtlFilterRule(analyzed)
+      assert(transformed.toString.contains("expire_at") &&
+        transformed.toString.toLowerCase.contains("filter"),
+        s"no TTL filter injected over RelationV2:\n$transformed")
+      // post-hoc install also enforces TTL for reads that keep the
+      // column (pruned-column reads need the early install; see rule)
+      withRule {
+        val ids = spark.read.parquet(path).collect().map(_.getLong(0)).sorted
+        assert(ids.toSeq == Seq(2L, 3L))
+      }
+    } finally spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+  }
+
   test("injected predicate pushes down to the parquet scan") {
     writeFixture()
     withRule {
