@@ -228,6 +228,56 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     copy(df = g.vertices.join(ids, Seq("id"), "left_semi"))
   }
 
+  /** Gremlin union(t1, t2, …): bag union of every branch applied to
+    * this frontier — one plan-level Union of the branch joins, no
+    * extra shuffle beyond what the branches themselves do.
+    */
+  def union(subs: (Traversal => Traversal)*): Traversal = {
+    requireV()
+    val dfs = subs.map { s =>
+      val r = s(this)
+      require(!r.isEdge, "union branches must end on a vertex frontier")
+      r.df
+    }
+    copy(df = dfs.reduce(_ unionByName _))
+  }
+
+  /** Gremlin coalesce(t1, t2, …): per start vertex, the results of the
+    * FIRST branch that yields anything. Origins ride the frontier as a
+    * column (the reference's engine evaluates branch-by-branch per
+    * traverser; here every branch runs as one distributed plan and a
+    * min-branch aggregate picks each origin's winner — two narrow
+    * shuffles on origin ids). Distinct frontier origins only; does not
+    * compose with withPath.
+    */
+  def coalesce(subs: (Traversal => Traversal)*): Traversal = {
+    requireV()
+    require(!hasPath, "coalesce does not compose with withPath")
+    val tagged = copy(df = df.withColumn(PATH, array(col("id"))))
+    val vcols = g.vertices.columns
+    val branches = subs.zipWithIndex.map { case (s, i) =>
+      val r = s(tagged)
+      require(!r.isEdge, "coalesce branches must end on a vertex frontier")
+      r.df.select((vcols.map(col) :+ element_at(col(PATH), 1).as(ORIGIN) :+
+        lit(i).as(BRANCH)): _*)
+    }
+    val all = branches.reduce(_ unionByName _)
+    val winners = all.groupBy(col(ORIGIN))
+      .agg(min(col(BRANCH)).as("__winner"))
+      .select(col(ORIGIN).as("__worigin"), col("__winner"))
+    val res = all
+      .join(winners, col(ORIGIN) === col("__worigin") &&
+        col(BRANCH) === col("__winner"))
+      .select(vcols.map(col): _*)
+    copy(df = res)
+  }
+
+  /** Gremlin optional(t): t's results where t produces any, the
+    * incoming vertex itself otherwise.
+    */
+  def optional(sub: Traversal => Traversal): Traversal =
+    coalesce(sub, identity)
+
   /** filter frontier by vertex/edge ids. */
   def hasId(ids: Long*): Traversal = {
     requireV()
@@ -304,6 +354,8 @@ object Traversal {
   private[graph] val OTHER = "__other"
   private[graph] val HOP = "__hop_id"
   private[graph] val PATH = "__path"
+  private[graph] val ORIGIN = "__origin"
+  private[graph] val BRANCH = "__branch"
   private def count_lit_one = count(lit(1))
 
   private def filterEdges(e: DataFrame, ls: Seq[String]): DataFrame =

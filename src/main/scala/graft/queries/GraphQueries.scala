@@ -146,7 +146,28 @@ object GraphQueries {
       .toDF.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("label"))
 
+  /** Gremlin union(): one customer's orders AND nation in one bag. */
+  def g19Union(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V(PropertyGraph.encodeId("customer", 7L))
+      .union(_.out("placed"), _.out("located_in"))
+      .toDF.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("label"))
+
+  /** Gremlin coalesce(): per customer, their recent orders if any,
+    * their nation otherwise — branch priority per origin vertex.
+    */
+  def g20Coalesce(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("customer")
+      .coalesce(
+        _.outE("placed").has("orderdate", P.Gte(
+          java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))).otherV,
+        _.out("located_in"))
+      .toDF.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("label"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g19_union" -> (g19Union _),
+    "g20_coalesce" -> (g20Coalesce _),
     "g15_contains" -> (g15Contains _),
     "g16_contains_key" -> (g16ContainsKey _),
     "g17_text_any" -> (g17TextAny _),
@@ -168,6 +189,22 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "g19_union" ->
+      """SELECT label, cnt FROM (
+        |  SELECT 'order' AS label, COUNT(*) AS cnt FROM orders WHERE o_custkey = 7
+        |  UNION ALL
+        |  SELECT 'nation', 1
+        |) ORDER BY label""".stripMargin,
+    "g20_coalesce" ->
+      """SELECT label, cnt FROM (
+        |  SELECT 'order' AS label, COUNT(*) AS cnt FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT 'nation', COUNT(*) FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |) ORDER BY label""".stripMargin,
     "g15_contains" ->
       s"""SELECT ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS id,
          |  array_to_string(['seg_' || lower(c_mktsegment),

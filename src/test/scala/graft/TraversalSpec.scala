@@ -178,6 +178,30 @@ class TraversalSpec extends AnyFunSuite {
     assert(capped == Set(11L, 12L))
   }
 
+  test("union step bags all branches") {
+    val got = triangle.V(1L).union(_.out("next"), _.in("next"))
+      .toDF.select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L))
+    // bag semantics: overlapping branches duplicate
+    val dup = triangle.V(1L).union(_.out("next"), _.out("next"))
+      .toDF.select("id").as[Long].collect()
+    assert(dup.toSeq == Seq(2L, 2L))
+  }
+
+  test("coalesce picks the first non-empty branch per origin") {
+    val v = Seq((10L, "n", 0), (11L, "n", 0), (13L, "n", 0))
+      .toDF("id", "label", "score")
+    val e = Seq((10L, 11L, "next", 1L)).toDF("src", "dst", "label", "sort_key")
+    val g = PropertyGraph(v, e)
+    val got = g.V(10L, 13L).coalesce(_.out("next"), t => t)
+      .toDF.select("id").as[Long].collect().sorted
+    // 10 has an out-edge → follows it; 13 does not → keeps itself
+    assert(got.toSeq == Seq(11L, 13L))
+    val opt = g.V(10L, 13L).optional(_.out("next"))
+      .toDF.select("id").as[Long].collect().sorted
+    assert(opt.toSeq == Seq(11L, 13L))
+  }
+
   test("valueMap and groupCount terminals") {
     val vm = triangle.V(2L).valueMap("score").collect()(0)
     assert(vm.getLong(0) == 2L && vm.getInt(1) == 20)
