@@ -86,6 +86,50 @@ object Algorithms {
       .triangleCount().vertices.toDF("id", "triangles")
   }
 
+  /** Total triangle count, DataFrame-first (compact-forward):
+    * canonicalize to undirected distinct edges, orient every edge from
+    * its lower-(degree, id) endpoint to the higher, build wedges as
+    * ordered out-neighbor pairs, close them with a semi-join against
+    * the oriented edges. The orientation bounds every vertex's
+    * out-degree by O(√m), so wedge volume is Σ outdeg² ≤ m^1.5 —
+    * immune to the hub-degree blowup of id-ordered wedges — and all
+    * state lives in narrow shuffled pairs (AQE-splittable), never in
+    * per-vertex neighbor sets like GraphX's triangleCount. Each
+    * triangle is counted exactly once at its lowest-order corner.
+    * Also reports the non-isolated vertex count (= the GraphX graph's
+    * vertex set).
+    */
+  def triangleTotal(s: SparkSession, g: PropertyGraph,
+                    labels: Seq[String] = Nil): DataFrame = {
+    val all = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val e = all.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("w"),
+      when(fwd, col("db")).otherwise(col("da")).as("dw"))
+    val wedges = o.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
+      .join(o.select(col("u"), col("w").as("w2"), col("dw").as("d2")), "u")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("w1") < col("w2")))
+      .select(col("w1"), col("w2"))
+    val triangles = wedges.join(
+      o.select(col("u").as("w1"), col("w").as("w2")), Seq("w1", "w2"), "left_semi")
+    val nVertices = all.select(col("src").as("id"))
+      .union(all.select(col("dst").as("id"))).distinct().count()
+    triangles.agg(count(lit(1)).cast("long").as("total_triangles"))
+      .withColumn("n_vertices", lit(nVertices))
+  }
+
   /** single-source shortest hop-distance via Pregel. `reverse` follows
     * edges dst→src (e.g. region → its nations → their customers).
     */

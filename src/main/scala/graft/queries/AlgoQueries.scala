@@ -55,9 +55,7 @@ object AlgoQueries {
     * AlgorithmsSpec.
     */
   def aTriangles(s: SparkSession, dir: String): DataFrame =
-    Algorithms.triangleCounts(s, g(s, dir))
-      .agg(sum(col("triangles")).cast("long").as("total_triangles"),
-        count(lit(1)).as("n_vertices"))
+    Algorithms.triangleTotal(s, g(s, dir))
 
   /** aggregateMessages neighborhood sum: per part vertex, count and
     * quantity-sum over incoming `contains` edges — exact integer-cents

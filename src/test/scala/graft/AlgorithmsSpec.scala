@@ -53,6 +53,19 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got(1L) == 1 && got(2L) == 1 && got(3L) == 1 && got(4L) == 0)
   }
 
+  test("triangleTotal matches GraphX on planted graphs") {
+    // two triangles sharing an edge + a pendant; reversed/duplicate
+    // edges must not inflate the count
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L), (2L, 4L),
+      (3L, 4L), (2L, 3L), (4L, 5L)))
+    val df = Algorithms.triangleTotal(spark, g).collect()(0)
+    assert(df.getLong(0) == 2, s"expected 2 triangles, got ${df.getLong(0)}")
+    assert(df.getLong(1) == 5) // non-isolated vertex count
+    val viaGraphX = Algorithms.triangleCounts(spark, g)
+      .agg(org.apache.spark.sql.functions.sum(col("triangles"))).collect()(0).getLong(0)
+    assert(viaGraphX == 3 * 2) // GraphX counts each triangle at all 3 corners
+  }
+
   test("pagerank: sink-feeding star ranks center highest") {
     val g = mkGraph(Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (9L, 1L)))
     val top = Algorithms.pageRank(spark, g, iters = 20)
