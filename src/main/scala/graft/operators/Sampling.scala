@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus splitting/sampling for training-data pipelines
+  * (north-star surface; no reference analog — the store's only
+  * sampling is shard-scan R7).
+  *
+  * Buckets come from a cryptographic-hash prefix of the key
+  * (md5 → first 16 bits), NOT from rand(): the split is stable across
+  * runs, engines, partitionings, and insertion order, so a document's
+  * train/val/test membership never flips — the property a training
+  * pipeline actually needs. Everything is per-row codegen'd
+  * expressions; a split/sample adds zero shuffles to whatever plan it
+  * feeds.
+  */
+object Sampling {
+
+  val Buckets = 65536 // md5 prefix width: 4 hex chars
+
+  /** Stable bucket in [0, 65536) from the key's md5 prefix. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Assign a named split per row from weighted fractions
+    * (e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).
+    * Weights must sum to 1; rounding dust goes to the last split.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+                  weights: Seq[(String, Double)],
+                  splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * Buckets)
+    }.tail.dropRight(1) :+ Buckets.toLong
+    val b = hashBucket(key)
+    val expr = weights.map(_._1).zip(bounds).foldRight(lit(null).cast("string")) {
+      case ((name, hi), rest) => when(b < hi, name).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Keep a stable `fraction` of rows by key — deterministic sampling
+    * (same rows every run), unlike df.sample's seed-and-partition-
+    * dependent draw.
+    */
+  def sampleFraction(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(hashBucket(key) < math.round(fraction * Buckets))
+}

@@ -48,6 +48,22 @@ object PipelineQueries {
         maxDocId = 500)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Deterministic hash-split corpus budget: train/val/test membership
+    * from the md5-prefix bucket (stable across runs/engines — never
+    * rand()), with per-split document and token budgets. The oracle
+    * recomputes the identical bucket arithmetic in SQL.
+    */
+  def d8SplitBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = Tables.documents(s, dir)
+    Sampling.assignSplit(docs, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("total_tokens"))
+      .orderBy(col("split"))
+  }
+
   /** MinHash-LSH near-dup pairs (rows-only: xxhash64 isn't portable to
     * the oracle; recall/precision asserted in DedupSpec). Threshold 0.9
     * on token sets: this corpus shares a tiny vocabulary, so lower
@@ -154,6 +170,7 @@ object PipelineQueries {
     "d3_langid_dist" -> (d3LangidDist _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d7_shingle_jaccard" -> (d7ShingleJaccard _),
+    "d8_split_budget" -> (d8SplitBudget _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
     "e1_knn_brute" -> (e1KnnBrute _),
@@ -270,6 +287,20 @@ object PipelineQueries {
         |        FROM documents WHERE doc_id < 60) b
         |    ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+    "d8_split_budget" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bk
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 52429 THEN 'train'
+        |            WHEN bk < 58983 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "d7_shingle_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val ids = spark.range(0, 10000).select(col("id"))
+
+  test("assignSplit is complete, disjoint, and near the target weights") {
+    val split = Sampling.assignSplit(ids, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test")) // complete, no nulls
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 8000) < 200, counts.toString)
+    assert(math.abs(counts("val") - 1000) < 100, counts.toString)
+    assert(math.abs(counts("test") - 1000) < 100, counts.toString)
+  }
+
+  test("membership is stable across runs and partitionings") {
+    def trainSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.assignSplit(df, col("id"), Seq("train" -> 0.8, "val" -> 0.2))
+        .filter(col("split") === "train").select("id").as[Long].collect().toSet
+    val a = trainSet(ids)
+    val b = trainSet(ids.repartition(13))
+    assert(a == b)
+  }
+
+  test("sampleFraction keeps a stable subset of about the right size") {
+    val s1 = Sampling.sampleFraction(ids, col("id"), 0.25)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.sampleFraction(ids, col("id"), 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size - 2500) < 150, s1.size.toString)
+    // nested fractions: a smaller sample is a subset of a larger one
+    val s3 = Sampling.sampleFraction(ids, col("id"), 0.1)
+      .select("id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+  }
+}
