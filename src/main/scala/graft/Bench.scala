@@ -40,15 +40,21 @@ object Bench {
     // regression); the median of 3 kills one-off GC/JIT outliers.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val results = names.map { name =>
-      val ts = (1 to runs).map { _ =>
+      val timed = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try materialize(name, sfDir)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> ts(runs / 2)
+        val ok =
+          try { materialize(name, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      // median over SUCCESSFUL runs only — a near-instant failure must
+      // not masquerade as a fast timing; all-failed keeps the worst time
+      val good = timed.filter(_._2).map(_._1).sorted
+      val med = if (good.nonEmpty) good(good.length / 2) else timed.map(_._1).max
+      name -> med
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

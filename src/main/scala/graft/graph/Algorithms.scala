@@ -47,12 +47,17 @@ object Algorithms {
   }
 
   /** connected components (undirected reachability; component id = min
-    * vertex id, so output is deterministic).
+    * vertex id, so output is deterministic). Built from the EXPLICIT
+    * vertex set, not Graph.fromEdges: an isolated vertex (e.g. a part
+    * no lineitem references) is its own singleton component, which
+    * fromEdges would silently drop.
     */
   def connectedComponents(s: SparkSession, g: PropertyGraph): DataFrame = {
     import s.implicits._
+    val verts = g.vertices.select(col("id")).rdd.map(r => (r.getLong(0), 0))
+    val graph = Graph(verts, edgeRdd(g), defaultVertexAttr = 0)
     org.apache.spark.graphx.lib.ConnectedComponents
-      .run(toGraphX(g)).vertices.toDF("id", "component")
+      .run(graph).vertices.toDF("id", "component")
   }
 
   /** Neighborhood aggregation via GraphX aggregateMessages — the
@@ -124,8 +129,12 @@ object Algorithms {
       .select(col("w1"), col("w2"))
     val triangles = wedges.join(
       o.select(col("u").as("w1"), col("w").as("w2")), Seq("w1", "w2"), "left_semi")
-    val nVertices = all.select(col("src").as("id"))
-      .union(all.select(col("dst").as("id"))).distinct().count()
+    // unfiltered: the graph's declared vertex set (isolated vertices
+    // count); label-filtered: the endpoints of the surviving edges
+    val nVertices =
+      if (labels.isEmpty) g.vertices.select(col("id")).distinct().count()
+      else all.select(col("src").as("id"))
+        .union(all.select(col("dst").as("id"))).distinct().count()
     triangles.agg(count(lit(1)).cast("long").as("total_triangles"))
       .withColumn("n_vertices", lit(nVertices))
   }

@@ -199,33 +199,42 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     // for the loop (exactly why GraphX caches its graph): without this
     // each round re-runs the full derivation (for the TPC-H view that
     // includes a lineitem distinct per round). MEMORY_AND_DISK spills
-    // rather than OOMs on big graphs; both are released after the loop,
-    // and the result is rebuilt against the UNCACHED vertices so it
-    // stays valid afterwards.
+    // rather than OOMs on big graphs. Frames the CALLER already cached
+    // are left alone (unpersisting them here would silently drop the
+    // caller's cache); frames persisted here are released in the
+    // finally — blocking, so repeated or failing invocations never
+    // stack copies — and the result is rebuilt against the original
+    // vertices so it stays valid afterwards.
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val gc = PropertyGraph(g.vertices.persist(level), g.edges.persist(level))
-    var frontierIds = df.select(col("id")).dropDuplicates("id").localCheckpoint()
-    var visited = frontierIds
-    var reached: Option[DataFrame] = None
-    var depth = 0
-    while (depth < maxDepth && !frontierIds.isEmpty) {
-      val frontierV = gc.vertices.join(frontierIds, Seq("id"), "left_semi")
-      val stepped = step(Traversal(gc, frontierV, isEdge = false))
-      require(!stepped.isEdge, "repeatUntil step must end on a vertex frontier")
-      val nextIds = stepped.df.select(col("id")).dropDuplicates("id")
-        .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint()
-      reached = Some(reached.map(_.union(nextIds)).getOrElse(nextIds))
-      visited = visited.union(nextIds)
-      frontierIds = nextIds
-      depth += 1
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val ownV = g.vertices.storageLevel == none
+    val ownE = g.edges.storageLevel == none
+    val gc = PropertyGraph(
+      if (ownV) g.vertices.persist(level) else g.vertices,
+      if (ownE) g.edges.persist(level) else g.edges)
+    try {
+      var frontierIds = df.select(col("id")).dropDuplicates("id").localCheckpoint()
+      var visited = frontierIds
+      var reached: Option[DataFrame] = None
+      var depth = 0
+      while (depth < maxDepth && !frontierIds.isEmpty) {
+        val frontierV = gc.vertices.join(frontierIds, Seq("id"), "left_semi")
+        val stepped = step(Traversal(gc, frontierV, isEdge = false))
+        require(!stepped.isEdge, "repeatUntil step must end on a vertex frontier")
+        val nextIds = stepped.df.select(col("id")).dropDuplicates("id")
+          .join(visited, Seq("id"), "left_anti")
+          .localCheckpoint()
+        reached = Some(reached.map(_.union(nextIds)).getOrElse(nextIds))
+        visited = visited.union(nextIds)
+        frontierIds = nextIds
+        depth += 1
+      }
+      val ids = reached.getOrElse(df.limit(0).select(col("id")))
+      copy(df = g.vertices.join(ids, Seq("id"), "left_semi"))
+    } finally {
+      if (ownV) gc.vertices.unpersist(blocking = true)
+      if (ownE) gc.edges.unpersist(blocking = true)
     }
-    // blocking: repeated invocations in one session must not stack
-    // cached copies (async unpersist raced the next run's persist)
-    gc.vertices.unpersist(blocking = true)
-    gc.edges.unpersist(blocking = true)
-    val ids = reached.getOrElse(df.limit(0).select(col("id")))
-    copy(df = g.vertices.join(ids, Seq("id"), "left_semi"))
   }
 
   /** Gremlin union(t1, t2, …): bag union of every branch applied to

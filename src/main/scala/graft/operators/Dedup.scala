@@ -54,8 +54,13 @@ object Dedup {
     * concat_ws skips the null leads, matching [[shingles]] exactly.
     */
   def shingleRows(docs: DataFrame, k: Int): DataFrame = {
+    // null text coalesces to "" so the doc still yields its one
+    // empty-string shingle (as the Column path does) instead of
+    // silently vanishing from signatures — posexplode of a null array
+    // emits no rows
     val tok = docs.select(col("doc_id"),
-      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+      posexplode(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+        .as(Seq("pos", "t")))
     if (k == 1) tok.select(col("doc_id"), col("t").as("s")).distinct()
     else {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -35,15 +35,32 @@ object Paging {
     * driver-side scalar — this IS the value handed back to the caller,
     * exactly as the reference returns the page position to the client.
     * None when the page is empty (iteration is complete).
+    *
+    * NOTE: calling this on a lazy `page(...)` re-executes the page
+    * query; callers iterating many pages should use [[pageAndToken]],
+    * which materializes the page once and reads the token from the
+    * materialized rows.
     */
   def nextToken(pageDf: DataFrame, sortKey: String): Option[Any] = {
     val r = pageDf.agg(max(col(sortKey))).collect()(0)
     if (r.isNullAt(0)) None else Some(r.get(0))
   }
 
+  /** One page plus its resume token with the page computed exactly
+    * once: the page is materialized (localCheckpoint — n rows, the
+    * page size the caller chose) and the token read from the
+    * materialized result, so neither the token nor the caller's
+    * consumption of the page re-runs the sorted scan.
+    */
+  def pageAndToken(df: DataFrame, sortKey: String, token: Option[Any],
+                   n: Int): (DataFrame, Option[Any]) = {
+    val p = page(df, sortKey, token, n).localCheckpoint()
+    (p, nextToken(p, sortKey))
+  }
+
   /** Convenience: stitch the first `pages` pages of size `n` — used by
     * the gate query to prove two resumed pages equal one sorted
-    * prefix. Real callers loop `page`/`nextToken` themselves.
+    * prefix. Real callers loop `pageAndToken` themselves.
     */
   def stitch(df: DataFrame, sortKey: String, n: Int, pages: Int): DataFrame = {
     var token: Option[Any] = None
@@ -51,8 +68,8 @@ object Paging {
     var i = 0
     var done = false
     while (i < pages && !done) {
-      val p = page(df, sortKey, token, n)
-      token = nextToken(p, sortKey)
+      val (p, t) = pageAndToken(df, sortKey, token, n)
+      token = t
       if (token.isEmpty) done = true
       else out = Some(out.map(_.unionByName(p)).getOrElse(p))
       i += 1

@@ -121,7 +121,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), explode(sigs(col("embedding"))).as("ts"))
       .select(col("vec_id"), col("embedding"),
         col("ts.table").as("table"), col("ts.sig").as("sig"))
-    val scored = cs.join(maybeBroadcast(qs, queries, maxBroadcastRows), Seq("table", "sig"))
+    // the broadcast side is qs = queries × tables × (nBits+1 probes) —
+    // guard against the EXPLODED size, not the input row count
+    val explosion = tables.toLong * (nBits + 1)
+    val scored = cs.join(
+      maybeBroadcast(qs, queries, maxBroadcastRows / explosion), Seq("table", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       // a candidate can match several (table, probe) cells — dedup
       // narrow ids before the (cheap) cosine rank
@@ -173,43 +177,46 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, vec: String = "embedding",
                      nCentroids: Int = 8, iters: Int = 3): Array[(Long, Array[Float])] = {
     // the training loop scans this projection once per seed + once per
-    // iteration — cache it for the loop (released before returning)
+    // iteration — cache it for the loop (released in the finally, so a
+    // failing iteration cannot leak the cache)
     val base = corpus.select(col("vec_id"), col(vec))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def rowVec(r: org.apache.spark.sql.Row): Array[Float] =
-      r.getSeq[Float](1).toArray
-    val seeds = scala.collection.mutable.ArrayBuffer(
-      rowVec(base.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
-        .limit(1).collect()(0)))
-    while (seeds.length < nCentroids) {
-      val sims = seeds.toSeq.map { s =>
-        cosine(col(vec), array(s.map(x => lit(x)): _*))
-      }
-      val nearest = if (sims.length == 1) sims.head else greatest(sims: _*)
-      seeds += rowVec(base.withColumn("__near", nearest)
-        .orderBy(col("__near").asc, col("vec_id").asc).limit(1).collect()(0))
-    }
-    var centroids: Array[(Long, Array[Float])] =
-      seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
-    for (_ <- 1 to iters) {
-      val means = assignCells(base.select(col(vec)), vec, centroids)
-        .select(col("centroid_id"), posexplode(col(vec)).as(Seq("dim", "x")))
-        .groupBy(col("centroid_id"), col("dim"))
-        .agg((sum(round(col("x") * 1000000).cast("long")) / 1000000.0 /
-          count(lit(1))).as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          val m = new Array[Float](rows.length)
-          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
-          cid -> m
+    try {
+      def rowVec(r: org.apache.spark.sql.Row): Array[Float] =
+        r.getSeq[Float](1).toArray
+      val first = base.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+        .limit(1).collect()
+      require(first.nonEmpty, "trainCentroids: corpus is empty")
+      val seeds = scala.collection.mutable.ArrayBuffer(rowVec(first(0)))
+      while (seeds.length < nCentroids) {
+        val sims = seeds.toSeq.map { s =>
+          cosine(col(vec), array(s.map(x => lit(x)): _*))
         }
-      centroids = centroids.map { case (cid, old) =>
-        (cid, means.getOrElse(cid, old))
+        val nearest = if (sims.length == 1) sims.head else greatest(sims: _*)
+        seeds += rowVec(base.withColumn("__near", nearest)
+          .orderBy(col("__near").asc, col("vec_id").asc).limit(1).collect()(0))
       }
-    }
-    base.unpersist(blocking = true)
-    centroids
+      var centroids: Array[(Long, Array[Float])] =
+        seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
+      for (_ <- 1 to iters) {
+        val means = assignCells(base.select(col(vec)), vec, centroids)
+          .select(col("centroid_id"), posexplode(col(vec)).as(Seq("dim", "x")))
+          .groupBy(col("centroid_id"), col("dim"))
+          .agg((sum(round(col("x") * 1000000).cast("long")) / 1000000.0 /
+            count(lit(1))).as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            val m = new Array[Float](rows.length)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+            cid -> m
+          }
+        centroids = centroids.map { case (cid, old) =>
+          (cid, means.getOrElse(cid, old))
+        }
+      }
+      centroids
+    } finally base.unpersist(blocking = true)
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest

@@ -41,6 +41,15 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got(10L) == 10L && got(11L) == 10L)
   }
 
+  test("connected components keeps isolated vertices as singletons") {
+    val v = Seq((1L, "n"), (2L, "n"), (99L, "n")).toDF("id", "label")
+    val e = Seq((1L, 2L, "link", null.asInstanceOf[java.lang.Long]))
+      .toDF("src", "dst", "label", "sort_key")
+    val got = Algorithms.connectedComponents(spark, PropertyGraph(v, e))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 99L -> 99L))
+  }
+
   test("degrees counts parallel edges") {
     val g = mkGraph(Seq((1L, 2L), (1L, 2L), (2L, 3L)))
     val got = Algorithms.degrees(spark, g).as[(Long, Int)].collect().toMap
