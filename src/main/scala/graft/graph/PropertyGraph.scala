@@ -26,12 +26,22 @@ import graft.Tables
   * mirroring the reference's label-prefixed binary ids (opaque sortable
   * byte arrays, TikvTable.java:113).
   */
-final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
+final case class PropertyGraph(vertices: DataFrame, edges: DataFrame,
+                               edgesByDst: Option[DataFrame] = None) {
   /** Entry to the traversal DSL (Gremlin `g.V()`). */
   def V: Traversal = Traversal.vertices(this)
   def V(ids: Long*): Traversal = Traversal.vertexIds(this, ids)
   /** Gremlin `g.E()`. */
   def E: Traversal = Traversal.edges(this)
+
+  /** The edge frame clustered for dst-keyed joins — the EDGE_IN copy
+    * when the graph is backed by dual bucketed storage
+    * (GraphStorage.saveGraph); falls back to the single frame. in()
+    * traversals join this copy so a bucketed layout serves BOTH
+    * directions shuffle-free, exactly the locality the reference buys
+    * by writing every edge twice (TikvTables.java:128-143).
+    */
+  def edgesForDst: DataFrame = edgesByDst.getOrElse(edges)
 }
 
 object PropertyGraph {

@@ -127,12 +127,13 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     Traversal(g, res, isEdge = true)
   }
 
-  /** in-edges (EDGE_IN analog): same edges table joined on dst — no
-    * second edge copy needed.
+  /** in-edges (EDGE_IN analog): joined on dst against the dst-clustered
+    * edge copy when the graph carries one (dual bucketed storage), the
+    * single frame otherwise — semantics identical either way.
     */
   def inE(ls: String*): Traversal = {
     requireV()
-    val e = filterEdges(g.edges, ls).withColumn(OTHER, col("src"))
+    val e = filterEdges(g.edgesForDst, ls).withColumn(OTHER, col("src"))
     val res = df.select(frontierCols: _*).join(e, col(FRONT) === col("dst"))
     Traversal(g, res, isEdge = true)
   }
@@ -211,7 +212,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     val ownE = g.edges.storageLevel == none
     val gc = PropertyGraph(
       if (ownV) g.vertices.persist(level) else g.vertices,
-      if (ownE) g.edges.persist(level) else g.edges)
+      if (ownE) g.edges.persist(level) else g.edges,
+      g.edgesByDst) // table-backed when present — cheap to rescan
     try {
       var frontierIds = df.select(col("id")).dropDuplicates("id").localCheckpoint()
       var visited = frontierIds

@@ -56,14 +56,19 @@ object GraphStorage {
       .saveAsTable(s"${prefix}_edges_by_dst")
   }
 
-  /** Load the stored graph; `forward` picks the edge clustering the
-    * traversal direction wants (out → by_src, in → by_dst).
+  /** Load the stored graph with BOTH edge clusterings attached:
+    * out-traversals join the by_src copy, in-traversals the by_dst
+    * copy (PropertyGraph.edgesForDst) — each direction reads
+    * co-located buckets with no edge-side shuffle. `forward = false`
+    * flips the primary frame for callers that consume `edges`
+    * directly in dst order.
     */
   def loadGraph(spark: SparkSession, prefix: String,
                 forward: Boolean = true): PropertyGraph = {
-    val edges = spark.table(
-      if (forward) s"${prefix}_edges_by_src" else s"${prefix}_edges_by_dst")
-    PropertyGraph(spark.table(s"${prefix}_vertices"), edges)
+    val bySrc = spark.table(s"${prefix}_edges_by_src")
+    val byDst = spark.table(s"${prefix}_edges_by_dst")
+    PropertyGraph(spark.table(s"${prefix}_vertices"),
+      if (forward) bySrc else byDst, edgesByDst = Some(byDst))
   }
 
   /** TTL physical expiry — the reclaim half of W1. The reference hands

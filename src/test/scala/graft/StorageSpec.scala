@@ -54,6 +54,26 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("in-traversal joins the by_dst bucketed copy with no edge-side shuffle") {
+    stored
+    val g = GraphStorage.loadGraph(spark, "t1graph")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the traversal's own inE path must pick the dst-clustered copy
+      val q = g.V.hasLabel("order").inE("placed").toDF
+      val plan = q.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange (vertex side only), got $exchanges:\n$plan")
+      assert(q.count() > 0)
+      // both copies hold the same edge bag
+      assert(g.edges.count() == g.edgesForDst.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("vacuumExpired physically rewrites the table without expired rows") {
     import org.apache.spark.sql.functions._
     GraphStorage.dropTable(spark, "vac_t") // also clears stale warehouse dirs
