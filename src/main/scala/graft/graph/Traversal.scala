@@ -17,9 +17,19 @@ object P {
   final case class Gte(v: Any) extends P { def toColumn(c: Column) = c >= v }
   final case class Lt(v: Any) extends P { def toColumn(c: Column) = c < v }
   final case class Lte(v: Any) extends P { def toColumn(c: Column) = c <= v }
-  /** inclusive-lo, exclusive-hi — HugeGraph `inside` */
+  /** inclusive-lo, exclusive-hi — TinkerPop `between(a,b)` = a ≤ v < b */
   final case class Between(lo: Any, hi: Any) extends P {
     def toColumn(c: Column) = c >= lo && c < hi
+  }
+  /** exclusive both ends — TinkerPop `inside(a,b)` = a < v < b */
+  final case class Inside(lo: Any, hi: Any) extends P {
+    def toColumn(c: Column) = c > lo && c < hi
+  }
+  /** strict complement of the closed range — TinkerPop `outside(a,b)`
+    * = v < a || v > b
+    */
+  final case class Outside(lo: Any, hi: Any) extends P {
+    def toColumn(c: Column) = c < lo || c > hi
   }
   final case class Within(vs: Seq[Any]) extends P {
     def toColumn(c: Column) = c.isin(vs: _*)

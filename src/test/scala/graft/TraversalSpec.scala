@@ -65,6 +65,9 @@ class TraversalSpec extends AnyFunSuite {
     assert(ids(P.Lt(30)) == Set(1L, 2L))
     assert(ids(P.Lte(20)) == Set(1L, 2L))
     assert(ids(P.Between(10, 30)) == Set(1L, 2L)) // [lo, hi)
+    assert(ids(P.Inside(10, 30)) == Set(2L))      // (lo, hi)
+    assert(ids(P.Outside(10, 30)) == Set.empty)   // v<10 || v>30
+    assert(ids(P.Outside(10, 20)) == Set(3L))
     assert(ids(P.Within(Seq(10, 30))) == Set(1L, 3L))
     assert(ids(P.Without(Seq(10, 30))) == Set(2L))
   }
