@@ -238,6 +238,18 @@ object Relational {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** cube: every grouping-set combination of (status, priority) — the
+    * full grouping-sets surface next to rollup's hierarchy.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents($"o_totalprice")) / 100.0).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
   /** pivot: order counts per status × priority, priorities as columns
     * (oracle replays via conditional aggregation).
     */
@@ -289,6 +301,7 @@ object Relational {
     "q_topk_agg" -> (qTopkAgg _),
     "q_window_running" -> (qWindowRunning _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
     "q_percentile" -> (qPercentile _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -327,6 +340,11 @@ object Relational {
         |FROM orders WHERE o_custkey <= 40
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total
