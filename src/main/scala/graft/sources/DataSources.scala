@@ -44,4 +44,17 @@ object DataSources {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC — the other columnar format with predicate pushdown + column
+    * pruning; same conventions as parquet.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
 }

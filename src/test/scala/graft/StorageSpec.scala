@@ -103,6 +103,16 @@ class StorageSpec extends AnyFunSuite {
     assert(backJ.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("orc round-trip with pushed filter") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "v")
+    DataSources.writeOrc(df, s"$wh/orc_rt")
+    val back = DataSources.readOrc(spark, s"$wh/orc_rt").filter(col("id") > 1L)
+    assert(back.count() == 2)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), s"plan:\n$plan")
+  }
+
   test("partitioned parquet write prunes on partition column") {
     val df = Seq((1L, "x", "2024"), (2L, "y", "2025")).toDF("id", "name", "year")
     DataSources.writeParquet(df, s"$wh/part_rt", Seq("year"))
