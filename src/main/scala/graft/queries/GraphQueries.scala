@@ -165,7 +165,41 @@ object GraphQueries {
       .toDF.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("label"))
 
+  /** Storage round-trip in the gate: persist the geo subgraph through
+    * GraphStorage (label-partitioned vertices + dual bucketed edge
+    * tables — W12 DDL + the EDGE_OUT/EDGE_IN layout), load it back,
+    * and answer a two-hop reverse traversal THROUGH the stored
+    * dst-clustered copy. Proves the physical layout serves real
+    * queries, not just unit tests.
+    */
+  def g21StoredTraversal(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val vertices =
+      su.select(PropertyGraph.encode("supplier", col("s_suppkey")).as("id"),
+        lit("supplier").as("label"), col("s_name").as("name")) union
+      n.select(PropertyGraph.encode("nation", col("n_nationkey")).as("id"),
+        lit("nation").as("label"), col("n_name").as("name")) union
+      r.select(PropertyGraph.encode("region", col("r_regionkey")).as("id"),
+        lit("region").as("label"), col("r_name").as("name"))
+    val edges =
+      su.select(PropertyGraph.encode("supplier", col("s_suppkey")).as("src"),
+        PropertyGraph.encode("nation", col("s_nationkey")).as("dst"),
+        lit("located_in").as("label"), lit(null).cast("long").as("sort_key")) union
+      n.select(PropertyGraph.encode("nation", col("n_nationkey")).as("src"),
+        PropertyGraph.encode("region", col("n_regionkey")).as("dst"),
+        lit("part_of").as("label"), lit(null).cast("long").as("sort_key"))
+    graft.sources.GraphStorage.saveGraph(s, PropertyGraph(vertices, edges),
+      "g21_geo", buckets = 4)
+    val stored = graft.sources.GraphStorage.loadGraph(s, "g21_geo")
+    stored.V(PropertyGraph.encodeId("region", 0L))
+      .in("part_of").in("located_in").count()
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g21_stored_traversal" -> (g21StoredTraversal _),
     "g19_union" -> (g19Union _),
     "g20_coalesce" -> (g20Coalesce _),
     "g15_contains" -> (g15Contains _),
@@ -189,6 +223,10 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "g21_stored_traversal" ->
+      """SELECT COUNT(*) AS cnt FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 0""".stripMargin,
     "g19_union" ->
       """SELECT label, cnt FROM (
         |  SELECT 'order' AS label, COUNT(*) AS cnt FROM orders WHERE o_custkey = 7
