@@ -71,6 +71,18 @@ object GraphStorage {
       if (forward) bySrc else byDst, edgesByDst = Some(byDst))
   }
 
+  /** Incremental edge ingest: append a batch into BOTH bucketed edge
+    * tables without rewriting them. insertInto honors the tables'
+    * bucket spec, so each append shuffles only the new batch into its
+    * buckets (per-bucket additive files) — the full-table reshuffle
+    * happens once at saveGraph, never again. Periodic compaction of
+    * small per-append files is ordinary parquet housekeeping.
+    */
+  def appendEdges(spark: SparkSession, prefix: String, edges: DataFrame): Unit = {
+    edges.write.mode(SaveMode.Append).insertInto(s"${prefix}_edges_by_src")
+    edges.write.mode(SaveMode.Append).insertInto(s"${prefix}_edges_by_dst")
+  }
+
   /** TTL physical expiry — the reclaim half of W1. The reference hands
     * expiry to the store (TTL on the KV put, TikvTable.java:95-101);
     * the batch analog is a COMPACTION: rewrite the table keeping only

@@ -74,6 +74,41 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("appendEdges adds a batch to both bucketed copies without rewrite") {
+    stored
+    val before = spark.table("t1graph_edges_by_src").count()
+    val tmpl = spark.table("t1graph_edges_by_src")
+    val batch = Seq((901L, 902L), (903L, 904L)).toDF("src", "dst")
+      .select(tmpl.schema.fields.map { f =>
+        f.name match {
+          case "src" => col("src")
+          case "dst" => col("dst")
+          case "label" => lit("link2").as("label")
+          case other => lit(null).cast(f.dataType).as(other)
+        }
+      }: _*)
+    GraphStorage.appendEdges(spark, "t1graph", batch)
+    val g = GraphStorage.loadGraph(spark, "t1graph")
+    assert(g.edges.count() == before + 2)
+    assert(g.edgesForDst.count() == before + 2)
+    // the appended batch is visible to traversals via both copies
+    assert(g.V.toDF.limit(0).columns.contains("id")) // schema intact
+    assert(g.edges.filter(col("label") === "link2").count() == 2)
+    // bucketed join shape survives the append
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = g.vertices.filter(col("label") === "customer")
+        .select(col("id")).join(g.edges, col("id") === col("src"))
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(q.queryExecution.executedPlan.toString).length
+      assert(exchanges == 1)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("vacuumExpired physically rewrites the table without expired rows") {
     import org.apache.spark.sql.functions._
     GraphStorage.dropTable(spark, "vac_t") // also clears stale warehouse dirs
