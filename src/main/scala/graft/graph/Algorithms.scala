@@ -139,6 +139,41 @@ object Algorithms {
       .withColumn("n_vertices", lit(nVertices))
   }
 
+  /** Deterministic fixed-point PageRank over a label-filtered subgraph,
+    * DataFrame-first. Rank mass lives in integer micro-units with floor
+    * division, so the result is bit-identical across engines, partition
+    * counts, and reduce orders — the oracle-able counterpart of
+    * [[pageRank]], whose double sums are association-order dependent.
+    * Per iteration: one narrow (id, pr) equi-join against the edge list
+    * and one hash aggregation with map-side partial sums — the standard
+    * scalable PR shape (contribs shuffle on dst only; nothing wide ever
+    * moves). Dangling-vertex mass is dropped (no redistribution), the
+    * simplest standard variant and the one a relational replay can
+    * express without a global total per step. Fixed `iters`, no
+    * convergence test — no driver action inside the loop; the whole
+    * computation is ONE lazy plan evaluated at the caller's action.
+    */
+  def pageRankExact(s: SparkSession, g: PropertyGraph, labels: Seq[String] = Nil,
+                    iters: Int = 10): DataFrame = {
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val edges = e0.select(col("src"), col("dst"))
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var pr = verts.select(col("id"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(outdeg, "src")
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("m"))
+      pr = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+    }
+    pr
+  }
+
   /** single-source shortest hop-distance via Pregel. `reverse` follows
     * edges dst→src (e.g. region → its nations → their customers).
     */

@@ -290,6 +290,51 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  // --------------------------------------------------- near-dup clusters
+
+  /** Connected components over a near-dup pair list — the step a real
+    * curation pipeline runs AFTER pair finding: transitively group
+    * duplicates (A~B, B~C ⇒ {A,B,C} one cluster) and elect a canonical
+    * representative (min doc_id) per cluster.
+    *
+    * Iterative min-label propagation on DataFrames: every round each
+    * vertex takes the min of its own label and its neighbors' labels;
+    * converges in O(cluster diameter) rounds. Near-dup clusters are
+    * small and shallow by construction (clones of one source document),
+    * so this terminates in 2–3 rounds regardless of corpus size; all
+    * per-round state is narrow (id, comp) longs — the shuffles move
+    * 16-byte rows, never text. `localCheckpoint` truncates the growing
+    * loop lineage exactly as in Traversal.repeatUntil; the convergence
+    * TEST is the only driver-side action. Returns (id, comp) with
+    * comp = min doc_id reachable, i.e. the canonical representative.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+        .localCheckpoint()
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val viaNbr = edges
+          .join(labels.select(col("id").as("src"), col("comp")), "src")
+          .select(col("dst").as("id"), col("comp"))
+        val next = labels.union(viaNbr)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+          .localCheckpoint()
+        converged = next.join(labels.select(col("id"),
+              col("comp").as("prev")), "id")
+          .filter(col("comp") =!= col("prev")).isEmpty
+        labels = next
+        it += 1
+      }
+      labels
+    } finally edges.unpersist(blocking = true)
+  }
+
   /** top-level: winners after exact + minhash near-dup removal
     * (keep the smallest doc_id of each near-dup cluster's pairs).
     */

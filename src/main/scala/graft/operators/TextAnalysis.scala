@@ -60,6 +60,44 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Content redaction (the PII-scrub shape of a curation pipeline):
+    * mask every occurrence of `pattern` and report the hit count.
+    * Pure codegen'd regexp expressions — map-only, no shuffle, scales
+    * linearly with bytes scanned. Patterns stay in RE2-compatible
+    * syntax so engines agree (word boundaries, alternation, classes).
+    */
+  def redact(text: Column, pattern: String, mask: String): Column =
+    regexp_replace(text, pattern, mask)
+
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Per-document top TF-IDF term — the "most characteristic word"
+    * reduction used for corpus exploration and near-dup triage.
+    *
+    * Integer-exact scoring so both engines agree bit-for-bit: score =
+    * (tf · N) div df — a log-free rational idf; same explode + codegen'd
+    * aggregate shape as [[stats]] (no interpreted HOFs). Shuffles carry
+    * (doc_id, term) counts only; the corpus size N rides in as a
+    * broadcast scalar, never a driver-side collect.
+    */
+  def tfidfTop(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df0 = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df0, "t")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t"),
+        expr("tf * n_docs div df").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t").desc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("t").as("top_term"), col("score"))
+  }
+
   /** Language-ID by stopword-profile hits: argmax over per-language
     * function-word counts (classic n-gram/function-word heuristic).
     * Pure Catalyst expressions: one pass, no shuffle, no UDF.

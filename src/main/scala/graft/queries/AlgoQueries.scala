@@ -42,6 +42,18 @@ object AlgoQueries {
       .limit(20)
       .select(col("id"))
 
+  /** Deterministic integer-unit PageRank over the geo subgraph
+    * (customer/supplier → nation → region): top 10 by rank. Unlike
+    * `a_pagerank_top` (GraphX doubles, rows-only), the micro-unit
+    * arithmetic replays exactly in SQL, so this one is hash-oracled —
+    * the oracle unrolls the same 10 iterations as chained CTEs.
+    */
+  def aPagerankExact(s: SparkSession, dir: String): DataFrame =
+    Algorithms.pageRankExact(s, g(s, dir),
+        labels = Seq("located_in", "part_of"), iters = 10)
+      .orderBy(col("pr").desc, col("id"))
+      .limit(10)
+
   /** connected components summarized as (component, size). */
   def aComponents(s: SparkSession, dir: String): DataFrame =
     Algorithms.connectedComponents(s, g(s, dir))
@@ -69,12 +81,50 @@ object AlgoQueries {
     "a_degrees" -> (aDegrees _),
     "a_sssp_hops" -> (aSsspHops _),
     "a_pagerank_top" -> (aPagerankTop _),
+    "a_pagerank_exact" -> (aPagerankExact _),
     "a_components" -> (aComponents _),
     "a_triangles" -> (aTriangles _),
     "a_neighbor_sum" -> (aNeighborSum _),
   )
 
+  /** DuckDB replay of pageRankExact over the geo subgraph: the same 10
+    * integer-unit iterations unrolled as chained CTEs (generated from
+    * one template so the two sides cannot drift). `//` is DuckDB floor
+    * division ≡ Spark `div` on the always-positive rank mass; SUM over
+    * BIGINT widens to HUGEINT, cast back per step.
+    */
+  private val pagerankExactSql: String = {
+    val iters = 10
+    val edgesSql =
+      s"""SELECT ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS src,
+         |       ${PropertyGraph.sqlEncode("nation", "c_nationkey")} AS dst
+         |FROM customer
+         |UNION ALL
+         |SELECT ${PropertyGraph.sqlEncode("supplier", "s_suppkey")},
+         |       ${PropertyGraph.sqlEncode("nation", "s_nationkey")} FROM supplier
+         |UNION ALL
+         |SELECT ${PropertyGraph.sqlEncode("nation", "n_nationkey")},
+         |       ${PropertyGraph.sqlEncode("region", "n_regionkey")} FROM nation""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT v.id,
+         |  CAST(150000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.pr // d.outdeg) AS m
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.id
+         |           JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |v AS (SELECT DISTINCT id FROM
+       |       (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM v),
+       |$steps
+       |SELECT id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "a_pagerank_exact" -> pagerankExactSql,
     // The TPC-H graph's component structure is relationally derivable:
     // customers/suppliers chain to nations→regions and orders→parts, so
     // every vertex except never-ordered parts joins one giant component

@@ -64,6 +64,41 @@ object PipelineQueries {
       .orderBy(col("split"))
   }
 
+  /** Near-dup clustering: connected components over the exact 3-gram
+    * Jaccard pairs (the d7 pair set over the full corpus) plus the
+    * canonical representative and member roster per cluster — the
+    * "which copies do I drop" step of a curation pipeline. The oracle
+    * replays the closure with a recursive CTE in DuckDB.
+    */
+  def d9DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), k = 3,
+      threshold = 0.5, maxDocId = Long.MaxValue)
+    Dedup.dupClusters(pairs.select(col("a_id"), col("b_id")))
+      .groupBy(col("comp").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** Content redaction over the corpus: mask a sensitive term set
+    * (the PII-scrub shape — this corpus has no digits/emails, so the
+    * masked class is a word list), per-doc hit count + md5 of the
+    * scrubbed text. RE2-compatible pattern so DuckDB replays exactly.
+    */
+  def d10Redact(s: SparkSession, dir: String): DataFrame = {
+    val pat = "\\b(key|hash|value)\\b"
+    Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.matchCount(col("text"), pat).as("n_hits"),
+        md5(TextAnalysis.redact(col("text"), pat, "<MASKED>")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document top TF-IDF term (integer-exact rational idf). */
+  def d11TfidfTop(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTop(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
   /** MinHash-LSH near-dup pairs (rows-only: xxhash64 isn't portable to
     * the oracle; recall/precision asserted in DedupSpec). Threshold 0.9
     * on token sets: this corpus shares a tiny vocabulary, so lower
@@ -171,6 +206,9 @@ object PipelineQueries {
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d7_shingle_jaccard" -> (d7ShingleJaccard _),
     "d8_split_budget" -> (d8SplitBudget _),
+    "d9_dup_clusters" -> (d9DupClusters _),
+    "d10_redact" -> (d10Redact _),
+    "d11_tfidf_top" -> (d11TfidfTop _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
     "e1_knn_brute" -> (e1KnnBrute _),
@@ -317,6 +355,55 @@ object PipelineQueries {
         |          / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "d10_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(key|hash|value)\b')) AS n_hits,
+        |  md5(regexp_replace(text, '\b(key|hash|value)\b', '<MASKED>', 'g'))
+        |    AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d11_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |             FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+        |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, t,
+        |    CAST(tf * (SELECT n_docs FROM n) // df AS BIGINT) AS score
+        |  FROM tf JOIN df USING (t))
+        |SELECT doc_id, t AS top_term, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, t DESC) AS rn FROM scored
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // replays d7's exact 3-gram Jaccard pairs over the full corpus,
+    // then the transitive closure as a recursive CTE: component label =
+    // min reachable doc_id (exactly dupClusters' min-label fixpoint)
+    "d9_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split_regex(text, '\s+')) >= 3
+        |      THEN list_distinct(list_transform(
+        |        range(len(string_split_regex(text, '\s+')) - 2),
+        |        i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+3], ' ')))
+        |      ELSE [array_to_string(string_split_regex(text, '\s+'), ' ')]
+        |    END AS sg
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      round(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.5),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |r(id, c) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.c FROM r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(c) AS comp FROM r GROUP BY id)
+        |SELECT comp AS cluster_rep, COUNT(*) AS n_members,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+        |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin,
     "e1_knn_brute" ->
       """SELECT query_id, rank, vec_id, cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

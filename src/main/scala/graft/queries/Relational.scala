@@ -178,16 +178,24 @@ object Relational {
       .orderBy($"o_custkey")
   }
 
-  /** HLL++ approximate distinct (SURVEY §4.2 "free" list) — rows-only:
-    * Spark's HLL++ and DuckDB's approx sketch differ by design; the
-    * relative-error bound is asserted in RelationalSpec instead.
+  /** HLL++ approximate distinct (SURVEY §4.2 "free" list). The sketch
+    * value itself is engine-specific (Spark's HLL++ ≠ DuckDB's), so the
+    * declared output is the exact distinct plus the PROPERTY the sketch
+    * must satisfy — relative error within 5 % (2 % target sd) — which
+    * the oracle can assert as a constant. A broken sketch flips hll_ok
+    * to false and fails the hash compare; RelationalSpec pins the bound
+    * per group as well.
     */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
         count(lit(1)).as("n_rows"))
+      .select($"l_returnflag", $"exact_parts", $"n_rows",
+        (abs($"approx_parts" - $"exact_parts").cast("double") / $"exact_parts"
+          <= 0.05).as("hll_ok"))
       .orderBy($"l_returnflag")
   }
 
@@ -321,6 +329,10 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS n_rows, true AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_topk_agg" ->
       """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey, cents/100.0 AS o_totalprice,
