@@ -150,28 +150,93 @@ object Algorithms {
     * moves). Dangling-vertex mass is dropped (no redistribution), the
     * simplest standard variant and the one a relational replay can
     * express without a global total per step. Fixed `iters`, no
-    * convergence test — no driver action inside the loop; the whole
-    * computation is ONE lazy plan evaluated at the caller's action.
+    * convergence test.
+    *
+    * Loop mechanics follow Dedup.dupClusters, not one giant lazy plan:
+    * a 10-deep unrolled join tree made Catalyst re-analyze the whole
+    * tree per step (measured ~8 s on a 16k-edge graph — planning, not
+    * data). Instead the loop-invariant relations (edges pre-joined
+    * with out-degree, vertex set) persist once and each iteration
+    * eagerly `localCheckpoint`s the narrow (id, pr) state, so every
+    * step is one shallow two-stage job regardless of `iters`.
     */
   def pageRankExact(s: SparkSession, g: PropertyGraph, labels: Seq[String] = Nil,
                     iters: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = if (labels.isEmpty) g.edges
     else g.edges.filter(col("label").isin(labels: _*))
     val edges = e0.select(col("src"), col("dst"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(MEMORY_AND_DISK)
     val verts = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var pr = verts.select(col("id"), lit(1000000L).as("pr"))
-    for (_ <- 1 to iters) {
-      val contrib = edges.join(outdeg, "src")
-        .join(pr.select(col("id").as("src"), col("pr")), "src")
-        .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("m"))
-      pr = verts.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      var pr = verts.select(col("id"), lit(1000000L).as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val contrib = edgesDeg
+          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("m"))
+        pr = verts.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+          .localCheckpoint()
+      }
+      pr
+    } finally {
+      edgesDeg.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
     }
-    pr
+  }
+
+  /** k-core: the maximal subgraph in which every vertex has at least k
+    * (distinct, undirected) neighbors — the classic density filter for
+    * community mining. Iterative peeling on DataFrames: drop vertices
+    * below degree k, recompute degrees in the surviving subgraph,
+    * repeat to the fixed point.
+    *
+    * Loop state is the narrow survivor id set; each round is two
+    * semi-joins (edges whose BOTH endpoints survive) + one hash-agg
+    * degree count — all shuffles carry 8–16-byte rows keyed by vertex
+    * id. The distinct-neighbor edge set is computed once and persisted;
+    * survivors are eagerly localCheckpoint'ed per round so the plan
+    * never deepens (same loop mechanics as Dedup.dupClusters). Peeling
+    * converges in at most `maxRounds` rounds; the fixed point is
+    * reached as soon as one round removes nothing, and running further
+    * rounds cannot change the answer (so an oracle replaying a FIXED
+    * round count ≥ convergence agrees exactly).
+    */
+  def kCore(s: SparkSession, g: PropertyGraph, k: Int,
+            labels: Seq[String] = Nil, maxRounds: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val dir = e0.select(col("src"), col("dst"))
+    val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    try {
+      var alive = und.select(col("src").as("id")).distinct().localCheckpoint()
+      var round = 0
+      var done = false
+      while (!done && round < maxRounds) {
+        val deg = und
+          .join(alive.select(col("id").as("src")), "src")
+          .join(alive.select(col("id").as("dst")), "dst")
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val next = deg.filter(col("deg") >= k).select(col("src").as("id"))
+          .localCheckpoint()
+        done = next.count() == alive.count()
+        alive = next
+        round += 1
+      }
+      alive
+    } finally und.unpersist(blocking = false)
   }
 
   /** single-source shortest hop-distance via Pregel. `reverse` follows

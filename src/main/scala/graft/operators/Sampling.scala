@@ -48,4 +48,22 @@ object Sampling {
     */
   def sampleFraction(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.filter(hashBucket(key) < math.round(fraction * Buckets))
+
+  /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
+    * drawn deterministically: rank rows inside each stratum by the
+    * md5 of their key (key itself as tiebreak) and keep the first n.
+    * The hash order is a stable pseudo-shuffle — unbiased w.r.t. any
+    * natural ordering of the data, yet reproducible across runs and
+    * engines. One window partitioned BY STRATUM (parallel across
+    * strata; a skewed giant stratum sorts only its own partition) —
+    * never a global sort.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       n: Int): DataFrame = {
+    require(n > 0, "sample size must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(key.cast("string")), key)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
 }

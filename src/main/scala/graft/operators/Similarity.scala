@@ -248,4 +248,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
+
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * compression step of a vector pipeline (4× over float32) — reduced
+    * to per-vector scalar summaries: the scale (max |x|, an exact
+    * selection, no arithmetic), the quantized L1 mass, a
+    * position-weighted checksum that pins every code and its position,
+    * and the saturated-code count. Summaries instead of the code array
+    * because every aggregate is an ORDER-INDEPENDENT integer sum —
+    * bit-stable across engines/partitionings — and the driver compare
+    * needs scalar cells anyway.
+    *
+    * Shape: posexplode → per-vector max via hash agg → join codes back
+    * on vec_id (both sides hash-partitioned by vec_id by then — AQE
+    * plans it shuffle-light) → one codegen'd integer agg. No HOFs in
+    * the per-element path (interpreted-HOF trap), no window.
+    * round-half-up is spelled floor(x·127/s + 0.5): identical in every
+    * engine, unlike round()'s dialect-specific tie rules.
+    */
+  def quantizeInt8(embeddings: DataFrame, id: String = "vec_id",
+                   vec: String = "embedding"): DataFrame = {
+    val ex = embeddings
+      .select(col(id).as("vec_id"), posexplode(col(vec)).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"), col("xf").cast("double").as("x"))
+    val scales = ex.groupBy(col("vec_id")).agg(max(abs(col("x"))).as("max_abs"))
+    ex.join(scales, "vec_id")
+      .withColumn("q", when(col("max_abs") === 0d, lit(0L))
+        .otherwise(floor(col("x") * 127.0 / col("max_abs") + 0.5).cast("long")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("max_abs")).as("max_abs"),
+        sum(abs(col("q"))).as("l1_q"),
+        sum(col("q") * (col("pos") + 1L)).as("checksum"),
+        sum(when(abs(col("q")) === 127L, 1L).otherwise(0L)).as("n_saturated"))
+  }
 }

@@ -54,6 +54,22 @@ object AlgoQueries {
       .orderBy(col("pr").desc, col("id"))
       .limit(10)
 
+  /** 3-core of the order graph (placed + contains): vertices with ≥3
+    * surviving distinct neighbors after iterative peeling, summarized
+    * per label namespace (label_code = id div 2^40) with an id-sum
+    * checksum pinning the exact membership. The oracle replays the
+    * peel as unrolled CTE rounds — peeling is monotone, so any fixed
+    * round count ≥ convergence yields the identical fixed point
+    * (KcoreRounds is asserted sufficient in AlgorithmsSpec).
+    */
+  def aKcore(s: SparkSession, dir: String): DataFrame =
+    Algorithms.kCore(s, g(s, dir), k = 3,
+        labels = Seq("placed", "contains"), maxRounds = KcoreRounds)
+      .select(col("id"), expr(s"id div ${1L << PropertyGraph.Shift}").as("label_code"))
+      .groupBy(col("label_code"))
+      .agg(count(lit(1)).as("n_in_core"), sum(col("id")).as("id_sum"))
+      .orderBy(col("label_code"))
+
   /** connected components summarized as (component, size). */
   def aComponents(s: SparkSession, dir: String): DataFrame =
     Algorithms.connectedComponents(s, g(s, dir))
@@ -79,6 +95,7 @@ object AlgoQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_degrees" -> (aDegrees _),
+    "a_kcore" -> (aKcore _),
     "a_sssp_hops" -> (aSsspHops _),
     "a_pagerank_top" -> (aPagerankTop _),
     "a_pagerank_exact" -> (aPagerankExact _),
@@ -123,8 +140,47 @@ object AlgoQueries {
        |SELECT id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 10""".stripMargin
   }
 
+  /** Fixed peel-round count shared by the a_kcore query and its oracle;
+    * AlgorithmsSpec asserts the gate graph converges well inside it.
+    */
+  val KcoreRounds = 8
+
+  /** DuckDB replay of the 3-core peel: the same rounds unrolled as
+    * CTEs (one template, both sides). Each round keeps vertices with
+    * ≥ k distinct surviving neighbors in the undirected placed+contains
+    * graph; monotone peeling makes extra rounds past the fixed point
+    * no-ops, so a fixed unroll ≥ convergence matches Spark's
+    * early-exit loop exactly.
+    */
+  private val kcoreSql: String = {
+    val k = 3
+    val edgesSql =
+      s"""SELECT ${PropertyGraph.sqlEncode("customer", "o_custkey")} AS src,
+         |       ${PropertyGraph.sqlEncode("order", "o_orderkey")} AS dst
+         |FROM orders
+         |UNION ALL
+         |SELECT ${PropertyGraph.sqlEncode("order", "l_orderkey")},
+         |       ${PropertyGraph.sqlEncode("part", "l_partkey")} FROM lineitem""".stripMargin
+    val steps = (1 to KcoreRounds).map { i =>
+      s"""a$i AS (SELECT u.src AS id FROM und u
+         |  JOIN a${i - 1} p ON u.src = p.id
+         |  JOIN a${i - 1} q ON u.dst = q.id
+         |  GROUP BY u.src HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |und AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+       |  WHERE src <> dst),
+       |a0 AS (SELECT DISTINCT src AS id FROM und),
+       |$steps
+       |SELECT id // ${1L << PropertyGraph.Shift} AS label_code,
+       |  COUNT(*) AS n_in_core, CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM a$KcoreRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "a_pagerank_exact" -> pagerankExactSql,
+    "a_kcore" -> kcoreSql,
     // The TPC-H graph's component structure is relationally derivable:
     // customers/suppliers chain to nations→regions and orders→parts, so
     // every vertex except never-ordered parts joins one giant component

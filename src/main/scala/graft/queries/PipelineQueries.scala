@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline queries (SURVEY §2.5 / BASELINE.json north star):
   * dedup, text analysis, similarity search, multimodal — over the
@@ -98,6 +98,30 @@ object PipelineQueries {
   def d11TfidfTop(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTop(Tables.documents(s, dir))
       .orderBy(col("doc_id"))
+
+  /** Sequence packing: concat-then-chunk the corpus into 256-token
+    * packs via the distributed two-level prefix sum (bucketWidth 64 so
+    * the gate exercises multiple buckets); the oracle replays the
+    * cumulative sum as one SQL window.
+    */
+  def d12PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Packing.packSequences(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), budget = 256L, bucketWidth = 64L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified sample: 10 docs per source, hash-ordered. */
+  def d13Stratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, dir),
+        col("source"), col("doc_id"), n = 10)
+      .select(col("source"), col("sample_rank"), col("doc_id"))
+      .orderBy(col("source"), col("sample_rank"))
+
+  /** int8 quantization summaries over the embedding corpus. */
+  def e5Quantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      .orderBy(col("vec_id"))
 
   /** MinHash-LSH near-dup pairs (rows-only: xxhash64 isn't portable to
     * the oracle; recall/precision asserted in DedupSpec). Threshold 0.9
@@ -209,6 +233,9 @@ object PipelineQueries {
     "d9_dup_clusters" -> (d9DupClusters _),
     "d10_redact" -> (d10Redact _),
     "d11_tfidf_top" -> (d11TfidfTop _),
+    "d12_pack_sequences" -> (d12PackSequences _),
+    "d13_stratified" -> (d13Stratified _),
+    "e5_quantize" -> (e5Quantize _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
     "e1_knn_brute" -> (e1KnnBrute _),
@@ -355,6 +382,42 @@ object PipelineQueries {
         |          / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "d12_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  start // 256 AS pack_first,
+        |  start % 256 AS pack_offset,
+        |  (start + n_tokens - 1) // 256 - start // 256 + 1 AS n_packs
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "d13_stratified" ->
+      """SELECT source, sample_rank, doc_id FROM (
+        |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 10 ORDER BY source, sample_rank""".stripMargin,
+    "e5_quantize" ->
+      """WITH ex AS (SELECT vec_id,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, MAX(ABS(x)) AS max_abs FROM ex GROUP BY vec_id),
+        |q AS (SELECT e.vec_id, e.pos, s.max_abs,
+        |    CASE WHEN s.max_abs = 0 THEN 0
+        |      ELSE CAST(FLOOR(e.x * 127.0 / s.max_abs + 0.5) AS BIGINT)
+        |    END AS q
+        |  FROM ex e JOIN sc s USING (vec_id))
+        |SELECT vec_id, MAX(max_abs) AS max_abs,
+        |  CAST(SUM(ABS(q)) AS BIGINT) AS l1_q,
+        |  CAST(SUM(q * pos) AS BIGINT) AS checksum,
+        |  CAST(SUM(CASE WHEN ABS(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_saturated
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "d10_redact" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\b(key|hash|value)\b')) AS n_hits,

@@ -75,6 +75,38 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(viaGraphX == 3 * 2) // GraphX counts each triangle at all 3 corners
   }
 
+  test("kCore peels to the planted core") {
+    // K4 core {1,2,3,4} + a tail 4–5–6 and a pendant 2–7: with k=3
+    // only the K4 survives; the tail peels over multiple rounds
+    val g = mkGraph(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (2L, 7L)))
+    val core = Algorithms.kCore(spark, g, k = 3).as[Long].collect().toSet
+    assert(core == Set(1L, 2L, 3L, 4L))
+    // k=2: triangle-free tail still peels, K4 + nothing else
+    val core2 = Algorithms.kCore(spark, g, k = 2).as[Long].collect().toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L))
+    // duplicate/reverse edges must not inflate degrees
+    val gDup = mkGraph(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(Algorithms.kCore(spark, gDup, k = 2).as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    assert(Algorithms.kCore(spark, gDup, k = 3).as[Long].collect().isEmpty)
+  }
+
+  test("gate graph 3-core converges within the oracle's unroll bound") {
+    // a_kcore's oracle unrolls KcoreRounds rounds; peeling is monotone,
+    // so equality between that bound and a larger one proves the fixed
+    // point is reached inside it on the gate data
+    val g = PropertyGraph.fromTpch(spark, TestSpark.sfDir)
+    val labels = Seq("placed", "contains")
+    val r = graft.queries.AlgoQueries.KcoreRounds
+    val atBound = Algorithms.kCore(spark, g, k = 3, labels, maxRounds = r)
+      .as[Long].collect().toSet
+    val beyond = Algorithms.kCore(spark, g, k = 3, labels, maxRounds = r + 5)
+      .as[Long].collect().toSet
+    assert(atBound == beyond)
+    assert(atBound.nonEmpty)
+  }
+
   test("pagerank: sink-feeding star ranks center highest") {
     val g = mkGraph(Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (9L, 1L)))
     val top = Algorithms.pageRank(spark, g, iters = 20)

@@ -43,4 +43,19 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(s3.subsetOf(s1))
   }
+
+  test("stratifiedSample: exact n per stratum, deterministic, partition-proof") {
+    val df = ids.withColumn("stratum", col("id") % 4)
+    def draw(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(d, col("stratum"), col("id"), 25)
+        .select("stratum", "id").as[(Long, Long)].collect().toSet
+    val a = draw(df)
+    assert(a.size == 100 && a.groupBy(_._1).forall(_._2.size == 25))
+    assert(draw(df.repartition(17)) == a)
+    // a stratum smaller than n returns whole stratum, ranked
+    val tiny = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "stratum")
+    val got = Sampling.stratifiedSample(tiny, col("stratum"), col("id"), 10)
+    assert(got.count() == 3)
+    assert(got.agg(max("sample_rank")).first().getInt(0) <= 2)
+  }
 }

@@ -116,4 +116,17 @@ class SimilaritySpec extends AnyFunSuite {
     val counts = got.groupBy("query_id").count().select("count").as[Long].collect()
     assert(counts.forall(_ <= 3) && counts.nonEmpty)
   }
+
+  test("quantizeInt8: hand-computed codes, saturation, zero vector") {
+    val df = Seq(
+      (1L, Array(1f, -2f, 4f)),
+      (2L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).orderBy("vec_id")
+      .as[(Long, Double, Long, Long, Long)].collect()
+    // vec 1: scale 4 → codes floor([31.75,-63.5,127]+0.5) = [32,-63,127]
+    assert(got(0) == ((1L, 4.0, 222L, 32L - 126L + 381L, 1L)))
+    // zero vector: all-zero codes, no division by zero
+    assert(got(1) == ((2L, 0.0, 0L, 0L, 0L)))
+  }
 }
