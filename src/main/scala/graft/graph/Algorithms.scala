@@ -258,4 +258,35 @@ object Algorithms {
     res.vertices.filter(_._2 < Double.PositiveInfinity)
       .mapValues(_.toLong).toDF("id", "dist")
   }
+
+  /** Weighted single-source shortest path (non-negative integer
+    * weights) via Pregel — Bellman-Ford supersteps, min-combined
+    * messages, converges when no distance improves. Distances stay in
+    * exact Long arithmetic, so results are engine-portable (no float
+    * accumulation). `weight` is any Column over the edge table's
+    * (src, dst, properties…) — evaluated once, before the RDD bridge,
+    * so the cost per edge is one codegen'd projection.
+    */
+  def ssspWeighted(s: SparkSession, g: PropertyGraph, source: VertexId,
+                   weight: org.apache.spark.sql.Column,
+                   labels: Seq[String] = Nil,
+                   reverse: Boolean = false): DataFrame = {
+    import s.implicits._
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val er = e0.select(col("src"), col("dst"), weight.cast("long").as("w"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = Graph.fromEdges(er, 0L)
+    val graph0 = (if (reverse) base.reverse else base)
+      .mapVertices((id, _) => if (id == source) 0L else Long.MaxValue)
+    val res = graph0.pregel(Long.MaxValue)(
+      (_, dist, msg) => math.min(dist, msg),
+      triplet =>
+        if (triplet.srcAttr != Long.MaxValue
+            && triplet.srcAttr + triplet.attr < triplet.dstAttr)
+          Iterator((triplet.dstId, triplet.srcAttr + triplet.attr))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Long.MaxValue).toDF("id", "dist")
+  }
 }

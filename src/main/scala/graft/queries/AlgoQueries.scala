@@ -54,6 +54,19 @@ object AlgoQueries {
       .orderBy(col("pr").desc, col("id"))
       .limit(10)
 
+  /** Weighted SSSP from region 0 over the reversed geo tree with
+    * deterministic integer edge weights w = (src%97 + dst%89)%7 + 1
+    * (computed from the ORIGINAL edge orientation). The geo subgraph
+    * is a tree from the region side, so each vertex has exactly one
+    * path and the oracle replays distances with two relational hops.
+    */
+  def aWsssp(s: SparkSession, dir: String): DataFrame =
+    Algorithms.ssspWeighted(s, g(s, dir),
+        PropertyGraph.encodeId("region", 0L),
+        weight = expr("(src % 97 + dst % 89) % 7 + 1"),
+        labels = Seq("part_of", "located_in"), reverse = true)
+      .orderBy(col("id"))
+
   /** 3-core of the order graph (placed + contains): vertices with ≥3
     * surviving distinct neighbors after iterative peeling, summarized
     * per label namespace (label_code = id div 2^40) with an id-sum
@@ -97,6 +110,7 @@ object AlgoQueries {
     "a_degrees" -> (aDegrees _),
     "a_kcore" -> (aKcore _),
     "a_sssp_hops" -> (aSsspHops _),
+    "a_wsssp" -> (aWsssp _),
     "a_pagerank_top" -> (aPagerankTop _),
     "a_pagerank_exact" -> (aPagerankExact _),
     "a_components" -> (aComponents _),
@@ -178,9 +192,38 @@ object AlgoQueries {
        |FROM a$KcoreRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Relational replay of aWsssp: the reversed geo subgraph is a tree
+    * rooted at region 0 (each nation has one region, each customer/
+    * supplier one nation), so the unique-path distance is two chained
+    * joins — no fixpoint needed. Weights replicate the Spark-side
+    * expression on the original (src, dst) encoded ids.
+    */
+  private val wssspSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val r0 = enc("region", "0")
+    s"""WITH n AS (
+       |  SELECT ${enc("nation", "n_nationkey")} AS id,
+       |    (${enc("nation", "n_nationkey")} % 97 + $r0 % 89) % 7 + 1 AS dist
+       |  FROM nation WHERE n_regionkey = 0),
+       |c AS (
+       |  SELECT ${enc("customer", "c_custkey")} AS id,
+       |    n.dist + (${enc("customer", "c_custkey")} % 97 + n.id % 89) % 7 + 1 AS dist
+       |  FROM customer JOIN n ON n.id = ${enc("nation", "c_nationkey")}),
+       |s AS (
+       |  SELECT ${enc("supplier", "s_suppkey")} AS id,
+       |    n.dist + (${enc("supplier", "s_suppkey")} % 97 + n.id % 89) % 7 + 1 AS dist
+       |  FROM supplier JOIN n ON n.id = ${enc("nation", "s_nationkey")})
+       |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist FROM (
+       |  SELECT $r0 AS id, 0 AS dist
+       |  UNION ALL SELECT * FROM n
+       |  UNION ALL SELECT * FROM c
+       |  UNION ALL SELECT * FROM s) ORDER BY id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "a_pagerank_exact" -> pagerankExactSql,
     "a_kcore" -> kcoreSql,
+    "a_wsssp" -> wssspSql,
     // The TPC-H graph's component structure is relationally derivable:
     // customers/suppliers chain to nations→regions and orders→parts, so
     // every vertex except never-ordered parts joins one giant component

@@ -75,6 +75,19 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(viaGraphX == 3 * 2) // GraphX counts each triangle at all 3 corners
   }
 
+  test("ssspWeighted picks the lighter path, not the shorter one") {
+    // weight = src id: 1→2→3 costs 1+2=3, direct 1→3 costs 1; and a
+    // long cheap chain 1→4→5 (1+4) vs nothing shorter
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L)))
+    val got = Algorithms.ssspWeighted(spark, g, 1L, expr("src"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+    // reverse: from 5 following edges backwards, weight = src of edge
+    val rev = Algorithms.ssspWeighted(spark, g, 5L, expr("src"), reverse = true)
+      .as[(Long, Long)].collect().toMap
+    assert(rev == Map(5L -> 0L, 4L -> 4L, 1L -> 5L))
+  }
+
   test("kCore peels to the planted core") {
     // K4 core {1,2,3,4} + a tail 4–5–6 and a pendant 2–7: with k=3
     // only the K4 survives; the tail peels over multiple rounds

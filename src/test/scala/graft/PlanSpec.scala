@@ -69,4 +69,33 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(p) == 0, s"assign stage must not shuffle:\n$p")
     assert(!p.contains("Window"), "assign stage must not sort/window")
   }
+
+  test("d12 packing: the corpus-wide window is partitioned by bucket") {
+    // two-level prefix sum: the window over DOCUMENT rows must be
+    // partitioned (parallel); only the per-BUCKET totals (rows =
+    // corpus/bucketWidth) may use a global window
+    val df = SparkEntry.queries("d12_pack_sequences")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val docSide = windows.filter(_.windowExpressions.exists(
+      _.toString.contains("local_end")))
+    assert(docSide.nonEmpty && docSide.forall(_.partitionSpec.nonEmpty),
+      "document-side running sum must be partitioned by bucket")
+    val bucketSide = windows.filter(_.windowExpressions.exists(
+      _.toString.contains("bucket_offset")))
+    assert(bucketSide.forall(w =>
+      w.maxRows.isEmpty || w.partitionSpec.isEmpty),
+      "only the bucket-totals window may be global")
+  }
+
+  test("d13 stratified sample: window partitioned by stratum, filter below limit") {
+    val df = SparkEntry.queries("d13_stratified")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "stratified sampling must never plan a global window")
+  }
 }
