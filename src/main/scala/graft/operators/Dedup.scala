@@ -230,11 +230,27 @@ object Dedup {
     * bits reassembled with shift/or. Map-side partial sums keep the
     * shuffle narrow at scale.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** default token hash: Spark's codegen'd xxhash64 — fastest, but
+    * engine-specific (the oracle cannot replay it).
+    */
+  val fastTokenHash: Column => Column = t => xxhash64(t)
+
+  /** engine-portable token hash: top 60 bits of md5 (15 hex chars →
+    * fits signed 64-bit in every engine; SQL replay is
+    * `CAST('0x'||substr(md5(t),1,15) AS BIGINT)`). Bits 60–63 of the
+    * resulting simhash are structurally zero. ~3× the hash cost of
+    * xxhash64 — use when cross-engine reproducibility matters more
+    * than throughput.
+    */
+  val portableTokenHash: Column => Column =
+    t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  def simhash(docs: DataFrame,
+              tokenHash: Column => Column = fastTokenHash): DataFrame = {
     val exploded = docs
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
     val voteAggs = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
     }

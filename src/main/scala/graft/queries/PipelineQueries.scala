@@ -136,9 +136,14 @@ object PipelineQueries {
         bands = 8, threshold = 0.9)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** SimHash signatures (rows-only; deterministic). */
+  /** SimHash signatures with the engine-portable md5-prefix token hash
+    * — the DuckDB oracle replays the full 60-bit vote-and-assemble
+    * (generated below from one template). The xxhash64 fast path stays
+    * the default for simhashNearDup; DedupSpec pins its recall.
+    */
   def d6SimhashSigs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    Dedup.simhash(Tables.documents(s, dir), Dedup.portableTokenHash)
+      .orderBy(col("doc_id"))
 
   // -------------------------------------------------------- similarity
 
@@ -279,7 +284,31 @@ object PipelineQueries {
        |  FROM scores)""".stripMargin
   }
 
+  /** DuckDB replay of the portable-hash simhash: distinct tokens →
+    * 60-bit md5-prefix hash → per-bit ±1 votes → bit assembly.
+    * Generated from one template (60 vote columns + 60 bit terms) so
+    * the two engines cannot drift; bits 60–63 are structurally zero
+    * with the 60-bit hash, so only bits 0–59 are emitted.
+    */
+  private val simhashSql: String = {
+    val votes = (0 until 60).map { j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(", ")
+    val bits = (0 until 60).map { j =>
+      s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+       |    FROM documents)),
+       |h AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "d6_simhash_sigs" -> simhashSql,
     "d3_langid_dist" ->
       s"""$langIdSql
          |SELECT lang_pred, COUNT(*) AS n FROM pred

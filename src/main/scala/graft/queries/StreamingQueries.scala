@@ -32,6 +32,23 @@ object StreamingQueries {
     EventsPipeline.userTotals(Tables.events(s, dir))
       .orderBy(col("user_id"))
 
+  /** Stream-static enrichment: events joined to the customer dimension
+    * (user_id = c_custkey), rolled up per market segment; events whose
+    * user has no customer row land in the 'unknown' bucket — the
+    * left-join contract a streaming enrichment must keep (dropping
+    * unmatched events would silently lose data).
+    */
+  def s9Enriched(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    EventsPipeline.enrich(Tables.events(s, dir), dim, "user_id")
+      .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.util.Exact.cents(col("value"))) / 100.0).as("value_total"))
+      .orderBy(col("segment"), col("event_type"))
+  }
+
   /** semi-structured event props: JSON string column parsed in-plan
     * (the schema-dynamic property bag of the reference's serialized
     * property cell, TikvFeatures.java:92-95 — here queryable directly).
@@ -71,6 +88,7 @@ object StreamingQueries {
     "s6_json_props" -> (s6JsonProps _),
     "s7_asof_join" -> (s7AsofJoin _),
     "s8_interval_join" -> (s8IntervalJoin _),
+    "s9_enriched" -> (s9Enriched _),
   )
 
   private val bucketSql =
@@ -108,6 +126,12 @@ object StreamingQueries {
       s"""SELECT event_type, COUNT(*) AS n FROM (
          |  SELECT DISTINCT user_id, event_type, $bucketSql FROM events
          |) GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "s9_enriched" ->
+      """SELECT COALESCE(c_mktsegment, 'unknown') AS segment, event_type,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(ROUND((value)*100) AS BIGINT))/100.0 AS value_total
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s5_user_totals" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  SUM(CAST(ROUND((value)*100) AS BIGINT))/100.0 AS value_total

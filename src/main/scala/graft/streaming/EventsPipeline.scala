@@ -79,6 +79,15 @@ object EventsPipeline {
       .agg(count(lit(1)).as("n_events"),
         (sum(graft.util.Exact.cents(col("value"))) / 100.0).as("value_total"))
 
+  /** Stream-static enrichment: attach dimension attributes to each
+    * event by key. The dimension side is broadcast — in streaming this
+    * is the supported stream-static join (dimension re-read per
+    * micro-batch, no state); in batch it's a plain broadcast hash
+    * join. At 100 TB the events side never shuffles for this join.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** As-of join composed from built-ins (SURVEY §7.3 decision table
     * path (a): compose before customizing): for every event of
     * `needType`, attach the same user's most recent prior-or-equal

@@ -219,4 +219,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.subsetOf(streamed ++ batch.filter(_._2 == "flush"))
       && streamed.intersect(batch) == batch)
   }
+
+  test("stream-static enrich joins each micro-batch against the dimension") {
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("user_id", "segment")
+    val stream = MemoryStream[Ev]
+    val out = runStream(stream,
+      EventsPipeline.enrich(stream.toDF(), dim, "user_id")
+        .select(col("event_id"), col("segment")), "t_enrich")(Seq(
+      Seq(ev(1, "2024-01-01 00:01:00", user = 1),
+        ev(2, "2024-01-01 00:02:00", user = 2)),
+      Seq(ev(3, "2024-01-01 00:03:00", user = 99)) // no dimension row
+    ))
+    val rows = out.as[(Long, Option[String])].collect().toMap
+    assert(rows == Map(1L -> Some("BUILDING"), 2L -> Some("MACHINERY"),
+      3L -> None))
+  }
 }
