@@ -83,17 +83,23 @@ object Dedup {
     * Spark 4's default ANSI mode). Hashing each shingle string once
     * and mixing 64 ways is ~50× cheaper than 64 seeded string hashes.
     */
+  private[graft] def mixConstant(i: Int): Long = {
+    var x = (i + 1) * 0x9E3779B97F4A7C15L
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^ (x >>> 33)
+  }
+
+  /** Final mask to 63 bits: keeps every derived hash non-negative, so
+    * a signed MIN (Spark) and an unsigned MIN (a SQL replay working in
+    * UBIGINT) order identically — one bit of hash width traded for
+    * cross-engine MIN agreement.
+    */
   private def derivedHash(h: Column, i: Int): Column = {
-    val c = {
-      var x = (i + 1) * 0x9E3779B97F4A7C15L
-      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-      x ^ (x >>> 33)
-    }
-    val s0 = h.bitwiseXOR(lit(c))
+    val s0 = h.bitwiseXOR(lit(mixConstant(i)))
     val s1 = s0.bitwiseXOR(shiftleft(s0, 13))
     val s2 = s1.bitwiseXOR(shiftrightunsigned(s1, 7))
-    s2.bitwiseXOR(shiftleft(s2, 17))
+    s2.bitwiseXOR(shiftleft(s2, 17)).bitwiseAND(lit(Long.MaxValue))
   }
 
   // -------------------------------------------------------- MinHash + LSH
@@ -110,9 +116,10 @@ object Dedup {
     * codegen with map-side partial mins, so the one shuffle carries
     * only (doc_id, 64 longs) rows.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 64): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+                        tokenHash: Column => Column = fastTokenHash): DataFrame = {
     val exploded = shingleRows(docs, k)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), tokenHash(col("s")).as("h"))
     val aggs = (0 until numHashes).map(i => min(derivedHash(col("h"), i)).as(s"m$i"))
     exploded.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
