@@ -32,5 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in this one JVM; 8g gave each
+  // task ~150 MB of execution memory and let leaked cache blocks drive
+  // GC pressure that taxed every query late in the bench. The machine
+  // has 128 GiB — size the heap like the single executor it is.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

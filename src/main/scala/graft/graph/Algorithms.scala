@@ -32,18 +32,36 @@ object Algorithms {
   def toGraphX(g: PropertyGraph, labels: Seq[String] = Nil): Graph[Int, Int] =
     Graph.fromEdges(edgeRdd(g, labels), defaultValue = 0)
 
+  /** Materialize an algorithm's (small) result and release the cached
+    * GraphX graphs that produced it. `Graph.fromEdges`/Pregel cache
+    * vertex+edge RDDs at MEMORY_ONLY and never free them on their own;
+    * in a long-lived session (the bench runs ~100 queries ×3 in one
+    * JVM) the leaked blocks pile up until GC pressure taxes every
+    * later query. The result is localCheckpoint'ed first so the
+    * unpersist cannot force a recompute; its own (result-sized) blocks
+    * are released by the ContextCleaner once the frame is unreferenced.
+    */
+  private def finish(df: DataFrame, graphs: Graph[_, _]*): DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    graphs.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** degrees (parallel edges counted, as in the reference's dual edge
     * tables where each adjacency row is its own KV).
     */
   def degrees(s: SparkSession, g: PropertyGraph, labels: Seq[String] = Nil): DataFrame = {
     import s.implicits._
-    toGraphX(g, labels).degrees.toDF("id", "degree")
+    val graph = toGraphX(g, labels)
+    finish(graph.degrees.toDF("id", "degree"), graph)
   }
 
   /** static PageRank, fixed iteration count for determinism. */
   def pageRank(s: SparkSession, g: PropertyGraph, iters: Int = 10): DataFrame = {
     import s.implicits._
-    toGraphX(g).staticPageRank(iters).vertices.toDF("id", "rank")
+    val graph = toGraphX(g)
+    val ranked = graph.staticPageRank(iters)
+    finish(ranked.vertices.toDF("id", "rank"), graph, ranked)
   }
 
   /** connected components (undirected reachability; component id = min
@@ -56,8 +74,8 @@ object Algorithms {
     import s.implicits._
     val verts = g.vertices.select(col("id")).rdd.map(r => (r.getLong(0), 0))
     val graph = Graph(verts, edgeRdd(g), defaultVertexAttr = 0)
-    org.apache.spark.graphx.lib.ConnectedComponents
-      .run(graph).vertices.toDF("id", "component")
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
+    finish(cc.vertices.toDF("id", "component"), graph, cc)
   }
 
   /** Neighborhood aggregation via GraphX aggregateMessages — the
@@ -73,11 +91,12 @@ object Algorithms {
         (org.apache.spark.sql.functions.round(col(prop) * 100)).cast("long").as("cents"))
       .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
     val graph = Graph.fromEdges(e, defaultValue = 0)
-    graph.aggregateMessages[(Long, Long)](
+    val agg = graph.aggregateMessages[(Long, Long)](
         ctx => ctx.sendToDst((1L, ctx.attr)),
         (a, b) => (a._1 + b._1, a._2 + b._2))
       .map { case (id, (n, cents)) => (id, n, cents / 100.0) }
       .toDF("id", "n_edges", "prop_sum")
+    finish(agg, graph)
   }
 
   /** triangle count per vertex (GraphX canonicalizes direction).
@@ -86,9 +105,10 @@ object Algorithms {
   def triangleCounts(s: SparkSession, g: PropertyGraph,
                      labels: Seq[String] = Nil): DataFrame = {
     import s.implicits._
-    toGraphX(g, labels)
+    val graph = toGraphX(g, labels)
       .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-      .triangleCount().vertices.toDF("id", "triangles")
+    val tc = graph.triangleCount()
+    finish(tc.vertices.toDF("id", "triangles"), graph, tc)
   }
 
   /** Total triangle count, DataFrame-first (compact-forward):
@@ -118,25 +138,34 @@ object Algorithms {
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
     val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // The oriented edge list feeds THREE consumers (both wedge sides +
+    // the closure semi-join); persist it so the distinct + two degree
+    // joins upstream run once, not three times (exchange reuse is not
+    // guaranteed across AQE-replanned stages).
     val o = withDeg.select(
-      when(fwd, col("a")).otherwise(col("b")).as("u"),
-      when(fwd, col("b")).otherwise(col("a")).as("w"),
-      when(fwd, col("db")).otherwise(col("da")).as("dw"))
-    val wedges = o.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
-      .join(o.select(col("u"), col("w").as("w2"), col("dw").as("d2")), "u")
-      .filter(col("d1") < col("d2") ||
-        (col("d1") === col("d2") && col("w1") < col("w2")))
-      .select(col("w1"), col("w2"))
-    val triangles = wedges.join(
-      o.select(col("u").as("w1"), col("w").as("w2")), Seq("w1", "w2"), "left_semi")
-    // unfiltered: the graph's declared vertex set (isolated vertices
-    // count); label-filtered: the endpoints of the surviving edges
-    val nVertices =
-      if (labels.isEmpty) g.vertices.select(col("id")).distinct().count()
-      else all.select(col("src").as("id"))
-        .union(all.select(col("dst").as("id"))).distinct().count()
-    triangles.agg(count(lit(1)).cast("long").as("total_triangles"))
-      .withColumn("n_vertices", lit(nVertices))
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("w"),
+        when(fwd, col("db")).otherwise(col("da")).as("dw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wedges = o.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
+        .join(o.select(col("u"), col("w").as("w2"), col("dw").as("d2")), "u")
+        .filter(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("w1") < col("w2")))
+        .select(col("w1"), col("w2"))
+      val triangles = wedges.join(
+        o.select(col("u").as("w1"), col("w").as("w2")), Seq("w1", "w2"), "left_semi")
+      // unfiltered: the graph's declared vertex set (isolated vertices
+      // count); label-filtered: the endpoints of the surviving edges
+      val nVertices =
+        if (labels.isEmpty) g.vertices.select(col("id")).distinct().count()
+        else all.select(col("src").as("id"))
+          .union(all.select(col("dst").as("id"))).distinct().count()
+      // one row out — materialize before releasing the cached edges
+      triangles.agg(count(lit(1)).cast("long").as("total_triangles"))
+        .withColumn("n_vertices", lit(nVertices))
+        .localCheckpoint(eager = true)
+    } finally o.unpersist(blocking = false)
   }
 
   /** Deterministic fixed-point PageRank over a label-filtered subgraph,
@@ -255,8 +284,8 @@ object Algorithms {
           Iterator((triplet.dstId, triplet.srcAttr + 1.0))
         else Iterator.empty,
       (a, b) => math.min(a, b))
-    res.vertices.filter(_._2 < Double.PositiveInfinity)
-      .mapValues(_.toLong).toDF("id", "dist")
+    finish(res.vertices.filter(_._2 < Double.PositiveInfinity)
+      .mapValues(_.toLong).toDF("id", "dist"), base, graph0, res)
   }
 
   /** Weighted single-source shortest path (non-negative integer
@@ -287,6 +316,7 @@ object Algorithms {
           Iterator((triplet.dstId, triplet.srcAttr + triplet.attr))
         else Iterator.empty,
       (a, b) => math.min(a, b))
-    res.vertices.filter(_._2 != Long.MaxValue).toDF("id", "dist")
+    finish(res.vertices.filter(_._2 != Long.MaxValue).toDF("id", "dist"),
+      base, graph0, res)
   }
 }

@@ -145,10 +145,11 @@ object Dedup {
     */
   def minhashNearDup(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
                      bands: Int = 16, threshold: Double = 0.5,
-                     maxBucketSize: Int = 500): DataFrame = {
+                     maxBucketSize: Int = 500,
+                     tokenHash: Column => Column = fastTokenHash): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, k, numHashes)
+    val sigs = minhashSignatures(docs, k, numHashes, tokenHash)
     val sh = shingleRows(docs, k)
 
     // (band, bucket=hash(slice), doc) — one row per band per doc

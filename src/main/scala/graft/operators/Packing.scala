@@ -52,4 +52,29 @@ object Packing {
         (expr(s"(start + n_tokens - 1) div $budget")
           - expr(s"start div $budget") + 1L).as("n_packs"))
   }
+
+  /** Sliding-window chunking — the RAG / long-context layout dual of
+    * [[packSequences]]: each document is cut independently into
+    * overlapping windows of `window` tokens every `stride` tokens
+    * (last chunk truncated, never padded). Purely per-document, so the
+    * whole operator is map-side: one generator explode per row, no
+    * shuffle, no cross-document coupling — at 100 TB it scales with
+    * the scan. Output rows ≈ corpus_tokens / stride.
+    */
+  def slidingChunks(docs: DataFrame, id: Column, nTokens: Column,
+                    window: Long, stride: Long): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    docs.select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      // sequence(0, n-1) needs n ≥ 1; a 0-token doc has no chunks
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride)))
+          .as("chunk_start"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"chunk_start div $stride").as("chunk_id"),
+        col("chunk_start"),
+        least(lit(window), col("n_tokens") - col("chunk_start"))
+          .as("chunk_len"))
+  }
 }

@@ -176,4 +176,87 @@ object TextAnalysis {
       fingerprint(col("text")).as("fingerprint"),
       langPred.as("lang_pred"))
   }
+
+  /** Corpus-frequency rarity score per document — the unigram-LM
+    * quality proxy of training-data pipelines (rare-token-heavy docs
+    * score high; boilerplate scores low), kept engine-portable by
+    * avoiding floating logs: rarity = Σ_tokens (corpus_total DIV
+    * corpus_tf(token)), exact BIGINT floor arithmetic (a true -log p
+    * sum would hang the gate hash on libm ULP agreement across
+    * engines).
+    *
+    * Scale shape: one exploded token pass, one hash-agg for corpus
+    * term frequencies, one shuffle join on the token (the standard TF
+    * join; skew on stopwords is bounded because the frequency side is
+    * one row per term), map-side partial SUM back onto doc_id. The
+    * 1-row corpus total rides a broadcast.
+    */
+  def rarityScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(coalesce(col("text"), lit("")))).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("tf"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.join(freq, "t")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("total div tf")).as("rarity"),
+        count(lit(1)).as("n_tokens"),
+        round(countDistinct(col("t")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("distinct_ratio"))
+  }
+
+  /** Non-distinct n-gram rows (doc_id, gram) — term-frequency
+    * counterpart of Dedup.shingleRows (which dedups for set
+    * semantics). Same posexplode + window-lead assembly (the
+    * interpreted-HOF trap applies identically); docs with fewer than n
+    * tokens yield no rows.
+    */
+  def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(coalesce(col("text"), lit("")))).as(Seq("pos", "t")))
+    if (n == 1) tok.select(col("doc_id"), col("t").as("gram"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val leads = (1 until n).map(i => lead(col("t"), i).over(w))
+      tok.select(col("doc_id"),
+          concat_ws(" ", (col("t") +: leads): _*).as("gram"),
+          leads.last.isNotNull.as("__full"))
+        .filter(col("__full"))
+        .select(col("doc_id"), col("gram"))
+    }
+  }
+
+  /** Repetition profile per document — the Gopher-rule family of
+    * quality filters: for n ∈ {1,2,3}, the fraction of the document's
+    * n-gram occurrences taken by its single most frequent n-gram.
+    * Boilerplate and template spam light these up; clean prose stays
+    * low. `repetitive` applies the classic thresholds.
+    *
+    * All counts are exact integers; each fraction is one double
+    * division rounded to 6 — portable. Per n: one narrow
+    * (doc_id, gram) shuffle + two hash-aggs with map-side partials;
+    * docs shorter than n tokens have no n-grams and report 0.
+    */
+  def repetitionStats(docs: DataFrame, thresholds: (Double, Double, Double)
+      = (0.3, 0.2, 0.18)): DataFrame = {
+    def topFrac(n: Int, as: String): DataFrame =
+      ngramRows(docs, n)
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("c")).cast("double") /
+          sum(col("c")).cast("double"), 6).as(as))
+    val (t1, t2, t3) = thresholds
+    docs.select(col("doc_id"))
+      .join(topFrac(1, "top1_frac"), Seq("doc_id"), "left")
+      .join(topFrac(2, "top2_frac"), Seq("doc_id"), "left")
+      .join(topFrac(3, "top3_frac"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top1_frac"), lit(0.0)).as("top1_frac"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"))
+      .withColumn("repetitive",
+        col("top1_frac") >= t1 || col("top2_frac") >= t2 ||
+          col("top3_frac") >= t3)
+  }
 }

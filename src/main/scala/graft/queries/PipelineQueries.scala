@@ -111,6 +111,30 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus rarity (unigram-LM proxy) per doc — exact integer floor
+    * arithmetic, fully oracle-able (no floating logs).
+    */
+  def d14RarityScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rarityScore(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style repetition fractions per doc (top n-gram share for
+    * n=1..3) + the composite repetitive flag.
+    */
+  def d15Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  /** Sliding-window chunk layout (window 128, stride 64) — the RAG
+    * dual of d12's pack layout.
+    */
+  def d16SlidingChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Packing.slidingChunks(docs, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), window = 128L, stride = 64L)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Stratified sample: 10 docs per source, hash-ordered. */
   def d13Stratified(s: SparkSession, dir: String): DataFrame =
     Sampling.stratifiedSample(Tables.documents(s, dir),
@@ -131,9 +155,13 @@ object PipelineQueries {
     */
   def d5MinhashPairs(s: SparkSession, dir: String): DataFrame =
     // bands=8 → 8 rows/band: the S-curve knee sits at ~0.88, matched to
-    // the 0.9 threshold (rows=4 would flood candidates with j≈0.6 pairs)
+    // the 0.9 threshold (rows=4 would flood candidates with j≈0.6 pairs).
+    // Portable md5-prefix token hash so the DuckDB oracle replays the
+    // WHOLE pipeline (64 derived min-hashes in UBIGINT xorshift, band
+    // slices, Jaccard verify) — the xxhash64 fast path stays the API
+    // default, recall/precision-pinned in DedupSpec.
     Dedup.minhashNearDup(Tables.documents(s, dir), k = 1, numHashes = 64,
-        bands = 8, threshold = 0.9)
+        bands = 8, threshold = 0.9, tokenHash = Dedup.portableTokenHash)
       .orderBy(col("a_id"), col("b_id"))
 
   /** SimHash signatures with the engine-portable md5-prefix token hash
@@ -240,6 +268,9 @@ object PipelineQueries {
     "d11_tfidf_top" -> (d11TfidfTop _),
     "d12_pack_sequences" -> (d12PackSequences _),
     "d13_stratified" -> (d13Stratified _),
+    "d14_rarity_score" -> (d14RarityScore _),
+    "d15_repetition" -> (d15Repetition _),
+    "d16_sliding_chunks" -> (d16SlidingChunks _),
     "e5_quantize" -> (e5Quantize _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
@@ -290,6 +321,60 @@ object PipelineQueries {
     * the two engines cannot drift; bits 60–63 are structurally zero
     * with the 60-bit hash, so only bits 0–59 are emitted.
     */
+  /** DuckDB replay of the ENTIRE portable MinHash-LSH pipeline of
+    * d5_minhash_pairs: md5-prefix base hash, 64 derived min-hashes via
+    * the same xorshift mixer in UBIGINT arithmetic (wrapping left
+    * shifts emulated as mask-then-multiply, which cannot overflow),
+    * band slices compared as exact 8-tuples (Spark buckets by a hash
+    * OF the slice, so absent a 64-bit collision the candidate sets are
+    * identical), then exact-Jaccard verification. Stage columns get
+    * fresh names (a/b/c/d) so DuckDB lateral alias resolution can
+    * never bind a reference to the wrong stage.
+    */
+  private val minhashSql: String = {
+    val n = 64; val bands = 8; val rows = 8
+    val s0 = (0 until n).map(i =>
+      s"xor(h, CAST(${java.lang.Long.toUnsignedString(Dedup.mixConstant(i))} AS UBIGINT)) AS a$i").mkString(", ")
+    val s1 = (0 until n).map(i =>
+      s"xor(a$i, (a$i & CAST(2251799813685247 AS UBIGINT)) * CAST(8192 AS UBIGINT)) AS b$i").mkString(", ")
+    val s2 = (0 until n).map(i => s"xor(b$i, b$i >> 7) AS c$i").mkString(", ")
+    val s3 = (0 until n).map(i =>
+      s"xor(c$i, (c$i & CAST(140737488355327 AS UBIGINT)) * CAST(131072 AS UBIGINT)) AS d$i").mkString(", ")
+    val mins = (0 until n).map(i =>
+      s"MIN(CAST(d$i & CAST(9223372036854775807 AS UBIGINT) AS BIGINT)) AS m$i").mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val sl = (b * rows until (b + 1) * rows).map(i => s"m$i").mkString("[", ", ", "]")
+      s"SELECT doc_id, $b AS band, $sl AS sl FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+       |    FROM documents)),
+       |h AS (SELECT doc_id,
+       |    CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS UBIGINT) AS h
+       |  FROM tok),
+       |x0 AS (SELECT doc_id, $s0 FROM h),
+       |x1 AS (SELECT doc_id, $s1 FROM x0),
+       |x2 AS (SELECT doc_id, $s2 FROM x1),
+       |x3 AS (SELECT doc_id, $s3 FROM x2),
+       |sig AS (SELECT doc_id, $mins FROM x3 GROUP BY doc_id),
+       |bb AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bb a JOIN bb b ON a.band = b.band AND a.sl = b.sl
+       |    AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+       |ni AS (SELECT c.a_id, c.b_id, COUNT(*) AS ni
+       |  FROM cand c
+       |  JOIN tok ta ON ta.doc_id = c.a_id
+       |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.t = ta.t
+       |  GROUP BY c.a_id, c.b_id)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT ni.a_id, ni.b_id,
+       |    round(CAST(ni.ni AS DOUBLE) / (sa.n + sb.n - ni.ni), 6) AS jaccard
+       |  FROM ni JOIN sizes sa ON sa.doc_id = ni.a_id
+       |  JOIN sizes sb ON sb.doc_id = ni.b_id)
+       |WHERE jaccard >= 0.9 ORDER BY a_id, b_id""".stripMargin
+  }
+
   private val simhashSql: String = {
     val votes = (0 until 60).map { j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
@@ -308,7 +393,55 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "d5_minhash_pairs" -> minhashSql,
     "d6_simhash_sigs" -> simhashSql,
+    "d14_rarity_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+        |freq AS (SELECT t, COUNT(*) AS tf FROM tok GROUP BY t),
+        |tot AS (SELECT COUNT(*) AS total FROM tok)
+        |SELECT doc_id, CAST(SUM(total // tf) AS BIGINT) AS rarity,
+        |  COUNT(*) AS n_tokens,
+        |  round(COUNT(DISTINCT t) / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
+        |FROM tok JOIN freq USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d15_repetition" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(text, '\s+') AS tk FROM documents),
+        |g1 AS (SELECT doc_id, unnest(tk) AS gram FROM tk),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+        |    i -> array_to_string(tk[i+1:i+2], ' '))) AS gram FROM tk),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+        |    i -> array_to_string(tk[i+1:i+3], ' '))) AS gram FROM tk),
+        |f1 AS (SELECT doc_id, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS fr
+        |  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g1 GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |f2 AS (SELECT doc_id, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS fr
+        |  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |f3 AS (SELECT doc_id, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS fr
+        |  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(f1.fr, 0.0) AS top1_frac,
+        |  COALESCE(f2.fr, 0.0) AS top2_frac,
+        |  COALESCE(f3.fr, 0.0) AS top3_frac,
+        |  (COALESCE(f1.fr, 0.0) >= 0.3 OR COALESCE(f2.fr, 0.0) >= 0.2
+        |    OR COALESCE(f3.fr, 0.0) >= 0.18) AS repetitive
+        |FROM documents d
+        |LEFT JOIN f1 ON f1.doc_id = d.doc_id
+        |LEFT JOIN f2 ON f2.doc_id = d.doc_id
+        |LEFT JOIN f3 ON f3.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "d16_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, i // 64 AS chunk_id, i AS chunk_start,
+        |  least(128, n_tokens - i) AS chunk_len
+        |FROM t, unnest(generate_series(0, n_tokens - 1, 64)) AS u(i)
+        |WHERE n_tokens > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "d3_langid_dist" ->
       s"""$langIdSql
          |SELECT lang_pred, COUNT(*) AS n FROM pred

@@ -52,4 +52,37 @@ class PackingSpec extends AnyFunSuite {
       expectStart += toks
     }
   }
+
+  test("slidingChunks: every token covered, strides and lens exact") {
+    val rows = Seq((1L, 5L), (2L, 64L), (3L, 65L), (4L, 200L), (5L, 0L))
+    val got = Packing.slidingChunks(rows.toDF("doc_id", "toks"),
+        col("doc_id"), col("toks"), window = 128L, stride = 64L)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_start", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 5L),
+      (2L, 0L, 0L, 64L),
+      (3L, 0L, 0L, 65L), (3L, 1L, 64L, 1L),
+      (4L, 0L, 0L, 128L), (4L, 1L, 64L, 128L), (4L, 2L, 128L, 72L),
+      // doc 5 (0 tokens) emits no chunks
+    ))
+    // invariants on a larger spread: starts stride-aligned, len > 0,
+    // last chunk reaches exactly n_tokens
+    val big = (0L until 200L).map(i => (i, i % 300))
+    val chunks = Packing.slidingChunks(big.toDF("doc_id", "toks"),
+        col("doc_id"), col("toks"), window = 128L, stride = 64L)
+      .select("doc_id", "n_tokens", "chunk_id", "chunk_start", "chunk_len")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    chunks.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._3)
+      sorted.zipWithIndex.foreach { case ((_, n, cid, start, len), i) =>
+        assert(cid == i && start == i * 64L)
+        assert(len > 0 && len <= 128L)
+        assert(len == math.min(128L, n - start))
+      }
+      val (_, n, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen == n)
+    }
+  }
 }

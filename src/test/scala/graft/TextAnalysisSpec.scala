@@ -50,4 +50,39 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[Long].collect()(0)
     assert(n == 5) // "ab", "1", "2", "c", "!"
   }
+
+  test("rarityScore: exact floor arithmetic, rare tokens score higher") {
+    // corpus: "a" ×3, "b" ×2, "z" ×1 → total 6
+    val docs = Seq((1L, "a a b"), (2L, "a b z")).toDF("doc_id", "text")
+    val got = TextAnalysis.rarityScore(docs).orderBy("doc_id")
+      .select("doc_id", "rarity", "n_tokens", "distinct_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1: 6/3 + 6/3 + 6/2 = 2+2+3 = 7; doc2: 6/3 + 6/2 + 6/1 = 2+3+6 = 11
+    assert(got == Seq((1L, 7L, 3L, 0.666667), (2L, 11L, 3L, 1.0)))
+  }
+
+  test("repetitionStats: template spam flags, clean prose does not") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over a lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs).orderBy("doc_id")
+      .select("doc_id", "top1_frac", "top2_frac", "top3_frac", "repetitive")
+      .as[(Long, Double, Double, Double, Boolean)].collect().toSeq
+    // doc1: 8 tokens {buy×4, now×4} → top1 0.5; 7 bigrams, "buy now"×4
+    // → 0.571429; 6 trigrams, "buy now buy"×3 → 0.5
+    assert(got(0) == (1L, 0.5, 0.571429, 0.5, true))
+    // doc2: all grams unique → 0.1, 1/9, 1/8 — none over threshold
+    assert(got(1)._5 == false)
+    assert(got(1)._2 == 0.1)
+  }
+
+  test("repetitionStats: docs shorter than n report 0 for that n") {
+    val got = TextAnalysis.repetitionStats(
+        Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text"))
+      .orderBy("doc_id")
+      .select("doc_id", "top1_frac", "top2_frac", "top3_frac")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0, 0.0, 0.0), (2L, 0.5, 1.0, 0.0)))
+  }
 }
