@@ -65,6 +65,7 @@ class PackingSpec extends AnyFunSuite {
       (2L, 0L, 0L, 64L),
       (3L, 0L, 0L, 65L), (3L, 1L, 64L, 1L),
       (4L, 0L, 0L, 128L), (4L, 1L, 64L, 128L), (4L, 2L, 128L, 72L),
+      (4L, 3L, 192L, 8L),
       // doc 5 (0 tokens) emits no chunks
     ))
     // invariants on a larger spread: starts stride-aligned, len > 0,
