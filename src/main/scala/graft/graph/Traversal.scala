@@ -218,10 +218,15 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     // vertices so it stays valid afterwards.
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val none = org.apache.spark.storage.StorageLevel.NONE
-    val ownV = g.vertices.storageLevel == none
+    // Persist ONLY the edge relation for the loop: it hides real work
+    // (the TPC-H view has a lineitem distinct) that would otherwise
+    // re-run every round. The vertex relation is a shuffle-free union
+    // of column-pruned parquet scans — re-scanning it per round costs
+    // less than one eager build of the full wide cache (arrays/maps
+    // for ~1M rows), which dominated the gate query's wall-clock.
     val ownE = g.edges.storageLevel == none
     val gc = PropertyGraph(
-      if (ownV) g.vertices.persist(level) else g.vertices,
+      g.vertices,
       if (ownE) g.edges.persist(level) else g.edges,
       g.edgesByDst) // table-backed when present — cheap to rescan
     try {
@@ -244,7 +249,6 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
       val ids = reached.getOrElse(df.limit(0).select(col("id")))
       copy(df = g.vertices.join(ids, Seq("id"), "left_semi"))
     } finally {
-      if (ownV) gc.vertices.unpersist(blocking = true)
       if (ownE) gc.edges.unpersist(blocking = true)
     }
   }
