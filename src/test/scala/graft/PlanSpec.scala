@@ -98,4 +98,24 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "stratified sampling must never plan a global window")
   }
+
+  test("d16 sliding chunks is map-only: no Exchange anywhere") {
+    import org.apache.spark.sql.functions.col
+    // the operator itself (without the gate query's presentation sort)
+    // must be exchange-free — it scales with the scan
+    val p = graft.operators.Packing.slidingChunks(
+        graft.Tables.documents(spark, dir), col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")), 128L, 64L)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(p) == 0, s"slidingChunks must not shuffle:\n$p")
+  }
+
+  test("d15 repetition: all windows are partitioned by doc_id") {
+    val df = SparkEntry.queries("d15_repetition")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "n-gram assembly must never plan a global window")
+  }
 }
