@@ -251,6 +251,7 @@ object Algorithms {
       .persist(MEMORY_AND_DISK)
     try {
       var alive = und.select(col("src").as("id")).distinct().localCheckpoint()
+      var aliveCount = alive.count()
       var round = 0
       var done = false
       while (!done && round < maxRounds) {
@@ -260,8 +261,12 @@ object Algorithms {
           .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         val next = deg.filter(col("deg") >= k).select(col("src").as("id"))
           .localCheckpoint()
-        done = next.count() == alive.count()
+        // track the survivor count in a local — alive.count() would be
+        // a second job per round over the already-counted frame
+        val nextCount = next.count()
+        done = nextCount == aliveCount
         alive = next
+        aliveCount = nextCount
         round += 1
       }
       alive
