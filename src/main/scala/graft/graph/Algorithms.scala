@@ -273,6 +273,90 @@ object Algorithms {
     } finally und.unpersist(blocking = false)
   }
 
+  /** Multi-source BFS hop distances: ONE distributed loop carries all
+    * seeds at once — frontier state is narrow (seed, id) pairs, so k
+    * sources cost one BFS whose volume is ≤ k× the single-source scan,
+    * not k sequential Pregel runs (each with its own graph build).
+    * Per round: one join against the (persisted, narrow) edge list,
+    * one distinct, one anti-join against the visited set — all keyed
+    * shuffles of 16-byte rows. Same loop mechanics as
+    * Traversal.repeatUntil (eager localCheckpoint keeps plans flat).
+    */
+  def multiSourceHops(s: SparkSession, g: PropertyGraph, seeds: Seq[Long],
+                      labels: Seq[String] = Nil, reverse: Boolean = false,
+                      maxDepth: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import s.implicits._
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val dirEdges = if (reverse)
+      e0.select(col("dst").as("src"), col("src").as("dst"))
+    else e0.select(col("src"), col("dst"))
+    val edges = dirEdges.persist(MEMORY_AND_DISK)
+    try {
+      var frontier = seeds.toDF("seed")
+        .select(col("seed"), col("seed").as("id")).localCheckpoint()
+      var visited = frontier
+      var reached = Seq.empty[DataFrame]
+      var depth = 0
+      while (depth < maxDepth && !frontier.isEmpty) {
+        depth += 1
+        val next = frontier
+          .join(edges, frontier("id") === edges("src"))
+          .select(col("seed"), col("dst").as("id"))
+          .distinct()
+          .join(visited, Seq("seed", "id"), "left_anti")
+          .localCheckpoint()
+        reached = reached :+ next.withColumn("dist", lit(depth.toLong))
+        visited = visited.union(next)
+        frontier = next
+      }
+      val zero = seeds.toDF("seed")
+        .select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
+      reached.foldLeft(zero)(_ unionByName _)
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** Closeness centrality of the given seed vertices (classic
+    * definition over the reachable set): n_reachable / Σ dist, exact
+    * integer numerators/denominators with one rounded division — so a
+    * relational replay agrees bit-for-bit.
+    */
+  def closeness(s: SparkSession, g: PropertyGraph, seeds: Seq[Long],
+                labels: Seq[String] = Nil, reverse: Boolean = false): DataFrame =
+    multiSourceHops(s, g, seeds, labels, reverse)
+      .filter(col("dist") > 0)
+      .groupBy(col("seed").as("id"))
+      .agg(count(lit(1)).as("n_reachable"),
+        sum(col("dist")).as("total_dist"))
+      .withColumn("closeness",
+        round(col("n_reachable").cast("double") /
+          col("total_dist").cast("double"), 6))
+
+  /** Global clustering coefficient = 3·triangles / wedges, where
+    * wedges = Σ_v d(v)(d(v)−1)/2 over the undirected distinct-neighbor
+    * graph — exact integer counts, one rounded division. Triangle
+    * count reuses the compact-forward plan of [[triangleTotal]];
+    * wedge counting is one distinct + one hash-agg + one 1-row agg.
+    */
+  def clusteringCoefficient(s: SparkSession, g: PropertyGraph,
+                            labels: Seq[String] = Nil): DataFrame = {
+    val all = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val e = all.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val tri = triangleTotal(s, g, labels).select(col("total_triangles"))
+    wedges.crossJoin(tri)
+      .select(col("n_wedges"), col("total_triangles"),
+        round(lit(3.0) * col("total_triangles").cast("double") /
+          col("n_wedges").cast("double"), 6).as("global_clustering"))
+  }
+
   /** single-source shortest hop-distance via Pregel. `reverse` follows
     * edges dst→src (e.g. region → its nations → their customers).
     */

@@ -54,6 +54,25 @@ object AlgoQueries {
       .orderBy(col("pr").desc, col("id"))
       .limit(10)
 
+  /** Closeness centrality of all five regions over the reversed geo
+    * tree (region → its nations → their customers/suppliers): one
+    * multi-source BFS carries every seed; exact integer distance sums
+    * so the relational replay matches bit-for-bit.
+    */
+  def aCloseness(s: SparkSession, dir: String): DataFrame =
+    Algorithms.closeness(s, g(s, dir),
+        seeds = (0L until 5L).map(PropertyGraph.encodeId("region", _)),
+        labels = Seq("located_in", "part_of"), reverse = true)
+      .orderBy(col("id"))
+
+  /** Global clustering coefficient over the full graph: wedge count is
+    * the real computed quantity here (the star schema is triangle-free
+    * by construction — same structural zero a_triangles oracles); the
+    * nonzero path is pinned on planted graphs in AlgorithmsSpec.
+    */
+  def aClustering(s: SparkSession, dir: String): DataFrame =
+    Algorithms.clusteringCoefficient(s, g(s, dir))
+
   /** Weighted SSSP from region 0 over the reversed geo tree with
     * deterministic integer edge weights w = (src%97 + dst%89)%7 + 1
     * (computed from the ORIGINAL edge orientation). The geo subgraph
@@ -116,6 +135,8 @@ object AlgoQueries {
     "a_components" -> (aComponents _),
     "a_triangles" -> (aTriangles _),
     "a_neighbor_sum" -> (aNeighborSum _),
+    "a_closeness" -> (aCloseness _),
+    "a_clustering" -> (aClustering _),
   )
 
   /** DuckDB replay of pageRankExact over the geo subgraph: the same 10
@@ -224,6 +245,45 @@ object AlgoQueries {
     "a_pagerank_exact" -> pagerankExactSql,
     "a_kcore" -> kcoreSql,
     "a_wsssp" -> wssspSql,
+    // reversed geo tree: nations at dist 1, customers+suppliers at 2
+    "a_closeness" ->
+      s"""WITH nn AS (SELECT n_regionkey AS r, COUNT(*) AS n1
+         |  FROM nation GROUP BY 1),
+         |cs AS (SELECT n_regionkey AS r, COUNT(*) AS n2
+         |  FROM (SELECT c_nationkey AS nk FROM customer
+         |        UNION ALL SELECT s_nationkey FROM supplier) t
+         |  JOIN nation ON nk = n_nationkey GROUP BY n_regionkey)
+         |SELECT CAST(${PropertyGraph.sqlEncode("region", "r")} AS BIGINT) AS id,
+         |  CAST(n1 + n2 AS BIGINT) AS n_reachable,
+         |  CAST(n1 + 2 * n2 AS BIGINT) AS total_dist,
+         |  round((n1 + n2) / CAST(n1 + 2 * n2 AS DOUBLE), 6) AS closeness
+         |FROM nn JOIN cs USING (r) ORDER BY id""".stripMargin,
+    // full-graph wedge count; triangles are the same structural zero
+    // a_triangles oracles (AlgorithmsSpec pins the nonzero path)
+    "a_clustering" -> {
+      def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+      s"""WITH e0 AS (
+         |  SELECT ${enc("customer", "o_custkey")} AS src,
+         |         ${enc("order", "o_orderkey")} AS dst FROM orders
+         |  UNION ALL SELECT ${enc("order", "l_orderkey")},
+         |         ${enc("part", "l_partkey")} FROM lineitem
+         |  UNION ALL SELECT DISTINCT ${enc("part", "l_partkey")},
+         |         ${enc("supplier", "l_suppkey")} FROM lineitem
+         |  UNION ALL SELECT ${enc("customer", "c_custkey")},
+         |         ${enc("nation", "c_nationkey")} FROM customer
+         |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+         |         ${enc("nation", "s_nationkey")} FROM supplier
+         |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+         |         ${enc("region", "n_regionkey")} FROM nation),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |deg AS (SELECT v, COUNT(*) AS d FROM
+         |  (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v)
+         |SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+         |  CAST(0 AS BIGINT) AS total_triangles,
+         |  CAST(0 AS DOUBLE) AS global_clustering
+         |FROM deg""".stripMargin
+    },
     // The TPC-H graph's component structure is relationally derivable:
     // customers/suppliers chain to nations→regions and orders→parts, so
     // every vertex except never-ordered parts joins one giant component

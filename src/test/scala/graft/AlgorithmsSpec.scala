@@ -126,4 +126,34 @@ class AlgorithmsSpec extends AnyFunSuite {
       .orderBy(col("rank").desc).select("id").as[Long].first()
     assert(top == 9L)
   }
+
+  test("multiSourceHops: all seeds advance in one BFS, min distances") {
+    // chain 1→2→3→4 plus branch 2→5; seeds 1 and 3
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)))
+    val got = Algorithms.multiSourceHops(spark, g, Seq(1L, 3L))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, rs) =>
+        s -> rs.map(r => r._2 -> r._3).toMap }
+    assert(got(1L) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 2L, 4L -> 3L))
+    assert(got(3L) == Map(3L -> 0L, 4L -> 1L))
+  }
+
+  test("closeness: hand-computed on a star") {
+    // center 1 → leaves 2,3,4 (dist 1 each): closeness = 3/3 = 1.0
+    val g = mkGraph(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 9L)))
+    val got = Algorithms.closeness(spark, g, Seq(1L))
+      .select("id", "n_reachable", "total_dist", "closeness")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // 1 reaches 2,3,4 at dist 1 and 9 at dist 2 → 4 vertices, Σ=5
+    assert(got == Seq((1L, 4L, 5L, 0.8)))
+  }
+
+  test("clusteringCoefficient: triangle + pendant edge") {
+    // triangle 1-2-3 plus edge 3-4: degrees 2,2,3,1 → wedges 1+1+3+0=5
+    // triangles 1 → coefficient 3/5 = 0.6
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    val got = Algorithms.clusteringCoefficient(spark, g)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((5L, 1L, 0.6)))
+  }
 }
