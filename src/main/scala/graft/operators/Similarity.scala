@@ -281,4 +281,28 @@ object Similarity {
         sum(col("q") * (col("pos") + 1L)).as("checksum"),
         sum(when(abs(col("q")) === 127L, 1L).otherwise(0L)).as("n_saturated"))
   }
+
+  /** Per-dimension corpus statistics over an embedding column — the
+    * normalization/whitening precursor (mean-center, clip ranges) of
+    * an embedding pipeline. Cross-row float sums are association-order
+    * dependent, so the mean accumulates in exact micro-unit BIGINTs
+    * (per-value round-half-up, one codegen'd floor each) and divides
+    * once at the end; min/max are order-independent as-is. One
+    * posexplode + one hash-agg on the dimension index — at 100 TB the
+    * shuffle carries (pos, partial sums), i.e. ~dims × partitions
+    * rows, regardless of corpus size.
+    */
+  def dimensionStats(embeddings: DataFrame, id: String = "vec_id",
+                     vec: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(id).as("vec_id"), posexplode(col(vec)).as(Seq("pos", "xf")))
+      .select(col("pos"), col("xf").cast("double").as("x"))
+      .withColumn("q", floor(col("x") * 1000000d + 0.5d).cast("long"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("sum_micro"),
+        min(col("x")).as("min_val"),
+        max(col("x")).as("max_val"))
+      .withColumn("mean_val",
+        round(col("sum_micro").cast("double") / col("n_vecs") / 1000000d, 6))
 }

@@ -133,6 +133,19 @@ object GraphQueries {
       .has("name", P.TextContainsAny(Seq("bolt", "chiffon")))
       .count()
 
+  /** within()/without() — the IN-condition the store declares it does
+    * NOT evaluate (supportsQueryWithInCondition=false,
+    * TikvFeatures.java:52-54; the engine above owns it): customers in
+    * two segments, excluding one nation, counted per nation.
+    */
+  def g22Within(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("customer")
+      .has("mktsegment", P.Within(Seq("BUILDING", "MACHINERY")))
+      .has("nationkey", P.Without(Seq(3L)))
+      .toDF.groupBy(col("nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("nationkey"))
+
   /** repeat(in()).until(no new vertices) — variable-depth reachability
     * from region 0 over reversed edges, the unbounded-repeat shape the
     * hugegraph engine runs against the store. Closure: region 0 →
@@ -205,6 +218,7 @@ object GraphQueries {
     "g15_contains" -> (g15Contains _),
     "g16_contains_key" -> (g16ContainsKey _),
     "g17_text_any" -> (g17TextAny _),
+    "g22_within" -> (g22Within _),
     "g18_reach_until" -> (g18ReachUntil _),
     "g13_not_step" -> (g13NotStep _),
     "g14_where_step" -> (g14WhereStep _),
@@ -259,6 +273,12 @@ object GraphQueries {
       """SELECT COUNT(*) AS cnt FROM part
         |WHERE list_has_any(string_split_regex(lower(p_name), '\s+'),
         |                   ['bolt', 'chiffon'])""".stripMargin,
+    "g22_within" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS cnt
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |  AND c_nationkey NOT IN (3)
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin,
     "g18_reach_until" ->
       """WITH n0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
         |s0 AS (SELECT s_suppkey FROM supplier

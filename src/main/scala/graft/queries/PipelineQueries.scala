@@ -147,8 +147,14 @@ object PipelineQueries {
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
       .orderBy(col("vec_id"))
 
-  /** MinHash-LSH near-dup pairs (rows-only: xxhash64 isn't portable to
-    * the oracle; recall/precision asserted in DedupSpec). Threshold 0.9
+  /** Per-dimension embedding stats (normalization precursor) — exact
+    * micro-unit mean accumulation, portable min/max.
+    */
+  def e6DimStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimensionStats(Tables.embeddings(s, dir))
+      .orderBy(col("pos"))
+
+  /** MinHash-LSH near-dup pairs, hash-oracled end to end. Threshold 0.9
     * on token sets: this corpus shares a tiny vocabulary, so lower
     * thresholds make near-everything a "duplicate" (jaccard ≥ 0.5 holds
     * for ~half of all pairs — measured at sf0.1).
@@ -272,6 +278,7 @@ object PipelineQueries {
     "d15_repetition" -> (d15Repetition _),
     "d16_sliding_chunks" -> (d16SlidingChunks _),
     "e5_quantize" -> (e5Quantize _),
+    "e6_dim_stats" -> (e6DimStats _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
     "e1_knn_brute" -> (e1KnnBrute _),
@@ -433,6 +440,16 @@ object PipelineQueries {
         |LEFT JOIN f2 ON f2.doc_id = d.doc_id
         |LEFT JOIN f3 ON f3.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "e6_dim_stats" ->
+      """SELECT CAST(i AS INT) AS pos, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS sum_micro,
+        |  MIN(CAST(embedding[i+1] AS DOUBLE)) AS min_val,
+        |  MAX(CAST(embedding[i+1] AS DOUBLE)) AS max_val,
+        |  round(CAST(SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000
+        |      + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_val
+        |FROM embeddings, unnest(range(len(embedding))) AS u(i)
+        |GROUP BY i ORDER BY pos""".stripMargin,
     "d16_sliding_chunks" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
