@@ -359,6 +359,42 @@ object Dedup {
     } finally edges.unpersist(blocking = true)
   }
 
+  /** Train/eval decontamination — the benchmark-leakage check of a
+    * training pipeline (GPT-3/Gopher style n-gram collision filtering,
+    * k-gram here): for every TRAIN document, how many of its distinct
+    * k-gram shingles also appear anywhere in the EVAL split, plus the
+    * ratio and a flag. Splits come from the same deterministic
+    * md5-bucket assignment the corpus budget uses (Sampling
+    * .assignSplit), so the whole operator replays relationally.
+    *
+    * Scale shape: the shingle join is the sparse inverted-index form —
+    * train grams meet eval grams only on equal keys, the eval side is
+    * a distinct gram set (a fraction of the corpus vocabulary; AQE
+    * broadcasts it when small), and both aggregations are map-side
+    * partial counts on doc_id. The flag compares the ROUNDED ratio so
+    * engines agree at the threshold boundary.
+    */
+  def contamination(docs: DataFrame, k: Int = 3,
+                    weights: Seq[(String, Double)] =
+                      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                    evalSplit: String = "test",
+                    flagThreshold: Double = 0.2): DataFrame = {
+    val lab = graft.operators.Sampling.assignSplit(docs, col("doc_id"), weights)
+    val sh = shingleRows(lab.select(col("doc_id"), col("text")), k)
+      .join(lab.select(col("doc_id"), col("split")), "doc_id")
+    val ev = sh.filter(col("split") === evalSplit).select(col("s")).distinct()
+    val tr = sh.filter(col("split") === "train").select(col("doc_id"), col("s"))
+    val tot = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = tr.join(ev, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast("double") / col("n_grams").cast("double"), 6))
+      .withColumn("contaminated", col("shared_ratio") >= flagThreshold)
+  }
+
   /** top-level: winners after exact + minhash near-dup removal
     * (keep the smallest doc_id of each near-dup cluster's pairs).
     */

@@ -135,6 +135,13 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Decontamination: 3-gram collisions between the deterministic
+    * train and test splits (d8's buckets) — per train doc.
+    */
+  def d17Contamination(s: SparkSession, dir: String): DataFrame =
+    Dedup.contamination(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
   /** Stratified sample: 10 docs per source, hash-ordered. */
   def d13Stratified(s: SparkSession, dir: String): DataFrame =
     Sampling.stratifiedSample(Tables.documents(s, dir),
@@ -277,6 +284,7 @@ object PipelineQueries {
     "d14_rarity_score" -> (d14RarityScore _),
     "d15_repetition" -> (d15Repetition _),
     "d16_sliding_chunks" -> (d16SlidingChunks _),
+    "d17_contamination" -> (d17Contamination _),
     "e5_quantize" -> (e5Quantize _),
     "e6_dim_stats" -> (e6DimStats _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
@@ -450,6 +458,37 @@ object PipelineQueries {
         |      + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_val
         |FROM embeddings, unnest(range(len(embedding))) AS u(i)
         |GROUP BY i ORDER BY pos""".stripMargin,
+    "d17_contamination" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bk
+        |  FROM documents),
+        |lab AS (SELECT doc_id,
+        |    CASE WHEN bk < 52429 THEN 'train' WHEN bk < 58983 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    string_split_regex(text, '\s+') AS tk FROM b),
+        |sh AS (SELECT doc_id, split,
+        |    unnest(CASE WHEN len(tk) >= 3
+        |      THEN list_distinct(list_transform(range(len(tk) - 2),
+        |           i -> array_to_string(tk[i+1:i+3], ' ')))
+        |      ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM lab),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
+        |tr AS (SELECT doc_id, s FROM sh WHERE split = 'train'),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+        |hit AS (SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM tr JOIN ev USING (s) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_grams,
+        |  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  round(COALESCE(h.n_shared, 0) / CAST(t.n_grams AS DOUBLE), 6)
+        |    AS shared_ratio,
+        |  round(COALESCE(h.n_shared, 0) / CAST(t.n_grams AS DOUBLE), 6) >= 0.2
+        |    AS contaminated
+        |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "d16_sliding_chunks" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
