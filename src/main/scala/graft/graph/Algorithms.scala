@@ -349,12 +349,16 @@ object Algorithms {
       .filter(col("a") =!= col("b")).distinct()
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    // empty / all-degree-1 edge sets: SUM over zero rows is NULL and
+    // Divide by 0 is NULL under non-ANSI — define both as exact 0
+    val wedges = deg.agg(
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
     val tri = triangleTotal(s, g, labels).select(col("total_triangles"))
     wedges.crossJoin(tri)
       .select(col("n_wedges"), col("total_triangles"),
-        round(lit(3.0) * col("total_triangles").cast("double") /
-          col("n_wedges").cast("double"), 6).as("global_clustering"))
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          round(lit(3.0) * col("total_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6)).as("global_clustering"))
   }
 
   /** single-source shortest hop-distance via Pregel. `reverse` follows

@@ -254,10 +254,11 @@ object AlgoQueries {
          |        UNION ALL SELECT s_nationkey FROM supplier) t
          |  JOIN nation ON nk = n_nationkey GROUP BY n_regionkey)
          |SELECT CAST(${PropertyGraph.sqlEncode("region", "r")} AS BIGINT) AS id,
-         |  CAST(n1 + n2 AS BIGINT) AS n_reachable,
-         |  CAST(n1 + 2 * n2 AS BIGINT) AS total_dist,
-         |  round((n1 + n2) / CAST(n1 + 2 * n2 AS DOUBLE), 6) AS closeness
-         |FROM nn JOIN cs USING (r) ORDER BY id""".stripMargin,
+         |  CAST(n1 + COALESCE(n2, 0) AS BIGINT) AS n_reachable,
+         |  CAST(n1 + 2 * COALESCE(n2, 0) AS BIGINT) AS total_dist,
+         |  round((n1 + COALESCE(n2, 0))
+         |    / CAST(n1 + 2 * COALESCE(n2, 0) AS DOUBLE), 6) AS closeness
+         |FROM nn LEFT JOIN cs USING (r) ORDER BY id""".stripMargin,
     // full-graph wedge count; triangles are the same structural zero
     // a_triangles oracles (AlgorithmsSpec pins the nonzero path)
     "a_clustering" -> {

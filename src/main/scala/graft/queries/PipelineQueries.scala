@@ -342,7 +342,10 @@ object PipelineQueries {
     * shifts emulated as mask-then-multiply, which cannot overflow),
     * band slices compared as exact 8-tuples (Spark buckets by a hash
     * OF the slice, so absent a 64-bit collision the candidate sets are
-    * identical), then exact-Jaccard verification. Stage columns get
+    * identical), then exact-Jaccard verification. The maxBucketSize=500
+    * mega-bucket skew guard is mirrored here (bsz/bbf) so both engines
+    * see the identical candidate set even if a band bucket ever
+    * exceeds 500 docs at the verified scale. Stage columns get
     * fresh names (a/b/c/d) so DuckDB lateral alias resolution can
     * never bind a reference to the wrong stage.
     */
@@ -373,8 +376,12 @@ object PipelineQueries {
        |x3 AS (SELECT doc_id, $s3 FROM x2),
        |sig AS (SELECT doc_id, $mins FROM x3 GROUP BY doc_id),
        |bb AS ($bandRows),
+       |bsz AS (SELECT band, sl, COUNT(*) AS c FROM bb GROUP BY band, sl),
+       |bbf AS (SELECT bb.doc_id, bb.band, bb.sl FROM bb
+       |  JOIN bsz ON bb.band = bsz.band AND bb.sl = bsz.sl
+       |  WHERE bsz.c <= 500),
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM bb a JOIN bb b ON a.band = b.band AND a.sl = b.sl
+       |  FROM bbf a JOIN bbf b ON a.band = b.band AND a.sl = b.sl
        |    AND a.doc_id < b.doc_id),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
        |ni AS (SELECT c.a_id, c.b_id, COUNT(*) AS ni
@@ -605,8 +612,9 @@ object PipelineQueries {
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start
         |  FROM t)
         |SELECT doc_id, n_tokens,
         |  start // 256 AS pack_first,

@@ -156,4 +156,17 @@ class AlgorithmsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((5L, 1L, 0.6)))
   }
+
+  test("clusteringCoefficient: zero wedges is exact 0, never NULL") {
+    // one isolated edge: both endpoints degree 1 → 0 wedges, and the
+    // label filter below empties the edge set entirely — both shapes
+    // must emit (0, 0, 0.0), not NULLs from SUM-over-nothing / x/0
+    val g = mkGraph(Seq((1L, 2L)))
+    val deg1 = Algorithms.clusteringCoefficient(spark, g)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(deg1 == Seq((0L, 0L, 0.0)))
+    val empty = Algorithms.clusteringCoefficient(spark, g, Seq("no_such_label"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(empty == Seq((0L, 0L, 0.0)))
+  }
 }

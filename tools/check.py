@@ -5,13 +5,20 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 For each <name>/ parquet dir under verifyOutDir, runs the matching SQL
 from oracle_sql.json in DuckDB (tables = parquet files in sfDir), then
-compares: row count, sorted-by-name column list, and cell values
-(rows sorted, NaN-safe, exact for non-floats, tight tolerance for
-floats so we notice any nondeterminism before the driver does).
+compares: row count, sorted-by-name column list, Arrow type families,
+and cell values (rows sorted, NaN-safe, exact for non-floats, tight
+tolerance for floats so we notice any nondeterminism before the driver
+does).
+
+The Arrow-type check exists because the driver's hash path goes through
+Arrow: a DuckDB HUGEINT (e.g. an uncast window SUM) surfaces as
+decimal128(38,0) there and hash-mismatches Spark's int64 even when every
+Python-level value compares equal — exactly the d12 r04/r05 flag.
 """
 import json, math, sys, glob, os
 import duckdb
 import pyarrow.parquet as pq
+import pyarrow.types as pt
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -31,6 +38,19 @@ def norm(v):
     if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
     return v
 
+def family(t):
+    if pt.is_integer(t): return "int"
+    if pt.is_floating(t): return "float"
+    if pt.is_decimal(t): return f"decimal({t.precision},{t.scale})"
+    if pt.is_boolean(t): return "bool"
+    if pt.is_string(t) or pt.is_large_string(t): return "string"
+    if pt.is_timestamp(t): return "timestamp"
+    if pt.is_date(t): return "date"
+    if pt.is_list(t) or pt.is_large_list(t): return f"list<{family(t.value_type)}>"
+    if pt.is_binary(t) or pt.is_large_binary(t): return "binary"
+    if pt.is_null(t): return "null"
+    return str(t)
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm(r[i]) for i in order) for r in rows]
@@ -49,10 +69,20 @@ for name in sorted(oracle):
         res = con.execute(oracle[name])
         duck_cols = [c[0] for c in res.description]
         duck_rows = res.fetchall()
+        duck_arrow = con.execute(oracle[name]).arrow()
     except Exception as e:
         print(f"SQLERR   {name}: {e}"); fail += 1; continue
     if sorted(spark_cols) != sorted(duck_cols):
         print(f"COLS     {name}: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        fail += 1; continue
+    tmis = []
+    for c in spark_cols:
+        fs = family(tbl.schema.field(c).type)
+        fd = family(duck_arrow.schema.field(c).type)
+        if fs != fd and "null" not in (fs, fd):
+            tmis.append(f"{c}: spark={fs} duck={fd}")
+    if tmis:
+        print(f"TYPE     {name}: " + "; ".join(tmis))
         fail += 1; continue
     if len(spark_rows) != len(duck_rows):
         print(f"ROWS     {name}: spark={len(spark_rows)} duck={len(duck_rows)}")
