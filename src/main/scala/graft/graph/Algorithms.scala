@@ -48,12 +48,21 @@ object Algorithms {
   }
 
   /** degrees (parallel edges counted, as in the reference's dual edge
-    * tables where each adjacency row is its own KV).
+    * tables where each adjacency row is its own KV; zero-degree
+    * vertices omitted, matching GraphX `Graph.degrees`).
+    *
+    * Pure DataFrame: one union + one codegen'd hash aggregate with
+    * map-side partials — no GraphX graph construction, no RDD caching.
+    * The GraphX path measured 3.0s at sf0.1 for what is a sub-second
+    * single-shuffle aggregation; at 100 TB this shape shuffles only
+    * (id, partial_count) pairs.
     */
   def degrees(s: SparkSession, g: PropertyGraph, labels: Seq[String] = Nil): DataFrame = {
-    import s.implicits._
-    val graph = toGraphX(g, labels)
-    finish(graph.degrees.toDF("id", "degree"), graph)
+    val all = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    all.select(col("src").as("id")).union(all.select(col("dst").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("degree"))
   }
 
   /** static PageRank, fixed iteration count for determinism. */
@@ -128,12 +137,37 @@ object Algorithms {
                     labels: Seq[String] = Nil): DataFrame = {
     val all = if (labels.isEmpty) g.edges
     else g.edges.filter(col("label").isin(labels: _*))
-    val e = all.select(
+    val e = undirectedDistinct(all)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // unfiltered: the graph's declared vertex set (isolated vertices
+      // count); label-filtered: the endpoints of the surviving edges
+      val nVertices =
+        if (labels.isEmpty) g.vertices.select(col("id")).distinct().count()
+        else all.select(col("src").as("id"))
+          .union(all.select(col("dst").as("id"))).distinct().count()
+      triangleFrom(e, degreesOf(e))
+        .withColumn("n_vertices", lit(nVertices))
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** canonical undirected distinct edge list (a < b, no self-loops) */
+  private def undirectedDistinct(edges: DataFrame): DataFrame =
+    edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+
+  /** compact-forward closure over a PERSISTED canonical edge list —
+    * shared by [[triangleTotal]] and [[clusteringCoefficient]] so the
+    * distinct + degree build runs once per query, not once per caller.
+    * Returns the eagerly-materialized 1-row total.
+    */
+  private def triangleFrom(e: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -155,15 +189,8 @@ object Algorithms {
         .select(col("w1"), col("w2"))
       val triangles = wedges.join(
         o.select(col("u").as("w1"), col("w").as("w2")), Seq("w1", "w2"), "left_semi")
-      // unfiltered: the graph's declared vertex set (isolated vertices
-      // count); label-filtered: the endpoints of the surviving edges
-      val nVertices =
-        if (labels.isEmpty) g.vertices.select(col("id")).distinct().count()
-        else all.select(col("src").as("id"))
-          .union(all.select(col("dst").as("id"))).distinct().count()
       // one row out — materialize before releasing the cached edges
       triangles.agg(count(lit(1)).cast("long").as("total_triangles"))
-        .withColumn("n_vertices", lit(nVertices))
         .localCheckpoint(eager = true)
     } finally o.unpersist(blocking = false)
   }
@@ -343,22 +370,26 @@ object Algorithms {
                             labels: Seq[String] = Nil): DataFrame = {
     val all = if (labels.isEmpty) g.edges
     else g.edges.filter(col("label").isin(labels: _*))
-    val e = all.select(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // empty / all-degree-1 edge sets: SUM over zero rows is NULL and
-    // Divide by 0 is NULL under non-ANSI — define both as exact 0
-    val wedges = deg.agg(
-      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
-    val tri = triangleTotal(s, g, labels).select(col("total_triangles"))
-    wedges.crossJoin(tri)
-      .select(col("n_wedges"), col("total_triangles"),
-        when(col("n_wedges") === 0, lit(0.0)).otherwise(
-          round(lit(3.0) * col("total_triangles").cast("double") /
-            col("n_wedges").cast("double"), 6)).as("global_clustering"))
+    // one persisted canonical edge list + one degree frame feed BOTH
+    // the wedge count and the triangle closure (pre-round-6 this query
+    // rebuilt the lineitem-wide distinct twice — 15s vs triangles' 6.6s
+    // at sf0.1)
+    val e = undirectedDistinct(all)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = degreesOf(e)
+      // empty / all-degree-1 edge sets: SUM over zero rows is NULL and
+      // Divide by 0 is NULL under non-ANSI — define both as exact 0
+      val wedges = deg.agg(
+        coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+      val tri = triangleFrom(e, deg)
+      wedges.crossJoin(tri)
+        .select(col("n_wedges"), col("total_triangles"),
+          when(col("n_wedges") === 0, lit(0.0)).otherwise(
+            round(lit(3.0) * col("total_triangles").cast("double") /
+              col("n_wedges").cast("double"), 6)).as("global_clustering"))
+        .localCheckpoint(eager = true)
+    } finally e.unpersist(blocking = false)
   }
 
   /** single-source shortest hop-distance via Pregel. `reverse` follows
