@@ -395,6 +395,80 @@ object Dedup {
       .withColumn("contaminated", col("shared_ratio") >= flagThreshold)
   }
 
+  // ------------------------------------------------- winnowing fingerprints
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS copy-detection scheme): hash every word
+    * k-gram, slide a window of `w` consecutive gram hashes over each
+    * document, keep the minimal hash per window with ties broken
+    * toward the earlier position, and take the distinct kept
+    * (hash, position) pairs as the document's fingerprint set.
+    * Guarantees: two documents sharing any run of w+k-1 tokens share
+    * at least one fingerprint, and density is ~2/(w+1) of grams
+    * regardless of document length — the rolling-hash fingerprinting
+    * entry of the training-pipeline surface.
+    *
+    * Portability: the gram hash is the top 40 bits of md5, and the
+    * per-window argmin is a single BIGINT `MIN(h·2^20 + gram_idx)` —
+    * the lexicographic (hash, pos) minimum, since gram_idx < 2^20 —
+    * so DuckDB replays the whole pipeline with plain window MIN
+    * (2^40·2^20 stays under the signed-64 ANSI overflow check).
+    * The 2^20 gram index bound (~1M tokens/doc) is the documented
+    * cap; longer documents are a split-upstream pathology.
+    *
+    * Scale: one explode + two doc_id-partitioned windows + one
+    * hash-agg, all whole-stage codegen, one narrow doc_id shuffle; no
+    * arrays materialize and nothing is driver-side. Summary columns
+    * (count/sum/min/max of fingerprint hashes) keep the result frame
+    * scalar; the distinct (doc_id, hp) rows before the final agg ARE
+    * the per-doc fingerprint sets if a caller needs them.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowFingerprintRows(docs, k, w)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fps"),
+        sum(expr("hp div 1048576")).as("fp_sum"),
+        min(expr("hp div 1048576")).as("fp_min"),
+        max(expr("hp div 1048576")).as("fp_max"))
+
+  /** the distinct per-doc fingerprint rows behind [[winnowFingerprints]]:
+    * (doc_id, n_grams, hp) where hp = hash·2^20 + gram_idx. Join two
+    * corpora on `hp div 2^20` (the 40-bit gram hash) for winnowed
+    * copy-detection candidates.
+    */
+  def winnowFingerprintRows(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+        .as(Seq("pos", "t")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams =
+      if (k == 1) tok.select(col("doc_id"), col("pos"), col("t").as("s"))
+      else {
+        val leads = (1 until k).map(i => lead(col("t"), i).over(wp))
+        // pos 0 kept unconditionally: whole-doc fallback gram for docs
+        // shorter than k tokens (same contract as shingleRows)
+        tok.select(col("doc_id"), col("pos"),
+            concat_ws(" ", (col("t") +: leads): _*).as("s"),
+            leads.last.isNotNull.as("__full"))
+          .filter(col("__full") || col("pos") === 0)
+          .select(col("doc_id"), col("pos"), col("s"))
+      }
+    val g = grams.select(col("doc_id"),
+      (row_number().over(wp) - 1).as("gi"),
+      conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long").as("h"))
+    val wg = Window.partitionBy(col("doc_id")).orderBy(col("gi"))
+    g.select(col("doc_id"), col("gi"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n_grams"),
+        min(col("h") * lit(1L << 20) + col("gi"))
+          .over(wg.rowsBetween(Window.currentRow, w - 1)).as("hp"))
+      // full windows only; a doc with fewer than w grams winnows its
+      // single all-grams window at gi = 0
+      .filter(col("gi") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col("doc_id"), col("n_grams"), col("hp")).distinct()
+  }
+
   /** top-level: winners after exact + minhash near-dup removal
     * (keep the smallest doc_id of each near-dup cluster's pairs).
     */

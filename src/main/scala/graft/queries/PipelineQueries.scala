@@ -99,6 +99,14 @@ object PipelineQueries {
     TextAnalysis.tfidfTop(Tables.documents(s, dir))
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints (k=3 grams, w=4 windows) per document —
+    * rolling-hash copy-detection summaries; the oracle replays the
+    * md5-40-bit gram hash and the BIGINT-encoded window argmin.
+    */
+  def d18Fingerprints(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
   /** Sequence packing: concat-then-chunk the corpus into 256-token
     * packs via the distributed two-level prefix sum (bucketWidth 64 so
     * the gate exercises multiple buckets); the oracle replays the
@@ -285,6 +293,7 @@ object PipelineQueries {
     "d15_repetition" -> (d15Repetition _),
     "d16_sliding_chunks" -> (d16SlidingChunks _),
     "d17_contamination" -> (d17Contamination _),
+    "d18_fingerprints" -> (d18Fingerprints _),
     "e5_quantize" -> (e5Quantize _),
     "e6_dim_stats" -> (e6DimStats _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
@@ -465,6 +474,38 @@ object PipelineQueries {
         |      + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_val
         |FROM embeddings, unnest(range(len(embedding))) AS u(i)
         |GROUP BY i ORDER BY pos""".stripMargin,
+    // winnowing replay: grams via lead() (concat_ws skips the null
+    // tail, giving the same short-doc fallback gram), 40-bit md5 gram
+    // hash, window argmin as MIN(h*2^20 + gram_idx); the SUM is cast
+    // back to BIGINT (HUGEINT surfaces as decimal128 in Arrow and
+    // hash-mismatches on the driver — the d12 lesson)
+    "d18_fingerprints" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |gr AS (SELECT doc_id, pos,
+        |    concat_ws(' ', t,
+        |      lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |      lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+        |    lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+        |      AS keep2
+        |  FROM tok),
+        |g AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS gi,
+        |    CAST(concat('0x', substr(md5(s), 1, 10)) AS BIGINT) AS h
+        |  FROM gr WHERE keep2 OR pos = 1),
+        |sel AS (SELECT doc_id, gi,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+        |    MIN(h * 1048576 + gi) OVER (PARTITION BY doc_id ORDER BY gi
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS hp
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, n_grams, hp FROM sel
+        |  WHERE gi <= greatest(n_grams - 4, 0))
+        |SELECT doc_id, MAX(n_grams) AS n_grams, COUNT(*) AS n_fps,
+        |  CAST(SUM(hp // 1048576) AS BIGINT) AS fp_sum,
+        |  MIN(hp // 1048576) AS fp_min, MAX(hp // 1048576) AS fp_max
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d17_contamination" ->
       """WITH b AS (
         |  SELECT doc_id, text,

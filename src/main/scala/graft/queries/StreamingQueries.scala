@@ -79,7 +79,17 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Gap sessionization (30-min inactivity, exact µs arithmetic) —
+    * batch face of the flatMapGroupsWithState custom-state operator;
+    * StreamingSpec pins that the stateful streaming path emits the
+    * same closed sessions.
+    */
+  def s10GapSessions(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.gapSessions(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_gap_sessions" -> (s10GapSessions _),
     "s1_tumbling" -> (s1Tumbling _),
     "s2_sliding" -> (s2Sliding _),
     "s3_sessions" -> (s3Sessions _),
@@ -95,6 +105,29 @@ object StreamingQueries {
     "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // ts is TIMESTAMP_NS in DuckDB's parquet read: CAST to TIMESTAMP
+    // first so epoch_us matches Spark's µs truncation; the island id
+    // is RANGE-framed for tie robustness (see EventsPipeline)
+    "s10_gap_sessions" ->
+      """WITH b AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(ROUND((value)*100) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT user_id, ts_us, cents,
+        |    CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |           IS NULL
+        |         OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us) > 1800000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM b),
+        |s AS (SELECT user_id, ts_us, cents,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(ts_us) AS session_start,
+        |  MAX(ts_us) AS session_end, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT)/100.0 AS value_sum
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "s1_tumbling" ->
       s"""SELECT $bucketSql AS bucket, event_type, COUNT(*) AS n,
          |  SUM(CAST(ROUND((value)*100) AS BIGINT))/100.0 AS value_sum

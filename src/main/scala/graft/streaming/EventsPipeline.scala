@@ -1,7 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** input record of the custom-state sessionizer: event-time timestamp
+  * (carries the stream's watermark) + integer cents (exact value sum).
+  * Top-level so Spark's bean/product encoders can instantiate it.
+  */
+case class GapEvent(user_id: Long, ts: java.sql.Timestamp, cents: Long)
+
+/** the one fixed-size state record per active user */
+case class GapSessionState(start: Long, end: Long, n: Long, cents: Long)
+
+/** a closed session: [start, end] in event-time µs, exact value sum */
+case class GapSession(user_id: Long, session_start: Long, session_end: Long,
+                      n_events: Long, value_sum: Double)
 
 /** Structured-Streaming events pipeline (SURVEY §2.5 streaming row).
   *
@@ -107,6 +121,104 @@ object EventsPipeline {
       .withColumn("asof_ref_id", last(col("ref_id"), ignoreNulls = true).over(w))
       .filter(col("event_type") === needType)
       .select(col("event_id"), col("user_id"), col("asof_ref_id"))
+  }
+
+  // -------------------------------------------- custom-state sessions
+
+  /** Gap sessionization, batch formulation (gaps-and-islands): a new
+    * session starts when a user's inter-event gap exceeds `gapUs`
+    * microseconds. Exact integer µs end to end (unix_micros, never
+    * second-truncated), integer-cents value sums.
+    *
+    * Tie robustness: the island id is a RANGE-framed cumulative sum,
+    * so events sharing one timestamp always land in one session no
+    * matter how either engine orders the tie internally (a ROWS frame
+    * would split a tied pair nondeterministically when the session
+    * flag sits inside the tie group).
+    *
+    * Scale: one shuffle on user_id; both windows and the final
+    * aggregate share that partitioning, so the whole operator is a
+    * single exchange + sorted within partitions.
+    */
+  def gapSessions(df: DataFrame, gapUs: Long = 1800L * 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val base = df.select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      graft.util.Exact.cents(col("value")).as("cents"))
+    base
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("ts_us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(col("cents")) / 100.0).as("value_sum"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_sum"))
+  }
+
+  /** Gap sessionization, streaming custom-state formulation:
+    * `flatMapGroupsWithState` with event-time timeout — the
+    * KeyValueGroupedDataset custom-state surface of SURVEY §2.5. Open
+    * sessions live in the state store keyed by user; a session closes
+    * (and emits, Append mode) when a later event of the same user
+    * exceeds the gap, or when the event-time watermark passes
+    * session_end + gap (state timeout — no later event needed).
+    * Closed sessions match [[gapSessions]] row for row; the input
+    * must carry a watermark (see withWatermarked).
+    *
+    * Scale: state is one small fixed-size record per ACTIVE user, not
+    * per event; timeouts bound state lifetime to the gap, so the
+    * store never grows with history.
+    */
+  def gapSessionsStateful(ds: Dataset[GapEvent], gapUs: Long = 1800L * 1000000)
+                         (implicit encK: Encoder[Long],
+                          enc1: Encoder[GapSessionState],
+                          enc2: Encoder[GapSession]): Dataset[GapSession] = {
+    val gapMs = gapUs / 1000
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapSessionState, GapSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[GapEvent],
+         state: GroupState[GapSessionState]) =>
+          def close(st: GapSessionState): GapSession =
+            GapSession(user, st.start, st.end, st.n, st.cents / 100.0)
+          def tsUs(e: GapEvent): Long =
+            e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+          if (state.hasTimedOut) {
+            val out = close(state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val closed = Seq.newBuilder[GapSession]
+            var cur = state.getOption.orNull
+            // iterator order within a micro-batch is not time order
+            events.toSeq.sortBy(e => (tsUs(e), e.cents)).foreach { e =>
+              val us = tsUs(e)
+              cur match {
+                case null =>
+                  cur = GapSessionState(us, us, 1L, e.cents)
+                case st if us - st.end <= gapUs =>
+                  cur = GapSessionState(st.start, math.max(st.end, us),
+                    st.n + 1, st.cents + e.cents)
+                case st =>
+                  closed += close(st)
+                  cur = GapSessionState(us, us, 1L, e.cents)
+              }
+            }
+            state.update(cur)
+            // fire once the watermark passes end + gap (clamped above
+            // the current watermark — setting a timeout at or before
+            // it is rejected by the state store)
+            state.setTimeoutTimestamp(
+              math.max(cur.end / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.result().iterator
+          }
+      }
   }
 
   /** Stream-stream interval join (exercised with watermarks in

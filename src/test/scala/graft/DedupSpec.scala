@@ -74,4 +74,51 @@ class DedupSpec extends AnyFunSuite {
       .select("jaccard").as[Double].collect()
     assert(j.toSeq == Seq(1.0))
   }
+
+  test("winnowing: exact copies share the full fingerprint set; " +
+       "density and short-doc fallback hold") {
+    val k = 3; val w = 4
+    val fp = Dedup.winnowFingerprints(docs, k, w).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // exact copies fingerprint identically (positions and hashes)
+    assert(fp(0L) == fp(4L))
+    // winnowing selects >= 1 per full window but far fewer than all
+    // grams: expected density ~2/(w+1); allow a generous band
+    val (nGrams, nFps, _, fpMin, fpMax) = fp(0L)
+    assert(nGrams == 16 - k + 1)
+    assert(nFps >= 1 && nFps < nGrams)
+    assert(fpMin >= 0 && fpMax < (1L << 40))
+    // doc shorter than k tokens: one whole-doc gram, one fingerprint
+    val tiny = Seq((9L, "only two")).toDF("doc_id", "text")
+    val t = Dedup.winnowFingerprints(tiny, k, w).collect().head
+    assert(t.getLong(1) == 1 && t.getLong(2) == 1)
+  }
+
+  test("winnowing guarantee: docs sharing a w+k-1 token run share a hash") {
+    val k = 3; val w = 4
+    // shared run of w+k-1 = 6 tokens embedded in disjoint prefixes at
+    // DIFFERENT positions — the guarantee is on gram hashes, not
+    // positions, so compare hp div 2^20
+    val run = "alpha beta gamma delta epsilon zeta"
+    val pair = Seq(
+      (0L, s"one two three four five six $run"),
+      (1L, s"seven eight nine ten eleven twelve extra $run")).toDF("doc_id", "text")
+    val rows = Dedup.winnowFingerprintRows(pair, k, w)
+      .select(col("doc_id"), expr("hp div 1048576").as("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val h0 = rows.filter(_._1 == 0L).map(_._2).toSet
+    val h1 = rows.filter(_._1 == 1L).map(_._2).toSet
+    assert((h0 & h1).nonEmpty)
+    // and fully-disjoint docs share nothing
+    val disj = Dedup.winnowFingerprintRows(
+      Seq((0L, "aa bb cc dd ee ff gg hh"),
+          (1L, "qq ww rr tt yy uu ii oo")).toDF("doc_id", "text"), k, w)
+      .select(col("doc_id"), expr("hp div 1048576").as("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = disj.filter(_._1 == 0L).map(_._2).toSet
+    val d1 = disj.filter(_._1 == 1L).map(_._2).toSet
+    assert((d0 & d1).isEmpty)
+  }
 }

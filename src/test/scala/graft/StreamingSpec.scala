@@ -146,6 +146,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(7L) == 3L) // state carried across micro-batches
   }
 
+  test("flatMapGroupsWithState gap sessions: closed sessions match the batch analog") {
+    val gapUs = 600L * 1000000 // 10-minute gap for a compact fixture
+    val evs1 = Seq(ev(1, "2024-01-01 00:00:00", user = 7, v = 1.25),
+      ev(2, "2024-01-01 00:05:00", user = 7, v = 2.50),
+      ev(3, "2024-01-01 00:00:00", user = 8, v = 0.75))
+    val evs2 = Seq(ev(4, "2024-01-01 01:00:00", user = 7, v = 4.00), // > gap: closes 7's first session
+      ev(5, "2024-01-01 00:08:00", user = 8, v = 1.00)) // extends 8's session
+    // sentinels only advance the watermark past everyone's end + gap
+    // so the open sessions close via event-time TIMEOUT, not data
+    val evs3 = Seq(ev(6, "2024-01-01 03:00:00", user = 99))
+    val evs4 = Seq(ev(7, "2024-01-01 03:30:00", user = 99))
+    val stream = MemoryStream[Ev]
+    val input = stream.toDF()
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"),
+        graft.util.Exact.cents(col("value")).as("cents"))
+      .as[graft.streaming.GapEvent]
+    val out = EventsPipeline.gapSessionsStateful(input, gapUs).toDF()
+    val got = runStream(stream, out, "t_gap")(Seq(evs1, evs2, evs3, evs4))
+      .filter(col("user_id") =!= 99)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    val batch = EventsPipeline.gapSessions(
+        (evs1 ++ evs2).toDF(), gapUs)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    // user 7: [00:00,00:05] closed by the 01:00 event, [01:00] by
+    // timeout; user 8: [00:00,00:08] by timeout — identical rows,
+    // session bounds in µs, exact cents sums
+    assert(batch.size == 3)
+    assert(got == batch)
+  }
+
   test("stream-stream interval join pairs clicks with subsequent errors") {
     val errors = MemoryStream[Ev]
     val clicks = MemoryStream[Ev]
