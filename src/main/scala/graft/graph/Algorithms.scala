@@ -249,6 +249,56 @@ object Algorithms {
     }
   }
 
+  /** Deterministic synchronous label propagation (community
+    * detection — the LPA of the HugeGraph analytics suite, here
+    * DataFrame-first): every vertex starts in its own community; each
+    * of the fixed `iters` rounds relabels every vertex to its
+    * neighbors' most frequent label, ties broken toward the SMALLEST
+    * label — so the result is bit-stable across engines, partition
+    * counts, and reduce orders, unlike GraphX's LabelPropagation
+    * (whose tie-break follows hash-map iteration order). Isolated
+    * vertices keep their own label (singleton communities).
+    *
+    * Per round: one narrow (v, n) adjacency join against the (id,
+    * label) state + two hash-aggs — shuffles carry 16-byte pairs, the
+    * adjacency list is persisted for the loop, and state is eagerly
+    * localCheckpoint'ed per round (the Dedup.dupClusters loop
+    * mechanics; a lazily-unrolled 4-iteration plan re-analyzes the
+    * whole lineage each round). Fixed iteration count: synchronous
+    * LPA can oscillate on bipartite regions, so convergence testing
+    * would not terminate — fixed-k is the standard batch variant.
+    */
+  def labelPropagation(s: SparkSession, g: PropertyGraph, iters: Int = 4,
+                       labels: Seq[String] = Nil): DataFrame = {
+    val all = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val und = undirectedDistinct(all)
+    val adj = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = g.vertices.select(col("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var lab = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val nb = adj.join(lab.select(col("id").as("n"), col("lbl")), "n")
+        val pick = nb.groupBy(col("v"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("v"))
+          // lexicographic struct max = (max count, then min label)
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("v").as("id"), (-col("m.nl")).as("new_lbl"))
+        lab = lab.join(pick, Seq("id"), "left")
+          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      lab
+    } finally {
+      adj.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
+    }
+  }
+
   /** k-core: the maximal subgraph in which every vertex has at least k
     * (distinct, undirected) neighbors — the classic density filter for
     * community mining. Iterative peeling on DataFrames: drop vertices

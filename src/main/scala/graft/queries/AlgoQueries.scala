@@ -125,7 +125,19 @@ object AlgoQueries {
     Algorithms.neighborEdgeSum(s, g(s, dir), "contains", "quantity")
       .orderBy(col("id"))
 
+  /** label-propagation communities over the full graph (4 synchronous
+    * min-label-tie-break rounds), summarized as a community-size
+    * histogram so the gate frame stays small while still pinning the
+    * entire final labeling (any relabel changes some size bucket).
+    */
+  def aLpa(s: SparkSession, dir: String): DataFrame =
+    Algorithms.labelPropagation(s, g(s, dir), iters = 4)
+      .groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+      .orderBy(col("size"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_lpa" -> (aLpa _),
     "a_degrees" -> (aDegrees _),
     "a_kcore" -> (aKcore _),
     "a_sssp_hops" -> (aSsspHops _),
@@ -138,6 +150,57 @@ object AlgoQueries {
     "a_closeness" -> (aCloseness _),
     "a_clustering" -> (aClustering _),
   )
+
+  /** DuckDB replay of labelPropagation over the full graph: the same
+    * 4 synchronous rounds unrolled as chained CTEs (generated from one
+    * template so the two sides cannot drift). Spark's lexicographic
+    * `max(struct(cnt, -lbl))` tie-break is replayed as two passes —
+    * MAX(cnt) per vertex, then MIN(lbl) among the labels achieving it.
+    */
+  private val lpaSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val iters = 4
+    val rounds = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS (SELECT ad.v AS v, lp.lbl AS lbl, COUNT(*) AS cnt
+         |  FROM adj ad JOIN $prev lp ON ad.n = lp.id GROUP BY ad.v, lp.lbl),
+         |m$i AS (SELECT v, MAX(cnt) AS mc FROM c$i GROUP BY v),
+         |p$i AS (SELECT cc.v AS v, MIN(cc.lbl) AS nl FROM c$i cc
+         |  JOIN m$i mm ON cc.v = mm.v AND cc.cnt = mm.mc GROUP BY cc.v),
+         |l$i AS (SELECT lx.id AS id, COALESCE(px.nl, lx.lbl) AS lbl
+         |  FROM $prev lx LEFT JOIN p$i px ON lx.id = px.v)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT ${enc("customer", "o_custkey")} AS src,
+       |         ${enc("order", "o_orderkey")} AS dst FROM orders
+       |  UNION ALL SELECT ${enc("order", "l_orderkey")},
+       |         ${enc("part", "l_partkey")} FROM lineitem
+       |  UNION ALL SELECT DISTINCT ${enc("part", "l_partkey")},
+       |         ${enc("supplier", "l_suppkey")} FROM lineitem
+       |  UNION ALL SELECT ${enc("customer", "c_custkey")},
+       |         ${enc("nation", "c_nationkey")} FROM customer
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+       |         ${enc("nation", "s_nationkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+       |         ${enc("region", "n_regionkey")} FROM nation),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e0 WHERE src <> dst),
+       |adj AS (SELECT a AS v, b AS n FROM und
+       |  UNION ALL SELECT b AS v, a AS n FROM und),
+       |verts AS (
+       |  SELECT ${enc("customer", "c_custkey")} AS id FROM customer
+       |  UNION ALL SELECT ${enc("order", "o_orderkey")} FROM orders
+       |  UNION ALL SELECT ${enc("part", "p_partkey")} FROM part
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")} FROM nation
+       |  UNION ALL SELECT ${enc("region", "r_regionkey")} FROM region),
+       |l0 AS (SELECT DISTINCT CAST(id AS BIGINT) AS id,
+       |    CAST(id AS BIGINT) AS lbl FROM verts),
+       |$rounds
+       |SELECT CAST(size AS BIGINT) AS size, COUNT(*) AS n_communities
+       |FROM (SELECT lbl, COUNT(*) AS size FROM l$iters GROUP BY lbl)
+       |GROUP BY size ORDER BY size""".stripMargin
+  }
 
   /** DuckDB replay of pageRankExact over the geo subgraph: the same 10
     * integer-unit iterations unrolled as chained CTEs (generated from
@@ -242,6 +305,7 @@ object AlgoQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "a_lpa" -> lpaSql,
     "a_pagerank_exact" -> pagerankExactSql,
     "a_kcore" -> kcoreSql,
     "a_wsssp" -> wssspSql,

@@ -258,6 +258,27 @@ object Relational {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** GROUPING SETS — the general form behind cube/rollup: exactly the
+    * (status, priority), (status) and () groupings, with grouping_id
+    * disambiguating a real NULL key from a superaggregate row (the
+    * ANSI contract; both engines number the bits identically for the
+    * same column order).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping_id(o_orderstatus, o_orderpriority) AS gid,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        |    / CAST(100 AS DOUBLE) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** pivot: order counts per status × priority, priorities as columns
     * (oracle replays via conditional aggregation).
     */
@@ -310,6 +331,7 @@ object Relational {
     "q_window_running" -> (qWindowRunning _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
     "q_percentile" -> (qPercentile _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -357,6 +379,17 @@ object Relational {
         |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT)) AS BIGINT)/100.0
+        |    AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total

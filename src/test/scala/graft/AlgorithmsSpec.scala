@@ -157,6 +157,29 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got == Seq((5L, 1L, 0.6)))
   }
 
+  test("labelPropagation: triangle converges to one community; " +
+       "path-3 oscillates deterministically; isolated keeps its label") {
+    // triangle: round 1 gives (2,1,1), round 2 converges to all-1
+    val tri = mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val gotTri = Algorithms.labelPropagation(spark, tri, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(gotTri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // path 1-2-3 is bipartite: synchronous LPA 2-cycles; after the
+    // fixed 4 rounds the labeling is exactly (1,2,1) — hand-computed
+    val path = mkGraph(Seq((1L, 2L), (2L, 3L)))
+    val gotPath = Algorithms.labelPropagation(spark, path, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(gotPath == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // isolated vertex: explicit vertex set, no edges touching 9
+    val v = Seq((1L, "node"), (2L, "node"), (9L, "node")).toDF("id", "label")
+    val e = Seq((1L, 2L, "link", null.asInstanceOf[java.lang.Long]))
+      .toDF("src", "dst", "label", "sort_key")
+    val iso = Algorithms.labelPropagation(spark, PropertyGraph(v, e), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(iso(9L) == 9L)
+    assert(Set(iso(1L), iso(2L)).subsetOf(Set(1L, 2L)))
+  }
+
   test("clusteringCoefficient: zero wedges is exact 0, never NULL") {
     // one isolated edge: both endpoints degree 1 → 0 wedges, and the
     // label filter below empties the edge set entirely — both shapes
