@@ -79,6 +79,23 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** left-outer interval join: per user, errors WITH a click in the
+    * 10-minute lookback vs errors with none (the unmatched rows a
+    * streaming outer join releases on watermark passage).
+    */
+  def s11LeftInterval(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    EventsPipeline.intervalJoinLeft(
+        ev.filter(col("event_type") === "error"),
+        ev.filter(col("event_type") === "click"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(when(col("click_id").isNotNull, col("err_id")))
+          .as("n_matched"),
+        countDistinct(when(col("click_id").isNull, col("err_id")))
+          .as("n_unmatched"))
+      .orderBy(col("user_id"))
+  }
+
   /** Gap sessionization (30-min inactivity, exact µs arithmetic) —
     * batch face of the flatMapGroupsWithState custom-state operator;
     * StreamingSpec pins that the stateful streaming path emits the
@@ -98,6 +115,7 @@ object StreamingQueries {
     "s6_json_props" -> (s6JsonProps _),
     "s7_asof_join" -> (s7AsofJoin _),
     "s8_interval_join" -> (s8IntervalJoin _),
+    "s11_left_interval" -> (s11LeftInterval _),
     "s9_enriched" -> (s9Enriched _),
   )
 
@@ -186,6 +204,19 @@ object StreamingQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ref_id
         |  FROM events WHERE event_type IN ('error', 'click')
         |) WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "s11_left_interval" ->
+      """SELECT e.user_id,
+        |  COUNT(DISTINCT CASE WHEN c.event_id IS NOT NULL
+        |    THEN e.event_id END) AS n_matched,
+        |  COUNT(DISTINCT CASE WHEN c.event_id IS NULL
+        |    THEN e.event_id END) AS n_unmatched
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = e.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+        |   - INTERVAL '600 seconds'
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
     "s8_interval_join" ->
       """SELECT e.user_id, COUNT(*) AS n_pairs
         |FROM events e JOIN events c

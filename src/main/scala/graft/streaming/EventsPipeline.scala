@@ -236,4 +236,26 @@ object EventsPipeline {
         col("click_ts") >= col("err_ts") - expr(s"INTERVAL $windowSec SECONDS"))
       .select(col("err_id"), col("user_id"), col("click_id"))
   }
+
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]] but
+    * an error with no preceding click still emits (null click_id) —
+    * in streaming, the unmatched row is held in state and released
+    * only once the watermark proves no matching click can arrive,
+    * the outer-join state semantics Structured Streaming added for
+    * exactly this shape. Both sides need watermarks; state on each
+    * side is bounded by watermark + windowSec.
+    */
+  def intervalJoinLeft(errors: DataFrame, clicks: DataFrame,
+                       windowSec: Int = 600): DataFrame = {
+    val e = errors.select(col("event_id").as("err_id"), col("user_id"),
+      col("ts").as("err_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    e.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("err_ts") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $windowSec SECONDS"),
+      "left_outer")
+      .select(col("err_id"), col("user_id"), col("click_id"))
+  }
 }

@@ -204,6 +204,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 21L))
   }
 
+  test("left-outer interval join releases unmatched errors on watermark passage") {
+    val errors = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventsPipeline.intervalJoinLeft(
+      errors.toDF().withWatermark("ts", "10 minutes"),
+      clicks.toDF().withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("t_ssleft")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Seq(ev(10, "2024-01-01 00:00:00", user = 1, typ = "click")))
+      errors.addData(Seq(ev(20, "2024-01-01 00:05:00", user = 1, typ = "error"),
+        ev(21, "2024-01-01 00:40:00", user = 1, typ = "error"))) // no click in window
+      q.processAllAvailable()
+      // watermark must pass err_ts + lookback before the unmatched
+      // error can be proven matchless and released with a null click
+      clicks.addData(Seq(ev(12, "2024-01-01 03:00:00", user = 9, typ = "click")))
+      errors.addData(Seq(ev(22, "2024-01-01 03:00:00", user = 9, typ = "error")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_ssleft")
+      .select(col("err_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((20L, 10L))) // matched pair
+    assert(rows.contains((21L, -1L))) // unmatched, released as null
+  }
+
   test("file-source streaming: readStream over parquet matches batch") {
     // copy the tiny events table into an isolated stream-input dir
     val dir = "target/test-output/stream_in"
