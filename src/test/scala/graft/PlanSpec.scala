@@ -118,4 +118,68 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "n-gram assembly must never plan a global window")
   }
+
+  test("d18 winnowing: every window is partitioned by doc_id") {
+    // gram assembly, the gram index, and the winnow argmin are all
+    // per-document — a global window would serialize the corpus
+    val df = SparkEntry.queries("d18_fingerprints")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "winnowing must never plan a global window")
+  }
+
+  test("s10 gap sessions: one user_id exchange feeds windows and aggregate") {
+    import org.apache.spark.sql.functions.col
+    // the operator (without the gate's presentation sort): lag, the
+    // RANGE-framed island sum, and the session aggregate all share the
+    // user_id hash partitioning — exactly ONE data shuffle
+    val p = graft.streaming.EventsPipeline.gapSessions(
+        graft.Tables.events(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(exchanges(p) == 1, s"gapSessions must shuffle exactly once:\n$p")
+  }
+
+  test("lpa round join reuses the cached pre-partitioned adjacency") {
+    import org.apache.spark.sql.functions.col
+    // replicate one LPA round's join shape: a frame persisted AFTER
+    // repartition(n) joined to a narrow state frame must not
+    // re-shuffle the adjacency side (its InMemoryTableScan keeps the
+    // hash partitioning) — the property labelPropagation's loop
+    // depends on. Broadcast is disabled so the tiny fixture plans the
+    // shuffle join the real 100×-scale adjacency would.
+    val und = graft.Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("a"), col("n_regionkey").as("b"))
+    val adj = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+      .repartition(col("n"))
+      .persist()
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      adj.count()
+      val lab = und.select(col("a").as("n"), col("a").as("lbl"))
+        .localCheckpoint(true)
+      val joined = adj.join(lab, "n")
+      joined.collect() // settle AQE to the final plan
+      val p = joined.queryExecution.executedPlan.toString
+      // the adjacency (left/cache) branch must run cache-scan → sort →
+      // join with NO Exchange in between: in the printed final plan
+      // that is the segment from the join node down to the
+      // InMemoryTableScan (the REPARTITION_BY_COL exchange recorded
+      // INSIDE the InMemoryRelation build plan is not re-executed)
+      val join = "(SortMergeJoin|ShuffledHashJoin)".r
+        .findFirstMatchIn(p).map(_.start)
+      val scan = p.indexOf("InMemoryTableScan")
+      assert(join.nonEmpty && scan > join.get, s"unexpected join shape:\n$p")
+      val branch = p.substring(join.get, scan)
+      assert(!branch.contains("Exchange"),
+        s"adjacency side re-shuffled above its cache:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      adj.unpersist(blocking = true)
+    }
+  }
 }
