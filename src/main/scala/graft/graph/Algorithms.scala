@@ -251,6 +251,55 @@ object Algorithms {
     }
   }
 
+  /** Personalized PageRank, exact integer units — [[pageRankExact]]
+    * with the restart mass concentrated on the seed set: a seed
+    * re-injects 150000 units each round (and starts with the full
+    * 1000000), every other vertex accumulates only propagated mass.
+    * Rank therefore measures proximity to the seeds — the
+    * recommendation/expansion primitive of the HugeGraph analytics
+    * suite. Same loop mechanics and scale shape as pageRankExact
+    * (persisted degree-annotated edges, narrow (id, pr) state
+    * localCheckpoint'ed per round); the seed flag joins once into a
+    * persisted loop-invariant vertex frame, not per round.
+    */
+  def personalizedPageRankExact(s: SparkSession, g: PropertyGraph,
+                                seeds: DataFrame, labels: Seq[String] = Nil,
+                                iters: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val edges = e0.select(col("src"), col("dst"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(MEMORY_AND_DISK)
+    val vflag = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .join(seeds.select(col("id")).distinct()
+        .withColumn("__seed", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("seed"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      var pr = vflag.select(col("id"), (col("seed") * 1000000L).as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val contrib = edgesDeg
+          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("m"))
+        pr = vflag.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (col("seed") * 150000L +
+              expr("(85L * coalesce(m, 0L)) div 100L")).as("pr"))
+          .localCheckpoint()
+      }
+      pr
+    } finally {
+      edgesDeg.unpersist(blocking = false)
+      vflag.unpersist(blocking = false)
+    }
+  }
+
   /** Deterministic synchronous label propagation (community
     * detection — the LPA of the HugeGraph analytics suite, here
     * DataFrame-first): every vertex starts in its own community; each

@@ -54,6 +54,21 @@ object AlgoQueries {
       .orderBy(col("pr").desc, col("id"))
       .limit(10)
 
+  /** Personalized PageRank seeded at the SUPPLIER vertices over the
+    * geo subgraph: rank concentrates on the nations/regions suppliers
+    * sit in (proximity-to-seed-set, the recommendation primitive).
+    * Exact integer units — the oracle replays all 10 rounds.
+    */
+  def aPpr(s: SparkSession, dir: String): DataFrame = {
+    val gr = g(s, dir)
+    val seeds = gr.vertices
+      .filter(col("label") === "supplier").select(col("id"))
+    Algorithms.personalizedPageRankExact(s, gr, seeds,
+        labels = Seq("located_in", "part_of"), iters = 10)
+      .orderBy(col("pr").desc, col("id"))
+      .limit(10)
+  }
+
   /** Closeness centrality of all five regions over the reversed geo
     * tree (region → its nations → their customers/suppliers): one
     * multi-source BFS carries every seed; exact integer distance sums
@@ -138,6 +153,7 @@ object AlgoQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_lpa" -> (aLpa _),
+    "a_ppr" -> (aPpr _),
     "a_degrees" -> (aDegrees _),
     "a_kcore" -> (aKcore _),
     "a_sssp_hops" -> (aSsspHops _),
@@ -208,18 +224,21 @@ object AlgoQueries {
     * division ≡ Spark `div` on the always-positive rank mass; SUM over
     * BIGINT widens to HUGEINT, cast back per step.
     */
+  /** the geo subgraph's edge list, shared by the pagerank/PPR oracles */
+  private val geoEdgesSql: String =
+    s"""SELECT ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS src,
+       |       ${PropertyGraph.sqlEncode("nation", "c_nationkey")} AS dst
+       |FROM customer
+       |UNION ALL
+       |SELECT ${PropertyGraph.sqlEncode("supplier", "s_suppkey")},
+       |       ${PropertyGraph.sqlEncode("nation", "s_nationkey")} FROM supplier
+       |UNION ALL
+       |SELECT ${PropertyGraph.sqlEncode("nation", "n_nationkey")},
+       |       ${PropertyGraph.sqlEncode("region", "n_regionkey")} FROM nation""".stripMargin
+
   private val pagerankExactSql: String = {
     val iters = 10
-    val edgesSql =
-      s"""SELECT ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS src,
-         |       ${PropertyGraph.sqlEncode("nation", "c_nationkey")} AS dst
-         |FROM customer
-         |UNION ALL
-         |SELECT ${PropertyGraph.sqlEncode("supplier", "s_suppkey")},
-         |       ${PropertyGraph.sqlEncode("nation", "s_nationkey")} FROM supplier
-         |UNION ALL
-         |SELECT ${PropertyGraph.sqlEncode("nation", "n_nationkey")},
-         |       ${PropertyGraph.sqlEncode("region", "n_regionkey")} FROM nation""".stripMargin
+    val edgesSql = geoEdgesSql
     val steps = (1 to iters).map { i =>
       s"""pr$i AS (SELECT v.id,
          |  CAST(150000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
@@ -234,6 +253,36 @@ object AlgoQueries {
        |       (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
        |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM v),
+       |$steps
+       |SELECT id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB replay of personalizedPageRankExact: pagerankExactSql's
+    * template with seed-concentrated init and restart (seed flag joins
+    * into the vertex CTE once).
+    */
+  private val pprSql: String = {
+    val iters = 10
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT v.id,
+         |  CAST(v.seed * 150000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT)
+         |    AS pr
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.pr // d.outdeg) AS m
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.id
+         |           JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($geoEdgesSql),
+       |sd AS (SELECT ${PropertyGraph.sqlEncode("supplier", "s_suppkey")} AS id
+       |       FROM supplier),
+       |v0 AS (SELECT DISTINCT id FROM
+       |       (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |v AS (SELECT v0.id,
+       |       CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS seed
+       |      FROM v0 LEFT JOIN sd ON v0.id = sd.id),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |pr0 AS (SELECT id, CAST(seed * 1000000 AS BIGINT) AS pr FROM v),
        |$steps
        |SELECT id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 10""".stripMargin
   }
@@ -306,6 +355,7 @@ object AlgoQueries {
 
   val oracle: Map[String, String] = Map(
     "a_lpa" -> lpaSql,
+    "a_ppr" -> pprSql,
     "a_pagerank_exact" -> pagerankExactSql,
     "a_kcore" -> kcoreSql,
     "a_wsssp" -> wssspSql,

@@ -157,6 +157,18 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got == Seq((5L, 1L, 0.6)))
   }
 
+  test("personalizedPageRankExact: hand-computed seed concentration on chain3") {
+    // chain 1→2→3, seed {1}, 2 iterations of integer units:
+    //   pr0 = (1e6, 0, 0)
+    //   it1: 1 = 150000 (seed restart), 2 = 85%·1e6 = 850000, 3 = 0
+    //   it2: 1 = 150000, 2 = 85%·150000 = 127500, 3 = 85%·850000 = 722500
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L)))
+    val seeds = Seq(1L).toDF("id")
+    val got = Algorithms.personalizedPageRankExact(spark, g, seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
+  }
+
   test("labelPropagation: triangle converges to one community; " +
        "path-3 oscillates deterministically; isolated keeps its label") {
     // triangle: round 1 gives (2,1,1), round 2 converges to all-1
