@@ -224,6 +224,19 @@ object PipelineQueries {
 
   // -------------------------------------------------------- multimodal
 
+  /** Binary-payload exact dedup — the image/audio checksum dedup of a
+    * multimodal ingest: one hash-shuffle on md5(bytes), winner = min
+    * media_id (d1's shape over a binary column; the payload itself
+    * never shuffles, only the 32-char digest). The oracle hashes the
+    * text the bytes were encoded from — identical UTF-8 octets.
+    */
+  def m4MediaDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaTable(Tables.documents(s, dir))
+      .groupBy(md5(col("bytes")).as("content_md5"))
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
   /** metadata of the synthesized media table (bytes column untouched —
     * plan prunes it).
     */
@@ -305,6 +318,7 @@ object PipelineQueries {
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
     "m3_frame_sample" -> (m3FrameSample _),
+    "m4_media_dedup" -> (m4MediaDedup _),
   )
 
   private val fingerprintSql =
@@ -753,6 +767,10 @@ object PipelineQueries {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |  WHERE a.vec_id < 80 AND b.vec_id < 80
         |) WHERE cosine >= 0.2 ORDER BY a_id, b_id""".stripMargin,
+    "m4_media_dedup" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
