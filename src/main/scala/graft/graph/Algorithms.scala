@@ -251,6 +251,61 @@ object Algorithms {
     }
   }
 
+  /** Connected components, DataFrame-first with pointer jumping — the
+    * high-diameter scale path [[connectedComponents]] (GraphX,
+    * O(diameter) supersteps) cannot offer: each round combines one
+    * min-label propagation over the adjacency with one pointer-jump
+    * (comp(v) := comp(comp(v))), so label trees halve in height per
+    * round and convergence is O(log diameter) — the alternating-
+    * algorithm family (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"). Output contract matches GraphX CC
+    * exactly: component id = min vertex id, isolated vertices are
+    * singletons (explicit vertex set).
+    *
+    * Scale shape: adjacency persisted pre-partitioned on the join key
+    * (rounds reshuffle only the narrow (id, comp) state), per-round
+    * state localCheckpoint'ed, convergence checked with an isEmpty
+    * anti-diff — same loop mechanics as labelPropagation/kCore.
+    */
+  def connectedComponentsAlt(s: SparkSession, g: PropertyGraph,
+                             maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = undirectedDistinct(g.edges)
+    val adj = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+      .repartition(col("n"))
+      .persist(MEMORY_AND_DISK)
+    val verts = g.vertices.select(col("id")).distinct()
+      .persist(MEMORY_AND_DISK)
+    try {
+      var lab = verts.select(col("id"), col("id").as("comp")).localCheckpoint()
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val viaNbr = adj.join(lab.select(col("id").as("n"), col("comp")), "n")
+          .select(col("v").as("id"), col("comp"))
+        val m = lab.union(viaNbr)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        // pointer jump: every comp value IS a vertex id, so the
+        // left-join always hits; coalesce is belt-and-braces
+        val jumped = m
+          .join(m.select(col("id").as("comp"), col("comp").as("comp2")),
+            Seq("comp"), "left")
+          .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+          .localCheckpoint()
+        converged = jumped
+          .join(lab.select(col("id"), col("comp").as("prev")), "id")
+          .filter(col("comp") =!= col("prev")).isEmpty
+        lab = jumped
+        it += 1
+      }
+      lab
+    } finally {
+      adj.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
+    }
+  }
+
   /** Personalized PageRank, exact integer units — [[pageRankExact]]
     * with the restart mass concentrated on the seed set: a seed
     * re-injects 150000 units each round (and starts with the full

@@ -123,6 +123,16 @@ object AlgoQueries {
       .groupBy(col("component")).agg(count(lit(1)).as("size"))
       .orderBy(col("component"))
 
+  /** the alternating (pointer-jumping) CC — identical output contract
+    * to a_components from a different engine, so it shares the same
+    * relational oracle; convergence in O(log diameter) rounds is the
+    * high-diameter scale path SCALE.md called open until round 6.
+    */
+  def aCcAlt(s: SparkSession, dir: String): DataFrame =
+    Algorithms.connectedComponentsAlt(s, g(s, dir))
+      .groupBy(col("comp").as("component")).agg(count(lit(1)).as("size"))
+      .orderBy(col("component"))
+
   /** triangle count over the whole graph. The star schema is
     * triangle-free by construction (customer→order→part→supplier and
     * the geo chain never close a 3-cycle), so the oracle is the
@@ -161,6 +171,7 @@ object AlgoQueries {
     "a_pagerank_top" -> (aPagerankTop _),
     "a_pagerank_exact" -> (aPagerankExact _),
     "a_components" -> (aComponents _),
+    "a_cc_alt" -> (aCcAlt _),
     "a_triangles" -> (aTriangles _),
     "a_neighbor_sum" -> (aNeighborSum _),
     "a_closeness" -> (aCloseness _),
@@ -353,6 +364,27 @@ object AlgoQueries {
        |  UNION ALL SELECT * FROM s) ORDER BY id""".stripMargin
   }
 
+  /** shared by a_components (GraphX) and a_cc_alt (pointer jumping):
+    * both declare component = min vertex id, so one relational oracle
+    * covers both engines.
+    */
+  private val componentsSql: String =
+    s"""WITH iso AS (SELECT p_partkey FROM part
+       |  WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)),
+       |total AS (SELECT
+       |    (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
+       |  + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM supplier)
+       |  + (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS n)
+       |SELECT component, size FROM (
+       |  SELECT CAST(${PropertyGraph.sqlEncode("customer",
+          "(SELECT MIN(c_custkey) FROM customer)")} AS BIGINT) AS component,
+       |    CAST((SELECT n FROM total) - (SELECT COUNT(*) FROM iso) AS BIGINT)
+       |      AS size
+       |  UNION ALL
+       |  SELECT CAST(${PropertyGraph.sqlEncode("part", "p_partkey")} AS BIGINT),
+       |    CAST(1 AS BIGINT) FROM iso
+       |) ORDER BY component""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "a_lpa" -> lpaSql,
     "a_ppr" -> pprSql,
@@ -404,22 +436,8 @@ object AlgoQueries {
     // every vertex except never-ordered parts joins one giant component
     // whose GraphX label is the minimum vertex id in it (the smallest
     // customer id); parts absent from lineitem are singletons.
-    "a_components" ->
-      s"""WITH iso AS (SELECT p_partkey FROM part
-         |  WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)),
-         |total AS (SELECT
-         |    (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
-         |  + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM supplier)
-         |  + (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS n)
-         |SELECT component, size FROM (
-         |  SELECT CAST(${PropertyGraph.sqlEncode("customer",
-            "(SELECT MIN(c_custkey) FROM customer)")} AS BIGINT) AS component,
-         |    CAST((SELECT n FROM total) - (SELECT COUNT(*) FROM iso) AS BIGINT)
-         |      AS size
-         |  UNION ALL
-         |  SELECT CAST(${PropertyGraph.sqlEncode("part", "p_partkey")} AS BIGINT),
-         |    CAST(1 AS BIGINT) FROM iso
-         |) ORDER BY component""".stripMargin,
+    "a_components" -> componentsSql,
+    "a_cc_alt" -> componentsSql,
     "a_degrees" ->
       s"""SELECT id, CAST(degree AS INT) AS degree FROM (
          |  SELECT ${PropertyGraph.sqlEncode("order", "l_orderkey")} AS id,

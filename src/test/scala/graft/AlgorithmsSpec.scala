@@ -157,6 +157,24 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got == Seq((5L, 1L, 0.6)))
   }
 
+  test("connectedComponentsAlt matches GraphX CC: islands, chain, isolated") {
+    // two islands + a 16-node chain (high diameter — the pointer-jump
+    // path this variant exists for) + an isolated vertex
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 35L).map(i => (i, i + 1))
+    val vids = (edges.flatMap(e => Seq(e._1, e._2)) :+ 99L).distinct
+    val v = vids.map(id => (id, "node")).toDF("id", "label")
+    val e = edges.map { case (s, d) => (s, d, "link", null.asInstanceOf[java.lang.Long]) }
+      .toDF("src", "dst", "label", "sort_key")
+    val g = PropertyGraph(v, e)
+    val alt = Algorithms.connectedComponentsAlt(spark, g)
+      .as[(Long, Long)].collect().toMap
+    val gx = Algorithms.connectedComponents(spark, g)
+      .as[(Long, Long)].collect().toMap
+    assert(alt == gx)
+    assert(alt(99L) == 99L && alt(35L) == 20L && alt(3L) == 1L)
+  }
+
   test("personalizedPageRankExact: hand-computed seed concentration on chain3") {
     // chain 1→2→3, seed {1}, 2 iterations of integer units:
     //   pr0 = (1e6, 0, 0)
