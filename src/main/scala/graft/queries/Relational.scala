@@ -258,6 +258,23 @@ object Relational {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** NTILE quartiles per order status — the bucketed ranking window;
+    * tie-broken to a total order (cents desc, orderkey) so bucket
+    * membership is engine-independent. Summarized per (status,
+    * quartile) with exact-cents sums.
+    */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("o_orderstatus"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
+      .orderBy(col("o_orderstatus"), col("quartile"))
+  }
+
   /** GROUPING SETS — the general form behind cube/rollup: exactly the
     * (status, priority), (status) and () groupings, with grouping_id
     * disambiguating a real NULL key from a superaggregate row (the
@@ -332,6 +349,7 @@ object Relational {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_ntile" -> (qNtile _),
     "q_pivot" -> (qPivot _),
     "q_percentile" -> (qPercentile _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -379,6 +397,17 @@ object Relational {
         |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderstatus, quartile, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT)/100.0 AS total
+        |FROM (SELECT o_orderstatus, o_orderkey,
+        |        CAST(ROUND((o_totalprice)*100) AS BIGINT) AS cents,
+        |        CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+        |          ORDER BY CAST(ROUND((o_totalprice)*100) AS BIGINT) DESC,
+        |          o_orderkey) AS INT) AS quartile
+        |      FROM orders)
+        |GROUP BY o_orderstatus, quartile
+        |ORDER BY o_orderstatus, quartile""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
