@@ -603,4 +603,114 @@ object Algorithms {
     finish(res.vertices.filter(_._2 != Long.MaxValue).toDF("id", "dist"),
       base, graph0, res)
   }
+
+  /** Neighborhood Jaccard similarity from a seed vertex — the
+    * HugeGraph `jaccardsimilarity` traversal API (hugegraph-api
+    * `JaccardSimilarityAPI`, served by the store through repeated R4
+    * prefix scans per candidate; reference witness: the EDGE_OUT/
+    * EDGE_IN adjacency tables, TikvTables.java:128-149). Candidates
+    * are exactly the vertices sharing ≥ 1 neighbor with the seed;
+    * J(v) = |N(seed) ∩ N(v)| / |N(seed) ∪ N(v)| over the (optionally
+    * label-filtered) undirected distinct neighbor sets. Returns
+    * (id, inter, uni, jaccard) — exact integer counts, ONE rounded
+    * division, so a relational replay agrees bit-for-bit.
+    *
+    * Scale shape: the seed neighborhood is one vertex's adjacency
+    * list — broadcast it; candidate intersections are then a
+    * broadcast-hash join of the full adjacency against it plus one
+    * hash-agg on narrow (v) keys. Degrees are one more hash-agg on
+    * the same adjacency. No O(V²) pairing, no driver state.
+    */
+  def jaccardSimilarity(s: SparkSession, g: PropertyGraph, seed: Long,
+                        labels: Seq[String] = Nil): DataFrame = {
+    val e = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val und = undirectedDistinct(e)
+    val adj = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+    val seedN = adj.filter(col("v") === seed).select(col("n"))
+    val inter = adj.join(broadcast(seedN), "n")
+      .filter(col("v") =!= seed)
+      .groupBy(col("v")).agg(count(lit(1)).as("inter"))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val degS = seedN.agg(count(lit(1)).as("ds"))
+    inter.join(deg, "v")
+      .crossJoin(broadcast(degS))
+      .select(col("v").as("id"), col("inter"),
+        (col("d") + col("ds") - col("inter")).as("uni"),
+        round(col("inter").cast("double") /
+          (col("d") + col("ds") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Shortest path between two vertices with deterministic path
+    * reconstruction — the HugeGraph `shortestpath` traversal API
+    * (hugegraph-api ShortestPathAPI / ShortestPathTraverser, a BFS
+    * the engine drives through per-vertex R4 adjacency scans; here
+    * each BFS layer is ONE distributed join). Ties are broken toward
+    * the minimum parent id at first discovery, so the returned path
+    * is unique and engine-independent.
+    *
+    * Returns ONE row (src_id, dst_id, dist, path) with the path
+    * rendered "id->id->…" (array cells don't survive the driver
+    * compare); dist = -1 and NULL path when target is unreachable
+    * within maxDepth.
+    *
+    * Scale shape: per layer, the narrow (id, parent) frontier joins
+    * the persisted undirected adjacency, anti-joins the visited set,
+    * and min-aggregates parents — all on 8-byte ids; the payload
+    * never shuffles. The final parent walk is ≤ maxDepth chained
+    * 1-row broadcast joins, not a driver loop of collects.
+    */
+  def pairShortestPath(s: SparkSession, g: PropertyGraph, source: Long,
+                       target: Long, labels: Seq[String] = Nil,
+                       maxDepth: Int = 4): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val und = undirectedDistinct(e)
+    val adj = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+      .persist(MEMORY_AND_DISK)
+    try {
+      var visited = s.range(1).select(lit(source).as("id"),
+          lit(0L).as("dist"), lit(null).cast("long").as("parent"))
+        .localCheckpoint()
+      var frontier = visited.select(col("id"))
+      var found = source == target
+      var d = 0L
+      while (!found && d < maxDepth && !frontier.isEmpty) {
+        d += 1
+        val layer = adj.join(frontier.select(col("id").as("v")), "v")
+          .select(col("n").as("id"), col("v").as("parent"))
+          .join(visited.select(col("id")), Seq("id"), "left_anti")
+          .groupBy(col("id")).agg(min(col("parent")).as("parent"))
+          .withColumn("dist", lit(d))
+          .localCheckpoint()
+        visited = visited
+          .union(layer.select(col("id"), col("dist"), col("parent")))
+          .localCheckpoint()
+        frontier = layer.select(col("id"))
+        found = !layer.filter(col("id") === target).isEmpty
+      }
+      val t = visited.filter(col("id") === target)
+      // walk the parent chain backwards, prepending each hop; the
+      // source row's NULL parent makes the remaining rounds no-ops
+      var walk = t.select(col("dist"), col("parent"),
+        col("id").cast("string").as("path"))
+      for (_ <- 1L to maxDepth) {
+        walk = walk
+          .join(visited.select(col("id").as("parent"),
+            col("parent").as("gp")), Seq("parent"), "left")
+          .select(col("dist"), col("gp").as("parent"),
+            when(col("parent").isNotNull,
+              concat(col("parent").cast("string"), lit("->"), col("path")))
+              .otherwise(col("path")).as("path"))
+      }
+      s.range(1).select(lit(1L).as("k"))
+        .join(walk.withColumn("k", lit(1L)), Seq("k"), "left")
+        .select(lit(source).as("src_id"), lit(target).as("dst_id"),
+          coalesce(col("dist"), lit(-1L)).as("dist"), col("path"))
+    } finally adj.unpersist(blocking = false)
+  }
 }

@@ -161,8 +161,33 @@ object AlgoQueries {
       .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
       .orderBy(col("size"))
 
+  /** Co-purchase neighborhood Jaccard from part 1 over the `contains`
+    * bipartite subgraph — the HugeGraph `jaccardsimilarity` traversal
+    * API: candidates are exactly the parts sharing an order with the
+    * seed. Top 15 by (jaccard desc, id) — a total order, so LIMIT is
+    * deterministic.
+    */
+  def aJaccardSim(s: SparkSession, dir: String): DataFrame =
+    Algorithms.jaccardSimilarity(s, g(s, dir),
+        PropertyGraph.encodeId("part", 1L), labels = Seq("contains"))
+      .orderBy(col("jaccard").desc, col("id"))
+      .limit(15)
+
+  /** Pair shortest path customer 1 → supplier 1 over the undirected
+    * order graph (placed/contains/supplied_by) — the HugeGraph
+    * `shortestpath` traversal API, with the min-parent-deterministic
+    * path rendered as one string row.
+    */
+  def aPairPath(s: SparkSession, dir: String): DataFrame =
+    Algorithms.pairShortestPath(s, g(s, dir),
+      PropertyGraph.encodeId("customer", 1L),
+      PropertyGraph.encodeId("supplier", 1L),
+      labels = Seq("placed", "contains", "supplied_by"), maxDepth = 4)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_lpa" -> (aLpa _),
+    "a_jaccard_sim" -> (aJaccardSim _),
+    "a_pair_path" -> (aPairPath _),
     "a_ppr" -> (aPpr _),
     "a_degrees" -> (aDegrees _),
     "a_kcore" -> (aKcore _),
@@ -385,8 +410,79 @@ object AlgoQueries {
        |    CAST(1 AS BIGINT) FROM iso
        |) ORDER BY component""".stripMargin
 
+  /** DuckDB replay of jaccardSimilarity over the contains subgraph:
+    * the identical adjacency/intersection/degree counts — exact
+    * integers, one rounded division.
+    */
+  private val jaccardSimSql: String = {
+    val seed = PropertyGraph.encodeId("part", 1L)
+    s"""WITH e AS (SELECT DISTINCT
+       |    ${PropertyGraph.sqlEncode("order", "l_orderkey")} AS a,
+       |    ${PropertyGraph.sqlEncode("part", "l_partkey")} AS b
+       |  FROM lineitem),
+       |adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+       |sn AS (SELECT n FROM adj WHERE v = $seed),
+       |ds AS (SELECT COUNT(*) AS ds FROM sn),
+       |i AS (SELECT v, COUNT(*) AS inter FROM adj JOIN sn USING (n)
+       |      WHERE v <> $seed GROUP BY v),
+       |dg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v)
+       |SELECT v AS id, inter, d + ds - inter AS uni,
+       |  round(CAST(inter AS DOUBLE) / CAST(d + ds - inter AS DOUBLE), 6)
+       |    AS jaccard
+       |FROM i JOIN dg USING (v) CROSS JOIN ds
+       |ORDER BY jaccard DESC, id LIMIT 15""".stripMargin
+  }
+
+  /** DuckDB replay of pairShortestPath customer 1 → supplier 1: the
+    * same BFS layers (min-parent tie-break) unrolled as generated
+    * CTEs, then the parent walk as chained 1-row joins — concat_ws
+    * skips the empty layers beyond the realized distance.
+    */
+  private val pairPathSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val src = PropertyGraph.encodeId("customer", 1L)
+    val tgt = PropertyGraph.encodeId("supplier", 1L)
+    val maxDepth = 4
+    val layers = (1 to maxDepth).map { i =>
+      s"""l$i AS (SELECT ad.n AS id, MIN(ad.v) AS parent
+         |  FROM adj ad JOIN l${i - 1} f ON ad.v = f.id
+         |  WHERE ad.n NOT IN (SELECT id FROM v${i - 1}) GROUP BY ad.n),
+         |v$i AS (SELECT * FROM v${i - 1} UNION ALL
+         |  SELECT id, CAST($i AS BIGINT), parent FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    val walks = (1 to maxDepth).map { i =>
+      s"""w$i AS (SELECT v.id, v.parent FROM v$maxDepth v
+         |  JOIN w${i - 1} wp ON v.id = wp.parent)""".stripMargin
+    }.mkString(",\n")
+    val pathParts = (maxDepth to 0 by -1)
+      .map(i => s"(SELECT CAST(id AS VARCHAR) FROM w$i)").mkString(", ")
+    s"""WITH e0 AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       |  FROM (
+       |    SELECT ${enc("customer", "o_custkey")} AS s,
+       |           ${enc("order", "o_orderkey")} AS d FROM orders
+       |    UNION ALL SELECT ${enc("order", "l_orderkey")},
+       |           ${enc("part", "l_partkey")} FROM lineitem
+       |    UNION ALL SELECT ${enc("part", "l_partkey")},
+       |           ${enc("supplier", "l_suppkey")} FROM lineitem)
+       |  WHERE s <> d),
+       |adj AS (SELECT a AS v, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+       |l0 AS (SELECT CAST($src AS BIGINT) AS id),
+       |v0 AS (SELECT id, CAST(0 AS BIGINT) AS dist,
+       |       CAST(NULL AS BIGINT) AS parent FROM l0),
+       |$layers,
+       |w0 AS (SELECT id, parent FROM v$maxDepth WHERE id = $tgt),
+       |$walks
+       |SELECT CAST($src AS BIGINT) AS src_id, CAST($tgt AS BIGINT) AS dst_id,
+       |  COALESCE((SELECT dist FROM v$maxDepth WHERE id = $tgt),
+       |           CAST(-1 AS BIGINT)) AS dist,
+       |  CASE WHEN EXISTS (SELECT 1 FROM w0) THEN concat_ws('->',
+       |    $pathParts) ELSE NULL END AS path""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "a_lpa" -> lpaSql,
+    "a_jaccard_sim" -> jaccardSimSql,
+    "a_pair_path" -> pairPathSql,
     "a_ppr" -> pprSql,
     "a_pagerank_exact" -> pagerankExactSql,
     "a_kcore" -> kcoreSql,

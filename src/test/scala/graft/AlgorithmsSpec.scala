@@ -222,4 +222,50 @@ class AlgorithmsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(empty == Seq((0L, 0L, 0.0)))
   }
+
+  test("jaccardSimilarity: hand-computed neighborhoods, seed excluded") {
+    // star-ish: N(1)={2,3,4}; N(5)={2,3}; N(6)={4,9}; N(2)={1,5} …
+    val g = mkGraph(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (5L, 2L), (5L, 3L), (6L, 4L), (6L, 9L)))
+    val got = Algorithms.jaccardSimilarity(spark, g, 1L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 5 shares {2,3}: inter 2, union |{2,3,4}∪{2,3}| = 3
+    assert(got(5L) == ((2L, 3L, 0.666667)))
+    // 6 shares {4}: inter 1, union |{2,3,4}∪{4,9}| = 4
+    assert(got(6L) == ((1L, 4L, 0.25)))
+    // the seed itself and non-sharing vertices (2,3,4,9) never appear
+    assert(got.keySet == Set(5L, 6L))
+  }
+
+  test("jaccardSimilarity: parallel edges collapse to distinct neighbors") {
+    val g = mkGraph(Seq((1L, 2L), (2L, 1L), (3L, 2L)))
+    val got = Algorithms.jaccardSimilarity(spark, g, 1L)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((3L, 1L, 1L, 1.0))) // N(1)=N(3)={2}
+  }
+
+  test("pairShortestPath: min-parent tie-break picks the unique path") {
+    // two length-2 routes 1→{2,3}→4: parent of 4 must be min(2,3)=2
+    val g = mkGraph(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    val got = Algorithms.pairShortestPath(spark, g, 1L, 4L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 4L, 2L, "1->2->4")))
+  }
+
+  test("pairShortestPath: undirected, self, and unreachable shapes") {
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    // follows edges against their direction
+    val rev = Algorithms.pairShortestPath(spark, g, 3L, 1L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(rev == Seq((3L, 1L, 2L, "3->2->1")))
+    // source == target
+    val self = Algorithms.pairShortestPath(spark, g, 2L, 2L)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(self == Seq((2L, 2L, 0L, "2")))
+    // different components → (-1, null)
+    val un = Algorithms.pairShortestPath(spark, g, 1L, 10L)
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(un == Seq((1L, 10L, -1L, None)))
+  }
 }
