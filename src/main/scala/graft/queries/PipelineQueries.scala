@@ -289,8 +289,32 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** RAG retrieval composite — the second end-to-end flagship: quality
+    * -gate the corpus (language + length), align the multimodal rows
+    * (documents ⋈ embeddings on doc_id = vec_id), exact top-5 cosine
+    * retrieval for 3 query vectors, then re-attach the answer-context
+    * metadata. Filter → join → ANN → join declared as ONE plan: the
+    * doc filter prunes the corpus BEFORE any vector math, the query
+    * side broadcasts, and only (id, score) pairs reach the ranking
+    * window.
+    */
+  def p2RagRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+    val corpus = Tables.embeddings(s, dir)
+      .join(docs.select(col("doc_id").as("vec_id")), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.bruteForceTopK(queriesDf(s, dir, 3), corpus, 5)
+      .join(docs.select(col("doc_id").as("vec_id"), col("source"),
+        col("n_chars")), "vec_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"),
+        col("source"), col("n_chars"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_corpus_curation" -> (p1CorpusCuration _),
+    "p2_rag_retrieval" -> (p2RagRetrieval _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
     "d3_langid_dist" -> (d3LangidDist _),
@@ -748,6 +772,21 @@ object PipelineQueries {
         |SELECT comp AS cluster_rep, COUNT(*) AS n_members,
         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
         |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin,
+    "p2_rag_retrieval" ->
+      """SELECT query_id, rank, vec_id, cosine, source, n_chars FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    d.source, d.n_chars,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |        CAST(q.embedding AS DOUBLE[])), 6) DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings q
+        |  JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  JOIN documents d ON d.doc_id = c.vec_id
+        |    AND d.lang = 'en' AND d.n_chars >= 200
+        |  WHERE q.vec_id < 3
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e1_knn_brute" ->
       """SELECT query_id, rank, vec_id, cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
