@@ -477,4 +477,60 @@ object Dedup {
       .select(col("b_id").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  // ------------------------------------------------- segment-level dedup
+
+  /** Cross-document segment dedup — the MassiveText/CCNet "line dedup"
+    * quality filter: text splits into aligned `segWords`-token segments,
+    * a segment that appears in more than `maxDocFreq` DISTINCT documents
+    * is boilerplate (nav bars, license blurbs, repeated headers) and is
+    * dropped from every document that carries it. (The reference engine
+    * has no text surface at all — this is north-star pipeline scope.)
+    *
+    * Returns per-document (doc_id, n_segments, n_kept, kept_chars).
+    * [[segmentRows]] exposes the per-segment keep/drop rows when a
+    * caller wants to reassemble cleaned text.
+    *
+    * Scale shape: tokens explode once and segments assemble with
+    * `segWords − 1` codegen'd window leads over (doc_id, pos) — the
+    * shingleRows mechanics, one narrow doc_id shuffle. The raw segment
+    * string is immediately reduced to (md5 digest, length), so the
+    * document-frequency count shuffles 16-byte keys, never text, and
+    * the frequency join back to the segment rows is digest-keyed. Three
+    * shuffles total (window, df-count, join), all narrow; nothing is
+    * driver-side and no O(n²) pair space forms.
+    */
+  def segmentDedup(docs: DataFrame, segWords: Int = 10,
+      maxDocFreq: Long = 1): DataFrame =
+    segmentRows(docs, segWords, maxDocFreq)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("seg_chars"))), lit(0L))
+          .as("kept_chars"))
+
+  /** per-segment rows behind [[segmentDedup]]: (doc_id, seg_idx,
+    * seg_key, seg_chars, n_docs, keep), ordered reassembly via seg_idx.
+    */
+  def segmentRows(docs: DataFrame, segWords: Int = 10,
+      maxDocFreq: Long = 1): DataFrame = {
+    require(segWords >= 1, "segWords must be >= 1")
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+        .as(Seq("pos", "t")))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until segWords).map(i => lead(col("t"), i).over(wp))
+    // concat_ws skips the null leads past doc end, so the tail segment
+    // is the remaining < segWords tokens — same clamping as a slice
+    val segs = tok
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (col("t") +: leads): _*).as("seg"))
+      .filter(col("pos") % segWords === 0)
+      .select(col("doc_id"), (col("pos") / segWords).cast("long").as("seg_idx"),
+        md5(col("seg")).as("seg_key"), length(col("seg")).as("seg_chars"))
+    val docFreq = segs.groupBy(col("seg_key"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    segs.join(docFreq, Seq("seg_key"))
+      .withColumn("keep", col("n_docs") <= maxDocFreq)
+  }
 }

@@ -312,8 +312,17 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** cross-doc segment (line) dedup — boilerplate segments shared by
+    * more than one document are dropped from every carrier.
+    */
+  def d19SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(Tables.documents(s, dir), segWords = 10,
+        maxDocFreq = 1)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_corpus_curation" -> (p1CorpusCuration _),
+    "d19_segment_dedup" -> (d19SegmentDedup _),
     "p2_rag_retrieval" -> (p2RagRetrieval _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
@@ -544,6 +553,33 @@ object PipelineQueries {
         |  CAST(SUM(hp // 1048576) AS BIGINT) AS fp_sum,
         |  MIN(hp // 1048576) AS fp_min, MAX(hp // 1048576) AS fp_max
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // segment dedup replay: aligned 10-token segments via 9 window
+    // leads (concat_ws skips the null tail — slice-clamp semantics),
+    // doc-frequency on the segment text (Spark groups the md5 digest
+    // of the same string — identical partition), keep = df <= 1
+    "d19_segment_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(coalesce(text, ''), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(coalesce(text, ''),
+        |      '\s+'), 1) - 1 AS pos
+        |  FROM documents),
+        |segs AS (SELECT doc_id, pos // 10 AS seg_idx,
+        |    concat_ws(' ', t,
+        |      lead(t, 1) OVER w, lead(t, 2) OVER w, lead(t, 3) OVER w,
+        |      lead(t, 4) OVER w, lead(t, 5) OVER w, lead(t, 6) OVER w,
+        |      lead(t, 7) OVER w, lead(t, 8) OVER w, lead(t, 9) OVER w)
+        |      AS seg
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY pos % 10 = 0),
+        |df AS (SELECT seg, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM segs GROUP BY seg)
+        |SELECT s.doc_id, COUNT(*) AS n_segments,
+        |  CAST(SUM(CASE WHEN f.n_docs <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(coalesce(SUM(CASE WHEN f.n_docs <= 1
+        |    THEN length(s.seg) END), 0) AS BIGINT) AS kept_chars
+        |FROM segs s JOIN df f USING (seg)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "d17_contamination" ->
       """WITH b AS (
         |  SELECT doc_id, text,

@@ -22,6 +22,30 @@ class DedupSpec extends AnyFunSuite {
     (5L, "  the   quick brown fox jumps over the lazy dog while rain falls on the green field ") // ws-variant of 0
   ).toDF("doc_id", "text")
 
+  test("segment dedup drops shared boilerplate, keeps unique segments") {
+    // 10-word boilerplate block shared by two docs; unique tails
+    val boiler = "copyright notice all rights reserved contact us terms privacy policy"
+    val segDocs = Seq(
+      (0L, s"$boiler alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, s"$boiler one two three four five six seven eight nine ten"),
+      (2L, "lone document with nothing shared across any other row here at"),
+      (3L, "short tail doc") // < segWords: single clamped segment
+    ).toDF("doc_id", "text")
+    val res = Dedup.segmentDedup(segDocs, segWords = 10, maxDocFreq = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segments", "n_kept", "kept_chars")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(res(0) == ((0L, 2L, 1L, res(0)._4)) && res(0)._4 > 0)
+    assert(res(1)._2 == 2L && res(1)._3 == 1L) // boilerplate seg dropped
+    assert(res(2) == ((2L, 2L, 2L, 61L))) // 11 words: 10 + clamped 1
+    assert(res(3)._2 == 1L && res(3)._3 == 1L && res(3)._4 == 14L)
+    // segmentRows exposes the dropped segment with its doc frequency
+    val dropped = Dedup.segmentRows(segDocs, 10, 1)
+      .filter(!col("keep")).select("doc_id", "seg_idx", "n_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dropped == Set((0L, 0L, 2L), (1L, 0L, 2L)))
+  }
+
   test("exact dedup groups exact + whitespace-canonical copies") {
     val res = Dedup.exact(docs).collect()
     val byKeep = res.map(r => (r.getLong(1), r.getLong(2))).toMap
