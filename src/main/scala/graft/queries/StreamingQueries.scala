@@ -105,8 +105,16 @@ object StreamingQueries {
     EventsPipeline.gapSessions(Tables.events(s, dir))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** SCD-2 dimension build: per-user event_type version history with
+    * half-open validity intervals (µs BIGINT end to end).
+    */
+  def s12Scd2(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.scd2(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("version"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_gap_sessions" -> (s10GapSessions _),
+    "s12_scd2" -> (s12Scd2 _),
     "s1_tumbling" -> (s1Tumbling _),
     "s2_sliding" -> (s2Sliding _),
     "s3_sessions" -> (s3Sessions _),
@@ -123,6 +131,28 @@ object StreamingQueries {
     "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // SCD-2 replay: same (ts µs, event_id) ordering, run detection via
+    // lag, run id via cumulative SUM (cast back from HUGEINT), version
+    // intervals via lead over versions
+    "s12_scd2" ->
+      """WITH b AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |r AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |v AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS version FROM r),
+        |g AS (SELECT user_id, version, event_type,
+        |    MIN(ts_us) AS valid_from, COUNT(*) AS n_events
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER wv AS valid_to,
+        |  lead(valid_from) OVER wv IS NULL AS is_current,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
     // ts is TIMESTAMP_NS in DuckDB's parquet read: CAST to TIMESTAMP
     // first so epoch_us matches Spark's µs truncation; the island id
     // is RANGE-framed for tie robustness (see EventsPipeline)

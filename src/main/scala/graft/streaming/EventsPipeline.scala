@@ -123,6 +123,45 @@ object EventsPipeline {
       .select(col("event_id"), col("user_id"), col("asof_ref_id"))
   }
 
+  // ------------------------------------------------- SCD-2 dimension
+
+  /** Slowly-changing-dimension type-2 build from a change-event log:
+    * per `key`, consecutive runs of one `attr` value collapse into a
+    * half-open [valid_from, valid_to) version row; the latest version
+    * has valid_to NULL / is_current true. The classic CDC → dimension
+    * materialization (Kimball SCD2); hooked to foreachBatch +
+    * Writer.upsert it maintains the dimension incrementally.
+    *
+    * Determinism: ordering is (event time µs, event_id) — the unique
+    * id breaks timestamp ties identically on any engine. A value that
+    * changes A→B→A yields three versions (runs, not distinct values).
+    *
+    * Scale: both windows and the run-collapse aggregate partition on
+    * `key` alone, so the whole operator is ONE exchange on the
+    * dimension key followed by sorted-within-partition passes; state
+    * per key is its version list, never the event history.
+    */
+  def scd2(df: DataFrame, key: String = "user_id",
+      attr: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col("ts_us"), col("event_id"))
+    val wv = Window.partitionBy(col(key)).orderBy(col("version"))
+    val prev = lag(col(attr), 1).over(w)
+    df.select(col(key), col(attr),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col(attr), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("version"), col(attr))
+      .agg(min(col("ts_us")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(key), col("version"), col(attr), col("valid_from"),
+        col("valid_to"), col("is_current"), col("n_events"))
+  }
+
   // -------------------------------------------- custom-state sessions
 
   /** Gap sessionization, batch formulation (gaps-and-islands): a new

@@ -123,6 +123,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(state(3L) == "new-11")   // inserted
   }
 
+  test("scd2 collapses runs into versions; A->B->A yields three") {
+    val evs = Seq(
+      ev(1, "2024-01-01 10:00:00", typ = "a"),
+      ev(2, "2024-01-01 10:05:00", typ = "a"),
+      ev(3, "2024-01-01 10:10:00", typ = "b"),
+      ev(4, "2024-01-01 10:20:00", typ = "a"),
+      ev(5, "2024-01-01 10:00:00", user = 2L, typ = "x"))
+    val out = EventsPipeline.scd2(evs.toDF())
+      .orderBy("user_id", "version")
+      .select("user_id", "version", "event_type", "is_current", "n_events")
+      .as[(Long, Long, String, Boolean, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", false, 2L), (1L, 2L, "b", false, 1L),
+      (1L, 3L, "a", true, 1L), (2L, 1L, "x", true, 1L)))
+    // half-open intervals chain: version n's valid_to = n+1's valid_from
+    val iv = EventsPipeline.scd2(evs.toDF()).filter($"user_id" === 1L)
+      .orderBy("version").select("valid_from", "valid_to")
+      .as[(Long, Option[Long])].collect()
+    assert(iv(0)._2.contains(iv(1)._1) && iv(1)._2.contains(iv(2)._1)
+      && iv(2)._2.isEmpty)
+  }
+
   test("mapGroupsWithState keeps running per-user counts across batches") {
     val stream = MemoryStream[Ev]
     val counts = stream.toDS().groupByKey(_.user_id)
