@@ -343,7 +343,28 @@ object Relational {
       .orderBy($"c_mktsegment", $"rank")
   }
 
+  /** Bucketed range join: events (points = value) against 2000
+    * deterministically-derived price bands (no equi-key) — the plan
+    * must be a hash equi-join on the bucket id, never a
+    * BroadcastNestedLoopJoin (PlanSpec pins this).
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val intervals = Tables.part(s, dir).select(
+      col("p_partkey").as("interval_id"),
+      ((col("p_partkey") * 7) % 480).cast("double").as("lo"),
+      ((col("p_partkey") * 7) % 480 + 1 + col("p_partkey") % 13)
+        .cast("double").as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        Tables.events(s, dir), "value", intervals, "lo", "hi",
+        bucketWidth = 16.0)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_points"),
+        (sum(cents(col("value"))) / 100.0).as("value_sum"))
+      .orderBy(col("interval_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (qRangeJoin _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_window_running" -> (qWindowRunning _),
     "q_rollup" -> (qRollup _),
@@ -369,6 +390,17 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // straightforward BETWEEN theta-join: DuckDB's IEJoin handles it
+    // directly; Spark's bucketed equi-join must produce the same rows
+    "q_range_join" ->
+      """WITH iv AS (SELECT p_partkey AS interval_id,
+        |    CAST((p_partkey * 7) % 480 AS DOUBLE) AS lo,
+        |    CAST((p_partkey * 7) % 480 + 1 + p_partkey % 13 AS DOUBLE) AS hi
+        |  FROM part)
+        |SELECT interval_id, COUNT(*) AS n_points,
+        |  SUM(CAST(ROUND((value)*100) AS BIGINT))/100.0 AS value_sum
+        |FROM events JOIN iv ON value >= lo AND value <= hi
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  COUNT(*) AS n_rows, true AS hll_ok

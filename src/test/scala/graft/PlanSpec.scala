@@ -35,6 +35,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q_range_join: bucketed band join is an equi-join, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+    // the naive formulation of the SAME join IS a nested loop — the
+    // operator exists precisely to avoid this plan
+    val events = graft.Tables.events(spark, dir)
+    val iv = graft.Tables.part(spark, dir)
+      .select(org.apache.spark.sql.functions.col("p_partkey"),
+        (org.apache.spark.sql.functions.col("p_partkey") % 480)
+          .cast("double").as("lo"))
+    val naive = events.join(iv,
+      events("value") >= iv("lo") && events("value") <= iv("lo") + 10.0)
+    assert(naive.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_orderby_limit plans TakeOrderedAndProject, not a global sort") {
     val p = plan("q_orderby_limit")
     assert(p.contains("TakeOrderedAndProject"))
