@@ -251,6 +251,46 @@ object Algorithms {
     }
   }
 
+  /** Topological layering of a DAG (longest-path levels): level(v) = 0
+    * for sources, else 1 + max(level(u)) over in-edges u→v — the
+    * dependency-scheduling / lineage-depth primitive (level n = the
+    * batch that can run once batches < n finished). Monotone
+    * max-propagation: after round t every vertex holds its longest
+    * incoming path using ≤ t edges, so `iters` ≥ graph depth is exact.
+    * On a cyclic input, levels on/below a cycle keep climbing instead
+    * of converging — level ≥ iters doubles as a cycle detector.
+    *
+    * Scale: per round ONE narrow join on src + one hash-agg on dst
+    * over (id, level) pairs — never adjacency lists; the edge list is
+    * persisted across rounds and state is eagerly localCheckpoint'ed
+    * (the pageRankExact loop mechanics). O(depth) rounds, each a
+    * single exchange pair.
+    */
+  def dagLayers(s: SparkSession, g: PropertyGraph, iters: Int = 8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = g.edges.select(col("src"), col("dst"))
+      .persist(MEMORY_AND_DISK)
+    val verts = g.vertices.select(col("id")).distinct()
+      .persist(MEMORY_AND_DISK)
+    try {
+      var lvl = verts.select(col("id"), lit(0L).as("level"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val cand = edges
+          .join(lvl.select(col("id").as("src"), col("level")), "src")
+          .groupBy(col("dst")).agg(max(col("level") + 1L).as("cand"))
+          .select(col("dst").as("id"), col("cand"))
+        lvl = verts.join(cand, Seq("id"), "left")
+          .select(col("id"), coalesce(col("cand"), lit(0L)).as("level"))
+          .localCheckpoint()
+      }
+      lvl
+    } finally {
+      edges.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
+    }
+  }
+
   /** Connected components, DataFrame-first with pointer jumping — the
     * high-diameter scale path [[connectedComponents]] (GraphX,
     * O(diameter) supersteps) cannot offer: each round combines one

@@ -184,7 +184,22 @@ object AlgoQueries {
       PropertyGraph.encodeId("supplier", 1L),
       labels = Seq("placed", "contains", "supplied_by"), maxDepth = 4)
 
+  /** topological layering of the full (acyclic) tpch graph: per
+    * (label, level) vertex counts — customers/unsold parts at 0,
+    * orders 1, sold parts 2, their suppliers 3, nations 4 (via the
+    * longest located_in path), regions 5.
+    */
+  def aToposort(s: SparkSession, dir: String): DataFrame = {
+    val graph = g(s, dir)
+    Algorithms.dagLayers(s, graph, iters = 8)
+      .join(graph.vertices.select(col("id"), col("label")), "id")
+      .groupBy(col("label"), col("level"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("level"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_toposort" -> (aToposort _),
     "a_lpa" -> (aLpa _),
     "a_jaccard_sim" -> (aJaccardSim _),
     "a_pair_path" -> (aPairPath _),
@@ -209,6 +224,52 @@ object AlgoQueries {
     * `max(struct(cnt, -lbl))` tie-break is replayed as two passes —
     * MAX(cnt) per vertex, then MIN(lbl) among the labels achieving it.
     */
+  /** DuckDB replay of dagLayers: the same monotone max-propagation
+    * unrolled as chained CTEs (one template, two engines — no drift).
+    */
+  private val toposortSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val iters = 8
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (SELECT v0.id,
+         |    CAST(COALESCE(cc.mx, 0) AS BIGINT) AS lvl
+         |  FROM l0 v0 LEFT JOIN (
+         |    SELECT e.dst AS id, MAX(lp.lvl + 1) AS mx
+         |    FROM e JOIN l${i - 1} lp ON e.src = lp.id
+         |    GROUP BY e.dst) cc USING (id))"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT ${enc("customer", "o_custkey")} AS src,
+       |         ${enc("order", "o_orderkey")} AS dst FROM orders
+       |  UNION ALL SELECT ${enc("order", "l_orderkey")},
+       |         ${enc("part", "l_partkey")} FROM lineitem
+       |  UNION ALL SELECT DISTINCT ${enc("part", "l_partkey")},
+       |         ${enc("supplier", "l_suppkey")} FROM lineitem
+       |  UNION ALL SELECT ${enc("customer", "c_custkey")},
+       |         ${enc("nation", "c_nationkey")} FROM customer
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+       |         ${enc("nation", "s_nationkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+       |         ${enc("region", "n_regionkey")} FROM nation),
+       |verts AS (
+       |  SELECT ${enc("customer", "c_custkey")} AS id,
+       |         'customer' AS label FROM customer
+       |  UNION ALL SELECT ${enc("order", "o_orderkey")}, 'order' FROM orders
+       |  UNION ALL SELECT ${enc("part", "p_partkey")}, 'part' FROM part
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+       |         'supplier' FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+       |         'nation' FROM nation
+       |  UNION ALL SELECT ${enc("region", "r_regionkey")},
+       |         'region' FROM region),
+       |l0 AS (SELECT DISTINCT CAST(id AS BIGINT) AS id,
+       |    CAST(0 AS BIGINT) AS lvl FROM verts),
+       |$rounds
+       |SELECT v.label, lf.lvl AS level, COUNT(*) AS n
+       |FROM l$iters lf JOIN verts v USING (id)
+       |GROUP BY v.label, lf.lvl ORDER BY v.label, lf.lvl""".stripMargin
+  }
+
   private val lpaSql: String = {
     def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
     val iters = 4
@@ -480,6 +541,7 @@ object AlgoQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "a_toposort" -> toposortSql,
     "a_lpa" -> lpaSql,
     "a_jaccard_sim" -> jaccardSimSql,
     "a_pair_path" -> pairPathSql,

@@ -19,6 +19,21 @@ class AlgorithmsSpec extends AnyFunSuite {
     PropertyGraph(v, e)
   }
 
+  test("dagLayers: longest-path levels on a diamond with a long arm") {
+    // 1→2→3→5, 1→4→5: level(5) = 3 (the LONGER incoming path wins)
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 5L), (1L, 4L), (4L, 5L)))
+    val lv = Algorithms.dagLayers(spark, g, iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(lv == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 3L))
+  }
+
+  test("dagLayers: a cycle's levels hit the iteration bound (detector)") {
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    val lv = Algorithms.dagLayers(spark, g, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(lv.values.exists(_ >= 5L)) // cycle members keep climbing
+  }
+
   test("sssp hops on chain5") {
     val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
     val got = Algorithms.ssspHops(spark, g, 1L)
