@@ -320,9 +320,24 @@ object PipelineQueries {
         maxDocFreq = 1)
       .orderBy(col("doc_id"))
 
+  /** z-order layout audit: the interleaved key's per-16k-cell
+    * histogram over (l_partkey, l_suppkey) — pins the full Morton
+    * arithmetic (any bit misplacement moves rows across cells).
+    */
+  def d20Zorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    Tables.lineitem(s, dir)
+      .select(Layout.zValue(col("l_partkey"), col("l_suppkey"), 16).as("z"))
+      .groupBy(expr("z div 16384").as("z_cell"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"))
+      .orderBy(col("z_cell"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_corpus_curation" -> (p1CorpusCuration _),
     "d19_segment_dedup" -> (d19SegmentDedup _),
+    "d20_zorder" -> (d20Zorder _),
     "p2_rag_retrieval" -> (p2RagRetrieval _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
@@ -553,6 +568,20 @@ object PipelineQueries {
         |  CAST(SUM(hp // 1048576) AS BIGINT) AS fp_sum,
         |  MIN(hp // 1048576) AS fp_min, MAX(hp // 1048576) AS fp_max
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Morton replay, generated from the same bit loop as Layout.zValue
+    // (disjoint bit positions make interleave a sum of shifted bits)
+    "d20_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"((x // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+          s"((y // ${1L << i}) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT l_partkey % 65536 AS x,
+         |    l_suppkey % 65536 AS y FROM lineitem),
+         |zt AS (SELECT CAST($terms AS BIGINT) AS z FROM b)
+         |SELECT z // 16384 AS z_cell, COUNT(*) AS n,
+         |  MIN(z) AS z_min, MAX(z) AS z_max
+         |FROM zt GROUP BY 1 ORDER BY z_cell""".stripMargin
+    },
     // segment dedup replay: aligned 10-token segments via 9 window
     // leads (concat_ws skips the null tail — slice-clamp semantics),
     // doc-frequency on the segment text (Spark groups the md5 digest
