@@ -363,8 +363,27 @@ object Relational {
       .orderBy(col("interval_id"))
   }
 
+  /** Bloom-pruned exact semi-join: lineitems of high-value orders,
+    * rolled up per return flag. The bloom pass is a superset filter;
+    * the trailing exact semi-join makes the result identical to a
+    * plain semi-join — which is exactly what the oracle runs.
+    */
+  def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val highValue = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+    graft.operators.BloomPrune.semiJoin(
+        Tables.lineitem(s, dir), "l_orderkey",
+        highValue, "o_orderkey",
+        expectedItems = 100000L, numBits = 1L << 20)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
+    "q_bloom_semi" -> (qBloomSemi _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_window_running" -> (qWindowRunning _),
     "q_rollup" -> (qRollup _),
@@ -390,6 +409,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  SUM(CAST(ROUND((l_extendedprice)*100) AS BIGINT))/100.0 AS revenue
+        |FROM lineitem WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // straightforward BETWEEN theta-join: DuckDB's IEJoin handles it
     // directly; Spark's bucketed equi-join must produce the same rows
     "q_range_join" ->
