@@ -112,9 +112,17 @@ object StreamingQueries {
     EventsPipeline.scd2(Tables.events(s, dir))
       .orderBy(col("user_id"), col("version"))
 
+  /** per-(user, type) counts — batch face of the transformWithState
+    * MapState counter (StreamingSpec pins stream ≡ batch).
+    */
+  def s13TypeCounts(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.typeCounts(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("event_type"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_gap_sessions" -> (s10GapSessions _),
     "s12_scd2" -> (s12Scd2 _),
+    "s13_type_counts" -> (s13TypeCounts _),
     "s1_tumbling" -> (s1Tumbling _),
     "s2_sliding" -> (s2Sliding _),
     "s3_sessions" -> (s3Sessions _),
@@ -131,6 +139,10 @@ object StreamingQueries {
     "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "s13_type_counts" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     // SCD-2 replay: same (ts µs, event_id) ordering, run detection via
     // lag, run id via cumulative SUM (cast back from HUGEINT), version
     // intervals via lead over versions

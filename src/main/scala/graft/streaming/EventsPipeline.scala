@@ -17,6 +17,12 @@ case class GapSessionState(start: Long, end: Long, n: Long, cents: Long)
 case class GapSession(user_id: Long, session_start: Long, session_end: Long,
                       n_events: Long, value_sum: Double)
 
+/** input / output records of the transformWithState per-user type
+  * counter (top-level for product encoders).
+  */
+case class TypedEvent(user_id: Long, event_type: String)
+case class TypeCount(user_id: Long, event_type: String, n: Long)
+
 /** Structured-Streaming events pipeline (SURVEY §2.5 streaming row).
   *
   * The reference's only stream-ish features are per-entry TTL (W1,
@@ -122,6 +128,62 @@ object EventsPipeline {
       .filter(col("event_type") === needType)
       .select(col("event_id"), col("user_id"), col("asof_ref_id"))
   }
+
+  // ------------------------------------- transformWithState counters
+
+  /** Per-(user, event_type) running counts on the arbitrary-state v2
+    * API (`transformWithState`, Spark 4): one MapState[event_type →
+    * count] per user instead of one opaque blob — the state store
+    * reads/writes only the TOUCHED map entries of a micro-batch,
+    * where a GroupState blob rewrites every user's whole state on any
+    * update. Requires the RocksDB state store provider (composite-key
+    * column families). Emits the updated (user, type, n) rows per
+    * batch (Update mode). [[typeCounts]] is the batch face.
+    *
+    * Scale: state per user grows with its DISTINCT type set only;
+    * RocksDB keeps the map off-heap and changelog-checkpoints
+    * incrementally — this is the shape that holds at 10⁹ users.
+    */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEvent, TypeCount] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("typeCounts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[TypedEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      // fold the batch locally, ONE store write per touched type
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { e =>
+        val base = touched.getOrElse(e.event_type,
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L)
+        touched.update(e.event_type, base + 1L)
+      }
+      touched.foreach { case (t, n) => counts.updateValue(t, n) }
+      touched.iterator.map { case (t, n) => TypeCount(user, t, n) }
+    }
+  }
+
+  /** streaming face: requires RocksDBStateStoreProvider (see
+    * StreamingSpec for the config line).
+    */
+  def typeCountsStateful(ds: Dataset[TypedEvent])
+                        (implicit encK: Encoder[Long],
+                         encOut: Encoder[TypeCount]): Dataset[TypeCount] =
+    ds.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+
+  /** batch face of [[typeCountsStateful]]: the final counts. */
+  def typeCounts(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
 
   // ------------------------------------------------- SCD-2 dimension
 

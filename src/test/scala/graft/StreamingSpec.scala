@@ -123,6 +123,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(state(3L) == "new-11")   // inserted
   }
 
+  test("transformWithState MapState counter: final counts match batch") {
+    import graft.streaming.{TypedEvent, TypeCount}
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[TypedEvent]
+      val q = EventsPipeline.typeCountsStateful(stream.toDS())
+        .toDF().writeStream.format("memory").queryName("t_twstate")
+        .outputMode(OutputMode.Update).start()
+      try {
+        stream.addData(Seq(TypedEvent(1L, "click"), TypedEvent(1L, "click"),
+          TypedEvent(2L, "error")))
+        q.processAllAvailable()
+        stream.addData(Seq(TypedEvent(1L, "click"), TypedEvent(1L, "view"),
+          TypedEvent(2L, "error")))
+        q.processAllAvailable()
+      } finally q.stop()
+      // last update per (user, type) = the running count after batch 2
+      val last = spark.table("t_twstate")
+        .groupBy($"user_id", $"event_type")
+        .agg(org.apache.spark.sql.functions.max($"n").as("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(last == Set((1L, "click", 3L), (1L, "view", 1L),
+        (2L, "error", 2L)))
+      // stream ≡ batch: same counts as the batch face over all events
+      val batch = EventsPipeline.typeCounts(Seq(
+        (1L, "click"), (1L, "click"), (2L, "error"),
+        (1L, "click"), (1L, "view"), (2L, "error"))
+        .toDF("user_id", "event_type"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(batch == last)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("scd2 collapses runs into versions; A->B->A yields three") {
     val evs = Seq(
       ev(1, "2024-01-01 10:00:00", typ = "a"),
