@@ -661,6 +661,36 @@ object Algorithms {
     * hash-agg on narrow (v) keys. Degrees are one more hash-agg on
     * the same adjacency. No O(V²) pairing, no driver state.
     */
+  /** Bipartite projection with pair support — market-basket frequent
+    * pairs: for a two-mode edge set (basket → item), count how many
+    * baskets each ITEM PAIR shares, keeping pairs with support ≥
+    * `minSupport`. The co-purchase / co-occurrence graph builder (and
+    * the support-counting core of FP-growth's first pass).
+    *
+    * Scale shape: the pair space explodes per basket, not globally —
+    * a basket of k items yields k·(k−1)/2 pairs, so the self-join on
+    * basket id costs Σ k²/2 ≈ corpus × avg-basket-size, linear for
+    * bounded baskets. `maxBasketSize` drops degenerate mega-baskets
+    * BEFORE pairing (the Dedup.maxBucketSize guard — one huge basket
+    * would otherwise quadratically dominate the stage); dropped
+    * baskets are a documented approximation, exact when no basket
+    * exceeds the cap. The support count then shuffles narrow
+    * (item, item) pairs with map-side partial aggregation.
+    */
+  def bipartiteProjection(edges: DataFrame, minSupport: Long = 2L,
+      maxBasketSize: Int = 1000): DataFrame = {
+    val e = edges.select(col("src").as("bk"), col("dst").as("it")).distinct()
+    val sized = e.join(
+      e.groupBy(col("bk")).agg(count(lit(1)).as("__bs")), "bk")
+      .filter(col("__bs") <= maxBasketSize)
+      .select(col("bk"), col("it"))
+    sized.as("a").join(sized.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   def jaccardSimilarity(s: SparkSession, g: PropertyGraph, seed: Long,
                         labels: Seq[String] = Nil): DataFrame = {
     val e = if (labels.isEmpty) g.edges

@@ -198,8 +198,18 @@ object AlgoQueries {
       .orderBy(col("label"), col("level"))
   }
 
+  /** co-purchase frequent pairs: bipartite projection of the
+    * order→part `contains` edges, support ≥ 3.
+    */
+  def aCopurchase(s: SparkSession, dir: String): DataFrame =
+    Algorithms.bipartiteProjection(
+        g(s, dir).edges.filter(col("label") === "contains"),
+        minSupport = 3L)
+      .orderBy(col("support").desc, col("item_a"), col("item_b"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_toposort" -> (aToposort _),
+    "a_copurchase" -> (aCopurchase _),
     "a_lpa" -> (aLpa _),
     "a_jaccard_sim" -> (aJaccardSim _),
     "a_pair_path" -> (aPairPath _),
@@ -542,6 +552,15 @@ object AlgoQueries {
 
   val oracle: Map[String, String] = Map(
     "a_toposort" -> toposortSql,
+    "a_copurchase" -> {
+      def enc(k: String) = PropertyGraph.sqlEncode("part", k)
+      s"""WITH e AS (SELECT DISTINCT l_orderkey AS bk,
+         |    ${enc("l_partkey")} AS it FROM lineitem)
+         |SELECT a.it AS item_a, b.it AS item_b, COUNT(*) AS support
+         |FROM e a JOIN e b ON a.bk = b.bk AND a.it < b.it
+         |GROUP BY a.it, b.it HAVING COUNT(*) >= 3
+         |ORDER BY support DESC, item_a, item_b""".stripMargin
+    },
     "a_lpa" -> lpaSql,
     "a_jaccard_sim" -> jaccardSimSql,
     "a_pair_path" -> pairPathSql,

@@ -19,6 +19,23 @@ class AlgorithmsSpec extends AnyFunSuite {
     PropertyGraph(v, e)
   }
 
+  test("bipartiteProjection: pair supports + mega-basket guard") {
+    // baskets: 10:{1,2,3}, 11:{1,2}, 12:{1,2}, 13 is a mega-basket
+    val edges = (Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (10L, 2L)) // dup edge must not double-count
+      ++ (1L to 50L).map(i => (13L, 100L + i)))
+      .map { case (b, i) => (b, i, "has", null.asInstanceOf[java.lang.Long]) }
+      .toDF("src", "dst", "label", "sort_key")
+    val got = Algorithms.bipartiteProjection(edges, minSupport = 2L,
+        maxBasketSize = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L))) // {1,3},{2,3} support 1; basket 13 dropped
+    val withMega = Algorithms.bipartiteProjection(edges, minSupport = 1L,
+        maxBasketSize = 1000)
+      .as[(Long, Long, Long)].collect()
+    assert(withMega.length == 3 + 50 * 49 / 2) // guard off: pairs explode
+  }
+
   test("dagLayers: longest-path levels on a diamond with a long arm") {
     // 1→2→3→5, 1→4→5: level(5) = 3 (the LONGER incoming path wins)
     val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 5L), (1L, 4L), (4L, 5L)))
