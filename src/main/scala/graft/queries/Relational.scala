@@ -381,9 +381,31 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Incremental aggregate maintenance: the orders table split into a
+    * "base" (pre-1996) and a "delta" (1996+), aggregated SEPARATELY
+    * and merged state-to-state — the result must equal the one-pass
+    * aggregate over everything, which is what the oracle computes.
+    */
+  def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Incremental
+    val orders = Tables.orders(s, dir)
+    val cut = "1996-01-01"
+    val base = Incremental.aggState(
+      orders.filter(col("o_orderdate") < lit(cut)),
+      Seq("o_orderpriority"), col("o_totalprice"))
+    val delta = Incremental.aggState(
+      orders.filter(col("o_orderdate") >= lit(cut)),
+      Seq("o_orderpriority"), col("o_totalprice"))
+    Incremental.report(
+        Incremental.merge(Seq("o_orderpriority"), base, delta),
+        Seq("o_orderpriority"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
     "q_bloom_semi" -> (qBloomSemi _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_window_running" -> (qWindowRunning _),
     "q_rollup" -> (qRollup _),
@@ -409,6 +431,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // ONE-pass aggregate over the whole table — the merged split
+    // states must reproduce it exactly
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total,
+        |  MIN(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS min_val,
+        |  MAX(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS max_val
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_bloom_semi" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  SUM(CAST(ROUND((l_extendedprice)*100) AS BIGINT))/100.0 AS revenue
