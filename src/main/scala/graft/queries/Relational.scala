@@ -402,10 +402,22 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Top-10 most frequent part keys with the count-min-sketch
+    * cross-check: exact counts oracled in DuckDB, the sketch's
+    * one-sided bound pinned as a boolean (the q_approx_distinct
+    * pattern for frequency instead of cardinality).
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.heavyHitters(
+        Tables.lineitem(s, dir).select(col("l_partkey")), "l_partkey",
+        k = 10)
+      .orderBy(col("n_exact").desc, col("l_partkey"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_window_running" -> (qWindowRunning _),
     "q_rollup" -> (qRollup _),
@@ -431,6 +443,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact top-10 with deterministic tie-break; cms_ok is Spark-side
+    // verified (the sketch bound), constant-true for the oracle
+    "q_heavy_hitters" ->
+      """SELECT l_partkey, COUNT(*) AS n_exact, true AS cms_ok
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY n_exact DESC, l_partkey LIMIT 10""".stripMargin,
     // ONE-pass aggregate over the whole table — the merged split
     // states must reproduce it exactly
     "q_incremental_agg" ->
