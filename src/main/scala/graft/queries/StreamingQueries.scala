@@ -112,6 +112,11 @@ object StreamingQueries {
     EventsPipeline.scd2(Tables.events(s, dir))
       .orderBy(col("user_id"), col("version"))
 
+  /** ordered signup→view→click→purchase funnel over the event log. */
+  def s14Funnel(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.funnel(Tables.events(s, dir))
+      .orderBy(col("step"))
+
   /** per-(user, type) counts — batch face of the transformWithState
     * MapState counter (StreamingSpec pins stream ≡ batch).
     */
@@ -123,6 +128,7 @@ object StreamingQueries {
     "s10_gap_sessions" -> (s10GapSessions _),
     "s12_scd2" -> (s12Scd2 _),
     "s13_type_counts" -> (s13TypeCounts _),
+    "s14_funnel" -> (s14Funnel _),
     "s1_tumbling" -> (s1Tumbling _),
     "s2_sliding" -> (s2Sliding _),
     "s3_sessions" -> (s3Sessions _),
@@ -139,6 +145,28 @@ object StreamingQueries {
     "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // greedy-earliest funnel replay: each CTE is the per-user first
+    // qualifying time of its step after the previous step's time
+    "s14_funnel" ->
+      """WITH b AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f1 AS (SELECT user_id, MIN(us) AS t FROM b
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |f2 AS (SELECT b.user_id, MIN(b.us) AS t FROM b
+        |  JOIN f1 USING (user_id)
+        |  WHERE b.event_type = 'view' AND b.us > f1.t GROUP BY b.user_id),
+        |f3 AS (SELECT b.user_id, MIN(b.us) AS t FROM b
+        |  JOIN f2 USING (user_id)
+        |  WHERE b.event_type = 'click' AND b.us > f2.t GROUP BY b.user_id),
+        |f4 AS (SELECT b.user_id, MIN(b.us) AS t FROM b
+        |  JOIN f3 USING (user_id)
+        |  WHERE b.event_type = 'purchase' AND b.us > f3.t GROUP BY b.user_id)
+        |SELECT 1 AS step, 'signup' AS event_type,
+        |  (SELECT COUNT(*) FROM f1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM f2)
+        |UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM f3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM f4)
+        |ORDER BY step""".stripMargin,
     "s13_type_counts" ->
       """SELECT user_id, event_type, COUNT(*) AS n FROM events
         |GROUP BY user_id, event_type

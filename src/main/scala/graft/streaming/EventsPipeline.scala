@@ -185,6 +185,46 @@ object EventsPipeline {
     df.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  // ------------------------------------------------------ funnel
+
+  /** Ordered funnel: how many users performed `steps` IN ORDER (each
+    * step strictly after the previous one's first qualifying time,
+    * the standard product-analytics funnel). Step i's frame is the
+    * per-user earliest time of step i that follows the user's step
+    * i−1 time — a greedy match, which is sufficient: if any
+    * subsequence matches, greedy-earliest matches too.
+    *
+    * Scale: per step ONE narrow (user_id, t) join + min-agg — user
+    * state never exceeds one timestamp per step, no event history
+    * accumulates, no window over the whole stream. Step counts are
+    * plan-level unions of 1-row aggregates (no driver collect).
+    */
+  def funnel(df: DataFrame,
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
+      : DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = df.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    var prev: DataFrame = null
+    val stages = steps.zipWithIndex.map { case (st, i) =>
+      val cur =
+        if (i == 0)
+          base.filter(col("event_type") === st)
+            .groupBy(col("user_id")).agg(min(col("ts_us")).as("t"))
+        else
+          base.filter(col("event_type") === st)
+            .join(prev.select(col("user_id"), col("t").as("t_prev")),
+              "user_id")
+            .filter(col("ts_us") > col("t_prev"))
+            .groupBy(col("user_id")).agg(min(col("ts_us")).as("t"))
+      prev = cur
+      cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    stages.reduce(_ union _)
+  }
+
   // ------------------------------------------------- SCD-2 dimension
 
   /** Slowly-changing-dimension type-2 build from a change-event log:
