@@ -314,6 +314,31 @@ object Relational {
   /** exact interpolated percentiles (both engines: continuous
     * quantile); values are sums of identical inputs → deterministic.
     */
+  /** Exact per-group percentiles plus the approx_percentile (KLL-ish
+    * GK sketch) cross-check: at a 100 TB length-bucketing pass the
+    * exact `percentile` (sorts every group value) is off the table;
+    * the mergeable sketch is the scale path. Gate pins the exact
+    * values via the oracle and the sketch's rank-error bound as a
+    * boolean (the q_approx_distinct pattern). l_quantity takes 50
+    * distinct integer values 1..50, so the ±1% rank error can move
+    * the estimate at most one value step.
+    */
+  def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("apx50"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("apx90"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag", $"median_qty", $"p90_qty", $"n",
+        (abs($"apx50" - $"median_qty") <= 1.0 &&
+          abs($"apx90" - $"p90_qty") <= 1.0).as("sketch_ok"))
+      .orderBy($"l_returnflag")
+  }
+
   def qPercentile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
@@ -418,6 +443,7 @@ object Relational {
     "q_bloom_semi" -> (qBloomSemi _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_approx_quantile" -> (qApproxQuantile _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_window_running" -> (qWindowRunning _),
     "q_rollup" -> (qRollup _),
@@ -443,6 +469,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  COUNT(*) AS n, true AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // exact top-10 with deterministic tie-break; cms_ok is Spark-side
     // verified (the sketch bound), constant-true for the oracle
     "q_heavy_hitters" ->
