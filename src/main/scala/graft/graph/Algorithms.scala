@@ -661,6 +661,116 @@ object Algorithms {
     * hash-agg on narrow (v) keys. Degrees are one more hash-agg on
     * the same adjacency. No O(V²) pairing, no driver state.
     */
+  /** Strongly connected components (directed) — trim + forward-
+    * coloring + backward-within-color, the standard distributed SCC
+    * decomposition (FW-BW/coloring family, Orzan-style): each outer
+    * round (1) TRIMS pure sources/sinks iteratively — acyclic fringe
+    * vertices are singleton SCCs by definition, and on DAG-heavy
+    * graphs (this one included) trimming alone finishes the job —
+    * then (2) colors the cyclic core by forward min-id propagation to
+    * fixpoint, (3) marks vertices that reach their color's root
+    * BACKWARD within the color: those are exactly the root's SCC
+    * (v ↔ root: forward reachability gave v the root's color,
+    * backward gives the return path), which is assigned and removed.
+    *
+    * Returns (id, scc) with scc = min member id — the a_components
+    * contract, directed. Per inner step: one narrow join + hash-agg
+    * over (id, label) pairs, state localCheckpoint'ed; convergence
+    * tests are count() actions (scalar to driver, Pregel-style), and
+    * every loop additionally carries an iteration cap so a
+    * pathological graph degrades to a clear error, never a hang.
+    */
+  def stronglyConnected(s: SparkSession, g: PropertyGraph,
+      maxRounds: Int = 10, maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val assigned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var edges = g.edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var verts = g.vertices.select(col("id")).distinct().localCheckpoint()
+    var remaining = verts.count()
+    var round = 0
+    while (remaining > 0 && round < maxRounds) {
+      round += 1
+      // ---- trim loop: peel vertices with no in- or no out-edges
+      var trimming = true
+      var trims = 0
+      while (trimming && remaining > 0 && trims < maxIter) {
+        trims += 1
+        val hasIn = edges.select(col("dst").as("id")).distinct()
+        val hasOut = edges.select(col("src").as("id")).distinct()
+        val keep = verts.join(hasIn, Seq("id"), "left_semi")
+          .join(hasOut, Seq("id"), "left_semi")
+          .localCheckpoint()
+        val kept = keep.count()
+        if (kept == remaining) trimming = false
+        else {
+          assigned += verts.join(keep, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc")).localCheckpoint()
+          verts = keep
+          edges = edges
+            .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")).localCheckpoint()
+          remaining = kept
+        }
+      }
+      if (remaining > 0) {
+        // ---- forward coloring to fixpoint: c(v) = min id reaching v
+        var c = verts.select(col("id"), col("id").as("c"))
+          .localCheckpoint()
+        var stable = false
+        var it = 0
+        while (!stable && it < maxIter) {
+          it += 1
+          val in = edges.join(c.select(col("id").as("src"), col("c")), "src")
+            .groupBy(col("dst")).agg(min(col("c")).as("cin"))
+            .select(col("dst").as("id"), col("cin"))
+          val next = c.join(in, Seq("id"), "left")
+            .select(col("id"), least(col("c"), coalesce(col("cin"),
+              col("c"))).as("c"))
+            .localCheckpoint()
+          stable = next.select(col("id"), col("c").as("c_new"))
+            .join(c.select(col("id"), col("c").as("c_old")), "id")
+            .filter(col("c_new") =!= col("c_old")).isEmpty
+          c = next
+        }
+        // ---- backward reachability of the color root, within color
+        val e2 = edges
+          .join(c.select(col("id").as("src"), col("c").as("c_src")), "src")
+          .join(c.select(col("id").as("dst"), col("c").as("c_dst")), "dst")
+          .filter(col("c_src") === col("c_dst"))
+          .select(col("src"), col("dst")).localCheckpoint()
+        var m = c.filter(col("id") === col("c")).select(col("id"))
+          .localCheckpoint()
+        var grew = true
+        var bit = 0
+        while (grew && bit < maxIter) {
+          bit += 1
+          val next = m.union(
+              e2.join(m.select(col("id").as("dst")), Seq("dst"), "left_semi")
+                .select(col("src").as("id")))
+            .distinct().localCheckpoint()
+          grew = next.count() > m.count()
+          m = next
+        }
+        val comp = c.join(m, Seq("id"), "left_semi")
+          .select(col("id"), col("c").as("scc")).localCheckpoint()
+        assigned += comp
+        verts = verts.join(comp.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint()
+        edges = edges
+          .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).localCheckpoint()
+        remaining = verts.count()
+      }
+    }
+    require(remaining == 0,
+      s"SCC did not converge in $maxRounds rounds ($remaining left)")
+    assigned.reduce(_.unionByName(_))
+  }
+
   /** Bipartite projection with pair support — market-basket frequent
     * pairs: for a two-mode edge set (basket → item), count how many
     * baskets each ITEM PAIR shares, keeping pairs with support ≥

@@ -207,9 +207,21 @@ object AlgoQueries {
         minSupport = 3L)
       .orderBy(col("support").desc, col("item_a"), col("item_b"))
 
+  /** SCC size histogram over the full DIRECTED graph. The tpch graph
+    * is acyclic, so every SCC is a singleton and the oracle is the
+    * vertex count — the gate pins the trim/color plumbing end to end;
+    * AlgorithmsSpec pins planted cycles, merges, and bowties.
+    */
+  def aScc(s: SparkSession, dir: String): DataFrame =
+    Algorithms.stronglyConnected(s, g(s, dir))
+      .groupBy(col("scc")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_sccs"))
+      .orderBy(col("size"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_toposort" -> (aToposort _),
     "a_copurchase" -> (aCopurchase _),
+    "a_scc" -> (aScc _),
     "a_lpa" -> (aLpa _),
     "a_jaccard_sim" -> (aJaccardSim _),
     "a_pair_path" -> (aPairPath _),
@@ -552,6 +564,20 @@ object AlgoQueries {
 
   val oracle: Map[String, String] = Map(
     "a_toposort" -> toposortSql,
+    // acyclic graph ⇒ all SCCs are singletons: one histogram row
+    "a_scc" -> {
+      def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+      s"""WITH verts AS (
+         |  SELECT ${enc("customer", "c_custkey")} AS id FROM customer
+         |  UNION ALL SELECT ${enc("order", "o_orderkey")} FROM orders
+         |  UNION ALL SELECT ${enc("part", "p_partkey")} FROM part
+         |  UNION ALL SELECT ${enc("supplier", "s_suppkey")} FROM supplier
+         |  UNION ALL SELECT ${enc("nation", "n_nationkey")} FROM nation
+         |  UNION ALL SELECT ${enc("region", "r_regionkey")} FROM region)
+         |SELECT CAST(1 AS BIGINT) AS size,
+         |  CAST(COUNT(DISTINCT id) AS BIGINT) AS n_sccs
+         |FROM verts""".stripMargin
+    },
     "a_copurchase" -> {
       def enc(k: String) = PropertyGraph.sqlEncode("part", k)
       s"""WITH e AS (SELECT DISTINCT l_orderkey AS bk,

@@ -334,10 +334,38 @@ object PipelineQueries {
       .orderBy(col("z_cell"))
   }
 
+  /** Temperature-balanced language mixing — the multilingual data-
+    * mixture step (upsample tail languages, downsample the head):
+    * weight_l ∝ tokens_l^α. α = 0.5 exactly, because sqrt is an
+    * IEEE-754 correctly-rounded operation — bit-identical across
+    * engines, unlike pow(x, 0.7)'s libm variance. One tiny aggregate
+    * over per-language token counts; the share division happens on
+    * the |languages|-row frame.
+    */
+  def d21LangMix(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("tokens"))
+      // micro-unit BIGINT weights (the e6_dim_stats pattern): the
+      // cross-language SUM stays exact integer arithmetic, so no
+      // fp-accumulation-order drift between engines; sqrt itself is
+      // IEEE-correctly-rounded and safe
+      .withColumn("w",
+        floor(sqrt(col("tokens").cast("double")) * 1e6 + 0.5).cast("long"))
+    val total = perLang.agg(sum(col("w")).as("w_total"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        round(col("w").cast("double") / col("w_total").cast("double"), 6)
+          .as("mix_share"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_corpus_curation" -> (p1CorpusCuration _),
     "d19_segment_dedup" -> (d19SegmentDedup _),
     "d20_zorder" -> (d20Zorder _),
+    "d21_lang_mix" -> (d21LangMix _),
     "p2_rag_retrieval" -> (p2RagRetrieval _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
@@ -568,6 +596,18 @@ object PipelineQueries {
         |  CAST(SUM(hp // 1048576) AS BIGINT) AS fp_sum,
         |  MIN(hp // 1048576) AS fp_min, MAX(hp // 1048576) AS fp_max
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // micro-unit sqrt weights; BIGINT total (cast back from HUGEINT)
+    "d21_lang_mix" ->
+      """WITH p AS (SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000
+        |    + 0.5) AS BIGINT) AS w FROM p),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM w)
+        |SELECT lang, n_docs, tokens,
+        |  round(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS mix_share
+        |FROM w, t ORDER BY lang""".stripMargin,
     // Morton replay, generated from the same bit loop as Layout.zValue
     // (disjoint bit positions make interleave a sum of shifted bits)
     "d20_zorder" -> {

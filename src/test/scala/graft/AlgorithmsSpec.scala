@@ -19,6 +19,31 @@ class AlgorithmsSpec extends AnyFunSuite {
     PropertyGraph(v, e)
   }
 
+  test("scc: planted cycle + tail; overlapping cycles merge") {
+    // 1→2→3→1 cycle, tail 3→4
+    val g1 = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    val got1 = Algorithms.stronglyConnected(spark, g1)
+      .as[(Long, Long)].collect().toMap
+    assert(got1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    // two cycles sharing vertex 2 form ONE scc
+    val g2 = mkGraph(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+    val got2 = Algorithms.stronglyConnected(spark, g2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // bowtie: separate 2-cycles bridged one-way stay separate
+    val g3 = mkGraph(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (2L, 3L)))
+    val got3 = Algorithms.stronglyConnected(spark, g3)
+      .as[(Long, Long)].collect().toMap
+    assert(got3 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("scc: DAG chain is all singletons (pure trim path)") {
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val got = Algorithms.stronglyConnected(spark, g)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+  }
+
   test("bipartiteProjection: pair supports + mega-basket guard") {
     // baskets: 10:{1,2,3}, 11:{1,2}, 12:{1,2}, 13 is a mega-basket
     val edges = (Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
