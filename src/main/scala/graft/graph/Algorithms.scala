@@ -268,26 +268,41 @@ object Algorithms {
     */
   def dagLayers(s: SparkSession, g: PropertyGraph, iters: Int = 8): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // pre-partitioned on the per-round join key so the cached edge
+    // list never re-shuffles inside the loop (the LPA adjacency trick,
+    // pinned in PlanSpec)
     val edges = g.edges.select(col("src"), col("dst"))
-      .persist(MEMORY_AND_DISK)
-    val verts = g.vertices.select(col("id")).distinct()
+      .repartition(col("src"))
       .persist(MEMORY_AND_DISK)
     try {
-      var lvl = verts.select(col("id"), lit(0L).as("level"))
-        .localCheckpoint()
-      for (_ <- 1 to iters) {
+      // frontier (delta) formulation: only vertices whose level ROSE
+      // last round can raise a successor this round, so the expensive
+      // edges-join touches each edge once per layer it propagates
+      // through — Σ|delta| work, not rounds × |E| — and the loop stops
+      // itself on an empty frontier (depth+1 rounds on a DAG) instead
+      // of burning fixed iterations past convergence.
+      var lvl = g.vertices.select(col("id")).distinct()
+        .select(col("id"), lit(0L).as("level")).localCheckpoint()
+      var delta = lvl
+      var round = 0
+      while (round < iters && !delta.isEmpty) {
+        round += 1
         val cand = edges
-          .join(lvl.select(col("id").as("src"), col("level")), "src")
+          .join(delta.select(col("id").as("src"), col("level")), "src")
           .groupBy(col("dst")).agg(max(col("level") + 1L).as("cand"))
           .select(col("dst").as("id"), col("cand"))
-        lvl = verts.join(cand, Seq("id"), "left")
-          .select(col("id"), coalesce(col("cand"), lit(0L)).as("level"))
+        val merged = lvl.join(cand, Seq("id"), "left")
+          .select(col("id"),
+            greatest(col("level"), coalesce(col("cand"), col("level")))
+              .as("level"),
+            (col("cand") > col("level")).as("__rose"))
           .localCheckpoint()
+        delta = merged.filter(col("__rose")).select(col("id"), col("level"))
+        lvl = merged.select(col("id"), col("level"))
       }
       lvl
     } finally {
       edges.unpersist(blocking = false)
-      verts.unpersist(blocking = false)
     }
   }
 
@@ -319,6 +334,16 @@ object Algorithms {
       .persist(MEMORY_AND_DISK)
     try {
       var lab = verts.select(col("id"), col("id").as("comp")).localCheckpoint()
+      // labels are non-increasing (min-propagation and jumping both
+      // only lower them, comp(v) ≤ v invariant), so an exact label sum
+      // is a sufficient convergence witness — ONE decimal aggregate
+      // per round instead of a full compare-join (decimal: 2^40-scaled
+      // ids × 10⁶ vertices already grazes Long range, and a silent
+      // wrap here would terminate the loop early)
+      def labSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("comp").cast("decimal(38,0)")))
+          .head().getDecimal(0)
+      var prevSum = labSum(lab)
       var converged = false
       var it = 0
       while (!converged && it < maxIter) {
@@ -333,9 +358,9 @@ object Algorithms {
             Seq("comp"), "left")
           .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
           .localCheckpoint()
-        converged = jumped
-          .join(lab.select(col("id"), col("comp").as("prev")), "id")
-          .filter(col("comp") =!= col("prev")).isEmpty
+        val s2 = labSum(jumped)
+        converged = s2.compareTo(prevSum) == 0
+        prevSum = s2
         lab = jumped
         it += 1
       }
