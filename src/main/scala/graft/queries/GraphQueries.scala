@@ -211,7 +211,44 @@ object GraphQueries {
       .in("part_of").in("located_in").count()
   }
 
+  /** HugeGraph `kout`/`kneighbor` traverser parity: per-depth BFS
+    * frontier sizes from customer 1 over the order graph — kout(d) =
+    * vertices at EXACTLY depth d, kneighbor(d) = within ≤ d (seed
+    * included). One distributed BFS (id-only frontiers); the
+    * cumulative sum runs over the ≤ maxDepth-row result.
+    */
+  def g23Kout(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hops = graft.graph.Algorithms.multiSourceHops(s, g(s, dir),
+      Seq(graft.graph.PropertyGraph.encodeId("customer", 1L)),
+      labels = Seq("placed", "contains", "supplied_by"), maxDepth = 3)
+    hops.filter(col("dist") >= 1L)
+      .groupBy(col("dist")).agg(count(lit(1)).as("kout"))
+      .withColumn("kneighbor",
+        sum(col("kout")).over(Window.orderBy(col("dist"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1L)
+      .orderBy(col("dist"))
+  }
+
+  /** HugeGraph `same-neighbors` traverser parity: the common
+    * in-neighborhood (orders) of parts 260 and 625 over `contains` — one
+    * semi-join intersect, no driver-side sets.
+    */
+  def g24SameNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val e = g(s, dir).edges.filter(col("label") === "contains")
+      .select(col("src").as("id"), col("dst").as("part"))
+    // parts 260/625 share five orders at the sf0.01 gate scale (a
+    // zero-row result would pass the oracle vacuously)
+    val p1 = graft.graph.PropertyGraph.encodeId("part", 260L)
+    val p2 = graft.graph.PropertyGraph.encodeId("part", 625L)
+    e.filter(col("part") === p1).select(col("id"))
+      .intersect(e.filter(col("part") === p2).select(col("id")))
+      .orderBy(col("id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g23_kout" -> (g23Kout _),
+    "g24_same_neighbors" -> (g24SameNeighbors _),
     "g21_stored_traversal" -> (g21StoredTraversal _),
     "g19_union" -> (g19Union _),
     "g20_coalesce" -> (g20Coalesce _),
@@ -237,6 +274,44 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // 3-layer BFS replay with explicit visited-set subtraction
+    "g23_kout" -> {
+      def enc(l: String, k: String) = graft.graph.PropertyGraph.sqlEncode(l, k)
+      s"""WITH e AS (
+         |  SELECT ${enc("customer", "o_custkey")} AS src,
+         |         ${enc("order", "o_orderkey")} AS dst FROM orders
+         |  UNION ALL SELECT ${enc("order", "l_orderkey")},
+         |         ${enc("part", "l_partkey")} FROM lineitem
+         |  UNION ALL SELECT DISTINCT ${enc("part", "l_partkey")},
+         |         ${enc("supplier", "l_suppkey")} FROM lineitem),
+         |v0 AS (SELECT CAST(${enc("customer", "1")} AS BIGINT) AS id),
+         |n1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN v0 ON e.src = v0.id
+         |  WHERE e.dst NOT IN (SELECT id FROM v0)),
+         |w1 AS (SELECT id FROM v0 UNION SELECT id FROM n1),
+         |n2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN n1 ON e.src = n1.id
+         |  WHERE e.dst NOT IN (SELECT id FROM w1)),
+         |w2 AS (SELECT id FROM w1 UNION SELECT id FROM n2),
+         |n3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN n2 ON e.src = n2.id
+         |  WHERE e.dst NOT IN (SELECT id FROM w2))
+         |SELECT CAST(1 AS BIGINT) AS dist,
+         |  (SELECT COUNT(*) FROM n1) AS kout,
+         |  (SELECT COUNT(*) FROM n1) + 1 AS kneighbor
+         |UNION ALL SELECT 2, (SELECT COUNT(*) FROM n2),
+         |  (SELECT COUNT(*) FROM n1) + (SELECT COUNT(*) FROM n2) + 1
+         |UNION ALL SELECT 3, (SELECT COUNT(*) FROM n3),
+         |  (SELECT COUNT(*) FROM n1) + (SELECT COUNT(*) FROM n2)
+         |    + (SELECT COUNT(*) FROM n3) + 1
+         |ORDER BY dist""".stripMargin
+    },
+    "g24_same_neighbors" -> {
+      def enc(l: String, k: String) = graft.graph.PropertyGraph.sqlEncode(l, k)
+      s"""SELECT ${enc("order", "l_orderkey")} AS id FROM lineitem
+         |WHERE l_partkey = 260
+         |INTERSECT
+         |SELECT ${enc("order", "l_orderkey")} FROM lineitem
+         |WHERE l_partkey = 625
+         |ORDER BY id""".stripMargin
+    },
     "g21_stored_traversal" ->
       """SELECT COUNT(*) AS cnt FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
