@@ -30,6 +30,28 @@ object Writer {
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
 
+  /** CDC apply: collapse an ordered change log (op ∈ I/U/D, one row
+    * per change, `ord` breaks same-key ties — commit sequence or
+    * (ts, lsn)) onto a base table. Per key, only the LATEST change
+    * matters: row_number over (key DESC-by-ord) picks it, a D drops
+    * the key, an I/U replaces it — the Debezium-style snapshot
+    * semantics a streaming foreachBatch applies per micro-batch.
+    *
+    * Scale: ONE window shuffle over the (narrow) change log keyed by
+    * `keys` + the upsert/delete anti-joins against base. The log is
+    * never collected, and base is touched only by key joins.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      ordCol: String, opCol: String = "op"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val dels = latest.filter(col(opCol) === "D").select(keys.map(col): _*)
+    // after stripping op/ord the payload must align with base's schema
+    val ups = latest.filter(col(opCol) =!= "D").drop(opCol, ordCol)
+    delete(upsert(base, ups, keys), dels, keys)
+  }
+
   /** W2 delete by key set. */
   def delete(base: DataFrame, deleteKeys: DataFrame, keys: Seq[String]): DataFrame =
     base.join(deleteKeys.select(keys.map(col): _*), keys, "left_anti")

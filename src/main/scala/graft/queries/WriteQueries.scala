@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Writer
@@ -111,6 +111,34 @@ object WriteQueries {
       (sum(graft.util.Exact.cents(col("o_totalprice"))) / 100.0).as("total"))
   }
 
+  /** CDC apply — the Debezium-shaped change log collapsed onto the
+    * customer dimension: two competing updates for the %10==3 keys
+    * (the later one must win), deletes for %10==7, inserts of brand-new
+    * keys for %10==5. Summarized per segment; the oracle replays the
+    * merge relationally.
+    */
+  def w11CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+    def change(op: String, seq: Long, keySel: Column, key: Column,
+        bal: Column): DataFrame =
+      base.filter(keySel).select(key.as("c_custkey"), col("c_name"),
+        col("c_nationkey"), bal.as("c_acctbal"), col("c_mktsegment"),
+        lit(op).as("op"), lit(seq).as("seq"))
+    val k = col("c_custkey")
+    val changes =
+      change("U", 1L, k % 10 === 3, k, col("c_acctbal") + 50.0)
+        .unionByName(change("U", 2L, k % 10 === 3, k,
+          col("c_acctbal") + 100.0)) // latest wins
+        .unionByName(change("D", 1L, k % 10 === 7, k, col("c_acctbal")))
+        .unionByName(change("I", 1L, k % 10 === 5, k + 1000000L,
+          lit(10.0)))
+    Writer.applyCdc(base, changes, Seq("c_custkey"), "seq")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.util.Exact.cents(col("c_acctbal"))) / 100.0).as("balance"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** W6/W11 truncate/clear: schema survives, rows do not. */
   def w10Truncate(s: SparkSession, dir: String): DataFrame = {
     val truncated = Writer.truncate(Tables.orders(s, dir))
@@ -119,6 +147,7 @@ object WriteQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_cdc_apply" -> (w11CdcApply _),
     "w9_ttl_vacuum" -> (w9TtlVacuum _),
     "w10_truncate" -> (w10Truncate _),
     "w8_alloc_partitioned" -> (w8AllocPartitioned _),
@@ -132,6 +161,19 @@ object WriteQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // relational replay of the collapsed change log: %10∈{3} updated
+    // (seq-2 value), {7} deleted, {5} duplicated as inserts
+    "w11_cdc_apply" ->
+      """WITH fin AS (
+        |  SELECT c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey % 10 NOT IN (3, 7)
+        |  UNION ALL SELECT c_mktsegment, c_acctbal + 100.0 FROM customer
+        |  WHERE c_custkey % 10 = 3
+        |  UNION ALL SELECT c_mktsegment, 10.0 FROM customer
+        |  WHERE c_custkey % 10 = 5)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  SUM(CAST(ROUND((c_acctbal)*100) AS BIGINT))/100.0 AS balance
+        |FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "w9_ttl_vacuum" ->
       """SELECT COUNT(*) AS n_live,
         |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS oldest,

@@ -11,6 +11,19 @@ class WriterSpec extends AnyFunSuite {
   lazy val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
     .toDF("id", "name", "v")
 
+  test("applyCdc: latest op per key wins — U→D deletes, D→U restores") {
+    val changes = Seq(
+      (1L, "a2", 11.0, "U", 1L), (1L, "a", 10.0, "D", 2L), // D last → gone
+      (2L, "b", 20.0, "D", 1L), (2L, "b2", 22.0, "U", 2L), // U last → kept
+      (3L, "c2", 33.0, "U", 1L), (3L, "c3", 34.0, "U", 2L), // latest U
+      (4L, "d", 40.0, "I", 1L)) // fresh insert
+      .toDF("id", "name", "v", "op", "seq")
+    val got = graft.operators.Writer
+      .applyCdc(base, changes, Seq("id"), "seq")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((2L, "b2", 22.0), (3L, "c3", 34.0), (4L, "d", 40.0)))
+  }
+
   test("upsert: update wins, insert appends") {
     val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "name", "v")
     val got = Writer.upsert(base, updates, Seq("id"))
