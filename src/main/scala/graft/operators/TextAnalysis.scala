@@ -259,4 +259,26 @@ object TextAnalysis {
         col("top1_frac") >= t1 || col("top2_frac") >= t2 ||
           col("top3_frac") >= t3)
   }
+
+  /** Corpus-wide adjacent-token-pair frequencies — the counting pass
+    * of one BPE merge step (the most frequent pair is the next merge
+    * rule). Explode + one codegen'd window lead + hash-agg with
+    * map-side partials: the same shingleRows mechanics minus the
+    * distinct (BPE needs occurrence counts, not set membership).
+    * Total (n desc, pair) order makes the top-k deterministic.
+    */
+  def mergePairCounts(docs: org.apache.spark.sql.DataFrame,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(coalesce(col("text"), lit(""))))
+        .as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok.withColumn("nxt", lead(col("t"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(concat_ws(" ", col("t"), col("nxt")).as("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
 }

@@ -361,11 +361,18 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** top-20 adjacent token pairs — the first BPE merge rule's
+    * counting pass (tokenizer induction over the corpus).
+    */
+  def d22BpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mergePairCounts(Tables.documents(s, dir), topK = 20)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_corpus_curation" -> (p1CorpusCuration _),
     "d19_segment_dedup" -> (d19SegmentDedup _),
     "d20_zorder" -> (d20Zorder _),
     "d21_lang_mix" -> (d21LangMix _),
+    "d22_bpe_pairs" -> (d22BpePairs _),
     "p2_rag_retrieval" -> (p2RagRetrieval _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
@@ -596,6 +603,19 @@ object PipelineQueries {
         |  CAST(SUM(hp // 1048576) AS BIGINT) AS fp_sum,
         |  MIN(hp // 1048576) AS fp_min, MAX(hp // 1048576) AS fp_max
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // lead() pair assembly; the NULL next-token at doc end drops the
+    // row on both sides
+    "d22_bpe_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(coalesce(text, ''), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(coalesce(text, ''),
+        |      '\s+'), 1) AS pos
+        |  FROM documents),
+        |p AS (SELECT t || ' ' ||
+        |    lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS pair
+        |  FROM tok)
+        |SELECT pair, COUNT(*) AS n FROM p WHERE pair IS NOT NULL
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     // micro-unit sqrt weights; BIGINT total (cast back from HUGEINT)
     "d21_lang_mix" ->
       """WITH p AS (SELECT lang, COUNT(*) AS n_docs,
