@@ -361,6 +361,36 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Pretrain-mix composite — the third end-to-end flagship, chaining
+    * the round-6 surface: quality-gate the corpus, strip cross-doc
+    * boilerplate segments (d19's operator), then compute temperature-
+    * balanced language mix weights (d21's α = 0.5 arithmetic) over
+    * the CLEANED character mass. Gate → dedup → mixture as one plan:
+    * per language, surviving docs, kept/total segment counts, cleaned
+    * characters, and the final sampling share.
+    */
+  def p3PretrainMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+    val cleaned = Dedup.segmentDedup(docs, segWords = 10, maxDocFreq = 1)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val perLang = cleaned.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_segments")).cast("long").as("segments"),
+        sum(col("n_kept")).cast("long").as("kept_segments"),
+        sum(col("kept_chars")).cast("long").as("clean_chars"))
+      .withColumn("w",
+        floor(sqrt(col("clean_chars").cast("double")) * 1e6 + 0.5)
+          .cast("long"))
+    val total = perLang.agg(sum(col("w")).as("w_total"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("segments"),
+        col("kept_segments"), col("clean_chars"),
+        round(col("w").cast("double") / col("w_total").cast("double"), 6)
+          .as("mix_share"))
+      .orderBy(col("lang"))
+  }
+
   /** top-20 adjacent token pairs — the first BPE merge rule's
     * counting pass (tokenizer induction over the corpus).
     */
@@ -369,6 +399,7 @@ object PipelineQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_corpus_curation" -> (p1CorpusCuration _),
+    "p3_pretrain_mix" -> (p3PretrainMix _),
     "d19_segment_dedup" -> (d19SegmentDedup _),
     "d20_zorder" -> (d20Zorder _),
     "d21_lang_mix" -> (d21LangMix _),
@@ -748,6 +779,51 @@ object PipelineQueries {
          |  CAST(SUM(CAST(ROUND(quality*1000000) AS BIGINT)) AS DOUBLE)
          |    / 1000000.0 / COUNT(*) AS avg_quality
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+    // p1's quality gate + d19's segment CTEs (over the GATED corpus,
+    // matching the Spark plan) + d21's sqrt micro-unit weights
+    "p3_pretrain_mix" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      round(least(len($tokensSql) / 50.0, 1.0) * 0.4
+         |        + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[.!?,;:]'))
+         |            / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 5.0) * 0.3
+         |        + least(len(list_filter($tokensSql, t -> list_contains($stopListSql, t)))
+         |            / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3,
+         |        6) AS quality
+         |    FROM documents) WHERE quality >= 0.5),
+         |tok AS (SELECT doc_id,
+         |    unnest(string_split_regex(coalesce(text, ''), '\\s+')) AS t,
+         |    generate_subscripts(string_split_regex(coalesce(text, ''),
+         |      '\\s+'), 1) - 1 AS pos
+         |  FROM gated),
+         |segs AS (SELECT doc_id,
+         |    concat_ws(' ', t,
+         |      lead(t, 1) OVER w, lead(t, 2) OVER w, lead(t, 3) OVER w,
+         |      lead(t, 4) OVER w, lead(t, 5) OVER w, lead(t, 6) OVER w,
+         |      lead(t, 7) OVER w, lead(t, 8) OVER w, lead(t, 9) OVER w)
+         |      AS seg
+         |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY pos % 10 = 0),
+         |fr AS (SELECT seg, COUNT(DISTINCT doc_id) AS n_docs
+         |  FROM segs GROUP BY seg),
+         |perdoc AS (SELECT s.doc_id, COUNT(*) AS n_segments,
+         |    SUM(CASE WHEN f.n_docs <= 1 THEN 1 ELSE 0 END) AS n_kept,
+         |    coalesce(SUM(CASE WHEN f.n_docs <= 1
+         |      THEN length(s.seg) END), 0) AS kept_chars
+         |  FROM segs s JOIN fr f USING (seg) GROUP BY s.doc_id),
+         |wl AS (SELECT p.*, g.lang FROM perdoc p JOIN gated g USING (doc_id)),
+         |perlang AS (SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_segments) AS BIGINT) AS segments,
+         |    CAST(SUM(n_kept) AS BIGINT) AS kept_segments,
+         |    CAST(SUM(kept_chars) AS BIGINT) AS clean_chars
+         |  FROM wl GROUP BY lang),
+         |wt AS (SELECT *, CAST(floor(sqrt(CAST(clean_chars AS DOUBLE))
+         |    * 1000000 + 0.5) AS BIGINT) AS w FROM perlang),
+         |tt AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM wt)
+         |SELECT lang, n_docs, segments, kept_segments, clean_chars,
+         |  round(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS mix_share
+         |FROM wt, tt ORDER BY lang""".stripMargin,
     "d1_exact_dedup" ->
       s"""SELECT $fingerprintSql AS fingerprint, MIN(doc_id) AS keep_id,
          |  COUNT(*) AS n_copies
