@@ -61,6 +61,23 @@ object Multimodal {
       bytes.map("%02x".format(_)).mkString.take(16), mean, nFrames, hist)
   }
 
+  /** Tile-grid layout for vision-encoder preprocessing: how a
+    * width×height image splits into tileSize² patches (edge tiles
+    * clamped) — the ViT patchification bookkeeping a multimodal
+    * pipeline computes BEFORE any pixel is decoded, so it runs
+    * metadata-only (the bytes column is never read; same pruning
+    * contract as [[metaOnly]], pinned in MultimodalSpec). Pure
+    * codegen'd integer arithmetic, map-only.
+    */
+  def tileGrid(media: DataFrame, tileSize: Int = 224): DataFrame =
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("width"), col("height"),
+        ceil(col("width").cast("double") / tileSize).cast("long")
+          .as("tiles_x"),
+        ceil(col("height").cast("double") / tileSize).cast("long")
+          .as("tiles_y"))
+      .withColumn("n_tiles", col("tiles_x") * col("tiles_y"))
+
   /** decode / feature-extract over the media table — the batched
     * narrow-transformation shape a real pipeline uses.
     */

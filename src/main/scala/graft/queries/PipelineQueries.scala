@@ -247,6 +247,14 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** ViT-style tile-grid bookkeeping over image rows — metadata-only
+    * (bytes never read).
+    */
+  def m5Tiles(s: SparkSession, dir: String): DataFrame =
+    Multimodal.tileGrid(
+        Multimodal.mediaTable(Tables.documents(s, dir)), tileSize = 224)
+      .orderBy(col("media_id"))
+
   /** stubbed decode/feature-extract via mapPartitions (rows-only: the
     * fake features aren't SQL; the batch shape is what's exercised).
     */
@@ -430,6 +438,7 @@ object PipelineQueries {
     "e3_ivf_topk" -> (e3IvfTopk _),
     "e4_emb_near_dup" -> (e4EmbNearDup _),
     "m1_media_meta" -> (m1MediaMeta _),
+    "m5_tiles" -> (m5Tiles _),
     "m2_media_features" -> (m2MediaFeatures _),
     "m3_frame_sample" -> (m3FrameSample _),
     "m4_media_dedup" -> (m4MediaDedup _),
@@ -1011,6 +1020,15 @@ object PipelineQueries {
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "m5_tiles" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((doc_id % 8) * 160 + 320 AS INT) AS width,
+        |  CAST((doc_id % 8) * 90 + 180 AS INT) AS height,
+        |  CAST(ceil(((doc_id % 8) * 160 + 320) / 224.0) AS BIGINT) AS tiles_x,
+        |  CAST(ceil(((doc_id % 8) * 90 + 180) / 224.0) AS BIGINT) AS tiles_y,
+        |  CAST(ceil(((doc_id % 8) * 160 + 320) / 224.0)
+        |    * ceil(((doc_id % 8) * 90 + 180) / 224.0) AS BIGINT) AS n_tiles
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -34,6 +34,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("bytes"))
   }
 
+  test("tileGrid: clamped ceil grid; bytes column never read") {
+    val tiles = Multimodal.tileGrid(Multimodal.mediaTable(docs), 224)
+    assert(!tiles.queryExecution.optimizedPlan.toString.contains("bytes"))
+    val byId = tiles.select("media_id", "width", "height", "n_tiles")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    byId.values.foreach { case (_, w, h, n) =>
+      assert(n == ((w + 223) / 224).toLong * ((h + 223) / 224).toLong)
+    }
+    assert(byId.nonEmpty)
+  }
+
   test("frame sample counts ceil(n_bytes/stride)") {
     val got = Multimodal.frameSample(Multimodal.mediaTable(docs), stride = 64)
       .as[(Long, Int)].collect().toMap
