@@ -128,6 +128,36 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(p) == 0, s"slidingChunks must not shuffle:\n$p")
   }
 
+  test("d19 segment dedup: windows partitioned by doc_id; " +
+      "doc-frequency shuffles digests, not text") {
+    val df = SparkEntry.queries("d19_segment_dedup")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "segment assembly must never plan a global window")
+    // every Aggregate above the window groups on the md5 digest or
+    // doc_id — never the raw seg string
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.map(_.sql).mkString(",")
+    }
+    assert(aggs.forall(g => !g.contains("concat_ws")), aggs.mkString("\n"))
+  }
+
+  test("q_bloom_semi: codegen'd might_contain probe below an equi-join") {
+    val p = plan("q_bloom_semi")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"))
+  }
+
+  test("q_incremental_agg: state merge keeps partial aggregation") {
+    val p = plan("q_incremental_agg")
+    assert(p.contains("partial"), p) // map-side combine survives the union
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"))
+  }
+
   test("d15 repetition: all windows are partitioned by doc_id") {
     val df = SparkEntry.queries("d15_repetition")(spark, dir)
     val windows = df.queryExecution.optimizedPlan.collect {
