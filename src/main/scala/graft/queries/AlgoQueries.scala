@@ -218,10 +218,31 @@ object AlgoQueries {
       .groupBy(col("size")).agg(count(lit(1)).as("n_sccs"))
       .orderBy(col("size"))
 
+  /** HugeGraph `crosspoints` traverser parity: vertices reachable from
+    * BOTH customer 3 and customer 5 within 2 hops over placed/contains
+    * (their common parts), summarized per (dist_a, dist_b) — ONE
+    * multi-source BFS serves both seeds, then a self-pivot on the
+    * (seed, id, dist) frame.
+    */
+  def aCrosspoints(s: SparkSession, dir: String): DataFrame = {
+    val sa = PropertyGraph.encodeId("customer", 3L)
+    val sb = PropertyGraph.encodeId("customer", 5L)
+    val hops = Algorithms.multiSourceHops(s, g(s, dir), Seq(sa, sb),
+      labels = Seq("placed", "contains"), maxDepth = 2)
+    hops.groupBy(col("id"))
+      .agg(max(when(col("seed") === sa, col("dist"))).as("dist_a"),
+        max(when(col("seed") === sb, col("dist"))).as("dist_b"))
+      .filter(col("dist_a").isNotNull && col("dist_b").isNotNull)
+      .groupBy(col("dist_a"), col("dist_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("dist_a"), col("dist_b"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_toposort" -> (aToposort _),
     "a_copurchase" -> (aCopurchase _),
     "a_scc" -> (aScc _),
+    "a_crosspoints" -> (aCrosspoints _),
     "a_lpa" -> (aLpa _),
     "a_jaccard_sim" -> (aJaccardSim _),
     "a_pair_path" -> (aPairPath _),
@@ -564,6 +585,33 @@ object AlgoQueries {
 
   val oracle: Map[String, String] = Map(
     "a_toposort" -> toposortSql,
+    // layered BFS from each seed (visited-set subtraction = first-
+    // discovery dists), intersected on the reached vertex
+    "a_crosspoints" -> {
+      def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+      def bfs(tag: String, key: Long) =
+        s"""v0$tag AS (SELECT CAST(${enc("customer", key.toString)} AS BIGINT) AS id),
+           |n1$tag AS (SELECT DISTINCT e.dst AS id FROM e
+           |  JOIN v0$tag v ON e.src = v.id
+           |  WHERE e.dst NOT IN (SELECT id FROM v0$tag)),
+           |w1$tag AS (SELECT id FROM v0$tag UNION SELECT id FROM n1$tag),
+           |n2$tag AS (SELECT DISTINCT e.dst AS id FROM e
+           |  JOIN n1$tag n ON e.src = n.id
+           |  WHERE e.dst NOT IN (SELECT id FROM w1$tag)),
+           |r$tag AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM v0$tag
+           |  UNION ALL SELECT id, 1 FROM n1$tag
+           |  UNION ALL SELECT id, 2 FROM n2$tag)"""
+      s"""WITH e AS (
+         |  SELECT ${enc("customer", "o_custkey")} AS src,
+         |         ${enc("order", "o_orderkey")} AS dst FROM orders
+         |  UNION ALL SELECT ${enc("order", "l_orderkey")},
+         |         ${enc("part", "l_partkey")} FROM lineitem),
+         |${bfs("a", 3L)},
+         |${bfs("b", 5L)}
+         |SELECT ra.dist AS dist_a, rb.dist AS dist_b, COUNT(*) AS n
+         |FROM ra JOIN rb USING (id)
+         |GROUP BY ra.dist, rb.dist ORDER BY dist_a, dist_b""".stripMargin
+    },
     // acyclic graph ⇒ all SCCs are singletons: one histogram row
     "a_scc" -> {
       def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
