@@ -260,6 +260,38 @@ object TextAnalysis {
           col("top3_frac") >= t3)
   }
 
+  /** Bigram conditional probabilities P(w₂|w₁) for the corpus's most
+    * frequent bigrams — the n-gram-LM estimation pass behind
+    * perplexity-style quality filters (rarityScore is its unigram
+    * sibling). One exploded token pass feeds BOTH counts: bigrams via
+    * the window lead, unigram context counts via a second hash-agg of
+    * the same frame; the probability division happens on the top-k
+    * frame only. Deterministic: exact integer counts, one correctly-
+    * rounded double division, total (count desc, bigram) order.
+    */
+  def bigramLm(docs: org.apache.spark.sql.DataFrame,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(coalesce(col("text"), lit(""))))
+        .as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withNext = tok.withColumn("nxt", lead(col("t"), 1).over(w))
+    val big = withNext.filter(col("nxt").isNotNull)
+      .groupBy(col("t").as("w1"), col("nxt").as("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    // context count = occurrences of w1 WITH a successor (so the
+    // conditional sums to 1 over w2)
+    val ctx = withNext.filter(col("nxt").isNotNull)
+      .groupBy(col("t").as("w1")).agg(count(lit(1)).as("n_context"))
+    big.join(ctx, "w1")
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_context"),
+        round(col("n_bigram").cast("double") /
+          col("n_context").cast("double"), 6).as("p_cond"))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Corpus-wide adjacent-token-pair frequencies — the counting pass
     * of one BPE merge step (the most frequent pair is the next merge
     * rule). Explode + one codegen'd window lead + hash-agg with

@@ -399,6 +399,10 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** bigram-LM conditionals over the corpus's top bigrams. */
+  def d23BigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLm(Tables.documents(s, dir), topK = 20)
+
   /** top-20 adjacent token pairs — the first BPE merge rule's
     * counting pass (tokenizer induction over the corpus).
     */
@@ -412,6 +416,7 @@ object PipelineQueries {
     "d20_zorder" -> (d20Zorder _),
     "d21_lang_mix" -> (d21LangMix _),
     "d22_bpe_pairs" -> (d22BpePairs _),
+    "d23_bigram_lm" -> (d23BigramLm _),
     "p2_rag_retrieval" -> (p2RagRetrieval _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
@@ -643,6 +648,26 @@ object PipelineQueries {
         |  CAST(SUM(hp // 1048576) AS BIGINT) AS fp_sum,
         |  MIN(hp // 1048576) AS fp_min, MAX(hp // 1048576) AS fp_max
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same exploded pass: bigram counts + per-context counts, one
+    // correctly-rounded division on the top-k frame
+    "d23_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(coalesce(text, ''), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(coalesce(text, ''),
+        |      '\s+'), 1) AS pos
+        |  FROM documents),
+        |p AS (SELECT t AS w1,
+        |    lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok),
+        |big AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM p
+        |  WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        |ctx AS (SELECT w1, COUNT(*) AS n_context FROM p
+        |  WHERE w2 IS NOT NULL GROUP BY w1)
+        |SELECT b.w1, b.w2, b.n_bigram, c.n_context,
+        |  round(CAST(b.n_bigram AS DOUBLE) / CAST(c.n_context AS DOUBLE), 6)
+        |    AS p_cond
+        |FROM big b JOIN ctx c USING (w1)
+        |ORDER BY n_bigram DESC, w1, w2 LIMIT 20""".stripMargin,
     // lead() pair assembly; the NULL next-token at doc end drops the
     // row on both sides
     "d22_bpe_pairs" ->
