@@ -112,6 +112,25 @@ object StreamingQueries {
     EventsPipeline.scd2(Tables.events(s, dir))
       .orderBy(col("user_id"), col("version"))
 
+  /** Windowed top-1: the most frequent event type per 6-hour tumbling
+    * bucket (count desc, type asc tie-break — total order). The
+    * batch face of a per-window trending aggregation; the same
+    * groupBy(window, type) shape runs under a watermark in streaming
+    * (s1/s2 pin that machinery).
+    */
+  def s15WindowTop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, dir)
+      .groupBy(expr("CAST(floor(unix_micros(ts) / 21600000000) AS BIGINT)")
+        .as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .orderBy(col("bucket"))
+  }
+
   /** ordered signup→view→click→purchase funnel over the event log. */
   def s14Funnel(s: SparkSession, dir: String): DataFrame =
     EventsPipeline.funnel(Tables.events(s, dir))
@@ -129,6 +148,7 @@ object StreamingQueries {
     "s12_scd2" -> (s12Scd2 _),
     "s13_type_counts" -> (s13TypeCounts _),
     "s14_funnel" -> (s14Funnel _),
+    "s15_window_top" -> (s15WindowTop _),
     "s1_tumbling" -> (s1Tumbling _),
     "s2_sliding" -> (s2Sliding _),
     "s3_sessions" -> (s3Sessions _),
@@ -145,6 +165,16 @@ object StreamingQueries {
     "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "s15_window_top" ->
+      """WITH c AS (SELECT
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 21600000000) AS BIGINT)
+        |      AS bucket,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket, event_type, n FROM c
+        |QUALIFY row_number() OVER (PARTITION BY bucket
+        |  ORDER BY n DESC, event_type) = 1
+        |ORDER BY bucket""".stripMargin,
     // greedy-earliest funnel replay: each CTE is the per-user first
     // qualifying time of its step after the previous step's time
     "s14_funnel" ->
