@@ -258,7 +258,11 @@ object Algorithms {
     * max-propagation: after round t every vertex holds its longest
     * incoming path using ≤ t edges, so `iters` ≥ graph depth is exact.
     * On a cyclic input, levels on/below a cycle keep climbing instead
-    * of converging — level ≥ iters doubles as a cycle detector.
+    * of converging — level ≥ iters doubles as a cycle detector. That
+    * detector mode is the DEFAULT (strict = false): hitting the cap
+    * with a live frontier is meaningful output there. Callers that
+    * expect a DAG no deeper than `iters` pass strict = true, turning a
+    * truncated (silently wrong) layering into a loud error instead.
     *
     * Scale: per round ONE narrow join on src + one hash-agg on dst
     * over (id, level) pairs — never adjacency lists; the edge list is
@@ -266,7 +270,8 @@ object Algorithms {
     * (the pageRankExact loop mechanics). O(depth) rounds, each a
     * single exchange pair.
     */
-  def dagLayers(s: SparkSession, g: PropertyGraph, iters: Int = 8): DataFrame = {
+  def dagLayers(s: SparkSession, g: PropertyGraph, iters: Int = 8,
+                strict: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pre-partitioned on the per-round join key so the cached edge
     // list never re-shuffles inside the loop (the LPA adjacency trick,
@@ -300,75 +305,112 @@ object Algorithms {
         delta = merged.filter(col("__rose")).select(col("id"), col("level"))
         lvl = merged.select(col("id"), col("level"))
       }
+      if (strict) require(delta.isEmpty,
+        s"dagLayers frontier still live after $iters rounds — graph is " +
+          "deeper than iters or cyclic (pass strict=false for detector mode)")
       lvl
     } finally {
       edges.unpersist(blocking = false)
     }
   }
 
-  /** Connected components, DataFrame-first with pointer jumping — the
-    * high-diameter scale path [[connectedComponents]] (GraphX,
-    * O(diameter) supersteps) cannot offer: each round combines one
-    * min-label propagation over the adjacency with one pointer-jump
-    * (comp(v) := comp(comp(v))), so label trees halve in height per
-    * round and convergence is O(log diameter) — the alternating-
-    * algorithm family (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond"). Output contract matches GraphX CC
-    * exactly: component id = min vertex id, isolated vertices are
-    * singletons (explicit vertex set).
+  /** One delta round of [[connectedComponentsAlt]]: label candidates
+    * flow ONLY out of `delta` — the (id, comp) rows whose label fell
+    * last round — into their graph neighbors; every other vertex costs
+    * nothing this round. Returns (id, comp, __chg) where __chg marks
+    * rows whose label fell (next round's delta). private[graft] so the
+    * spec can pin the delta contract directly: a better label sitting
+    * in `lab` but absent from `delta` must NOT propagate.
+    */
+  private[graft] def ccAltRound(adj: DataFrame, lab: DataFrame,
+                                delta: DataFrame): DataFrame = {
+    // shuffle_hash hints: an SMJ would re-SORT the (large, cached)
+    // adjacency and the label state every round — measured 0.9s/round
+    // at sf0.1 even with a ~2k-row delta. Hash joins build from the
+    // small per-round side and stream the cached side, and the cache's
+    // hash partitioning (repartition(n) / previous round's id-join)
+    // still elides the big side's exchange.
+    val cand = adj.join(
+        delta.select(col("id").as("n"), col("comp")).hint("shuffle_hash"), "n")
+      .groupBy(col("v")).agg(min(col("comp")).as("cand"))
+      .select(col("v").as("id"), col("cand"))
+    lab.join(cand.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"),
+        least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
+        (coalesce(col("cand"), col("comp")) < col("comp")).as("__chg"))
+  }
+
+  /** Connected components, DataFrame-first with DELTA-FRONTIER min-label
+    * propagation: per round, only labels that CHANGED last round join
+    * the adjacency, so total join volume is Σ(edges incident to each
+    * round's delta) — not rounds × |E| like a full-state formulation
+    * (the round-6 shape, 12.7s at sf0.1 vs GraphX's 3.8s on the same
+    * graph). Once a region's labels settle, its edges are never touched
+    * again. Output contract matches GraphX CC exactly: component id =
+    * min vertex id, isolated vertices are singletons (explicit vertex
+    * set).
+    *
+    * Correctness of the delta restriction: labels are monotone
+    * non-increasing and every label drop enters that round's delta, so
+    * any improvement a neighbor could offer is offered the round after
+    * it happens; an empty delta therefore witnesses the GLOBAL fixpoint
+    * (for every edge (u,v): comp(u)=comp(v), hence comp is constant per
+    * component, and since every comp value is a member id it equals the
+    * min member id). Non-convergence within maxIter fails loudly.
     *
     * Scale shape: adjacency persisted pre-partitioned on the join key
-    * (rounds reshuffle only the narrow (id, comp) state), per-round
-    * state localCheckpoint'ed, convergence checked with an isEmpty
-    * anti-diff — same loop mechanics as labelPropagation/kCore.
+    * (each round shuffles only the narrow delta + its candidate
+    * output), per-round state localCheckpoint'ed — same loop mechanics
+    * as dagLayers' frontier. Rounds are bounded by the min vertex's
+    * eccentricity per component (BFS flooding); for extreme-diameter
+    * graphs the GraphX path ([[connectedComponents]]) or a pointer-jump
+    * round (O(log d) full-state rounds) is the alternative — on
+    * real-world short-diameter graphs the delta formulation strictly
+    * dominates because late rounds touch a vanishing frontier.
     */
   def connectedComponentsAlt(s: SparkSession, g: PropertyGraph,
-                             maxIter: Int = 25): DataFrame = {
+                             maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val und = undirectedDistinct(g.edges)
-    val adj = und.select(col("a").as("v"), col("b").as("n"))
-      .union(und.select(col("b").as("v"), col("a").as("n")))
+    // no undirectedDistinct here: MIN-aggregation is idempotent under
+    // duplicate/parallel/reversed edges, so the dedup shuffle would buy
+    // nothing. Symmetrize in ONE pass over the (expensive, multi-table)
+    // edge subtree via explode — a union would evaluate it twice — and
+    // pre-partition on the round join key.
+    val adj = g.edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(explode(array(
+        struct(col("src").as("v"), col("dst").as("n")),
+        struct(col("dst").as("v"), col("src").as("n")))).as("e"))
+      .select(col("e.v").as("v"), col("e.n").as("n"))
       .repartition(col("n"))
       .persist(MEMORY_AND_DISK)
-    val verts = g.vertices.select(col("id")).distinct()
-      .persist(MEMORY_AND_DISK)
     try {
-      var lab = verts.select(col("id"), col("id").as("comp")).localCheckpoint()
-      // labels are non-increasing (min-propagation and jumping both
-      // only lower them, comp(v) ≤ v invariant), so an exact label sum
-      // is a sufficient convergence witness — ONE decimal aggregate
-      // per round instead of a full compare-join (decimal: 2^40-scaled
-      // ids × 10⁶ vertices already grazes Long range, and a silent
-      // wrap here would terminate the loop early)
-      def labSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("comp").cast("decimal(38,0)")))
-          .head().getDecimal(0)
-      var prevSum = labSum(lab)
-      var converged = false
-      var it = 0
-      while (!converged && it < maxIter) {
-        val viaNbr = adj.join(lab.select(col("id").as("n"), col("comp")), "n")
-          .select(col("v").as("id"), col("comp"))
-        val m = lab.union(viaNbr)
-          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        // pointer jump: every comp value IS a vertex id, so the
-        // left-join always hits; coalesce is belt-and-braces
-        val jumped = m
-          .join(m.select(col("id").as("comp"), col("comp").as("comp2")),
-            Seq("comp"), "left")
-          .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
-          .localCheckpoint()
-        val s2 = labSum(jumped)
-        converged = s2.compareTo(prevSum) == 0
-        prevSum = s2
-        lab = jumped
+      var lab = g.vertices.select(col("id")).distinct()
+        .select(col("id"), col("id").as("comp")).localCheckpoint()
+      // round 1 on the identity labeling needs no join at all:
+      // min neighbor id IS the candidate (comp(id) = id) — one
+      // aggregation replaces the heaviest (all-vertices) delta round
+      val first = lab.join(
+          adj.groupBy(col("v")).agg(min(col("n")).as("cand"))
+            .select(col("v").as("id"), col("cand")).hint("shuffle_hash"),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
+          (coalesce(col("cand"), col("comp")) < col("comp")).as("__chg"))
+        .localCheckpoint()
+      var delta = first.filter(col("__chg")).select(col("id"), col("comp"))
+      var lab2 = first.select(col("id"), col("comp"))
+      var it = 1
+      while (it < maxIter && !delta.isEmpty) {
         it += 1
+        val merged = ccAltRound(adj, lab2, delta).localCheckpoint()
+        delta = merged.filter(col("__chg")).select(col("id"), col("comp"))
+        lab2 = merged.select(col("id"), col("comp"))
       }
-      lab
-    } finally {
-      adj.unpersist(blocking = false)
-      verts.unpersist(blocking = false)
-    }
+      require(delta.isEmpty,
+        s"connectedComponentsAlt did not converge in $maxIter rounds")
+      lab2
+    } finally adj.unpersist(blocking = false)
   }
 
   /** Personalized PageRank, exact integer units — [[pageRankExact]]
@@ -700,14 +742,22 @@ object Algorithms {
     *
     * Returns (id, scc) with scc = min member id — the a_components
     * contract, directed. Per inner step: one narrow join + hash-agg
-    * over (id, label) pairs, state localCheckpoint'ed; convergence
-    * tests are count() actions (scalar to driver, Pregel-style), and
-    * every loop additionally carries an iteration cap so a
-    * pathological graph degrades to a clear error, never a hang.
+    * over (id, label) pairs, state localCheckpoint'ed. The trim phase
+    * never rematerializes the edge list: in/out-degrees are computed
+    * ONCE per outer round and then maintained INCREMENTALLY — when a
+    * vertex dies, only its incident edges' degree contributions are
+    * subtracted (each edge's src-death and dst-death happens at most
+    * once across the phase, so nothing is subtracted twice), making
+    * the whole peel O(Σ edges incident to trimmed vertices) instead of
+    * O(trim-rounds × |E|) checkpoint rewrites (the round-6 shape).
+    * Loops carry iteration caps; a cap hit in the coloring or backward
+    * phase fails loudly (require) because a non-fixpoint there would
+    * yield wrong components — the trim cap alone is safe to hit early
+    * (trimming is an optimization, not a correctness step).
     */
   def stronglyConnected(s: SparkSession, g: PropertyGraph,
       maxRounds: Int = 10, maxIter: Int = 30): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import s.implicits._
     val assigned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var edges = g.edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
@@ -717,33 +767,64 @@ object Algorithms {
     var round = 0
     while (remaining > 0 && round < maxRounds) {
       round += 1
-      // ---- trim loop: peel vertices with no in- or no out-edges
+      // ---- trim phase: peel vertices with no in- or no out-edges,
+      // degrees maintained incrementally against the STATIC edge list
+      val indeg0 = edges.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("indeg"))
+      val outdeg0 = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("outdeg"))
+      var deg = verts
+        .join(indeg0, Seq("id"), "left")
+        .join(outdeg0, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("indeg"), lit(0L)).as("indeg"),
+          coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+        .localCheckpoint()
       var trimming = true
       var trims = 0
-      while (trimming && remaining > 0 && trims < maxIter) {
+      while (trimming && trims < maxIter) {
         trims += 1
-        val hasIn = edges.select(col("dst").as("id")).distinct()
-        val hasOut = edges.select(col("src").as("id")).distinct()
-        val keep = verts.join(hasIn, Seq("id"), "left_semi")
-          .join(hasOut, Seq("id"), "left_semi")
-          .localCheckpoint()
-        val kept = keep.count()
-        if (kept == remaining) trimming = false
+        val dead = deg.filter(col("indeg") === 0 || col("outdeg") === 0)
+          .select(col("id")).localCheckpoint()
+        if (dead.isEmpty) trimming = false
         else {
-          assigned += verts.join(keep, Seq("id"), "left_anti")
-            .select(col("id"), col("id").as("scc")).localCheckpoint()
-          verts = keep
-          edges = edges
-            .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
-            .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
-            .select(col("src"), col("dst")).localCheckpoint()
-          remaining = kept
+          assigned += dead.select(col("id"), col("id").as("scc"))
+          // degree deltas: edges OUT OF the dead lower their dst's
+          // indeg, edges INTO the dead lower their src's outdeg;
+          // deltas landing on dead vertices vanish in the anti-join
+          val dIn = edges
+            .join(dead.select(col("id").as("src")), Seq("src"), "left_semi")
+            .groupBy(col("dst").as("id")).agg(count(lit(1)).as("d_in"))
+          val dOut = edges
+            .join(dead.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .groupBy(col("src").as("id")).agg(count(lit(1)).as("d_out"))
+          deg = deg.join(dead, Seq("id"), "left_anti")
+            .join(dIn, Seq("id"), "left")
+            .join(dOut, Seq("id"), "left")
+            .select(col("id"),
+              (col("indeg") - coalesce(col("d_in"), lit(0L))).as("indeg"),
+              (col("outdeg") - coalesce(col("d_out"), lit(0L))).as("outdeg"))
+            .localCheckpoint()
         }
       }
+      verts = deg.select(col("id")).localCheckpoint()
+      remaining = verts.count()
       if (remaining > 0) {
-        // ---- forward coloring to fixpoint: c(v) = min id reaching v
+        // the one edge refilter per OUTER round: restrict to the
+        // surviving cyclic core before the coloring joins
+        edges = edges
+          .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).localCheckpoint()
+        // ---- forward coloring to fixpoint: c(v) = min id reaching v.
+        // Colors are monotone non-increasing, so an exact decimal sum
+        // is a sufficient convergence witness — one scalar aggregate
+        // per step instead of a full compare-join.
+        def cSum(df: DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("c").cast("decimal(38,0)"))).head().getDecimal(0)
         var c = verts.select(col("id"), col("id").as("c"))
           .localCheckpoint()
+        var prevSum = cSum(c)
         var stable = false
         var it = 0
         while (!stable && it < maxIter) {
@@ -755,11 +836,15 @@ object Algorithms {
             .select(col("id"), least(col("c"), coalesce(col("cin"),
               col("c"))).as("c"))
             .localCheckpoint()
-          stable = next.select(col("id"), col("c").as("c_new"))
-            .join(c.select(col("id"), col("c").as("c_old")), "id")
-            .filter(col("c_new") =!= col("c_old")).isEmpty
+          val s2 = cSum(next)
+          stable = s2.compareTo(prevSum) == 0
+          prevSum = s2
           c = next
         }
+        // a non-fixpoint coloring (propagation distance > maxIter)
+        // would silently mis-assign components — fail instead
+        require(stable,
+          s"SCC forward coloring did not converge in $maxIter steps")
         // ---- backward reachability of the color root, within color
         val e2 = edges
           .join(c.select(col("id").as("src"), col("c").as("c_src")), "src")
@@ -768,6 +853,7 @@ object Algorithms {
           .select(col("src"), col("dst")).localCheckpoint()
         var m = c.filter(col("id") === col("c")).select(col("id"))
           .localCheckpoint()
+        var mCount = m.count()
         var grew = true
         var bit = 0
         while (grew && bit < maxIter) {
@@ -776,9 +862,13 @@ object Algorithms {
               e2.join(m.select(col("id").as("dst")), Seq("dst"), "left_semi")
                 .select(col("src").as("id")))
             .distinct().localCheckpoint()
-          grew = next.count() > m.count()
+          val nextCount = next.count()
+          grew = nextCount > mCount
           m = next
+          mCount = nextCount
         }
+        require(!grew,
+          s"SCC backward reachability did not converge in $maxIter steps")
         val comp = c.join(m, Seq("id"), "left_semi")
           .select(col("id"), col("c").as("scc")).localCheckpoint()
         assigned += comp
@@ -793,7 +883,9 @@ object Algorithms {
     }
     require(remaining == 0,
       s"SCC did not converge in $maxRounds rounds ($remaining left)")
-    assigned.reduce(_.unionByName(_))
+    // empty input graph: no vertices were ever assigned
+    if (assigned.isEmpty) Seq.empty[(Long, Long)].toDF("id", "scc")
+    else assigned.reduce(_.unionByName(_))
   }
 
   /** Bipartite projection with pair support — market-basket frequent

@@ -232,6 +232,75 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(alt(99L) == 99L && alt(35L) == 20L && alt(3L) == 1L)
   }
 
+  test("ccAltRound consumes ONLY the delta frame (frontier contract)") {
+    // adjacency 1–2; lab holds a better label for 1 (comp 0) that is
+    // NOT in delta — it must not reach 2. Delta holds 3's label for a
+    // vertex with no edges — nothing propagates from it either.
+    val adj = Seq((1L, 2L), (2L, 1L)).toDF("v", "n")
+    val lab = Seq((1L, 0L), (2L, 2L), (3L, 3L)).toDF("id", "comp")
+    val delta = Seq((3L, 3L)).toDF("id", "comp")
+    val out = Algorithms.ccAltRound(adj, lab, delta)
+      .select("id", "comp").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 2L, 3L -> 3L),
+      "a label outside delta must not propagate in a delta round")
+    // same round with 1's label IN delta: now 2 picks it up
+    val delta2 = Seq((1L, 0L)).toDF("id", "comp")
+    val out2 = Algorithms.ccAltRound(adj, lab, delta2)
+      .select("id", "comp").as[(Long, Long)].collect().toMap
+    assert(out2 == Map(1L -> 0L, 2L -> 0L, 3L -> 3L))
+  }
+
+  test("connectedComponentsAlt fails loudly when maxIter is too low") {
+    // 6-node chain needs ~5 propagation rounds; cap at 2 → require fires
+    val g = mkGraph((1L to 5L).map(i => (i, i + 1)))
+    val ex = intercept[IllegalArgumentException] {
+      Algorithms.connectedComponentsAlt(spark, g, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("scc: empty graph returns an empty (id, scc) frame") {
+    val v = Seq.empty[(Long, String)].toDF("id", "label")
+    val e = Seq.empty[(Long, Long, String, java.lang.Long)]
+      .toDF("src", "dst", "label", "sort_key")
+    val got = Algorithms.stronglyConnected(spark, PropertyGraph(v, e))
+    assert(got.columns.toSeq == Seq("id", "scc"))
+    assert(got.isEmpty)
+  }
+
+  test("scc: non-converged coloring fails loudly, not silently wrong") {
+    // a 34-node directed cycle needs >30 min-id propagation steps;
+    // with the default maxIter=30 cap the coloring must REFUSE rather
+    // than return a partial (wrong) assignment
+    val n = 34L
+    val g = mkGraph((1L until n).map(i => (i, i + 1)) :+ (n, 1L))
+    val ex = intercept[IllegalArgumentException] {
+      Algorithms.stronglyConnected(spark, g).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // raising the cap resolves it: one SCC labeled by the min id
+    val ok = Algorithms.stronglyConnected(spark, g, maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(ok == (1L to n).map(i => i -> 1L).toMap)
+  }
+
+  test("dagLayers strict mode rejects truncation; detector mode returns it") {
+    // depth-5 chain with iters=3: detector mode returns capped levels,
+    // strict mode throws
+    val g = mkGraph((1L to 5L).map(i => (i, i + 1)))
+    val lv = Algorithms.dagLayers(spark, g, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lv(4L) == 3L) // truncated but returned in detector mode
+    val ex = intercept[IllegalArgumentException] {
+      Algorithms.dagLayers(spark, g, iters = 3, strict = true).collect()
+    }
+    assert(ex.getMessage.contains("frontier still live"))
+    // a deep-enough strict run agrees with detector mode
+    val full = Algorithms.dagLayers(spark, g, iters = 8, strict = true)
+      .as[(Long, Long)].collect().toMap
+    assert(full == (1L to 6L).map(i => i -> (i - 1)).toMap)
+  }
+
   test("personalizedPageRankExact: hand-computed seed concentration on chain3") {
     // chain 1→2→3, seed {1}, 2 iterations of integer units:
     //   pr0 = (1e6, 0, 0)
