@@ -10,8 +10,32 @@ import org.apache.spark.sql.SparkSession
   * count() would let Catalyst elide projections/sorts and measure
   * nothing). A warmup pass at sf0.001 first amortizes JVM/codegen
   * startup out of the measured numbers.
+  *
+  * Two trustworthiness guards (round-6 lesson: a shipped BENCH with
+  * contaminated medians misread as a 3-4x regression):
+  *   - LOAD GUARD: the 1-min system load average is sampled BEFORE any
+  *     timing. If the machine is already busy (load > half the bench's
+  *     own cores — e.g. a concurrent sbt/Spark job), the run is marked
+  *     "contended":true in both JSON outputs so a reader never takes
+  *     the numbers at face value; the load values themselves are
+  *     recorded in the detail file.
+  *   - RERUN-ON-SPREAD: any query whose successful timings spread more
+  *     than SPREAD_MAX (max/min > 3, and by more than 1s absolute —
+  *     sub-second jitter on trivial queries is not signal) gets extra
+  *     timed runs and the median is retaken over the combined set.
+  *     This absorbs one-off JIT/GC spikes (observed: a 68s first run
+  *     vs 8.5s steady state on the 64-hash minhash stage) that a
+  *     plain median-of-3 lets leak into the shipped number when two
+  *     of three runs are hit.
   */
 object Bench {
+  private val SpreadMaxRatio = 3.0
+  private val SpreadMinAbs = 1.0 // seconds
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,12 +59,18 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { n => try materialize(n, warmDir) catch { case _: Throwable => } }
 
+    // load guard: sample BEFORE any timed work — a busy machine here
+    // means something ELSE is running and every median below is suspect
+    val loadBefore = loadAvg()
+    val contended = loadBefore > cpus.toInt / 2.0
+
     // median of `runs` timed executions per query: single-run numbers
     // proved noisy round-to-round (a 0.6 s swing misread as a
     // regression); the median of 3 kills one-off GC/JIT outliers.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val rerunsTaken = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
-      val timed = (1 to runs).map { _ =>
+      def timedRuns(n: Int): Seq[(Double, Boolean)] = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { materialize(name, sfDir); true }
@@ -50,6 +80,19 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      var timed = timedRuns(runs)
+      // rerun-on-spread: a >3x spread among successful runs means at
+      // least one timing is not steady state (JIT compile, GC storm,
+      // transient contention) — take extra runs so the median reflects
+      // the reproducible cost, not the accident
+      val g0 = timed.filter(_._2).map(_._1)
+      if (g0.length >= 2 && g0.max / g0.min.max(1e-9) > SpreadMaxRatio
+          && g0.max - g0.min > SpreadMinAbs) {
+        rerunsTaken += name
+        System.err.println(
+          f"[bench] $name spread ${g0.min}%.2f..${g0.max}%.2f s — rerunning")
+        timed = timed ++ timedRuns(runs - 1)
+      }
       // median over SUCCESSFUL runs only — a near-instant failure must
       // not masquerade as a fast timing; all-failed keeps the worst time
       val good = timed.filter(_._2).map(_._1).sorted
@@ -57,6 +100,7 @@ object Bench {
       name -> med
     }
     val total = results.map(_._2).sum
+    val loadAfter = loadAvg()
 
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qJson(rs: Seq[(String, Double)]): String =
@@ -67,8 +111,9 @@ object Bench {
     // 2000 chars of stdout; with ~100 queries a full per-query map is
     // >2KB and head-truncates into unparseable JSON (this killed the
     // parsed BENCH result in rounds 1–3).
+    val rerunJson = rerunsTaken.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"queries":${qJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try {
       java.nio.file.Files.write(
@@ -90,7 +135,7 @@ object Bench {
       val entries = if (kept.length < results.length)
         qJson(kept).dropRight(1) + s""","other":${fmt(rest)}}"""
       else qJson(kept)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"queries":$entries,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"queries":$entries,"sf":"$sfDir"}"""
     }
     val line = (results.length to 1 by -1).view.map(compact).find(_.length <= budget)
       .getOrElse(compact(1))

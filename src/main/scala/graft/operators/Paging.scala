@@ -58,6 +58,32 @@ object Paging {
     (p, nextToken(p, sortKey))
   }
 
+  /** R8 combined shard + page semantics (TikvTable.java:250-269): a
+    * page token may advance the start position WITHIN a shard slice
+    * [lo, hi), and a token below the shard's lower bound is rejected
+    * up front — the reference validates the resumed key position
+    * against the slice's start before scanning; a silent clamp would
+    * re-serve rows from before the shard and break the disjointness
+    * contract between shards.
+    *
+    * Plan shape: the shard bounds AND the resume predicate all push
+    * into the Parquet scan (conjunctive range on the sort key), then
+    * TakeOrderedAndProject — identical scale behavior to [[page]].
+    */
+  def shardPage[T](df: DataFrame, sortKey: String, lo: T, hi: T,
+                   token: Option[T], n: Int)
+                  (implicit ord: Ordering[T]): DataFrame = {
+    token.foreach { t =>
+      require(ord.gteq(t, lo),
+        s"page token $t is below the shard lower bound $lo")
+      require(ord.lt(t, hi),
+        s"page token $t is at/after the shard upper bound $hi — " +
+          "this shard's iteration is complete")
+    }
+    val shard = df.filter(col(sortKey) >= lit(lo) && col(sortKey) < lit(hi))
+    page(shard, sortKey, token.map(t => t: Any), n)
+  }
+
   /** Convenience: stitch the first `pages` pages of size `n` — used by
     * the gate query to prove two resumed pages equal one sorted
     * prefix. Real callers loop `pageAndToken` themselves.

@@ -32,15 +32,38 @@ object AlgoQueries {
       .groupBy(col("dist")).agg(count(lit(1)).as("n"))
       .orderBy(col("dist"))
 
-  /** static PageRank over the full graph: top 20 vertices. Rank values
-    * are float-order-sensitive, so the declared output is the *ranking*
-    * (ids), not the scores — deterministic under fixed iterations.
+  /** static PageRank over the full graph: the top-20 RANKING (pos, id)
+    * with a tie-gap guard. Rank VALUES are float-summation-order
+    * sensitive (GraphX message combine vs DuckDB SUM differ in low
+    * bits), but the ORDER of two ids can only differ between engines
+    * if their ranks are within that noise — so each emitted row
+    * requires a relative gap > 1e-6 to BOTH rank neighbors (positions
+    * whose order is fp-ambiguous are dropped on both sides alike),
+    * making the ranking itself hash-oracle-able: the oracle replays
+    * GraphX's exact recurrence r' = 0.15 + 0.85·Σ r/outdeg (parallel
+    * edges counted, initial rank 1.0 — pinned against hand-computed
+    * values in AlgorithmsSpec) and applies the same guard.
+    *
+    * Scale shape: TakeOrderedAndProject to 25 rows first; the window
+    * runs on those 25 rows only, never a global sort.
     */
-  def aPagerankTop(s: SparkSession, dir: String): DataFrame =
-    Algorithms.pageRank(s, g(s, dir), iters = 10)
+  def aPagerankTop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eps = 1e-6
+    val top = Algorithms.pageRank(s, g(s, dir), iters = 10)
       .orderBy(col("rank").desc, col("id").asc)
-      .limit(20)
-      .select(col("id"))
+      .limit(25)
+    val w = Window.orderBy(col("rank").desc, col("id").asc)
+    top.select(col("id"), col("rank"),
+        row_number().over(w).as("pos"),
+        lag(col("rank"), 1).over(w).as("prev"),
+        lead(col("rank"), 1).over(w).as("nxt"))
+      .filter(col("pos") <= 20 &&
+        (col("prev").isNull || col("prev") - col("rank") > lit(eps) * col("rank")) &&
+        (col("nxt").isNotNull && col("rank") - col("nxt") > lit(eps) * col("rank")))
+      .select(col("pos").cast("int").as("pos"), col("id"))
+      .orderBy(col("pos"))
+  }
 
   /** Deterministic integer-unit PageRank over the geo subgraph
     * (customer/supplier → nation → region): top 10 by rank. Unlike
@@ -427,6 +450,63 @@ object AlgoQueries {
        |SELECT id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 10""".stripMargin
   }
 
+  /** DuckDB replay of GraphX staticPageRank over the FULL graph, in
+    * doubles: r0 = 1.0, r' = 0.15 + 0.85·Σ_{(u,v)∈E} r(u)/outdeg(u)
+    * with parallel edges counted individually and the vertex set =
+    * edge endpoints (Graph.fromEdges drops isolated vertices) — the
+    * recurrence is pinned against hand-computed chain values in
+    * AlgorithmsSpec so the two sides cannot silently drift. GraphX's
+    * final normalization (scale ranks to sum to n) is deliberately
+    * NOT replayed: a positive scalar changes neither the order nor
+    * the relative gaps this oracle compares on. Output is the
+    * gap-guarded top-20 ranking (see [[aPagerankTop]]): low-bit float
+    * divergence between engines cannot reorder rows whose rank gaps
+    * exceed 1e-6 relative, and rows that close are excluded by BOTH
+    * sides.
+    */
+  private val pagerankTopSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val iters = 10
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT v.id,
+         |  0.15 + 0.85 * COALESCE(s.m, 0.0) AS r
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r / d.outdeg) AS m
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.id
+         |           JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT ${enc("customer", "o_custkey")} AS src,
+       |         ${enc("order", "o_orderkey")} AS dst FROM orders
+       |  UNION ALL SELECT ${enc("order", "l_orderkey")},
+       |         ${enc("part", "l_partkey")} FROM lineitem
+       |  UNION ALL SELECT ${enc("part", "l_partkey")},
+       |         ${enc("supplier", "l_suppkey")}
+       |    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+       |  UNION ALL SELECT ${enc("customer", "c_custkey")},
+       |         ${enc("nation", "c_nationkey")} FROM customer
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+       |         ${enc("nation", "s_nationkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+       |         ${enc("region", "n_regionkey")} FROM nation),
+       |v AS (SELECT DISTINCT id FROM
+       |      (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM v),
+       |$steps,
+       |ranked AS (SELECT id, r,
+       |    ROW_NUMBER() OVER (ORDER BY r DESC, id) AS pos,
+       |    LAG(r) OVER (ORDER BY r DESC, id) AS prev,
+       |    LEAD(r) OVER (ORDER BY r DESC, id) AS nxt
+       |  FROM pr$iters)
+       |SELECT CAST(pos AS INT) AS pos, id FROM ranked
+       |WHERE pos <= 20
+       |  AND (prev IS NULL OR prev - r > 1e-6 * r)
+       |  AND (nxt IS NOT NULL AND r - nxt > 1e-6 * r)
+       |ORDER BY pos""".stripMargin
+  }
+
   /** Fixed peel-round count shared by the a_kcore query and its oracle;
     * AlgorithmsSpec asserts the gate graph converges well inside it.
     */
@@ -689,6 +769,7 @@ object AlgoQueries {
     // customer id); parts absent from lineitem are singletons.
     "a_components" -> componentsSql,
     "a_cc_alt" -> componentsSql,
+    "a_pagerank_top" -> pagerankTopSql,
     "a_degrees" ->
       s"""SELECT id, CAST(degree AS INT) AS degree FROM (
          |  SELECT ${PropertyGraph.sqlEncode("order", "l_orderkey")} AS id,

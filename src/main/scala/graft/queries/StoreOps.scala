@@ -190,6 +190,20 @@ object StoreOps {
       .orderBy($"o_orderkey")
   }
 
+  /** R8 combined shard + page (TikvTable.java:250-269): resume a page
+    * token INSIDE a shard slice — the token (700) advances the start
+    * position within shard [200, 1200), and the page stays clipped to
+    * the shard's upper bound. The below-lower-bound rejection half of
+    * the contract is the negative test in PagingSpec.
+    */
+  def r8ShardPage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Paging.shardPage(
+        Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        "o_orderkey", lo = 200L, hi = 1200L, token = Some(700L), n = 100)
+      .orderBy($"o_orderkey")
+  }
+
   /** R15 metrics hook: run a filtered scan under the QueryMetrics
     * listener and report the row count THE LISTENER observed — an
     * end-to-end check that the hook sees real execution metrics (the
@@ -223,6 +237,7 @@ object StoreOps {
     "r11_limit0" -> (r11Limit0 _),
     "r12_residual_filter" -> (r12ResidualFilter _),
     "r13_entry_regroup" -> (r13EntryRegroup _),
+    "r8_shard_page" -> (r8ShardPage _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -278,5 +293,9 @@ object StoreOps {
         |       COUNT(*) AS n_lines
         |FROM lineitem WHERE l_orderkey <= 50
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "r8_shard_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey > 700 AND o_orderkey < 1200
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
   )
 }

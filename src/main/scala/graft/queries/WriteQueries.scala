@@ -139,6 +139,27 @@ object WriteQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** W12 table DDL (TikvStdSessions.java:103-124): the full
+    * create → exists → read-through-catalog → drop → exists lifecycle
+    * as one observable row. The count is read back via `s.table(name)`
+    * — through the catalog entry the CREATE registered, not from the
+    * source frame — so a broken registration cannot pass; the oracle
+    * pins the exists flags as constants and recounts nation.
+    */
+  def w12Ddl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = "w12_ddl_nation"
+    graft.sources.GraphStorage.dropTable(s, table) // leftovers from prior JVMs
+    val before = graft.sources.GraphStorage.existsTable(s, table)
+    graft.sources.GraphStorage.createTable(s, table, Tables.nation(s, dir))
+    val created = graft.sources.GraphStorage.existsTable(s, table)
+    val n = s.table(table).count()
+    graft.sources.GraphStorage.dropTable(s, table)
+    val after = graft.sources.GraphStorage.existsTable(s, table)
+    Seq((before, created, n, after))
+      .toDF("exists_before", "exists_created", "n_rows", "exists_after")
+  }
+
   /** W6/W11 truncate/clear: schema survives, rows do not. */
   def w10Truncate(s: SparkSession, dir: String): DataFrame = {
     val truncated = Writer.truncate(Tables.orders(s, dir))
@@ -158,6 +179,7 @@ object WriteQueries {
     "w5_eliminate" -> (w5Eliminate _),
     "w6_unique_check" -> (w6UniqueCheck _),
     "w7_alloc_ids" -> (w7AllocIds _),
+    "w12_ddl" -> (w12Ddl _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,5 +245,8 @@ object WriteQueries {
       """SELECT ROW_NUMBER() OVER (ORDER BY r_name) + 99 AS alloc_id,
         |  r_regionkey, r_name
         |FROM region ORDER BY alloc_id""".stripMargin,
+    "w12_ddl" ->
+      """SELECT FALSE AS exists_before, TRUE AS exists_created,
+        |  COUNT(*) AS n_rows, FALSE AS exists_after FROM nation""".stripMargin,
   )
 }

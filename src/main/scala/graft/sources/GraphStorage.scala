@@ -35,6 +35,19 @@ object GraphStorage {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** W12 table DDL (TikvStdSessions.java:103-124 parity): the
+    * reference's createTable/dropTable/existsTable triple against the
+    * session catalog. Spark-first: a managed parquet table registered
+    * through the catalog — `exists` asks the catalog, not the
+    * filesystem, exactly as the reference asks the store's table
+    * registry rather than probing keys.
+    */
+  def createTable(spark: SparkSession, name: String, data: DataFrame): Unit =
+    data.write.mode(SaveMode.ErrorIfExists).format("parquet").saveAsTable(name)
+
+  def existsTable(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+
   /** Persist the graph: label-partitioned vertices + dual bucketed edge
     * tables (`<prefix>_edges_by_src`, `<prefix>_edges_by_dst`).
     */

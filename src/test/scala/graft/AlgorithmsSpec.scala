@@ -301,6 +301,24 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(full == (1L to 6L).map(i => i -> (i - 1)).toMap)
   }
 
+  test("pageRank recurrence matches the a_pagerank_top oracle contract on chain3") {
+    // the DuckDB oracle replays r0 = 1.0, r' = 0.15 + 0.85*Σ r/outdeg
+    // WITHOUT GraphX's final normalization (ranks scaled to sum to n):
+    // a positive scalar preserves both the order and the RELATIVE gaps
+    // the gate query guards on, so the oracle may skip it — but only
+    // while GraphX's recurrence itself matches. This hand-computed pin
+    // fails before the gate query could silently drift.
+    //   iter1: (0.15, 1.0, 1.0)   iter2: (0.15, 0.2775, 1.0)
+    //   normalized ×3/1.4275: (0.31524, 0.58319, 2.10158)
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L)))
+    val r = Algorithms.pageRank(spark, g, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    val scale = 3.0 / (0.15 + 0.2775 + 1.0)
+    assert(math.abs(r(1L) - 0.15 * scale) < 1e-12, s"got $r")
+    assert(math.abs(r(2L) - 0.2775 * scale) < 1e-12, s"got $r")
+    assert(math.abs(r(3L) - 1.0 * scale) < 1e-12, s"got $r")
+  }
+
   test("personalizedPageRankExact: hand-computed seed concentration on chain3") {
     // chain 1→2→3, seed {1}, 2 iterations of integer units:
     //   pr0 = (1e6, 0, 0)

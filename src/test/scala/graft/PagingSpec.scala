@@ -37,6 +37,34 @@ class PagingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("shardPage resumes inside the slice and clips to the shard bounds") {
+    val df = spark.range(0, 100).select(col("id").as("k"))
+    // shard [20, 60), token 35 → rows 36..45
+    val got = Paging.shardPage(df, "k", 20L, 60L, Some(35L), 10)
+      .select("k").as[Long].collect().sorted
+    assert(got.toSeq == (36L to 45L))
+    // near the upper bound the page clips: token 55 → rows 56..59 only
+    val clipped = Paging.shardPage(df, "k", 20L, 60L, Some(55L), 10)
+      .select("k").as[Long].collect().sorted
+    assert(clipped.toSeq == (56L to 59L))
+    // no token = the shard's first page
+    val first = Paging.shardPage(df, "k", 20L, 60L, None, 5)
+      .select("k").as[Long].collect().sorted
+    assert(first.toSeq == (20L to 24L))
+  }
+
+  test("shardPage rejects a token outside the shard slice") {
+    val df = spark.range(0, 100).select(col("id").as("k"))
+    val below = intercept[IllegalArgumentException] {
+      Paging.shardPage(df, "k", 20L, 60L, Some(5L), 10)
+    }
+    assert(below.getMessage.contains("below the shard lower bound"))
+    val above = intercept[IllegalArgumentException] {
+      Paging.shardPage(df, "k", 20L, 60L, Some(60L), 10)
+    }
+    assert(above.getMessage.contains("upper bound"))
+  }
+
   test("resume filter pushes to parquet and page plans TakeOrderedAndProject") {
     val orders = Tables.orders(spark, TestSpark.sfDir)
     val p = Paging.page(orders.select(col("o_orderkey"), col("o_custkey")),

@@ -24,6 +24,21 @@ class StorageSpec extends AnyFunSuite {
     GraphStorage.saveGraph(spark, g, "t1graph", buckets = 4)
   }
 
+  test("DDL lifecycle: create registers, exists reflects, drop forgets") {
+    val t = "ddl_spec_table"
+    GraphStorage.dropTable(spark, t)
+    assert(!GraphStorage.existsTable(spark, t))
+    GraphStorage.createTable(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(GraphStorage.existsTable(spark, t))
+    assert(spark.table(t).count() == 2)
+    // ErrorIfExists: a second CREATE of a live table must refuse
+    intercept[Exception] {
+      GraphStorage.createTable(spark, t, Seq((3L, "c")).toDF("id", "v"))
+    }
+    GraphStorage.dropTable(spark, t)
+    assert(!GraphStorage.existsTable(spark, t))
+  }
+
   test("vertices are label-partitioned and hasLabel prunes partitions") {
     stored
     val g = GraphStorage.loadGraph(spark, "t1graph")
