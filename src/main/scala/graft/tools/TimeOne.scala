@@ -4,6 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time selected queries (median of SPARK_GRAFT_RUNS, default
   * 3) on SPARK_GRAFT_SF_DIR without running the whole bench.
+  *
+  * SPARK_GRAFT_WARM=<dir> runs each query once on <dir> (untimed)
+  * first — the Bench warmup protocol, so cold-JIT spikes don't land in
+  * run 1. SPARK_GRAFT_CONF="k=v;k=v" sets extra session confs for
+  * plan-shape experiments.
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
@@ -17,7 +22,18 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
+    val warm = sys.env.get("SPARK_GRAFT_WARM")
     args.foreach { n =>
+      warm.foreach { wd =>
+        try graft.SparkEntry.queries(n)(spark, wd)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, dir)
