@@ -43,7 +43,16 @@ object Writer {
     */
   def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
       ordCol: String, opCol: String = "op"): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol).desc)
+    // deterministic by construction: ties on ordCol (two changes for
+    // one key sharing a sequence number) fall through to a total
+    // descending order over every remaining change column, so the
+    // winner is a pure function of the data — never of partition
+    // evaluation order across runs
+    val tiebreak = changes.columns
+      .filterNot(c => keys.contains(c) || c == ordCol)
+      .map(col(_).desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ordCol).desc +: tiebreak.toSeq: _*)
     val latest = changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val dels = latest.filter(col(opCol) === "D").select(keys.map(col): _*)

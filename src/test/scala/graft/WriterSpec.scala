@@ -24,6 +24,21 @@ class WriterSpec extends AnyFunSuite {
     assert(got == Seq((2L, "b2", 22.0), (3L, "c3", 34.0), (4L, "d", 40.0)))
   }
 
+  test("applyCdc: tied sequence numbers resolve deterministically") {
+    // two U changes for key 1 share seq=1 — the winner must be a pure
+    // function of the data (total desc order over remaining columns:
+    // name "z" > "a"), identical on every run and partitioning
+    val changes = Seq(
+      (1L, "a", 10.0, "U", 1L), (1L, "z", 99.0, "U", 1L))
+      .toDF("id", "name", "v", "op", "seq")
+    (1 to 3).foreach { _ =>
+      val got = graft.operators.Writer
+        .applyCdc(base.repartition(5), changes.repartition(3), Seq("id"), "seq")
+        .filter(col("id") === 1L).as[(Long, String, Double)].collect().toSeq
+      assert(got == Seq((1L, "z", 99.0)))
+    }
+  }
+
   test("upsert: update wins, insert appends") {
     val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "name", "v")
     val got = Writer.upsert(base, updates, Seq("id"))
