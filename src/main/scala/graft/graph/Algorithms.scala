@@ -160,6 +160,22 @@ object Algorithms {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
 
+  /** canonical (a, b) rows → both directions (v, n) in ONE pass over
+    * the input subtree. The union formulation
+    * (`und.select(a,b).union(und.select(b,a))`) names the subtree
+    * twice and leaves deduplication to Catalyst's exchange reuse —
+    * which only fires when a shuffle (e.g. the distinct) happens to
+    * sit at the subtree root; a raw scan union runs twice
+    * (connectedComponentsAlt measured that cost). Explode duplicates
+    * each row map-side, making single evaluation structural rather
+    * than an optimizer accident.
+    */
+  private def symmetrize(und: DataFrame): DataFrame =
+    und.select(explode(array(
+        struct(col("a").as("v"), col("b").as("n")),
+        struct(col("b").as("v"), col("a").as("n")))).as("e"))
+      .select(col("e.v").as("v"), col("e.n").as("n"))
+
   private def degreesOf(e: DataFrame): DataFrame =
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -489,8 +505,7 @@ object Algorithms {
     // persisted PRE-PARTITIONED on the join key: every round's
     // adjacency-side shuffle disappears (InMemoryTableScan keeps the
     // hash partitioning, so only the small label state moves per round)
-    val adj = und.select(col("a").as("v"), col("b").as("n"))
-      .union(und.select(col("b").as("v"), col("a").as("n")))
+    val adj = symmetrize(und)
       .repartition(col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = g.vertices.select(col("id")).distinct()
@@ -538,10 +553,11 @@ object Algorithms {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = if (labels.isEmpty) g.edges
     else g.edges.filter(col("label").isin(labels: _*))
-    val dir = e0.select(col("src"), col("dst"))
-    val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+    // distinct over the canonical (a<b) pairs, then explode to both
+    // directions map-side — the previous shape deduped the DOUBLED
+    // union, paying the distinct shuffle on 2|E| rows instead of |E|
+    val und = symmetrize(undirectedDistinct(e0))
+      .select(col("v").as("src"), col("n").as("dst"))
       .persist(MEMORY_AND_DISK)
     try {
       var alive = und.select(col("src").as("id")).distinct().localCheckpoint()
@@ -922,9 +938,7 @@ object Algorithms {
                         labels: Seq[String] = Nil): DataFrame = {
     val e = if (labels.isEmpty) g.edges
     else g.edges.filter(col("label").isin(labels: _*))
-    val und = undirectedDistinct(e)
-    val adj = und.select(col("a").as("v"), col("b").as("n"))
-      .union(und.select(col("b").as("v"), col("a").as("n")))
+    val adj = symmetrize(undirectedDistinct(e))
     val seedN = adj.filter(col("v") === seed).select(col("n"))
     val inter = adj.join(broadcast(seedN), "n")
       .filter(col("v") =!= seed)
@@ -965,9 +979,7 @@ object Algorithms {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = if (labels.isEmpty) g.edges
     else g.edges.filter(col("label").isin(labels: _*))
-    val und = undirectedDistinct(e)
-    val adj = und.select(col("a").as("v"), col("b").as("n"))
-      .union(und.select(col("b").as("v"), col("a").as("n")))
+    val adj = symmetrize(undirectedDistinct(e))
       .persist(MEMORY_AND_DISK)
     try {
       var visited = s.range(1).select(lit(source).as("id"),
