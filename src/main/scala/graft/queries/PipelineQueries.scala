@@ -399,6 +399,71 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Dedup ACT step — the half d9 stops short of: detect (exact
+    * Jaccard pairs) → cluster (min-label propagation) → DROP every
+    * non-representative member, keeping one doc per cluster (the min
+    * doc_id, which IS the cluster label) plus all unclustered docs;
+    * then summarize the surviving corpus per language. This is the
+    * operation a curation pipeline actually ships — the clusters
+    * themselves are only evidence.
+    *
+    * Scale shape: the doomed set is narrow ids (cluster members minus
+    * representatives), the survivors come from ONE anti-join on
+    * doc_id, and the summary is a map-side-partial aggregate; document
+    * text never shuffles.
+    */
+  def d24DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5,
+      maxDocId = Long.MaxValue)
+    val doomed = Dedup.dupClusters(pairs.select(col("a_id"), col("b_id")))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    docs.join(doomed, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+  }
+
+  /** Vocabulary coverage (tokenizer-design stat): the smallest
+    * head-of-Zipf vocabulary covering p% of all token OCCURRENCES,
+    * for p ∈ {50, 90, 99} — plus corpus totals. Integer-exact
+    * threshold test (cum·100 ≥ p·total), so both engines agree at
+    * the boundary.
+    *
+    * Scale shape: the only non-distributed step is the rank window
+    * over the AGGREGATED vocabulary (|V| rows, orders of magnitude
+    * smaller than the corpus — the explode + count is map-side
+    * partial); the coverage probe is a broadcast join of 3 constant
+    * rows against the ranked vocab.
+    */
+  def d25VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    val ranked = counts.select(col("cnt"),
+        row_number().over(w).cast("long").as("rk"),
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cum"))
+    val totals = counts.agg(count(lit(1)).as("total_vocab"),
+      sum(col("cnt")).as("total_tokens"))
+    val levels = Seq(50, 90, 99).toDF("coverage_pct")
+    ranked.crossJoin(broadcast(totals))
+      .join(broadcast(levels),
+        col("cum") * 100 >= col("coverage_pct") * col("total_tokens"))
+      .groupBy(col("coverage_pct"))
+      .agg(min(col("rk")).as("vocab_size"),
+        first(col("total_vocab")).as("total_vocab"),
+        first(col("total_tokens")).as("total_tokens"))
+      .orderBy(col("coverage_pct"))
+  }
+
   /** bigram-LM conditionals over the corpus's top bigrams. */
   def d23BigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLm(Tables.documents(s, dir), topK = 20)
@@ -425,6 +490,8 @@ object PipelineQueries {
     "d7_shingle_jaccard" -> (d7ShingleJaccard _),
     "d8_split_budget" -> (d8SplitBudget _),
     "d9_dup_clusters" -> (d9DupClusters _),
+    "d24_dedup_survivors" -> (d24DedupSurvivors _),
+    "d25_vocab_coverage" -> (d25VocabCoverage _),
     "d10_redact" -> (d10Redact _),
     "d11_tfidf_top" -> (d11TfidfTop _),
     "d12_pack_sequences" -> (d12PackSequences _),
@@ -448,6 +515,36 @@ object PipelineQueries {
     "m3_frame_sample" -> (m3FrameSample _),
     "m4_media_dedup" -> (m4MediaDedup _),
   )
+
+  /** shared detect→cluster CTE prefix (3-gram shingles, Jaccard ≥ 0.5
+    * pairs, min-label components) — one template feeds both the d9
+    * cluster report and the d24 survivor selection so the two oracles
+    * cannot drift from each other.
+    */
+  private val dupCompCte =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split_regex(text, '\s+')) >= 3
+      |      THEN list_distinct(list_transform(
+      |        range(len(string_split_regex(text, '\s+')) - 2),
+      |        i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+3], ' ')))
+      |      ELSE [array_to_string(string_split_regex(text, '\s+'), ' ')]
+      |    END AS sg
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |      round(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+      |            / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  ) WHERE jaccard >= 0.5),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |r(id, c) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.c FROM r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, MIN(c) AS comp FROM r GROUP BY id)""".stripMargin
 
   private val fingerprintSql =
     "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
@@ -981,32 +1078,39 @@ object PipelineQueries {
     // then the transitive closure as a recursive CTE: component label =
     // min reachable doc_id (exactly dupClusters' min-label fixpoint)
     "d9_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(string_split_regex(text, '\s+')) >= 3
-        |      THEN list_distinct(list_transform(
-        |        range(len(string_split_regex(text, '\s+')) - 2),
-        |        i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+3], ' ')))
-        |      ELSE [array_to_string(string_split_regex(text, '\s+'), ' ')]
-        |    END AS sg
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a_id, b_id FROM (
-        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |      round(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
-        |            / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
-        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  ) WHERE jaccard >= 0.5),
-        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-        |          UNION ALL SELECT b_id, a_id FROM pairs),
-        |r(id, c) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.c FROM r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id, MIN(c) AS comp FROM r GROUP BY id)
+      s"""$dupCompCte
         |SELECT comp AS cluster_rep, COUNT(*) AS n_members,
         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
         |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin,
+    "d24_dedup_survivors" ->
+      s"""$dupCompCte,
+        |removed AS (SELECT id FROM comp WHERE id <> comp)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_doc
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM removed)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "d25_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS cnt FROM tk
+        |  WHERE len(tok) > 0 GROUP BY tok),
+        |totals AS (SELECT COUNT(*) AS total_vocab,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM counts),
+        |ranked AS (SELECT cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk,
+        |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM counts),
+        |lv AS (SELECT * FROM (VALUES (50), (90), (99)) t(coverage_pct))
+        |SELECT CAST(coverage_pct AS INT) AS coverage_pct,
+        |  CAST(MIN(rk) AS BIGINT) AS vocab_size,
+        |  MIN(total_vocab) AS total_vocab, MIN(total_tokens) AS total_tokens
+        |FROM lv CROSS JOIN totals
+        |JOIN ranked ON cum * 100 >= coverage_pct * total_tokens
+        |GROUP BY coverage_pct ORDER BY coverage_pct""".stripMargin,
     "p2_rag_retrieval" ->
       """SELECT query_id, rank, vec_id, cosine, source, n_chars FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
