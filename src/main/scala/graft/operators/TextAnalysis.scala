@@ -292,6 +292,45 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document LM surprise — the perplexity-style quality filter
+    * (CCNet shape): score every document by its average negative
+    * log-likelihood under the corpus's own bigram model, so formulaic
+    * documents score low and statistically unusual ones float to the
+    * top for review/filtering. Self-scoring on the training corpus
+    * means every observed bigram has nonzero probability (no OOV
+    * smoothing needed); docs with fewer than 2 tokens have no bigrams
+    * and are skipped. The score is rounded to 6 decimals BEFORE the
+    * ordering so both engines rank on identical values (low-bit
+    * summation-order noise cannot reorder the top-k).
+    *
+    * Scale shape: the exploded token stream is aggregated twice with
+    * map-side partials (bigram and context counts — each output row
+    * is one model parameter), then joined back to the stream on
+    * (w1, w2)/(w1): model-side keys are unique, so the joins fan out
+    * 1:1 with the corpus and the per-doc aggregate shuffles only
+    * (doc_id, partial sums).
+    */
+  def lmSurprise(docs: org.apache.spark.sql.DataFrame,
+      topK: Int = 15): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(coalesce(col("text"), lit(""))))
+        .as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = tok.withColumn("nxt", lead(col("t"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("t").as("w1"), col("nxt").as("w2"))
+    val nb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
+    val nc = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_context"))
+    bi.join(nb, Seq("w1", "w2")).join(nc, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("n_bigram").cast("double") /
+          col("n_context").cast("double"))), 6).as("avg_nll"))
+      .orderBy(col("avg_nll").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Corpus-wide adjacent-token-pair frequencies — the counting pass
     * of one BPE merge step (the most frequent pair is the next merge
     * rule). Explode + one codegen'd window lead + hash-agg with

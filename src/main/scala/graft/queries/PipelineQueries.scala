@@ -468,6 +468,10 @@ object PipelineQueries {
   def d23BigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLm(Tables.documents(s, dir), topK = 20)
 
+  /** perplexity-style quality filter: top-15 most LM-surprising docs. */
+  def d26LmSurprise(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmSurprise(Tables.documents(s, dir), topK = 15)
+
   /** top-20 adjacent token pairs — the first BPE merge rule's
     * counting pass (tokenizer induction over the corpus).
     */
@@ -492,6 +496,7 @@ object PipelineQueries {
     "d9_dup_clusters" -> (d9DupClusters _),
     "d24_dedup_survivors" -> (d24DedupSurvivors _),
     "d25_vocab_coverage" -> (d25VocabCoverage _),
+    "d26_lm_surprise" -> (d26LmSurprise _),
     "d10_redact" -> (d10Redact _),
     "d11_tfidf_top" -> (d11TfidfTop _),
     "d12_pack_sequences" -> (d12PackSequences _),
@@ -747,6 +752,24 @@ object PipelineQueries {
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same exploded pass: bigram counts + per-context counts, one
     // correctly-rounded division on the top-k frame
+    "d26_lm_surprise" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(coalesce(text, ''), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(coalesce(text, ''),
+        |      '\s+'), 1) AS pos
+        |  FROM documents),
+        |p AS (SELECT doc_id, t AS w1,
+        |    lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok),
+        |bi AS (SELECT doc_id, w1, w2 FROM p WHERE w2 IS NOT NULL),
+        |nb AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bi GROUP BY w1, w2),
+        |nc AS (SELECT w1, COUNT(*) AS n_context FROM bi GROUP BY w1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(AVG(-ln(CAST(n_bigram AS DOUBLE)
+        |    / CAST(n_context AS DOUBLE))), 6) AS avg_nll
+        |FROM bi JOIN nb USING (w1, w2) JOIN nc USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY avg_nll DESC, doc_id LIMIT 15""".stripMargin,
     "d23_bigram_lm" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(string_split_regex(coalesce(text, ''), '\s+')) AS t,

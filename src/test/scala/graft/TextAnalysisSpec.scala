@@ -77,6 +77,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1)._2 == 0.1)
   }
 
+  test("lmSurprise: hand-computed bigram NLL ranks the unusual doc first") {
+    // corpus: doc1 "x x x" → bigrams (x,x)×2; doc2 "x y" → (x,y)
+    // model: n(x,x)=2, n(x,y)=1, context(x)=3
+    //   doc1 avg_nll = -ln(2/3) = 0.405465; doc2 = -ln(1/3) = 1.098612
+    val docs = Seq((1L, "x x x"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmSurprise(docs, topK = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 1L, 1.098612), (1L, 2L, 0.405465)))
+  }
+
+  test("lmSurprise: sub-2-token docs carry no bigrams and are skipped") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmSurprise(docs, topK = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+  }
+
   test("repetitionStats: docs shorter than n report 0 for that n") {
     val got = TextAnalysis.repetitionStats(
         Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text"))
