@@ -84,6 +84,41 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("delta-frontier CC equals driver-side union-find on random graphs") {
+    (1 to 8).foreach { _ =>
+      val (g, edges, ids) = randomGraph()
+      // reference: driver union-find over the undirected edge set,
+      // root = min member id (the declared output contract)
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      val got = graft.graph.Algorithms.connectedComponentsAlt(spark, g)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
+  test("lmSurprise scores are invariant under doc order and partitioning") {
+    val docs = Seq((1L, "a b a b c"), (2L, "c c c"), (3L, "a c b"),
+      (4L, "b"), (5L, "a b c a"))
+    val base = docs.toDF("doc_id", "text")
+    val shuffled = scala.util.Random.shuffle(docs).toDF("doc_id", "text")
+      .repartition(7)
+    val a = graft.operators.TextAnalysis.lmSurprise(base, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = graft.operators.TextAnalysis.lmSurprise(shuffled, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
+
   test("stitched pages equal the sorted prefix for random page sizes") {
     (1 to 3).foreach { _ =>
       val rows = rnd.shuffle((1L to 200L).toList).map(k => (k, s"v$k"))
