@@ -80,6 +80,15 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      // one untimed run at the TARGET SF first: the sf0.001 warmup
+      // compiles every plan but not the data-scale-dependent JIT
+      // profiles (bigger hash tables, vectorized-batch paths) — the
+      // first query of round 6's bench ran a consistent ~2.5× slow
+      // across all 3 timed runs, under the rerun guard's threshold.
+      // This makes each median a steady-state number, the same
+      // protocol an isolated re-measure (TimeOne + SPARK_GRAFT_WARM)
+      // uses, at ~1/3 extra bench wall-clock.
+      try materialize(name, sfDir) catch { case _: Throwable => }
       var timed = timedRuns(runs)
       // rerun-on-spread: a >3x spread among successful runs means at
       // least one timing is not steady state (JIT compile, GC storm,
@@ -97,6 +106,13 @@ object Bench {
       // not masquerade as a fast timing; all-failed keeps the worst time
       val good = timed.filter(_._2).map(_._1).sorted
       val med = if (good.nonEmpty) good(good.length / 2) else timed.map(_._1).max
+      // Spark's ContextCleaner releases dead cache/localCheckpoint
+      // blocks only when a GC notices them; across 150 queries the
+      // debt accumulates until a mid-bench query eats a multi-second
+      // collection that reads as a 5-7× outlier (observed bimodal
+      // 7.8 s / 54.8 s on the same query). Collect BETWEEN queries so
+      // each starts with a clean heap and pays only its own garbage.
+      System.gc()
       name -> med
     }
     val total = results.map(_._2).sum

@@ -230,4 +230,43 @@ class PlanSpec extends AnyFunSuite {
       adj.unpersist(blocking = true)
     }
   }
+
+  test("d24 survivors: doomed ids prune docs via a narrow anti-join") {
+    val df = SparkEntry.queries("d24_dedup_survivors")(spark, dir)
+    df.collect() // settle AQE (the doomed set is tiny → broadcast)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"survivor selection must be an anti-join:\n$p")
+    // document text must reach only the anti-join's left (docs) side —
+    // the doomed build side carries ids alone
+    val anti = p.indexOf("LeftAnti")
+    assert(!p.substring(anti).split("\n").take(3).mkString.contains("text"),
+      s"anti-join key should be doc_id only:\n$p")
+  }
+
+  test("d25 vocab coverage: rank window runs over the aggregated vocab, " +
+      "not the corpus") {
+    val df = SparkEntry.queries("d25_vocab_coverage")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    // every Window sits ABOVE an Aggregate (vocab counts) — never
+    // directly over the exploded token stream
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val aggsBelow = w.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"vocab window must consume aggregated counts:\n$plan")
+    }
+  }
+
+  test("d26 lm surprise: model joins are equi-joins with partial aggs") {
+    val p = plan("d26_lm_surprise")
+    // bigram + context models: ≥2 partial/final HashAggregate pairs;
+    // joins back to the stream must be hash equi-joins, never BNLJ
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in lm plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 4, s"plan:\n$p")
+  }
 }
