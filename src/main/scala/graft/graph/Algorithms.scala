@@ -934,6 +934,105 @@ object Algorithms {
       .filter(col("support") >= minSupport)
   }
 
+  /** Betweenness centrality — EXACT multi-source Brandes, DataFrame
+    * native (the HugeGraph BetweennessCentrality traverser's
+    * semantics: undirected shortest-path betweenness, each unordered
+    * pair counted once). All sources run in ONE distributed BFS whose
+    * state is narrow (seed, id, sigma) rows — k sources never cost k
+    * graph builds, exactly the multiSourceHops trade.
+    *
+    * Forward pass: per layer, frontier joins the persisted adjacency
+    * and path counts (sigma) sum over predecessors — the BFS DAG is
+    * implicit in the layer numbering, never materialized. Backward
+    * pass walks layers deepest-first, accumulating Brandes'
+    * dependency delta(v) = Σ_{w ∈ succ(v)} sigma_v/sigma_w ·
+    * (1 + delta_w); bc(v) = Σ_seeds delta(v) over non-seed layers,
+    * halved (each unordered pair is counted from both endpoints).
+    *
+    * Scale: total state volume is Σ_s |reachable(s)| — exact
+    * betweenness is inherently O(V·E); at 100 TB pass `seeds` with a
+    * uniform sample (the standard Brandes estimator — unbiased after
+    * scaling by n/|S|). Depth caps fail loudly: a truncated BFS would
+    * silently drop pairs, not degrade gracefully.
+    */
+  def betweenness(s: SparkSession, g: PropertyGraph,
+      labels: Seq[String] = Nil, seeds: Option[DataFrame] = None,
+      maxDepth: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val adj = symmetrize(undirectedDistinct(e))
+      .repartition(col("v"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      val verts = adj.select(col("v").as("id")).distinct()
+      val seedIds = seeds.getOrElse(verts).select(col("id"))
+      // ---- forward BFS: layers(d) = (seed, id, sigma) at distance d
+      val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var frontier = seedIds.select(col("id").as("seed"), col("id"),
+        lit(1L).as("sigma")).localCheckpoint()
+      layers += frontier
+      var visited = frontier.select(col("seed"), col("id"))
+      var d = 0
+      var live = !frontier.isEmpty
+      while (d < maxDepth && live) {
+        d += 1
+        val next = frontier.join(adj, col("id") === col("v"))
+          .select(col("seed"), col("n").as("id"), col("sigma"))
+          .join(visited, Seq("seed", "id"), "left_anti")
+          .groupBy(col("seed"), col("id")).agg(sum(col("sigma")).as("sigma"))
+          .localCheckpoint()
+        live = !next.isEmpty
+        if (live) {
+          layers += next
+          visited = visited.union(next.select(col("seed"), col("id")))
+          frontier = next
+        }
+      }
+      require(!live,
+        s"betweenness BFS still expanding at depth $maxDepth — " +
+          "raise maxDepth (a truncated BFS drops pairs silently)")
+      // ---- backward dependency accumulation, deepest layer first
+      val deepest = layers.length - 1
+      var delta = layers(deepest)
+        .select(col("seed"), col("id"), lit(0.0).as("delta"))
+        .localCheckpoint()
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      if (deepest >= 1) parts += delta
+      for (dd <- (deepest - 1) to 0 by -1) {
+        val succ = delta.join(
+            layers(dd + 1).select(col("seed"), col("id"), col("sigma")
+              .as("sw")), Seq("seed", "id"))
+          .select(col("seed"), col("id").as("w"), col("sw"), col("delta"))
+        val contrib = layers(dd)
+          .join(adj, col("id") === col("v"))
+          .select(col("seed"), col("id"), col("sigma"), col("n").as("w"))
+          .join(succ, Seq("seed", "w"))
+          .groupBy(col("seed"), col("id"), col("sigma"))
+          .agg(sum(col("sigma").cast("double") / col("sw") *
+            (lit(1.0) + col("delta"))).as("dep"))
+          .select(col("seed"), col("id"), col("dep"))
+        delta = layers(dd).select(col("seed"), col("id"))
+          .join(contrib, Seq("seed", "id"), "left")
+          .select(col("seed"), col("id"),
+            coalesce(col("dep"), lit(0.0)).as("delta"))
+          .localCheckpoint()
+        if (dd >= 1) parts += delta
+      }
+      // bc = Σ over seeds of delta at non-seed layers, halved
+      // (undirected: every unordered pair contributes from both ends)
+      val bc = if (parts.isEmpty)
+        verts.select(col("id"), lit(0.0).as("bc")).limit(0)
+      else parts.reduce(_.unionByName(_))
+        .groupBy(col("id")).agg((sum(col("delta")) / 2.0).as("bc"))
+      // vertices no path passes through (or that only seed) still owe
+      // an explicit 0 — same contract as degrees' explicit vertex set
+      verts.join(bc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("bc"), lit(0.0)).as("bc"))
+        .localCheckpoint(eager = true)
+    } finally adj.unpersist(blocking = false)
+  }
+
   def jaccardSimilarity(s: SparkSession, g: PropertyGraph, seed: Long,
                         labels: Seq[String] = Nil): DataFrame = {
     val e = if (labels.isEmpty) g.edges

@@ -47,6 +47,29 @@ object AlgoQueries {
     * Scale shape: TakeOrderedAndProject to 25 rows first; the window
     * runs on those 25 rows only, never a global sort.
     */
+  /** Exact betweenness centrality over the supplier-geo FOREST
+    * (supplier → nation → region; customers excluded to keep the
+    * all-sources exact run bench-friendly — the sampled-seed estimator
+    * is the 100 TB path). The graph is a forest, so every Brandes
+    * dependency is integer-valued and the oracle can compute
+    * betweenness in CLOSED FORM from component sizes: removing v
+    * splits its tree into parts s₁..s_k and bc(v) = Σ_{i<j} sᵢ·sⱼ —
+    * nation: C(ℓ,2) + ℓ·(s_r − ℓ); region: (s² − Σt²)/2. Two
+    * completely different derivations (message-passing vs counting)
+    * agreeing hash-exactly is the strongest oracle in the algo suite.
+    */
+  def aBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val gr = g(s, dir)
+    val supLo = PropertyGraph.encodeId("supplier", 0L)
+    val supHi = PropertyGraph.encodeId("supplier",
+      (1L << PropertyGraph.Shift) - 1)
+    val e = gr.edges.filter(col("label") === "part_of" ||
+      (col("label") === "located_in" && col("src").between(supLo, supHi)))
+    Algorithms.betweenness(s, PropertyGraph(gr.vertices, e))
+      .select(col("id"), round(col("bc")).cast("long").as("bc"))
+      .orderBy(col("bc").desc, col("id")).limit(10)
+  }
+
   def aPagerankTop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val eps = 1e-6
@@ -275,6 +298,7 @@ object AlgoQueries {
     "a_sssp_hops" -> (aSsspHops _),
     "a_wsssp" -> (aWsssp _),
     "a_pagerank_top" -> (aPagerankTop _),
+    "a_betweenness" -> (aBetweenness _),
     "a_pagerank_exact" -> (aPagerankExact _),
     "a_components" -> (aComponents _),
     "a_cc_alt" -> (aCcAlt _),
@@ -770,6 +794,30 @@ object AlgoQueries {
     "a_components" -> componentsSql,
     "a_cc_alt" -> componentsSql,
     "a_pagerank_top" -> pagerankTopSql,
+    // closed-form tree betweenness: removing v splits its tree into
+    // components s1..sk; bc(v) = sum over i<j of si*sj. Leaves
+    // (suppliers, supplier-less nations are NOT leaves — they still
+    // join their region) get their formula value; suppliers 0.
+    "a_betweenness" ->
+      s"""WITH ls AS (SELECT s_nationkey AS nk, COUNT(*) AS l
+         |  FROM supplier GROUP BY 1),
+         |ln AS (SELECT n_nationkey AS nk, n_regionkey AS rk,
+         |    COALESCE(l, 0) AS l
+         |  FROM nation LEFT JOIN ls ON ls.nk = n_nationkey),
+         |tr AS (SELECT rk, SUM(1 + l) AS s,
+         |    SUM((1 + l) * (1 + l)) AS s2 FROM ln GROUP BY rk),
+         |bc AS (
+         |  SELECT ${PropertyGraph.sqlEncode("nation", "nk")} AS id,
+         |    l * (l - 1) // 2 + l * (s - l) AS bc
+         |  FROM ln JOIN tr USING (rk)
+         |  UNION ALL
+         |  SELECT ${PropertyGraph.sqlEncode("region", "rk")},
+         |    (s * s - s2) // 2 FROM tr
+         |  UNION ALL
+         |  SELECT ${PropertyGraph.sqlEncode("supplier", "s_suppkey")}, 0
+         |  FROM supplier)
+         |SELECT id, CAST(bc AS BIGINT) AS bc FROM bc
+         |ORDER BY bc DESC, id LIMIT 10""".stripMargin,
     "a_degrees" ->
       s"""SELECT id, CAST(degree AS INT) AS degree FROM (
          |  SELECT ${PropertyGraph.sqlEncode("order", "l_orderkey")} AS id,

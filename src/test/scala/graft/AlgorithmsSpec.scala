@@ -319,6 +319,44 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(math.abs(r(3L) - 1.0 * scale) < 1e-12, s"got $r")
   }
 
+  test("betweenness: hand-computed path, star, and cycle") {
+    // path 1-2-3-4: pairs through 2 = (1,3),(1,4); through 3 = (1,4),(2,4)
+    val path = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val p = Algorithms.betweenness(spark, path)
+      .as[(Long, Double)].collect().toMap
+    assert(p == Map(1L -> 0.0, 2L -> 2.0, 3L -> 2.0, 4L -> 0.0))
+    // star center 1 with leaves 2..5: C(4,2)=6 pairs through the center
+    val star = mkGraph(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    val st = Algorithms.betweenness(spark, star)
+      .as[(Long, Double)].collect().toMap
+    assert(st == Map(1L -> 6.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0))
+    // 4-cycle: each opposite pair has TWO shortest paths — each
+    // midpoint gets sigma-share 1/2
+    val cyc = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    val cy = Algorithms.betweenness(spark, cyc)
+      .as[(Long, Double)].collect().toMap
+    assert(cy == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 0.5))
+  }
+
+  test("betweenness: sampled seeds accumulate only those sources' pairs") {
+    // path 1-2-3 with seeds={1}: ordered pairs from 1 are (1,2),(1,3);
+    // delta_1(2)=1 → bc = 1/2 (the /2 convention halves the full
+    // double-count; a sampled estimator rescales by n/|S| outside)
+    val path = mkGraph(Seq((1L, 2L), (2L, 3L)))
+    val seeds = Seq(1L).toDF("id")
+    val got = Algorithms.betweenness(spark, path, seeds = Some(seeds))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.0))
+  }
+
+  test("betweenness: depth cap with a live frontier fails loudly") {
+    val long = mkGraph((1L to 6L).map(i => (i, i + 1)))
+    val ex = intercept[IllegalArgumentException] {
+      Algorithms.betweenness(spark, long, maxDepth = 3)
+    }
+    assert(ex.getMessage.contains("still expanding"))
+  }
+
   test("personalizedPageRankExact: hand-computed seed concentration on chain3") {
     // chain 1→2→3, seed {1}, 2 iterations of integer units:
     //   pr0 = (1e6, 0, 0)
