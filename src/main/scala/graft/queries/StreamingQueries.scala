@@ -143,7 +143,17 @@ object StreamingQueries {
     EventsPipeline.typeCounts(Tables.events(s, dir))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** CDC latest-state view over the event log as a change stream:
+    * key = user, ord = event_id, delete-op = 'error' events. Batch
+    * face of [[graft.streaming.EventsPipeline.cdcStateful]]
+    * (StreamingSpec pins stream ≡ batch through MemoryStream).
+    */
+  def s16CdcState(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.cdcLatestState(Tables.events(s, dir))
+      .orderBy(col("user_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_cdc_state" -> (s16CdcState _),
     "s10_gap_sessions" -> (s10GapSessions _),
     "s12_scd2" -> (s12Scd2 _),
     "s13_type_counts" -> (s13TypeCounts _),
@@ -165,6 +175,14 @@ object StreamingQueries {
     "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "s16_cdc_state" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value
+        |FROM (SELECT user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "s15_window_top" ->
       """WITH c AS (SELECT
         |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 21600000000) AS BIGINT)

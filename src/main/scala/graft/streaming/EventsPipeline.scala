@@ -23,6 +23,14 @@ case class GapSession(user_id: Long, session_start: Long, session_end: Long,
 case class TypedEvent(user_id: Long, event_type: String)
 case class TypeCount(user_id: Long, event_type: String, n: Long)
 
+case class CdcChange(user_id: Long, ord: Long, event_type: String,
+                     value: Double)
+case class CdcState(ord: Long, tpe: String, value: Double)
+// ord rides along so a consumer can pick each key's newest emission
+// without relying on sink row order (Update mode re-emits per batch)
+case class CdcRow(user_id: Long, ord: Long, last_type: String,
+                  last_value: Double, deleted: Boolean)
+
 /** Structured-Streaming events pipeline (SURVEY §2.5 streaming row).
   *
   * The reference's only stream-ish features are per-entry TTL (W1,
@@ -184,6 +192,55 @@ object EventsPipeline {
   def typeCounts(df: DataFrame): DataFrame =
     df.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  // --------------------------------- streaming CDC latest-state view
+
+  /** Streaming CDC materialized view — the continuous face of
+    * `Writer.applyCdc`: per key, the change with the highest `ord`
+    * wins and defines the key's current row; a delete-op change
+    * (`event_type == "error"` in the events framing) tombstones it.
+    * GroupState holds ONE (ord, type, value) triple per key, so state
+    * size is O(live keys) and independent of change volume — the
+    * Debezium-consumer shape that holds at 10⁹ keys. Late/out-of-order
+    * changes are handled by the ord comparison, not arrival order:
+    * an older change arriving after a newer one cannot regress state.
+    *
+    * Emits the key's current view (or a tombstone marker) each batch
+    * it changes — Update mode, downstream upserts into the serving
+    * store. [[cdcLatestState]] is the batch face over the same log.
+    */
+  def cdcStateful(ds: Dataset[CdcChange])
+                 (implicit encK: Encoder[Long],
+                  encS: Encoder[CdcState],
+                  encOut: Encoder[CdcRow]): Dataset[CdcRow] =
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcRow](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[CdcChange], state: GroupState[CdcState]) =>
+          // fold THIS batch's changes to the max-ord winner, then
+          // compare against the stored state — one read, one write
+          val best = rows.reduce((a, b) => if (a.ord >= b.ord) a else b)
+          val cur = state.getOption
+          if (cur.isEmpty || best.ord >= cur.get.ord) {
+            state.update(CdcState(best.ord, best.event_type, best.value))
+            CdcRow(user, best.ord, best.event_type, best.value,
+              deleted = best.event_type == "error")
+          } else {
+            val c = cur.get
+            CdcRow(user, c.ord, c.tpe, c.value, deleted = c.tpe == "error")
+          }
+      }
+
+  /** batch face of [[cdcStateful]]: collapse the whole change log to
+    * the per-key winner, drop tombstoned keys.
+    */
+  def cdcLatestState(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+  }
 
   // ------------------------------------------------------ funnel
 

@@ -123,6 +123,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(state(3L) == "new-11")   // inserted
   }
 
+  test("streaming CDC view: latest change wins, tombstones delete, " +
+      "out-of-order changes cannot regress state — stream equals batch") {
+    import graft.streaming.{CdcChange, CdcRow}
+    val stream = MemoryStream[CdcChange]
+    val q = EventsPipeline.cdcStateful(stream.toDS())
+      .toDF().writeStream.format("memory").queryName("t_cdc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: user 1 upserts twice (ord 2 wins), user 2 upserts
+      stream.addData(Seq(CdcChange(1L, 1L, "view", 10.0),
+        CdcChange(1L, 2L, "click", 20.0), CdcChange(2L, 1L, "view", 5.0)))
+      q.processAllAvailable()
+      // batch 2: user 1 gets an OLDER change (must not regress),
+      // user 2 is tombstoned, user 3 appears
+      stream.addData(Seq(CdcChange(1L, 1L, "view", 11.0),
+        CdcChange(2L, 9L, "error", 0.0), CdcChange(3L, 1L, "purchase", 7.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // final view = per user, the emission carrying the max ord (the
+    // row itself says which state version it reflects — no reliance
+    // on sink row order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ord".desc)
+    val finalView = spark.table("t_cdc")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).filter(!$"deleted")
+      .select($"user_id", $"last_type", $"last_value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(finalView == Set((1L, "click", 20.0), (3L, "purchase", 7.0)))
+    // stream ≡ batch: same view from the batch face over the full log
+    val log = Seq((1L, 1L, "view", 10.0), (1L, 2L, "click", 20.0),
+      (2L, 1L, "view", 5.0), (1L, 1L, "view", 11.0),
+      (2L, 9L, "error", 0.0), (3L, 1L, "purchase", 7.0))
+      .toDF("user_id", "event_id", "event_type", "value")
+    val batch = EventsPipeline.cdcLatestState(log)
+      .as[(Long, String, Double)].collect().toSet
+    assert(batch == finalView)
+  }
+
   test("transformWithState MapState counter: final counts match batch") {
     import graft.streaming.{TypedEvent, TypeCount}
     val provider = "spark.sql.streaming.stateStore.providerClass"
