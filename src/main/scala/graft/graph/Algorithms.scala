@@ -267,6 +267,64 @@ object Algorithms {
     }
   }
 
+  /** Eigenvector centrality, exact integer units — the HugeGraph
+    * EigenvectorCentrality traverser: power iteration on A+I (the
+    * undirected adjacency matrix PLUS self-loops; parallel edges keep
+    * their multiplicity — matrix semantics), renormalized each step so
+    * the max score is one unit (10⁶). The +I damping matters: trees
+    * and other bipartite graphs make plain A-iteration OSCILLATE
+    * between the two sides forever (±λ eigenvalue pair) — A+I shifts
+    * the spectrum positive, converges to the same leading eigenvector
+    * ordering, and costs one integer add. Integer floor division makes
+    * every step bit-identical across engines/partitionings, so the
+    * oracle replays all iterations as chained CTEs — same trick as
+    * [[pageRankExact]].
+    *
+    * Scale: per step one narrow (id, score) join against the
+    * persisted pre-partitioned adjacency + one hash-agg; the
+    * normalizer is ONE scalar MAX to the driver per step (the same
+    * driver traffic class as the loop convergence witnesses).
+    * Overflow-guarded: score ≤ 10⁶ after each renormalize, so the
+    * pre-normalize sum is ≤ maxDegree·10⁶ and the ×10⁶ rescale needs
+    * maxDegree < 9.2·10⁶ — checked with a loud require.
+    */
+  def eigenvectorExact(s: SparkSession, g: PropertyGraph,
+      labels: Seq[String] = Nil, iters: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val sym = e0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(explode(array(
+        struct(col("src").as("v"), col("dst").as("n")),
+        struct(col("dst").as("v"), col("src").as("n")))).as("e"))
+      .select(col("e.v").as("v"), col("e.n").as("n"))
+    // A+I as data: one self-loop row per vertex folds the +I into the
+    // SAME single join every step runs — no second state reference
+    // (which on the oracle side would make DuckDB's CTE inlining
+    // expand the plan tree exponentially across 10 steps)
+    val adj = sym.union(
+        sym.select(col("v")).distinct().select(col("v"), col("v").as("n")))
+      .repartition(col("n"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      var x = adj.select(col("v").as("id")).distinct()
+        .select(col("id"), lit(1000000L).as("score")).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val m = adj.join(x.select(col("id").as("n"), col("score")), "n")
+          .groupBy(col("v")).agg(sum(col("score")).as("m"))
+          .select(col("v").as("id"), col("m"))
+        val mx = m.agg(max(col("m"))).head().getLong(0)
+        require(mx > 0 && mx <= Long.MaxValue / 1000000L,
+          s"eigenvector renormalizer out of range: $mx")
+        x = m.select(col("id"),
+            expr(s"(m * 1000000L) div ${mx}L").as("score"))
+          .localCheckpoint()
+      }
+      x
+    } finally adj.unpersist(blocking = false)
+  }
+
   /** Topological layering of a DAG (longest-path levels): level(v) = 0
     * for sources, else 1 + max(level(u)) over in-edges u→v — the
     * dependency-scheduling / lineage-depth primitive (level n = the

@@ -70,6 +70,15 @@ object AlgoQueries {
       .orderBy(col("bc").desc, col("id")).limit(10)
   }
 
+  /** eigenvector centrality over the geo subgraph — integer-unit
+    * power iteration; the oracle replays all 10 renormalized steps as
+    * chained CTEs (one template family with pagerankExact/ppr).
+    */
+  def aEigenvector(s: SparkSession, dir: String): DataFrame =
+    Algorithms.eigenvectorExact(s, g(s, dir),
+        labels = Seq("located_in", "part_of"), iters = 10)
+      .orderBy(col("score").desc, col("id")).limit(10)
+
   def aPagerankTop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val eps = 1e-6
@@ -299,6 +308,7 @@ object AlgoQueries {
     "a_wsssp" -> (aWsssp _),
     "a_pagerank_top" -> (aPagerankTop _),
     "a_betweenness" -> (aBetweenness _),
+    "a_eigenvector" -> (aEigenvector _),
     "a_pagerank_exact" -> (aPagerankExact _),
     "a_components" -> (aComponents _),
     "a_cc_alt" -> (aCcAlt _),
@@ -529,6 +539,36 @@ object AlgoQueries {
        |  AND (prev IS NULL OR prev - r > 1e-6 * r)
        |  AND (nxt IS NOT NULL AND r - nxt > 1e-6 * r)
        |ORDER BY pos""".stripMargin
+  }
+
+  /** DuckDB replay of eigenvectorExact over the geo subgraph: the same
+    * 10 renormalized A+I integer power-iteration steps as chained
+    * CTEs — the per-step MAX normalizer is a scalar subquery, `//`
+    * floor division ≡ Spark `div` on the always-positive scores.
+    */
+  private val eigenvectorSql: String = {
+    val iters = 10
+    // each CTE references its predecessor exactly ONCE (self-loops
+    // carry the +I; the normalizer is a window max, not a scalar
+    // subquery) — a second reference would make DuckDB's CTE inlining
+    // double the plan tree per step, 2^10 copies of the base scan
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT a.v AS id, SUM(x.score) AS m
+         |  FROM adj a JOIN x${i - 1} x ON a.n = x.id GROUP BY a.v),
+         |x$i AS (SELECT id,
+         |  CAST((m * 1000000) // (MAX(m) OVER ()) AS BIGINT) AS score
+         |  FROM m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($geoEdgesSql),
+       |adj0 AS (SELECT src AS v, dst AS n FROM e
+       |         UNION ALL SELECT dst, src FROM e),
+       |adj AS (SELECT v, n FROM adj0 UNION ALL
+       |        SELECT DISTINCT v, v FROM adj0),
+       |x0 AS (SELECT DISTINCT v AS id, CAST(1000000 AS BIGINT) AS score
+       |       FROM adj0),
+       |$steps
+       |SELECT id, score FROM x$iters
+       |ORDER BY score DESC, id LIMIT 10""".stripMargin
   }
 
   /** Fixed peel-round count shared by the a_kcore query and its oracle;
@@ -794,6 +834,7 @@ object AlgoQueries {
     "a_components" -> componentsSql,
     "a_cc_alt" -> componentsSql,
     "a_pagerank_top" -> pagerankTopSql,
+    "a_eigenvector" -> eigenvectorSql,
     // closed-form tree betweenness: removing v splits its tree into
     // components s1..sk; bc(v) = sum over i<j of si*sj. Leaves
     // (suppliers, supplier-less nations are NOT leaves — they still

@@ -319,6 +319,23 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(math.abs(r(3L) - 1.0 * scale) < 1e-12, s"got $r")
   }
 
+  test("eigenvectorExact: star concentrates on the hub; path symmetry") {
+    // A+I iteration (plain A would OSCILLATE on bipartite graphs like
+    // stars/trees). Star K1,3: leading eigenvector of A+I has hub 1,
+    // leaves 1/sqrt(3) ≈ 0.5774 → scores converge toward ~577350
+    val star = mkGraph(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    val st = Algorithms.eigenvectorExact(spark, star, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(st(1L) == 1000000L)
+    assert(st(2L) == st(3L) && st(3L) == st(4L))
+    assert(st(2L) > 560000L && st(2L) < 595000L, s"got $st")
+    // path 1-2-3: ends symmetric at ~1/sqrt(2) ≈ 707107, middle max
+    val p = Algorithms.eigenvectorExact(spark, mkGraph(Seq((1L, 2L), (2L, 3L))),
+      iters = 8).as[(Long, Long)].collect().toMap
+    assert(p(2L) == 1000000L && p(1L) == p(3L), s"got $p")
+    assert(p(1L) > 690000L && p(1L) < 725000L, s"got $p")
+  }
+
   test("betweenness: hand-computed path, star, and cycle") {
     // path 1-2-3-4: pairs through 2 = (1,3),(1,4); through 3 = (1,4),(2,4)
     val path = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
