@@ -273,10 +273,14 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks
     * (any-chunk-equal ⇒ candidate, guarantees recall for hamming ≤ 3),
-    * verify by exact hamming distance.
+    * verify by exact hamming distance. With maxHamming ≤ 3 the band
+    * guarantee makes the output EXACTLY all pairs at that distance —
+    * which is what lets the gate oracle skip replaying the bands and
+    * compute plain all-pairs hamming instead.
     */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+      tokenHash: Column => Column = fastTokenHash): DataFrame = {
+    val sh = simhash(docs, tokenHash)
     val chunks = array((0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))

@@ -194,6 +194,17 @@ object PipelineQueries {
     Dedup.simhash(Tables.documents(s, dir), Dedup.portableTokenHash)
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup PAIRS — the banded hamming join completing d6's
+    * signature stage (detect step of the simhash dedup family). At
+    * maxHamming = 3 the 4-chunk banding is recall-lossless, so the
+    * oracle recomputes the same 60-bit portable signatures and takes
+    * plain all-pairs hamming ≤ 3 — band replay unnecessary.
+    */
+  def d27SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(Tables.documents(s, dir), maxHamming = 3,
+        tokenHash = Dedup.portableTokenHash)
+      .orderBy(col("a_id"), col("b_id"))
+
   // -------------------------------------------------------- similarity
 
   private def queriesDf(s: SparkSession, dir: String, n: Long): DataFrame =
@@ -510,6 +521,7 @@ object PipelineQueries {
     "e6_dim_stats" -> (e6DimStats _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
+    "d27_simhash_pairs" -> (d27SimhashPairs _),
     "e1_knn_brute" -> (e1KnnBrute _),
     "e2_lsh_topk" -> (e2LshTopk _),
     "e3_ivf_topk" -> (e3IvfTopk _),
@@ -670,6 +682,13 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "d5_minhash_pairs" -> minhashSql,
     "d6_simhash_sigs" -> simhashSql,
+    "d27_simhash_pairs" ->
+      s"""WITH sigs AS (SELECT doc_id, simhash FROM ($simhashSql))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
     "d14_rarity_score" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(string_split_regex(text, '\s+')) AS t FROM documents),
