@@ -571,7 +571,10 @@ object Algorithms {
     try {
       var lab = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
       for (_ <- 1 to iters) {
-        val nb = adj.join(lab.select(col("id").as("n"), col("lbl")), "n")
+        // shuffle_hash: an SMJ would re-SORT the cached pre-partitioned
+        // adjacency every round (the ccAltRound lesson — ~0.9s/round)
+        val nb = adj.join(
+          lab.select(col("id").as("n"), col("lbl")).hint("shuffle_hash"), "n")
         val pick = nb.groupBy(col("v"), col("lbl"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("v"))
