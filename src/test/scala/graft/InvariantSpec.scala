@@ -106,6 +106,56 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("betweenness equals the pair-dependency formula on random graphs") {
+    (1 to 6).foreach { _ =>
+      val (g, edges, ids) = randomGraph()
+      // driver reference: per source BFS (dist, sigma), then
+      // bc(v) = Σ_{s<t, v∉{s,t}} σ_st(v)/σ_st with
+      // σ_st(v) = σ_s(v)·σ_v(t) iff d_s(v)+d_v(t) = d_s(t)
+      val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def bfs(s: Long): (Map[Long, Int], Map[Long, Long]) = {
+        var dist = Map(s -> 0); var sigma = Map(s -> 1L)
+        var frontier = Seq(s)
+        while (frontier.nonEmpty) {
+          val next = scala.collection.mutable.Map.empty[Long, Long]
+          frontier.foreach { u =>
+            und.getOrElse(u, Set.empty).foreach { w =>
+              if (!dist.contains(w))
+                next.update(w, next.getOrElse(w, 0L) + sigma(u))
+            }
+          }
+          val d = dist(frontier.head) + 1
+          next.foreach { case (w, sg) =>
+            dist += w -> d; sigma += w -> sg
+          }
+          frontier = next.keys.toSeq
+        }
+        (dist, sigma)
+      }
+      val all = ids.map(s => s -> bfs(s)).toMap
+      val want = ids.map { v =>
+        var bc = 0.0
+        for (s <- ids if s != v; t <- ids if t > s && t != v) {
+          val (ds, ss) = all(s)
+          val (dv, sv) = all(v)
+          if (ds.contains(t) && ds.contains(v) && dv.contains(t) &&
+              ds(v) + dv(t) == ds(t))
+            bc += ss(v).toDouble * sv(t) / ss(t)
+        }
+        v -> bc
+      }.toMap
+      val got = graft.graph.Algorithms.betweenness(spark, g)
+        .as[(Long, Double)].collect().toMap
+      // operator output covers vertices touched by edges; isolated
+      // vertices have bc 0 and may be absent
+      want.foreach { case (v, b) =>
+        val gv = got.getOrElse(v, 0.0)
+        assert(math.abs(gv - b) < 1e-9, s"v=$v got $gv want $b edges=$edges")
+      }
+    }
+  }
+
   test("lmSurprise scores are invariant under doc order and partitioning") {
     val docs = Seq((1L, "a b a b c"), (2L, "c c c"), (3L, "a c b"),
       (4L, "b"), (5L, "a b c a"))
