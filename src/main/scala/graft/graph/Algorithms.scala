@@ -308,6 +308,14 @@ object Algorithms {
       .repartition(col("n"))
       .persist(MEMORY_AND_DISK)
     try {
+      // vertex-set contract: scores are defined over vertices incident
+      // to at least one (label-filtered) non-loop edge — isolated
+      // vertices have no centrality mass and are absent from the
+      // output. An empty edge set therefore yields an empty frame
+      // rather than letting the null MAX aggregate below NPE.
+      if (adj.isEmpty) {
+        return adj.select(col("v").as("id"), lit(1000000L).as("score")).limit(0)
+      }
       var x = adj.select(col("v").as("id")).distinct()
         .select(col("id"), lit(1000000L).as("score")).localCheckpoint()
       for (_ <- 1 to iters) {
@@ -345,7 +353,18 @@ object Algorithms {
     * single exchange pair.
     */
   def dagLayers(s: SparkSession, g: PropertyGraph, iters: Int = 8,
-                strict: Boolean = false): DataFrame = {
+                strict: Boolean = false): DataFrame =
+    dagLayersStatus(s, g, iters, strict)._1
+
+  /** [[dagLayers]] with an explicit convergence witness: returns
+    * (levels, converged) where converged=false means the frontier was
+    * still live after `iters` rounds — the levels are a TRUNCATED
+    * lower bound (graph deeper than iters, or cyclic), not a final
+    * layering. Callers in detector mode branch on the flag instead of
+    * inferring truncation from level values (ADVICE r7).
+    */
+  def dagLayersStatus(s: SparkSession, g: PropertyGraph, iters: Int = 8,
+                      strict: Boolean = false): (DataFrame, Boolean) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pre-partitioned on the per-round join key so the cached edge
     // list never re-shuffles inside the loop (the LPA adjacency trick,
@@ -379,10 +398,11 @@ object Algorithms {
         delta = merged.filter(col("__rose")).select(col("id"), col("level"))
         lvl = merged.select(col("id"), col("level"))
       }
-      if (strict) require(delta.isEmpty,
+      val converged = delta.isEmpty
+      if (strict) require(converged,
         s"dagLayers frontier still live after $iters rounds — graph is " +
           "deeper than iters or cyclic (pass strict=false for detector mode)")
-      lvl
+      (lvl, converged)
     } finally {
       edges.unpersist(blocking = false)
     }

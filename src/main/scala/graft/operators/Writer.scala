@@ -47,10 +47,22 @@ object Writer {
     // one key sharing a sequence number) fall through to a total
     // descending order over every remaining change column, so the
     // winner is a pure function of the data — never of partition
-    // evaluation order across runs
-    val tiebreak = changes.columns
-      .filterNot(c => keys.contains(c) || c == ordCol)
-      .map(col(_).desc)
+    // evaluation order across runs. Unorderable column types (maps,
+    // exotic UDTs) cannot join a SortOrder — those tie-break on a
+    // hash of the value instead, keeping schemas that carry them
+    // plannable (hash ties then fall to the orderable columns' order,
+    // and a full-row hash collision on same-ord changes is the only
+    // residual nondeterminism — vanishingly rarer than the arrival
+    // order this replaces).
+    val tiebreak = changes.schema.fields
+      .filterNot(f => keys.contains(f.name) || f.name == ordCol)
+      .map { f =>
+        if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType)) col(f.name).desc
+        // hash expressions reject maps too (SPARK-27619) — hash the
+        // JSON rendering, which is total over nested SQL types
+        else xxhash64(to_json(struct(col(f.name)))).desc
+      }
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ordCol).desc +: tiebreak.toSeq: _*)
     val latest = changes.withColumn("__rn", row_number().over(w))

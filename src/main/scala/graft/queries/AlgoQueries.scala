@@ -32,21 +32,6 @@ object AlgoQueries {
       .groupBy(col("dist")).agg(count(lit(1)).as("n"))
       .orderBy(col("dist"))
 
-  /** static PageRank over the full graph: the top-20 RANKING (pos, id)
-    * with a tie-gap guard. Rank VALUES are float-summation-order
-    * sensitive (GraphX message combine vs DuckDB SUM differ in low
-    * bits), but the ORDER of two ids can only differ between engines
-    * if their ranks are within that noise — so each emitted row
-    * requires a relative gap > 1e-6 to BOTH rank neighbors (positions
-    * whose order is fp-ambiguous are dropped on both sides alike),
-    * making the ranking itself hash-oracle-able: the oracle replays
-    * GraphX's exact recurrence r' = 0.15 + 0.85·Σ r/outdeg (parallel
-    * edges counted, initial rank 1.0 — pinned against hand-computed
-    * values in AlgorithmsSpec) and applies the same guard.
-    *
-    * Scale shape: TakeOrderedAndProject to 25 rows first; the window
-    * runs on those 25 rows only, never a global sort.
-    */
   /** Exact betweenness centrality over the supplier-geo FOREST
     * (supplier → nation → region; customers excluded to keep the
     * all-sources exact run bench-friendly — the sampled-seed estimator
@@ -79,6 +64,21 @@ object AlgoQueries {
         labels = Seq("located_in", "part_of"), iters = 10)
       .orderBy(col("score").desc, col("id")).limit(10)
 
+  /** static PageRank over the full graph: the top-20 RANKING (pos, id)
+    * with a tie-gap guard. Rank VALUES are float-summation-order
+    * sensitive (GraphX message combine vs DuckDB SUM differ in low
+    * bits), but the ORDER of two ids can only differ between engines
+    * if their ranks are within that noise — so each emitted row
+    * requires a relative gap > 1e-6 to BOTH rank neighbors (positions
+    * whose order is fp-ambiguous are dropped on both sides alike),
+    * making the ranking itself hash-oracle-able: the oracle replays
+    * GraphX's exact recurrence r' = 0.15 + 0.85·Σ r/outdeg (parallel
+    * edges counted, initial rank 1.0 — pinned against hand-computed
+    * values in AlgorithmsSpec) and applies the same guard.
+    *
+    * Scale shape: TakeOrderedAndProject to 25 rows first; the window
+    * runs on those 25 rows only, never a global sort.
+    */
   def aPagerankTop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val eps = 1e-6
@@ -180,8 +180,12 @@ object AlgoQueries {
 
   /** the alternating (pointer-jumping) CC — identical output contract
     * to a_components from a different engine, so it shares the same
-    * relational oracle; convergence in O(log diameter) rounds is the
-    * high-diameter scale path SCALE.md called open until round 6.
+    * relational oracle; round count is bounded by the min vertex's
+    * per-component eccentricity (BFS flooding) — fine here (star
+    * schema, diameter ≤ 8) and on real-world short-diameter graphs;
+    * a chain-like graph deeper than maxIter=50 fails LOUDLY in
+    * connectedComponentsAlt, and the GraphX pointer-jump path
+    * (a_components) is the documented alternative for that regime.
     */
   def aCcAlt(s: SparkSession, dir: String): DataFrame =
     Algorithms.connectedComponentsAlt(s, g(s, dir))

@@ -217,10 +217,21 @@ object EventsPipeline {
       .mapGroupsWithState[CdcState, CdcRow](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[CdcChange], state: GroupState[CdcState]) =>
           // fold THIS batch's changes to the max-ord winner, then
-          // compare against the stored state — one read, one write
-          val best = rows.reduce((a, b) => if (a.ord >= b.ord) a else b)
+          // compare against the stored state — one read, one write.
+          // Ties on ord break on (event_type, value) DESC — the same
+          // total order cdcLatestState's window and Writer.applyCdc
+          // use — so a tied-ord change cannot win by arrival order and
+          // the stream and batch faces agree row-for-row on tied logs.
+          def beats(aT: String, aV: Double, bT: String, bV: Double): Boolean =
+            aT > bT || (aT == bT && aV > bV)
+          val best = rows.reduce { (a, b) =>
+            if (a.ord > b.ord || (a.ord == b.ord &&
+              beats(a.event_type, a.value, b.event_type, b.value))) a else b
+          }
           val cur = state.getOption
-          if (cur.isEmpty || best.ord >= cur.get.ord) {
+          if (cur.isEmpty || best.ord > cur.get.ord ||
+              (best.ord == cur.get.ord &&
+                beats(best.event_type, best.value, cur.get.tpe, cur.get.value))) {
             state.update(CdcState(best.ord, best.event_type, best.value))
             CdcRow(user, best.ord, best.event_type, best.value,
               deleted = best.event_type == "error")
@@ -231,11 +242,15 @@ object EventsPipeline {
       }
 
   /** batch face of [[cdcStateful]]: collapse the whole change log to
-    * the per-key winner, drop tombstoned keys.
+    * the per-key winner, drop tombstoned keys. Ties on the ord column
+    * (event_id) break on the remaining change columns DESC — the same
+    * total order the stateful face and Writer.applyCdc use, so all
+    * three CDC faces pick the same winner on tied-ord logs.
     */
   def cdcLatestState(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id").desc, col("event_type").desc, col("value").desc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("event_type") =!= "error")
       .select(col("user_id"), col("event_type").as("last_type"),
