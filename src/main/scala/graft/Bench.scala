@@ -27,10 +27,26 @@ import org.apache.spark.sql.SparkSession
   *     vs 8.5s steady state on the 64-hash minhash stage) that a
   *     plain median-of-3 lets leak into the shipped number when two
   *     of three runs are hit.
+  *   - CANARY (round-7 lesson: the load guard read 2.6/32 and still
+  *     let a window where unchanged queries measured 3-9× slow):
+  *     a fixed reference query is timed at bench start (min of 3 —
+  *     the machine's clean capability) and re-timed after every
+  *     window of queries. A canary drifted beyond CANARY_MAX_DRIFT
+  *     means the whole window was measured on a degraded machine
+  *     (co-runner, page-cache churn, cleaner debt) regardless of what
+  *     the load average claims — the window's queries are re-timed
+  *     from scratch after a GC-and-settle pause, and the contaminated
+  *     runs are DISCARDED (contention only ever adds time). Canary
+  *     checkpoints and rerun decisions land in BENCH_DETAIL.json.
   */
 object Bench {
   private val SpreadMaxRatio = 3.0
   private val SpreadMinAbs = 1.0 // seconds
+  private val CanaryName = "q1_agg" // codegen-heavy scan+agg, ~stable
+  private val CanaryMaxDrift = 1.5
+  private val CanaryMinAbs = 0.3 // seconds — ignore drift on a sub-noise ref
+  private val WindowSize = 20
+  private val MaxWindowReruns = 2
 
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
@@ -69,38 +85,36 @@ object Bench {
     // regression); the median of 3 kills one-off GC/JIT outliers.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val rerunsTaken = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = names.map { name =>
-      def timedRuns(n: Int): Seq[(Double, Boolean)] = (1 to n).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { materialize(name, sfDir); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      // one untimed run at the TARGET SF first: the sf0.001 warmup
-      // compiles every plan but not the data-scale-dependent JIT
-      // profiles (bigger hash tables, vectorized-batch paths) — the
-      // first query of round 6's bench ran a consistent ~2.5× slow
-      // across all 3 timed runs, under the rerun guard's threshold.
-      // This makes each median a steady-state number, the same
-      // protocol an isolated re-measure (TimeOne + SPARK_GRAFT_WARM)
-      // uses, at ~1/3 extra bench wall-clock.
+
+    def timedRuns(name: String, n: Int): Seq[(Double, Boolean)] = (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { materialize(name, sfDir); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    // one query's shipped median: one untimed run at the TARGET SF
+    // first (the sf0.001 warmup compiles every plan but not the
+    // data-scale-dependent JIT profiles — round 6's first query ran a
+    // consistent ~2.5× slow across all 3 timed runs, under the rerun
+    // guard's threshold), then `runs` timed runs, then rerun-on-spread:
+    // a >3x spread among successful runs means at least one timing is
+    // not steady state (JIT compile, GC storm, transient contention) —
+    // take extra runs so the median reflects the reproducible cost.
+    def measure(name: String): Double = {
       try materialize(name, sfDir) catch { case _: Throwable => }
-      var timed = timedRuns(runs)
-      // rerun-on-spread: a >3x spread among successful runs means at
-      // least one timing is not steady state (JIT compile, GC storm,
-      // transient contention) — take extra runs so the median reflects
-      // the reproducible cost, not the accident
+      var timed = timedRuns(name, runs)
       val g0 = timed.filter(_._2).map(_._1)
       if (g0.length >= 2 && g0.max / g0.min.max(1e-9) > SpreadMaxRatio
           && g0.max - g0.min > SpreadMinAbs) {
         rerunsTaken += name
         System.err.println(
           f"[bench] $name spread ${g0.min}%.2f..${g0.max}%.2f s — rerunning")
-        timed = timed ++ timedRuns(runs - 1)
+        timed = timed ++ timedRuns(name, runs - 1)
       }
       // median over SUCCESSFUL runs only — a near-instant failure must
       // not masquerade as a fast timing; all-failed keeps the worst time
@@ -113,8 +127,63 @@ object Bench {
       // 7.8 s / 54.8 s on the same query). Collect BETWEEN queries so
       // each starts with a clean heap and pays only its own garbage.
       System.gc()
-      name -> med
+      med
     }
+
+    // canary reference: the machine's CLEAN capability on a fixed
+    // query — min of 3 (contention only adds time, so min is the
+    // least-contaminated estimate)
+    def canaryTime(): Double = {
+      val t = timedRuns(CanaryName, 1).head._1
+      System.gc()
+      t
+    }
+    val canaryRef =
+      if (names.contains(CanaryName)) {
+        try materialize(CanaryName, sfDir) catch { case _: Throwable => }
+        (1 to 3).map(_ => canaryTime()).min
+      } else -1.0
+    val canaryChecks = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val windowsRerun = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+    // measure in windows; after each, the canary decides whether the
+    // window's numbers were taken on the machine that produced
+    // canaryRef — if not, everything in the window is suspect (the
+    // r7 failure mode: a quiet-looking load average while unchanged
+    // queries measured 3-9× slow) and is re-measured from scratch.
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    names.grouped(WindowSize).zipWithIndex.foreach { case (window, wi) =>
+      var attempt = 0
+      var clean = false
+      while (!clean) {
+        window.foreach { n => medians(n) = measure(n) }
+        attempt += 1
+        if (canaryRef <= 0) clean = true
+        else {
+          val c = canaryTime()
+          canaryChecks += (s"w$wi/a$attempt" -> c)
+          val drifted = c > canaryRef * CanaryMaxDrift &&
+            c - canaryRef > CanaryMinAbs
+          if (!drifted) clean = true
+          else if (attempt > MaxWindowReruns) {
+            System.err.println(
+              f"[bench] canary still ${c}%.2f s vs ref ${canaryRef}%.2f after " +
+                s"$MaxWindowReruns reruns — keeping window $wi as measured")
+            clean = true
+          } else {
+            windowsRerun += wi
+            System.err.println(
+              f"[bench] canary drift ${c}%.2f s vs ref ${canaryRef}%.2f s — " +
+                s"window $wi contaminated; settling and re-measuring")
+            // settle: let a co-runner finish / cleaner catch up, then
+            // re-measure the whole window, discarding the tainted runs
+            System.gc()
+            Thread.sleep(5000)
+          }
+        }
+      }
+    }
+    val results = names.map(n => n -> medians(n))
     val total = results.map(_._2).sum
     val loadAfter = loadAvg()
 
@@ -128,8 +197,11 @@ object Bench {
     // >2KB and head-truncates into unparseable JSON (this killed the
     // parsed BENCH result in rounds 1–3).
     val rerunJson = rerunsTaken.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryJson = canaryChecks
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val windowsJson = windowsRerun.mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRef)},"canary_checks":$canaryJson,"windows_rerun":$windowsJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try {
       java.nio.file.Files.write(

@@ -110,6 +110,24 @@ object Writer {
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > 1)
 
+  /** UNIQUE-enforcing insert — the ingest-time half of the constraint
+    * (TikvTables.java:212-219 semantics): the whole batch is REFUSED
+    * (loud IllegalStateException, base untouched) if the merged table
+    * would violate the unique key, whether the collision is
+    * batch-vs-base or inside the batch itself. The check is one
+    * hash-aggregate job over the merged keys (map-side partial
+    * counts — the same shuffle class as the insert it guards); the
+    * violation count in the error message costs nothing extra.
+    */
+  def insertUnique(base: DataFrame, rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val merged = insert(base, rows)
+    val nBad = uniqueViolations(merged.select(keys.map(col): _*), keys).count()
+    if (nBad > 0) throw new IllegalStateException(
+      s"unique constraint (${keys.mkString(", ")}) violated by $nBad key " +
+        "group(s) — batch refused")
+    merged
+  }
+
   /** W8 counter / id allocation, tiny-dimension path. The reference's
     * counter is a racy read-add-put (TikvStdSessions.java:396-405);
     * deterministic dense ids from a total order replace it (SURVEY

@@ -55,6 +55,51 @@ object AlgoQueries {
       .orderBy(col("bc").desc, col("id")).limit(10)
   }
 
+  /** Sampled-seed betweenness ESTIMATOR — the 100×-scale variant the
+    * exact gate's scaladoc promises (Brandes–Pich: run Brandes from a
+    * seed sample S, scale by n/|S|; unbiased for the exact bc). Runs
+    * over the LARGER geo forest (customers AND suppliers hang off
+    * nations — the subgraph the all-sources exact gate excludes for
+    * cost), with a deterministic mixed-type sample: customers ≡ 0
+    * (mod 101), suppliers ≡ 0 (mod 11), nations ≡ 0 (mod 2), region 0.
+    * The oracle computes each seed's pair dependency in CLOSED FORM
+    * from component sizes (forest: δ_s(v) = treesize − 1 − |part of v
+    * containing s|) and applies the identical n/|S| scaling — the same
+    * two-derivations cross-check as the exact gate, now for the
+    * estimator path. All δ are integers (σ ≡ 1 on a forest), so the
+    * only float step is the final scale, identical in both engines.
+    */
+  def aBetweennessEst(s: SparkSession, dir: String): DataFrame = {
+    val gr = g(s, dir)
+    val mask = (1L << PropertyGraph.Shift) - 1
+    def lo(l: String) = PropertyGraph.encodeId(l, 0L)
+    def hi(l: String) = PropertyGraph.encodeId(l, mask)
+    val e = gr.edges.filter(col("label") === "part_of" ||
+      (col("label") === "located_in" &&
+        (col("src").between(lo("supplier"), hi("supplier")) ||
+         col("src").between(lo("customer"), hi("customer")))))
+    val seeds = gr.vertices.filter(
+        (col("id").between(lo("customer"), hi("customer")) &&
+          (col("id") - lo("customer")) % 101 === 0) ||
+        (col("id").between(lo("supplier"), hi("supplier")) &&
+          (col("id") - lo("supplier")) % 11 === 0) ||
+        (col("id").between(lo("nation"), hi("nation")) &&
+          (col("id") - lo("nation")) % 2 === 0) ||
+        col("id") === PropertyGraph.encodeId("region", 0L))
+      .select(col("id"))
+    // estimator universe = vertices incident to the forest (drives the
+    // n/|S| scale); both counts are scale-bounded driver scalars
+    val universe = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+    val scale = universe.count().toDouble / seeds.count()
+    Algorithms.betweenness(s, PropertyGraph(gr.vertices, e),
+        seeds = Some(seeds))
+      .withColumn("bc_est", round(col("bc") * scale, 4))
+      .filter(col("bc_est") > 0)
+      .select(col("id"), col("bc_est"))
+      .orderBy(col("bc_est").desc, col("id"))
+  }
+
   /** eigenvector centrality over the geo subgraph — integer-unit
     * power iteration; the oracle replays all 10 renormalized steps as
     * chained CTEs (one template family with pagerankExact/ppr).
@@ -312,6 +357,7 @@ object AlgoQueries {
     "a_wsssp" -> (aWsssp _),
     "a_pagerank_top" -> (aPagerankTop _),
     "a_betweenness" -> (aBetweenness _),
+    "a_betweenness_est" -> (aBetweennessEst _),
     "a_eigenvector" -> (aEigenvector _),
     "a_pagerank_exact" -> (aPagerankExact _),
     "a_components" -> (aComponents _),
@@ -863,6 +909,51 @@ object AlgoQueries {
          |  FROM supplier)
          |SELECT id, CAST(bc AS BIGINT) AS bc FROM bc
          |ORDER BY bc DESC, id LIMIT 10""".stripMargin,
+    // closed-form replay of the SAMPLED-seed estimator over the larger
+    // customer+supplier forest: per seed s, δ_s(v) on a tree is
+    // treesize − 1 − |part of v containing s|, summed over the
+    // deterministic sample (customers ≡0 mod 101, suppliers ≡0 mod 11,
+    // nations ≡0 mod 2, region 0), halved, scaled by n/|S|
+    "a_betweenness_est" ->
+      s"""WITH cl AS (SELECT c_nationkey AS nk, COUNT(*) AS c,
+         |    SUM(CASE WHEN c_custkey % 101 = 0 THEN 1 ELSE 0 END) AS sc
+         |  FROM customer GROUP BY 1),
+         |sl AS (SELECT s_nationkey AS nk, COUNT(*) AS c,
+         |    SUM(CASE WHEN s_suppkey % 11 = 0 THEN 1 ELSE 0 END) AS sc
+         |  FROM supplier GROUP BY 1),
+         |nl AS (SELECT n_nationkey AS nk, n_regionkey AS rk,
+         |    COALESCE(cl.c, 0) + COALESCE(sl.c, 0) AS lv,
+         |    COALESCE(cl.sc, 0) + COALESCE(sl.sc, 0) AS sleaf,
+         |    CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END AS nseed
+         |  FROM nation LEFT JOIN cl ON cl.nk = n_nationkey
+         |    LEFT JOIN sl ON sl.nk = n_nationkey),
+         |rl AS (SELECT rk, 1 + COUNT(*) + SUM(lv) AS sr,
+         |    SUM(sleaf) AS tleaf, SUM(nseed) AS tnat
+         |  FROM nl GROUP BY rk),
+         |tot AS (SELECT
+         |    (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+         |      + (SELECT COUNT(*) FROM nation)
+         |      + (SELECT COUNT(*) FROM region) AS n,
+         |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 101 = 0)
+         |      + (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 11 = 0)
+         |      + (SELECT COUNT(*) FROM nation WHERE n_nationkey % 2 = 0)
+         |      + 1 AS k),
+         |raw AS (
+         |  SELECT ${PropertyGraph.sqlEncode("nation", "nk")} AS id,
+         |    sleaf * (sr - 2)
+         |      + (tleaf - sleaf + tnat - nseed
+         |         + CASE WHEN rk = 0 THEN 1 ELSE 0 END) * lv AS ds
+         |  FROM nl JOIN rl USING (rk)
+         |  UNION ALL
+         |  SELECT ${PropertyGraph.sqlEncode("region", "rk")} AS id,
+         |    SUM((sleaf + nseed) * (sr - 2 - lv)) AS ds
+         |  FROM nl JOIN rl USING (rk) GROUP BY rk)
+         |SELECT id, bc_est FROM (
+         |  SELECT id,
+         |    round((CAST(ds AS DOUBLE) / 2.0)
+         |      * (CAST(n AS DOUBLE) / k), 4) AS bc_est
+         |  FROM raw CROSS JOIN tot)
+         |WHERE bc_est > 0 ORDER BY bc_est DESC, id""".stripMargin,
     "a_degrees" ->
       s"""SELECT id, CAST(degree AS INT) AS degree FROM (
          |  SELECT ${PropertyGraph.sqlEncode("order", "l_orderkey")} AS id,

@@ -235,15 +235,26 @@ object PipelineQueries {
     Similarity.bruteForceTopK(queriesDf(s, dir, 5), Tables.embeddings(s, dir), 3)
       .orderBy(col("query_id"), col("rank"))
 
-  /** LSH-bucketed approximate top-3 (rows-only: approximate by design). */
+  /** LSH-bucketed approximate top-3. Approximate ≠ un-oracle-able
+    * (round-7 verdict): the hyperplanes are deterministic seeded
+    * constants, so the oracle replays the ENTIRE scheme — 8 tables ×
+    * 8 sign bits from the same plane literals, the same hamming-1
+    * multi-probe, exact cosine rerank — and must agree row-for-row.
+    * Only the bit SIGNS must agree across engines (dot margins on
+    * this corpus are ~1e-3; cross-engine accumulation noise ~1e-13).
+    */
   def e2LshTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(queriesDf(s, dir, 20), Tables.embeddings(s, dir), 3,
         nBits = 8)
       .orderBy(col("query_id"), col("rank"))
 
-  /** IVF-cell approximate top-3 (rows-only: approximate by design). */
+  /** IVF probe approximate top-3 over the deterministic seeded coarse
+    * quantizer (ivfTopKSeeded) — cell assignment and 2-cell probing
+    * replay exactly in SQL, closing the last ANN no-oracle gap; the
+    * trained k-means quantizer's recall is pinned in SimilaritySpec.
+    */
   def e3IvfTopk(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(queriesDf(s, dir, 20), Tables.embeddings(s, dir), 3)
+    Similarity.ivfTopKSeeded(queriesDf(s, dir, 20), Tables.embeddings(s, dir), 3)
       .orderBy(col("query_id"), col("rank"))
 
   /** embedding cosine near-dup pairs over a bounded set — exact oracle. */
@@ -680,6 +691,83 @@ object PipelineQueries {
        |WHERE jaccard >= 0.9 ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** DuckDB replay of the ENTIRE e2 multi-table multi-probe sign-LSH:
+    * the hyperplane constants come from the SAME
+    * Similarity.hyperplanes arrays the Spark plan embeds (one source
+    * of truth — Double.toString round-trips exactly), each table's
+    * signature is 8 CASE-summed sign bits of list_dot_product against
+    * those literals, queries probe their bucket plus all 8 hamming-1
+    * flips per table, and candidates rerank by round-6 cosine with
+    * vec_id tie-break. Engines need only agree on dot SIGNS (margins
+    * ~1e-3 on this corpus vs ~1e-13 accumulation noise), and on the
+    * rounded cosine (the proven e1 bridge).
+    */
+  private val lshTopkSql: String = {
+    val nBits = 8; val tables = 8; val dim = 64; val k = 3; val nq = 20
+    def planeLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val sigSelects = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(nBits, dim, seed = 42L + t)
+      val bits = (0 until nBits).map { b =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(planes(b))}) >= 0" +
+          s" THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, $t AS tbl, CAST($bits AS BIGINT) AS sig FROM base"
+    }.mkString("\nUNION ALL ")
+    val flips = (0L +: (0 until nBits).map(b => 1L << b)).mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |sig AS ($sigSelects),
+       |probes AS (SELECT vec_id AS query_id, tbl, xor(sig, f.f) AS sig
+       |  FROM sig, unnest($flips) AS f(f) WHERE vec_id < $nq),
+       |cand AS (SELECT DISTINCT p.query_id, s.vec_id
+       |  FROM probes p JOIN sig s ON s.tbl = p.tbl AND s.sig = p.sig
+       |  WHERE s.vec_id <> p.query_id),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+       |                                 CAST(qe.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+       |SELECT query_id, rank, vec_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of e3's seeded-quantizer IVF: centroids = the 8
+    * lowest-vec_id corpus vectors (cid = vec_id by construction),
+    * assignment = argmax over round-6 cosine with cid tie-break,
+    * queries probe their 2 nearest cells, exact rerank inside.
+    */
+  private val ivfTopkSql: String = {
+    val nCent = 8; val nprobe = 2; val k = 3; val nq = 20
+    s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < $nCent),
+       |ca AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |      c.cv), 6) DESC, c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |      c.cv), 6) DESC, c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < $nq) WHERE rn <= $nprobe),
+       |cand AS (SELECT q.query_id, c.vec_id
+       |  FROM qa q JOIN ca c ON c.cell = q.cell
+       |  WHERE c.vec_id <> q.query_id),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+       |                                 CAST(qe.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+       |SELECT query_id, rank, vec_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   private val simhashSql: String = {
     val votes = (0 until 60).map { j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
@@ -698,6 +786,8 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "e2_lsh_topk" -> lshTopkSql,
+    "e3_ivf_topk" -> ivfTopkSql,
     "d5_minhash_pairs" -> minhashSql,
     "d6_simhash_sigs" -> simhashSql,
     "d27_simhash_pairs" ->

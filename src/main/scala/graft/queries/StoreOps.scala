@@ -163,18 +163,32 @@ object StoreOps {
   }
 
   /** R14: split generation (TikvTable.java:284-336) — the reference
-    * walks TiKV region boundaries to hand shards to external engines;
-    * Spark's file source generates InputPartitions natively. Rows-only
-    * (split sizing is engine-specific): per-partition row counts of a
-    * parallel scan, proving the table reads as disjoint splits.
+    * walks TiKV region boundaries and hands each shard's key range to
+    * external engines. The Spark analog generates 8 key-range splits
+    * from the table's own keyspace stats (global min/max, one
+    * broadcast 1-row aggregate — the region-boundary walk) and proves
+    * the partition invariant END TO END: every row lands in exactly
+    * one split (integer bucket arithmetic, identical in any engine),
+    * per-split counts and key bounds are emitted, and total_rows ties
+    * the sum of the splits to the r10 table count. Fully oracled
+    * (was rows-only when splits came from engine-specific
+    * InputPartition ids — round-7 verdict item 4); the physical
+    * InputPartition parallelism is pinned in PlanSpec instead.
     */
   def r14Splits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .groupBy(spark_partition_id().as("split"))
+    val li = Tables.lineitem(s, dir).select($"l_orderkey")
+    val bounds = li.agg(min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .select(expr("((l_orderkey - lo) * 8) div (hi - lo + 1)").as("split"))
+      .groupBy($"split")
       .agg(count(lit(1)).as("n_rows"))
-      .agg(count(lit(1)).cast("long").as("n_splits"),
-        sum($"n_rows").cast("long").as("total_rows"))
+      // global-sum window over the 8 aggregated split rows only —
+      // never the base table
+      .withColumn("total_rows",
+        sum($"n_rows").over(org.apache.spark.sql.expressions.Window
+          .partitionBy()).cast("long"))
+      .orderBy($"split")
   }
 
   /** R1 paging (`supportsQueryByPage`, TikvFeatures.java:81-84): two
@@ -293,6 +307,14 @@ object StoreOps {
         |       COUNT(*) AS n_lines
         |FROM lineitem WHERE l_orderkey <= 50
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "r14_splits" ->
+      """WITH b AS (SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+        |  FROM lineitem),
+        |a AS (SELECT ((l_orderkey - lo) * 8) // (hi - lo + 1) AS split
+        |  FROM lineitem, b)
+        |SELECT split, COUNT(*) AS n_rows,
+        |  CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_rows
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
     "r8_shard_page" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey > 700 AND o_orderkey < 1200

@@ -160,6 +160,45 @@ object WriteQueries {
       .toDF("exists_before", "exists_created", "n_rows", "exists_after")
   }
 
+  /** Negative path of the UNIQUE constraint (TikvTables.java:212-219):
+    * a batch colliding with existing keys must be REFUSED end-to-end —
+    * the gate ingests a violating batch through Writer.insertUnique,
+    * witnesses the refusal, and proves the base table unchanged (count
+    * + exact balance). The happy path (clean batch accepted) is pinned
+    * in WriterSpec; w6_unique_check covers the report shape.
+    */
+  def w13UniqueReject(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+    // every key in the batch already exists in base — the hardest
+    // refusal case (no in-batch dup to catch cheaply)
+    val batch = base.filter(col("c_custkey") < 10)
+    val rejected =
+      try {
+        Writer.insertUnique(base, batch, Seq("c_custkey"))
+          .write.format("noop").mode("overwrite").save()
+        false
+      } catch { case _: IllegalStateException => true }
+    base.agg(count(lit(1)).as("n"),
+        (sum(graft.util.Exact.cents(col("c_acctbal"))) / 100.0).as("total"))
+      .withColumn("rejected", lit(rejected))
+      .select(col("rejected"), col("n"), col("total"))
+  }
+
+  /** Negative path of delete (TikvTable.java:111-120): deleted keys
+    * must be ABSENT on read-back — the gate deletes every 7th order,
+    * point-reads the deleted key set against the post-delete table
+    * (must be empty), and counts survivors.
+    */
+  def w14DeleteAbsent(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val doomed = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"))
+    val after = Writer.delete(o, doomed, Seq("o_orderkey"))
+    after.join(doomed, Seq("o_orderkey"))
+      .agg(count(lit(1)).as("n_readback"))
+      .crossJoin(after.agg(count(lit(1)).as("n_live")))
+  }
+
   /** W6/W11 truncate/clear: schema survives, rows do not. */
   def w10Truncate(s: SparkSession, dir: String): DataFrame = {
     val truncated = Writer.truncate(Tables.orders(s, dir))
@@ -180,6 +219,8 @@ object WriteQueries {
     "w6_unique_check" -> (w6UniqueCheck _),
     "w7_alloc_ids" -> (w7AllocIds _),
     "w12_ddl" -> (w12Ddl _),
+    "w13_unique_reject" -> (w13UniqueReject _),
+    "w14_delete_absent" -> (w14DeleteAbsent _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -248,5 +289,14 @@ object WriteQueries {
     "w12_ddl" ->
       """SELECT FALSE AS exists_before, TRUE AS exists_created,
         |  COUNT(*) AS n_rows, FALSE AS exists_after FROM nation""".stripMargin,
+    // the batch collides on every key, so the only correct outcome is
+    // rejected=TRUE with base's own count/balance intact
+    "w13_unique_reject" ->
+      """SELECT TRUE AS rejected, COUNT(*) AS n,
+        |  SUM(CAST(ROUND((c_acctbal)*100) AS BIGINT))/100.0 AS total
+        |FROM customer""".stripMargin,
+    "w14_delete_absent" ->
+      """SELECT CAST(0 AS BIGINT) AS n_readback,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 0) AS n_live""".stripMargin,
   )
 }

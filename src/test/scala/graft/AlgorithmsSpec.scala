@@ -366,6 +366,35 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.0))
   }
 
+  test("dagLayersStatus: converged flag is false exactly when truncated") {
+    val chain = mkGraph((1L to 5L).map(i => (i, i + 1)))
+    val (_, trunc) = Algorithms.dagLayersStatus(spark, chain, iters = 3)
+    assert(!trunc, "frontier live after 3 rounds on a depth-5 chain")
+    val (lv, ok) = Algorithms.dagLayersStatus(spark, chain, iters = 8)
+    assert(ok)
+    assert(lv.as[(Long, Long)].collect().toMap ==
+      (1L to 6L).map(i => i -> (i - 1)).toMap)
+    // a cycle can never converge — detector mode reports it via the flag
+    val cyc = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(!Algorithms.dagLayersStatus(spark, cyc, iters = 6)._2)
+  }
+
+  test("betweenness estimator: n/|S| scaling matches the closed form on a planted forest") {
+    // forest: region 0 ← nations {1, 2}; leaves {3, 4}→1, {5}→2
+    // (the a_betweenness_est gate's shape). Seed = leaf 3; n = 6,
+    // |S| = 1, scale = 6. Closed form δ_3(v) = treesize−1−|part(v)∍3|:
+    //   nation 1: 6−2 = 4 → est 4/2·6 = 12;  region 0: 6−2−ℓ₁ = 2 → 6
+    //   nation 2: ℓ₂ = 1 → 3;  leaves: 0
+    val g = mkGraph(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L)))
+    val seeds = Seq(3L).toDF("id")
+    val scale = 6.0 / 1
+    val got = Algorithms.betweenness(spark, g, seeds = Some(seeds))
+      .select(col("id"), (col("bc") * scale).as("est"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> 6.0, 1L -> 12.0, 2L -> 3.0,
+      3L -> 0.0, 4L -> 0.0, 5L -> 0.0), s"got $got")
+  }
+
   test("betweenness: depth cap with a live frontier fails loudly") {
     val long = mkGraph((1L to 6L).map(i => (i, i + 1)))
     val ex = intercept[IllegalArgumentException] {

@@ -117,6 +117,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(counts.forall(_ <= 3) && counts.nonEmpty)
   }
 
+  test("ivfTopKSeeded: full probe coverage equals brute force; fewer probes search a subset") {
+    // two tight clusters on orthogonal axes; seeds 0 and 1 land in
+    // different clusters, so nprobe=2 covers the whole corpus and the
+    // seeded IVF must return EXACTLY the brute-force answer
+    val corpus = (0 until 20).map { i =>
+      val v = new Array[Float](4)
+      v(i % 2) = 1f; v(2 + i % 2) = 0.01f * i
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val seeded = Similarity.ivfTopKSeeded(queries, corpus, 3,
+        nCentroids = 2, nprobe = 2)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(seeded == exact, "nprobe covering all cells must equal brute force")
+    // nprobe=1 restricts each query to its own cluster's cell
+    val oneCell = Similarity.ivfTopKSeeded(queries, corpus, 3,
+        nCentroids = 2, nprobe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(oneCell.forall { case (q, v) => (q % 2) == (v % 2) },
+      "single-probe candidates must come from the query's own cell")
+  }
+
+  test("ivf (trained) and seeded-ivf recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(queries, emb, 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Int = {
+      val top = df.filter(col("rank") === 1)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+      exact.count { case (q, v) => top.get(q).contains(v) }
+    }
+    // the trained-quantizer production path: recall floor pinned here
+    // because its iterated float means are not SQL-replayable (the
+    // seeded gate path is hash-oracled by the driver instead).
+    // These embeddings are weakly clustered (near-random 64-dim), the
+    // worst case for IVF — measured trained recall by nprobe on this
+    // corpus: 1→6, 2→8, 3→13, 4→15, 6→18, 8(=all)→20 of 20; the spec
+    // probes 4 of 8 cells and asserts the half-way floor so a scheme
+    // regression (not a data property) is what trips it
+    val trained = recall(Similarity.ivfTopK(queries, emb, 1, nprobe = 4))
+    info(s"trained-ivf top-1 recall (nprobe=4): $trained/${exact.size}")
+    assert(trained >= exact.size / 2, s"recall collapsed: $trained/${exact.size}")
+    val seeded = recall(Similarity.ivfTopKSeeded(queries, emb, 1, nprobe = 4))
+    info(s"seeded-ivf top-1 recall (nprobe=4): $seeded/${exact.size}")
+    assert(seeded >= exact.size / 2, s"recall collapsed: $seeded/${exact.size}")
+  }
+
   test("quantizeInt8: hand-computed codes, saturation, zero vector") {
     val df = Seq(
       (1L, Array(1f, -2f, 4f)),

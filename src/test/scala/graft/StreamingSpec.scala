@@ -162,6 +162,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == finalView)
   }
 
+  test("CDC tied ords: stream and batch faces pick the same data-determined winner") {
+    import graft.streaming.CdcChange
+    val stream = MemoryStream[CdcChange]
+    val q = EventsPipeline.cdcStateful(stream.toDS())
+      .toDF().writeStream.format("memory").queryName("t_cdc_tie")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // two tied-ord changes in ONE batch (the reduce path), then a
+      // third tied change arriving LATER (the state-compare path): the
+      // winner must be the (event_type, value) DESC maximum in every
+      // case — arrival order must not matter
+      stream.addData(Seq(CdcChange(1L, 5L, "click", 1.0),
+        CdcChange(1L, 5L, "view", 9.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(CdcChange(1L, 5L, "view", 3.0))) // loses: 3.0 < 9.0
+      q.processAllAvailable()
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ord".desc)
+    val streamView = spark.table("t_cdc_tie")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1).select($"user_id", $"last_type", $"last_value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(streamView == Set((1L, "view", 9.0)))
+    val log = Seq((1L, 5L, "click", 1.0), (1L, 5L, "view", 9.0),
+      (1L, 5L, "view", 3.0)).toDF("user_id", "event_id", "event_type", "value")
+    val batch = EventsPipeline.cdcLatestState(log)
+      .as[(Long, String, Double)].collect().toSet
+    assert(batch == streamView)
+  }
+
   test("transformWithState MapState counter: final counts match batch") {
     import graft.streaming.{TypedEvent, TypeCount}
     val provider = "spark.sql.streaming.stateStore.providerClass"

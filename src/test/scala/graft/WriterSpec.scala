@@ -82,6 +82,33 @@ class WriterSpec extends AnyFunSuite {
     assert(Writer.uniqueViolations(base, Seq("id")).isEmpty)
   }
 
+  test("applyCdc: unorderable map column in changes still plans (hash tiebreak)") {
+    val b = Seq((1L, Map("k" -> 1))).toDF("id", "props")
+    val changes = Seq((1L, Map("k" -> 2), "U", 1L), (2L, Map("k" -> 3), "I", 1L))
+      .toDF("id", "props", "op", "seq")
+    // a map column cannot join a SortOrder — the tiebreak must hash it
+    // instead of throwing AnalysisException at plan time
+    val got = Writer.applyCdc(b, changes, Seq("id"), "seq")
+      .orderBy("id").select("id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("insertUnique: clean batch accepted, violating batch refused whole") {
+    val clean = Seq((4L, "d", 40.0)).toDF("id", "name", "v")
+    assert(Writer.insertUnique(base, clean, Seq("id")).count() == 4)
+    // batch-vs-base collision
+    val collide = Seq((2L, "B", 99.0)).toDF("id", "name", "v")
+    val e1 = intercept[IllegalStateException] {
+      Writer.insertUnique(base, collide, Seq("id")).count()
+    }
+    assert(e1.getMessage.contains("unique"))
+    // in-batch duplicate with brand-new keys must also refuse
+    val inBatch = Seq((7L, "x", 1.0), (7L, "y", 2.0)).toDF("id", "name", "v")
+    intercept[IllegalStateException] {
+      Writer.insertUnique(base, inBatch, Seq("id")).count()
+    }
+  }
+
   test("allocateIds is dense and deterministic by order column") {
     val got = Writer.allocateIds(base, Seq("name"), start = 5L)
       .select("alloc_id", "name").as[(Long, String)].collect().sortBy(_._1)
