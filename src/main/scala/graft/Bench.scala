@@ -29,15 +29,24 @@ import org.apache.spark.sql.SparkSession
   *     of three runs are hit.
   *   - CANARY (round-7 lesson: the load guard read 2.6/32 and still
   *     let a window where unchanged queries measured 3-9× slow):
-  *     a fixed reference query is timed at bench start (min of 3 —
-  *     the machine's clean capability) and re-timed after every
-  *     window of queries. A canary drifted beyond CANARY_MAX_DRIFT
-  *     means the whole window was measured on a degraded machine
-  *     (co-runner, page-cache churn, cleaner debt) regardless of what
-  *     the load average claims — the window's queries are re-timed
-  *     from scratch after a GC-and-settle pause, and the contaminated
-  *     runs are DISCARDED (contention only ever adds time). Canary
-  *     checkpoints and rerun decisions land in BENCH_DETAIL.json.
+  *     a fixed reference query is re-timed (min of 2) after every
+  *     window of queries and compared against the ROLLING MEDIAN of
+  *     all prior clean canary observations. A step change beyond
+  *     CANARY_MAX_DRIFT means the window was measured on a machine
+  *     that differs from the one every other window saw (co-runner,
+  *     page-cache churn, cleaner debt) regardless of what the load
+  *     average claims — the window's queries are re-timed from
+  *     scratch after a GC-and-settle pause, and the contaminated runs
+  *     are DISCARDED (contention only ever adds time). The reference
+  *     is rolling, not the bench-start value: a fresh JVM runs the
+  *     canary ~2× faster than the same JVM after exercising 160
+  *     query plans (code-cache pressure, loaded classes — measured
+  *     0.34 s fresh vs a steady 0.7 s for the rest of the run), so a
+  *     fixed fresh-start reference trips every window forever. The
+  *     rolling median detects the step changes that actually signal
+  *     contamination; contention already present before the bench
+  *     starts is the load guard's job. Canary checkpoints and rerun
+  *     decisions land in BENCH_DETAIL.json.
   */
 object Bench {
   private val SpreadMaxRatio = 3.0
@@ -130,25 +139,36 @@ object Bench {
       med
     }
 
-    // canary reference: the machine's CLEAN capability on a fixed
-    // query — min of 3 (contention only adds time, so min is the
-    // least-contaminated estimate)
+    // one canary observation: min of 2 back-to-back runs — a single
+    // run can eat a GC pause and read 2-3× high on its own, which
+    // would trip windows on the canary's noise rather than the
+    // machine's state
     def canaryTime(): Double = {
-      val t = timedRuns(CanaryName, 1).head._1
+      val t = (1 to 2).map(_ => timedRuns(CanaryName, 1).head._1).min
       System.gc()
       t
     }
-    val canaryRef =
-      if (names.contains(CanaryName)) {
-        try materialize(CanaryName, sfDir) catch { case _: Throwable => }
-        (1 to 3).map(_ => canaryTime()).min
-      } else -1.0
+    // clean canary observations; the drift reference is their rolling
+    // median (see object scaladoc: a fresh-JVM min is NOT a valid
+    // reference for a warm JVM — measured 2× apart with no external
+    // load). Seeded with the startup observation so window 0 has a
+    // baseline; drifted observations are excluded so a co-runner
+    // cannot drag the baseline toward its own contamination.
+    val canaryObs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val haveCanary = names.contains(CanaryName)
+    if (haveCanary) {
+      try materialize(CanaryName, sfDir) catch { case _: Throwable => }
+      canaryObs += canaryTime()
+    }
+    def canaryRef: Double =
+      if (canaryObs.isEmpty) -1.0
+      else canaryObs.sorted.apply(canaryObs.length / 2)
     val canaryChecks = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val windowsRerun = scala.collection.mutable.ArrayBuffer.empty[Int]
 
     // measure in windows; after each, the canary decides whether the
-    // window's numbers were taken on the machine that produced
-    // canaryRef — if not, everything in the window is suspect (the
+    // window's numbers were taken on the same machine every other
+    // window saw — if not, everything in the window is suspect (the
     // r7 failure mode: a quiet-looking load average while unchanged
     // queries measured 3-9× slow) and is re-measured from scratch.
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -158,22 +178,22 @@ object Bench {
       while (!clean) {
         window.foreach { n => medians(n) = measure(n) }
         attempt += 1
-        if (canaryRef <= 0) clean = true
+        if (!haveCanary) clean = true
         else {
+          val ref = canaryRef
           val c = canaryTime()
           canaryChecks += (s"w$wi/a$attempt" -> c)
-          val drifted = c > canaryRef * CanaryMaxDrift &&
-            c - canaryRef > CanaryMinAbs
-          if (!drifted) clean = true
+          val drifted = c > ref * CanaryMaxDrift && c - ref > CanaryMinAbs
+          if (!drifted) { canaryObs += c; clean = true }
           else if (attempt > MaxWindowReruns) {
             System.err.println(
-              f"[bench] canary still ${c}%.2f s vs ref ${canaryRef}%.2f after " +
+              f"[bench] canary still ${c}%.2f s vs ref ${ref}%.2f after " +
                 s"$MaxWindowReruns reruns — keeping window $wi as measured")
             clean = true
           } else {
             windowsRerun += wi
             System.err.println(
-              f"[bench] canary drift ${c}%.2f s vs ref ${canaryRef}%.2f s — " +
+              f"[bench] canary drift ${c}%.2f s vs rolling ref ${ref}%.2f s — " +
                 s"window $wi contaminated; settling and re-measuring")
             // settle: let a co-runner finish / cleaner catch up, then
             // re-measure the whole window, discarding the tainted runs

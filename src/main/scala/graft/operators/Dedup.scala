@@ -337,8 +337,17 @@ object Dedup {
     * comp = min doc_id reachable, i.e. the canonical representative.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // explode-symmetrize in ONE pass over the pair subtree: a union of
+    // (fwd, reversed-fwd) names the pair pipeline twice, and Catalyst
+    // reuses identical union branches only when an exchange sits at
+    // the subtree root — here the branches differ in their projection,
+    // so an LSH-sourced pair list (the d9/d24 gate path) would
+    // materialize its whole banding+verify DAG TWICE before the first
+    // cluster round (the Algorithms.symmetrize lesson)
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = edges.select(col("src").as("id")).distinct()

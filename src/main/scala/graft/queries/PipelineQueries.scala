@@ -440,8 +440,8 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
-  /** Dedup ACT step — the half d9 stops short of: detect (exact
-    * Jaccard pairs) → cluster (min-label propagation) → DROP every
+  /** Dedup ACT step — the half d9 stops short of: detect (banded-LSH
+    * candidates, exact-verified) → cluster (min-label propagation) → DROP every
     * non-representative member, keeping one doc per cluster (the min
     * doc_id, which IS the cluster label) plus all unclustered docs;
     * then summarize the surviving corpus per language. This is the
