@@ -126,6 +126,34 @@ object PipelineQueries {
     Dedup.winnowFingerprints(Tables.documents(s, dir))
       .orderBy(col("doc_id"))
 
+  /** Cross-corpus winnowed copy detection — the MOSS use the
+    * winnowFingerprintRows scaladoc promises: fingerprint two corpora
+    * (here the deterministic even/odd doc_id halves), join on the
+    * 40-bit gram hash, and report pairs sharing ≥ 5 fingerprints.
+    * On this corpus clone pairs share 9–35 winnowed fingerprints and
+    * unrelated pairs at most 2 (31-token vocabulary!), so the
+    * threshold sits in a wide gap.
+    *
+    * Scale shape: the join is the winnowed inverted index — density
+    * ~2/(w+1) of grams per doc, join volume Σ_hash f² over that
+    * REDUCED set (the whole point of winnowing vs raw-gram
+    * contamination joins); everything else is narrow ids + counts
+    * with map-side partials.
+    */
+  def d28CopyDetect(s: SparkSession, dir: String): DataFrame = {
+    val fp = Dedup.winnowFingerprintRows(Tables.documents(s, dir))
+      .select(col("doc_id"), expr("hp div 1048576").as("h")).distinct()
+    val left = fp.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("a_id"), col("h"))
+    val right = fp.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("b_id"), col("h"))
+    left.join(right, "h")
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Sequence packing: concat-then-chunk the corpus into 256-token
     * packs via the distributed two-level prefix sum (bucketWidth 64 so
     * the gate exercises multiple buckets); the oracle replays the
@@ -546,6 +574,7 @@ object PipelineQueries {
     "d16_sliding_chunks" -> (d16SlidingChunks _),
     "d17_contamination" -> (d17Contamination _),
     "d18_fingerprints" -> (d18Fingerprints _),
+    "d28_copy_detect" -> (d28CopyDetect _),
     "e5_quantize" -> (e5Quantize _),
     "e6_dim_stats" -> (e6DimStats _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
@@ -877,6 +906,37 @@ object PipelineQueries {
         |  CAST(SUM(hp // 1048576) AS BIGINT) AS fp_sum,
         |  MIN(hp // 1048576) AS fp_min, MAX(hp // 1048576) AS fp_max
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // winnowing replay (the d18 CTEs) for both parity halves, then the
+    // fingerprint-hash inverted-index join and the >= 5 shared gate
+    "d28_copy_detect" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |gr AS (SELECT doc_id, pos,
+        |    concat_ws(' ', t,
+        |      lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |      lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+        |    lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+        |      AS keep2
+        |  FROM tok),
+        |g AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS gi,
+        |    CAST(concat('0x', substr(md5(s), 1, 10)) AS BIGINT) AS h
+        |  FROM gr WHERE keep2 OR pos = 1),
+        |sel AS (SELECT doc_id, gi,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+        |    MIN(h * 1048576 + gi) OVER (PARTITION BY doc_id ORDER BY gi
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS hp
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, hp // 1048576 AS h FROM sel
+        |  WHERE gi <= greatest(n_grams - 4, 0))
+        |SELECT a_id, b_id, n_shared FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.h = b.h
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |WHERE n_shared >= 5 ORDER BY a_id, b_id""".stripMargin,
     // same exploded pass: bigram counts + per-context counts, one
     // correctly-rounded division on the top-k frame
     "d26_lm_surprise" ->

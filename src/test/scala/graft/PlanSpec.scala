@@ -88,6 +88,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "assign stage must not sort/window")
   }
 
+  test("e3 seeded ivf: corpus cell-assign stays map-side; probe join broadcasts queries") {
+    val p = plan("e3_ivf_topk")
+    // the corpus side must reach the cell join without its own
+    // exchange: assignment is a greatest() over literal centroids
+    // fused into the scan stage, and the (tiny, exploded) query probes
+    // broadcast to it
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+    // the only allowed exchanges: the per-query rank window + final sort
+    assert(exchanges(p) <= 3, s"too many shuffles in seeded ivf:\n$p")
+  }
+
+  test("r14 splits: keyspace bounds broadcast; split window runs on 8 agg rows") {
+    val p = plan("r14_splits")
+    // the 1-row (lo, hi) bounds frame joins the base scan via
+    // broadcast — a shuffle there would re-partition the whole table
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), s"bounds must broadcast:\n$p")
+    // the global-sum window sits ABOVE the split aggregation (8 rows),
+    // so the single-partition WindowExec is harmless by construction;
+    // the base table must still aggregate partial+final
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
   test("d12 packing: the corpus-wide window is partitioned by bucket") {
     // two-level prefix sum: the window over DOCUMENT rows must be
     // partitioned (parallel); only the per-BUCKET totals (rows =
