@@ -282,20 +282,41 @@ object Similarity {
     * against literal centroids, candidates meet on the (narrow) cell
     * key, exact rerank only inside probed cells.
     */
-  def ivfTopKSeeded(queries: DataFrame, corpus: DataFrame, k: Int,
-                    nCentroids: Int = 8, nprobe: Int = 2,
-                    maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
-    val centroids = corpus.select(col("vec_id"), col("embedding"))
+  /** The deterministic seeded coarse quantizer behind [[ivfTopKSeeded]]
+    * and the e7 cluster-profile report: centroids = the corpus vectors
+    * with the `nCentroids` smallest vec_ids (cid = rank order), scored
+    * by ROUND(cosine, 6) with ties to the lower cid — SQL-replayable
+    * by construction.
+    */
+  private[graft] def seededCentroids(corpus: DataFrame,
+      nCentroids: Int): Array[(Long, Array[Float])] =
+    corpus.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(nCentroids).collect()
       .map(r => r.getSeq[Float](1).toArray)
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }
-    def cellScored(vec: String): Seq[Column] = centroids.map { case (cid, cv) =>
-      val cvLit = array(cv.map(x => lit(x)): _*)
-      struct(round(cosine(col(vec), cvLit), 6).as("cd"), lit(-cid).as("ncid"))
-    }.toSeq
-    val cs = corpus.select(col("vec_id"), col("embedding"))
+
+  private def seededCellScored(centroids: Array[(Long, Array[Float])],
+      vec: String): Seq[Column] = centroids.map { case (cid, cv) =>
+    val cvLit = array(cv.map(x => lit(x)): _*)
+    struct(round(cosine(col(vec), cvLit), 6).as("cd"), lit(-cid).as("ncid"))
+  }.toSeq
+
+  /** map-only (vec_id, embedding, cell) assignment of every corpus
+    * vector under the seeded quantizer.
+    */
+  def seededCells(corpus: DataFrame, nCentroids: Int = 8): DataFrame = {
+    val centroids = seededCentroids(corpus, nCentroids)
+    corpus.select(col("vec_id"), col("embedding"))
       .withColumn("cell",
-        -greatest(cellScored("embedding"): _*).getField("ncid"))
+        -greatest(seededCellScored(centroids, "embedding"): _*).getField("ncid"))
+  }
+
+  def ivfTopKSeeded(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nCentroids: Int = 8, nprobe: Int = 2,
+                    maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
+    val centroids = seededCentroids(corpus, nCentroids)
+    def cellScored(vec: String): Seq[Column] = seededCellScored(centroids, vec)
+    val cs = seededCells(corpus, nCentroids)
     // query probes: rank cells by (cd DESC, cid ASC) = reverse of the
     // ascending (cd, ncid) struct sort, take the first nprobe
     val qs = queries.select(col("query_id"), col("query_vec"),

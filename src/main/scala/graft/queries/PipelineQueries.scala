@@ -285,6 +285,24 @@ object PipelineQueries {
     Similarity.ivfTopKSeeded(queriesDf(s, dir, 20), Tables.embeddings(s, dir), 3)
       .orderBy(col("query_id"), col("rank"))
 
+  /** SemDeDup-style cluster profile — the cluster-balance report a
+    * curation pipeline reads before pruning: assign every embedding to
+    * its cell under the deterministic seeded quantizer (the e3
+    * machinery), join document metadata, and report per-cell size,
+    * language mix, and char mass. Map-only assignment + one hash-agg;
+    * the oracle replays the identical round-6 argmax.
+    */
+  def e7ClusterProfile(s: SparkSession, dir: String): DataFrame =
+    Similarity.seededCells(Tables.embeddings(s, dir))
+      .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"),
+        col("lang"), col("n_chars")), "vec_id")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("vec_id")).as("min_doc"))
+      .orderBy(col("cell"))
+
   /** embedding cosine near-dup pairs over a bounded set — exact oracle. */
   def e4EmbNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.2,
@@ -583,6 +601,7 @@ object PipelineQueries {
     "e1_knn_brute" -> (e1KnnBrute _),
     "e2_lsh_topk" -> (e2LshTopk _),
     "e3_ivf_topk" -> (e3IvfTopk _),
+    "e7_cluster_profile" -> (e7ClusterProfile _),
     "e4_emb_near_dup" -> (e4EmbNearDup _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m5_tiles" -> (m5Tiles _),
@@ -817,6 +836,21 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "e2_lsh_topk" -> lshTopkSql,
     "e3_ivf_topk" -> ivfTopkSql,
+    // the e3 cell-assignment CTE joined onto document metadata
+    "e7_cluster_profile" ->
+      """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |ca AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      c.cv), 6) DESC, c.cid ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
+        |SELECT cell, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(ca.vec_id) AS min_doc
+        |FROM ca JOIN documents d ON d.doc_id = ca.vec_id
+        |GROUP BY cell ORDER BY cell""".stripMargin,
     "d5_minhash_pairs" -> minhashSql,
     "d6_simhash_sigs" -> simhashSql,
     "d27_simhash_pairs" ->
