@@ -69,6 +69,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the ContextCleaner frees dead cache/localCheckpoint blocks only
+      // when a GC surfaces their weak refs; the default 30-min periodic
+      // GC lets ~150 queries of debt pile onto whichever heavy query
+      // meets the backlog (the observed 10-15x one-off spikes). One
+      // minute keeps the cleaner roughly current between windows.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
