@@ -47,6 +47,15 @@ import org.apache.spark.sql.SparkSession
   *     contamination; contention already present before the bench
   *     starts is the load guard's job. Canary checkpoints and rerun
   *     decisions land in BENCH_DETAIL.json.
+  *   - STEAL GUARD: every timed run brackets /proc/stat's hypervisor
+  *     steal counter; a run that lost > 2.5 core-seconds to the host
+  *     ran on the hypervisor's clock, not ours, and is excluded from
+  *     the median when any steal-clean run exists (all-stolen triggers
+  *     one retry batch). This is the ground-truth form of what the
+  *     spread heuristic infers statistically — the observed 3-10×
+  *     one-off spikes on iterative queries coincide with steal bursts
+  *     on this shared VM. The total stolen-run count is recorded as
+  *     "stolen_runs" in BENCH_DETAIL.json.
   */
 object Bench {
   private val SpreadMaxRatio = 3.0
@@ -60,6 +69,28 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** cumulative hypervisor steal jiffies (field 8 of /proc/stat's cpu
+    * line) — ground truth for "the host starved this VM during that
+    * run", which no in-process heuristic can see. 0 where unavailable.
+    */
+  private def stealJiffies(): Long =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = line.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+
+  /** a timed run that lost more than this many steal jiffies (100 Hz →
+    * 2.5 core-seconds) to the hypervisor did not execute on the
+    * machine the other runs saw; its timing is excluded from the
+    * median whenever at least one steal-clean run exists. Measured
+    * diagnosis: ~4.3 cumulative core-HOURS of steal over one session,
+    * concentrated in bursts that hit many-short-stage iterative
+    * queries 3-10× while scan-bound queries barely notice.
+    */
+  private val StealMaxJiffies = 250L
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,16 +132,28 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val rerunsTaken = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    def timedRuns(name: String, n: Int): Seq[(Double, Boolean)] = (1 to n).map { _ =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(name, sfDir); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+    // (seconds, succeeded, steal-clean): a run bracketed by a steal
+    // burst carries the hypervisor's timing, not ours
+    var stolenRuns = 0L
+    def timedRuns(name: String, n: Int): Seq[(Double, Boolean, Boolean)] =
+      (1 to n).map { _ =>
+        val s0 = stealJiffies()
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(name, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val el = (System.nanoTime() - t0) / 1e9
+        val stolen = stealJiffies() - s0 > StealMaxJiffies
+        if (stolen) {
+          stolenRuns += 1
+          System.err.println(f"[bench] $name run $el%.2f s lost >" +
+            f"${StealMaxJiffies / 100.0}%.1f core-s to hypervisor steal")
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
-    }
+        (el, ok, !stolen)
+      }
 
     // one query's shipped median: one untimed run at the TARGET SF
     // first (the sf0.001 warmup compiles every plan but not the
@@ -131,9 +174,19 @@ object Bench {
           f"[bench] $name spread ${g0.min}%.2f..${g0.max}%.2f s — rerunning")
         timed = timed ++ timedRuns(name, runs - 1)
       }
-      // median over SUCCESSFUL runs only — a near-instant failure must
-      // not masquerade as a fast timing; all-failed keeps the worst time
-      val good = timed.filter(_._2).map(_._1).sorted
+      // every successful run steal-contaminated → one batch of retries
+      // for a timing taken on OUR cpu shares
+      if (timed.exists(_._2) && !timed.exists(t => t._2 && t._3)) {
+        System.err.println(s"[bench] $name: all runs steal-contaminated — retrying")
+        timed = timed ++ timedRuns(name, math.max(runs - 1, 1))
+      }
+      // median over SUCCESSFUL, STEAL-CLEAN runs — a near-instant
+      // failure must not masquerade as a fast timing, and a run the
+      // hypervisor paused measures the host, not the query; fall back
+      // to successful-any-steal, then to the worst time
+      val clean = timed.filter(t => t._2 && t._3).map(_._1).sorted
+      val good = if (clean.nonEmpty) clean
+        else timed.filter(_._2).map(_._1).sorted
       val med = if (good.nonEmpty) good(good.length / 2) else timed.map(_._1).max
       // Spark's ContextCleaner releases dead cache/localCheckpoint
       // blocks only when a GC notices them; across 150 queries the
@@ -227,7 +280,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val windowsJson = windowsRerun.mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRef)},"canary_checks":$canaryJson,"windows_rerun":$windowsJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRef)},"canary_checks":$canaryJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenRuns,"queries":${qJson(results)},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try {
       java.nio.file.Files.write(
