@@ -77,7 +77,15 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
-  /** LSH signature: one bit per hyperplane = sign(dot(v, plane)). */
+  /** LSH signature: one bit per hyperplane = sign(dot(v, plane)).
+    *
+    * The `>= 0` sign test is what the e2 gate's SQL oracle replays
+    * bit-for-bit; a corpus/seed change that puts a dot product ON the
+    * boundary flips a bucket and the hash gate diverges even though
+    * the ANN is semantically unchanged. SimilaritySpec's "e2 gate
+    * parameters hold a recall@3 floor" test is the semantic backstop
+    * that keeps the gate meaningful under data evolution.
+    */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column = {
     val bits: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)

@@ -145,4 +145,60 @@ class DedupSpec extends AnyFunSuite {
     val d1 = disj.filter(_._1 == 1L).map(_._2).toSet
     assert((d0 & d1).isEmpty)
   }
+
+  test("property: LSH pair recall is total at j >= 0.7 on planted clone pairs " +
+       "(the d9 gate's pair-set-identity claim)") {
+    // The d9/d24 gates feed from minhashNearDup at 32 hashes × 16 bands
+    // and CLAIM pair-set identity with the brute pairer at the corpus's
+    // j >= 0.9 (PipelineQueries.lshDupPairs scaladoc). Pin the claim on
+    // an adversarial ScalaCheck-generated corpus: planted clone pairs
+    // spanning the whole jaccard spectrum (mutating 0..80% of tokens),
+    // recall vs the exact inverted-index pairer must be 1.0 for every
+    // pair whose TRUE shingle-jaccard lands >= 0.7. Theory: a j = 0.7
+    // pair escapes all 16 bands of 2 rows w.p. (1-0.49)^16 ~= 2e-5;
+    // the generator is seeded, so the outcome is deterministic.
+    import org.scalacheck.{Gen, rng}
+    val vocabGen = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    def word(seed: Long): String =
+      vocabGen.pureApply(Gen.Parameters.default, rng.Seed(seed))
+    val rnd = new scala.util.Random(4242L)
+    val nTokens = 40
+    val corpus = (0 until 25).flatMap { i =>
+      // base doc: 40 tokens from a wide generated vocabulary (distinct
+      // streams per doc so unrelated docs share almost nothing)
+      val baseToks = Array.tabulate(nTokens)(t => word(i * 1000L + t))
+      // clone: mutate a contiguous suffix of m tokens, m sweeping the
+      // spectrum — i=0 → exact copy, i=24 → 32/40 tokens replaced
+      val m = (i * nTokens * 4) / (5 * 25)
+      val cloneToks = baseToks.clone()
+      (nTokens - m until nTokens).foreach { t =>
+        cloneToks(t) = word(900000L + i * 1000L + t + rnd.nextInt(3))
+      }
+      Seq((i * 2L, baseToks.mkString(" ")), (i * 2L + 1, cloneToks.mkString(" ")))
+    }.toDF("doc_id", "text")
+
+    val exact = Dedup.jaccardPairs(corpus, k = 3, threshold = 0.05,
+        maxDocId = 1000)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val lsh = Dedup.minhashNearDup(corpus, k = 3, numHashes = 32,
+        bands = 16, threshold = 0.05)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+
+    val highJ = exact.filter { case (_, j) => j >= 0.7 }
+    assert(highJ.nonEmpty, "generator produced no high-jaccard pairs")
+    info(s"planted pairs: ${exact.size} exact, ${highJ.size} at j >= 0.7, " +
+      s"lsh found ${lsh.size}")
+    // recall = 1.0 at j >= 0.7, with identical verified jaccard values
+    highJ.foreach { case (pair, j) =>
+      assert(lsh.get(pair).contains(j),
+        s"LSH missed/mis-scored pair $pair at true j=$j (got ${lsh.get(pair)})")
+    }
+    // and no false positives: every LSH pair is exact-verified, so the
+    // lsh pair set must be a subset of the brute pair set
+    lsh.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j), s"LSH invented pair $pair j=$j")
+    }
+  }
 }
