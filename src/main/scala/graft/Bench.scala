@@ -47,6 +47,15 @@ import org.apache.spark.sql.SparkSession
   *     contamination; contention already present before the bench
   *     starts is the load guard's job. Canary checkpoints and rerun
   *     decisions land in BENCH_DETAIL.json.
+  *   - ITERATIVE CANARY (round-8 lesson: scan canaries are blind to
+  *     steal that selectively throttles many-short-stage jobs — the
+  *     scan canary held 0.36-0.58 s while an unchanged LPA tripled):
+  *     a second fixed reference, a tiny 5-round join+agg loop whose
+  *     cost is stage-scheduling latency rather than data volume, is
+  *     re-timed beside the scan canary each window with its own
+  *     rolling median. A window is clean only when BOTH canaries are
+  *     within drift; either one tripping triggers the same
+  *     settle-and-remeasure path.
   *   - STEAL GUARD: every timed run brackets /proc/stat's hypervisor
   *     steal counter; a run that lost > 2.5 core-seconds to the host
   *     ran on the hypervisor's clock, not ours, and is excluded from
@@ -63,6 +72,11 @@ object Bench {
   private val CanaryName = "q1_agg" // codegen-heavy scan+agg, ~stable
   private val CanaryMaxDrift = 1.5
   private val CanaryMinAbs = 0.3 // seconds — ignore drift on a sub-noise ref
+  // the iterative canary runs many short stages, so its noise floor is
+  // scheduler jitter, not codegen: tolerate a little more absolute
+  // drift before declaring the window dirty
+  private val IterCanaryMinAbs = 0.5
+  private val IterCanaryRounds = 5
   private val WindowSize = 20
   private val MaxWindowReruns = 2
 
@@ -207,6 +221,38 @@ object Bench {
       System.gc()
       t
     }
+
+    // ITERATIVE canary (round-8 lesson: the scan canary stayed flat at
+    // 0.36-0.58 s through a window where an unchanged iterative query
+    // recorded 3.2× its history — hypervisor steal throttles
+    // many-short-stage jobs via scheduling latency while a single
+    // scan+agg stage barely notices). This job is a fixed 5-round
+    // join+min-agg loop over the 25-row nation table: ~2 shuffles per
+    // round × 32 tasks each, so its cost IS stage-scheduling latency —
+    // the exact axis the scan canary is blind on. Data volume is
+    // negligible by construction so the two canaries separate the two
+    // contamination modes (CPU/cache pressure vs scheduler starvation).
+    val iterNation = spark.read.parquet(s"$sfDir/nation.parquet")
+      .selectExpr("n_nationkey AS id", "n_regionkey AS r")
+    def iterCanaryJob(): Unit = {
+      var lbl = iterNation.selectExpr("id", "id AS lbl")
+      (1 to IterCanaryRounds).foreach { _ =>
+        val regionMin = lbl.join(iterNation, "id")
+          .groupBy("r").agg(org.apache.spark.sql.functions.min("lbl").as("rlbl"))
+        lbl = iterNation.join(regionMin, "r").selectExpr("id", "rlbl AS lbl")
+      }
+      lbl.write.format("noop").mode("overwrite").save()
+    }
+    def iterCanaryTime(): Double = {
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try iterCanaryJob() catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      System.gc()
+      t
+    }
+
     // clean canary observations; the drift reference is their rolling
     // median (see object scaladoc: a fresh-JVM min is NOT a valid
     // reference for a warm JVM — measured 2× apart with no external
@@ -214,15 +260,20 @@ object Bench {
     // baseline; drifted observations are excluded so a co-runner
     // cannot drag the baseline toward its own contamination.
     val canaryObs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val iterObs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val haveCanary = names.contains(CanaryName)
     if (haveCanary) {
       try materialize(CanaryName, sfDir) catch { case _: Throwable => }
       canaryObs += canaryTime()
     }
-    def canaryRef: Double =
-      if (canaryObs.isEmpty) -1.0
-      else canaryObs.sorted.apply(canaryObs.length / 2)
+    iterCanaryJob() // warm the loop's codegen before the seed observation
+    iterObs += iterCanaryTime()
+    def rollingMedian(obs: scala.collection.mutable.ArrayBuffer[Double]): Double =
+      if (obs.isEmpty) -1.0 else obs.sorted.apply(obs.length / 2)
+    def canaryRef: Double = rollingMedian(canaryObs)
+    def iterRef: Double = rollingMedian(iterObs)
     val canaryChecks = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val iterChecks = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val windowsRerun = scala.collection.mutable.ArrayBuffer.empty[Int]
 
     // measure in windows; after each, the canary decides whether the
@@ -242,17 +293,27 @@ object Bench {
           val ref = canaryRef
           val c = canaryTime()
           canaryChecks += (s"w$wi/a$attempt" -> c)
-          val drifted = c > ref * CanaryMaxDrift && c - ref > CanaryMinAbs
-          if (!drifted) { canaryObs += c; clean = true }
+          val iRef = iterRef
+          val ic = iterCanaryTime()
+          iterChecks += (s"w$wi/a$attempt" -> ic)
+          val scanDrift = c > ref * CanaryMaxDrift && c - ref > CanaryMinAbs
+          val iterDrift = ic > iRef * CanaryMaxDrift && ic - iRef > IterCanaryMinAbs
+          val drifted = scanDrift || iterDrift
+          if (!drifted) { canaryObs += c; iterObs += ic; clean = true }
           else if (attempt > MaxWindowReruns) {
             System.err.println(
-              f"[bench] canary still ${c}%.2f s vs ref ${ref}%.2f after " +
+              f"[bench] canary still scan=${c}%.2f/iter=${ic}%.2f s vs refs " +
+                f"${ref}%.2f/${iRef}%.2f after " +
                 s"$MaxWindowReruns reruns — keeping window $wi as measured")
             clean = true
           } else {
             windowsRerun += wi
+            val which =
+              if (scanDrift && iterDrift) "scan+iter"
+              else if (scanDrift) "scan" else "iter"
             System.err.println(
-              f"[bench] canary drift ${c}%.2f s vs rolling ref ${ref}%.2f s — " +
+              f"[bench] $which canary drift (scan ${c}%.2f vs ${ref}%.2f, " +
+                f"iter ${ic}%.2f vs ${iRef}%.2f s) — " +
                 s"window $wi contaminated; settling and re-measuring")
             // settle: let a co-runner finish / cleaner catch up, then
             // re-measure the whole window, discarding the tainted runs
@@ -278,9 +339,11 @@ object Bench {
     val rerunJson = rerunsTaken.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = canaryChecks
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val iterJson = iterChecks
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val windowsJson = windowsRerun.mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRef)},"canary_checks":$canaryJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenRuns,"queries":${qJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRef)},"canary_checks":$canaryJson,"iter_canary":"nation-lpa-${IterCanaryRounds}r","iter_canary_ref":${fmt(iterRef)},"iter_canary_checks":$iterJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenRuns,"queries":${qJson(results)},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try {
       java.nio.file.Files.write(

@@ -42,6 +42,11 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      // the sf0.001 file carries isAdjustedToUTC=false so Spark reads
+      // TIMESTAMP_NTZ, which unix_micros/window reject; the session TZ
+      // is pinned to UTC, so the cast is a pure type relabel
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast("timestamp"))
       case _ => df
     }
   }

@@ -28,6 +28,39 @@ object TimeOne {
         spark.conf.set(k.trim, v.trim)
       })
     val warm = sys.env.get("SPARK_GRAFT_WARM")
+
+    // SPARK_GRAFT_CANARY=1 brackets the measured set with the same two
+    // reference jobs the full bench uses (scan q1_agg + a 5-round
+    // nation join/agg loop) so an isolated median can be certified as
+    // taken on a window both canaries saw quiet — the round-8 lesson
+    // is that steal throttles many-short-stage jobs while scans stay
+    // flat, so a lone median with no iterative reference is
+    // uninterpretable when it disagrees with history.
+    val canary = sys.env.get("SPARK_GRAFT_CANARY").contains("1")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .selectExpr("n_nationkey AS id", "n_regionkey AS r")
+    def iterCanaryJob(): Unit = {
+      var lbl = nation.selectExpr("id", "id AS lbl")
+      (1 to 5).foreach { _ =>
+        val regionMin = lbl.join(nation, "id")
+          .groupBy("r").agg(org.apache.spark.sql.functions.min("lbl").as("rlbl"))
+        lbl = nation.join(regionMin, "r").selectExpr("id", "rlbl AS lbl")
+      }
+      lbl.write.format("noop").mode("overwrite").save()
+    }
+    def canaries(tag: String): Unit = if (canary) {
+      def t(f: () => Unit): Double = {
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val scan = t(() => graft.SparkEntry.queries("q1_agg")(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      val iter = t(() => iterCanaryJob())
+      println(f"[canary/$tag] scan=$scan%.2fs iter=$iter%.2fs")
+    }
+    if (canary) { iterCanaryJob(); canaries("start") } // warm, then observe
+
     args.foreach { n =>
       warm.foreach { wd =>
         try graft.SparkEntry.queries(n)(spark, wd)
@@ -42,6 +75,7 @@ object TimeOne {
       }
       val sorted = ts.sorted
       println(f"$n%-24s median=${sorted(runs / 2)}%7.2fs  in-order=${ts.map(t => f"$t%.2f").mkString(",")}")
+      canaries(n)
     }
     spark.stop()
   }
