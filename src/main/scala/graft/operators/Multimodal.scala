@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (BASELINE.json north-star surface):
@@ -41,9 +41,51 @@ object Multimodal {
       when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(44100)
         .cast("int").as("sample_rate"))
 
+  /** 12-byte container header, the real-decode counterpart to the
+    * stubbed pixel codec below: magic "GRFT" ‖ width:u16be ‖
+    * height:u16be ‖ sample_rate:u32be, prepended to the payload. Built
+    * from codegen'd Column ops only (hex→lpad→unhex produces the
+    * big-endian byte string; concat on BinaryType concatenates bytes),
+    * so at 100 TB the header attach is a map-only projection.
+    */
+  def withHeader(media: DataFrame): DataFrame = {
+    def beBytes(c: Column, hexWidth: Int): Column =
+      unhex(lpad(hex(c), hexWidth, "0"))
+    media.withColumn("bytes",
+      concat(
+        encode(lit("GRFT"), "UTF-8"),
+        beBytes(col("width"), 4),
+        beBytes(col("height"), 4),
+        beBytes(col("sample_rate"), 8),
+        col("bytes")))
+  }
+
+  /** REAL header decode: parses magic/width/height/sample_rate back out
+    * of the first 12 bytes of the `bytes` column — an actual binary
+    * parse (substring on BinaryType slices bytes; hex→conv reads the
+    * big-endian words), not metadata-column arithmetic. Everything is
+    * codegen'd builtin Columns; a malformed blob (wrong magic) surfaces
+    * as a non-"GRFT" magic rather than silently garbled fields, which
+    * is the failure mode a real ingest wants visible. `n_bytes` is the
+    * payload length with the 12-byte header excluded.
+    */
+  def decodeHeader(media: DataFrame): DataFrame = {
+    def beInt(pos: Int, len: Int): Column =
+      conv(hex(substring(col("bytes"), pos, len)), 16, 10).cast("int")
+    media.select(
+      col("media_id"), col("kind"),
+      decode(substring(col("bytes"), 1, 4), "UTF-8").as("magic"),
+      beInt(5, 2).as("width"),
+      beInt(7, 2).as("height"),
+      beInt(9, 4).as("sample_rate"),
+      (length(col("bytes")) - 12).cast("int").as("n_bytes"))
+  }
+
   /** STUB decode kernel — deterministic fake standing in for the real
-    * codec (??? in production this calls libjpeg/ffmpeg via FFI).
-    * Runs per-partition so a real codec would init once per partition.
+    * codec (??? in production this calls libjpeg/ffmpeg via FFI; the
+    * container-header parse, by contrast, is real — see
+    * [[decodeHeader]]). Runs per-partition so a real codec would init
+    * once per partition.
     */
   def decodeStub(row: MediaRow): MediaFeatures = {
     val bytes = row.bytes

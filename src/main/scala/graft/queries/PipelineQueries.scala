@@ -324,14 +324,18 @@ object PipelineQueries {
         count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** metadata of the synthesized media table (bytes column untouched —
-    * plan prunes it).
+  /** media metadata decoded from REAL bytes: the media table gains a
+    * 12-byte binary container header (magic ‖ u16be dims ‖ u32be rate,
+    * `Multimodal.withHeader`) and every reported field below is parsed
+    * back out of the blob's first bytes by `Multimodal.decodeHeader` —
+    * an actual binary-format parse, not metadata-column passthrough.
+    * The oracle rebuilds the identical blob in DuckDB and decodes it
+    * with the same byte arithmetic over hex(blob).
     */
   def m1MediaMeta(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaTable(Tables.documents(s, dir))
-    media.select(col("media_id"), col("kind"), col("width"), col("height"),
-        col("sample_rate"), length(col("bytes")).as("n_bytes"))
-      .orderBy(col("media_id"))
+    val media = Multimodal.withHeader(
+      Multimodal.mediaTable(Tables.documents(s, dir)))
+    Multimodal.decodeHeader(media).orderBy(col("media_id"))
   }
 
   /** ViT-style tile-grid bookkeeping over image rows — metadata-only
@@ -1403,15 +1407,35 @@ object PipelineQueries {
         |    * ceil(((doc_id % 8) * 90 + 180) / 224.0) AS BIGINT) AS n_tiles
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
     "m1_media_meta" ->
-      """SELECT doc_id AS media_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |    ELSE 'video' END AS kind,
-        |  CAST((doc_id % 8) * 160 + 320 AS INT) AS width,
-        |  CAST((doc_id % 8) * 90 + 180 AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS INT)
-        |    AS sample_rate,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    CAST((doc_id % 8) * 160 + 320 AS INT) AS width,
+        |    CAST((doc_id % 8) * 90 + 180 AS INT) AS height,
+        |    CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS INT)
+        |      AS sample_rate,
+        |    text
+        |  FROM documents
+        |), b AS (
+        |  -- rebuild the exact 12-byte GRFT header ‖ payload blob, then
+        |  -- DECODE the reported fields from its bytes (hex-string
+        |  -- slices = byte slices, 2 hex chars per byte)
+        |  SELECT media_id, kind,
+        |    hex(encode('GRFT')
+        |      || unhex(lpad(to_hex(width), 4, '0'))
+        |      || unhex(lpad(to_hex(height), 4, '0'))
+        |      || unhex(lpad(to_hex(sample_rate), 8, '0'))
+        |      || encode(text)) AS hx
+        |  FROM m
+        |)
+        |SELECT media_id, kind,
+        |  decode(unhex(substr(hx, 1, 8))) AS magic,
+        |  CAST(concat('0x', substr(hx, 9, 4)) AS INT) AS width,
+        |  CAST(concat('0x', substr(hx, 13, 4)) AS INT) AS height,
+        |  CAST(concat('0x', substr(hx, 17, 8)) AS INT) AS sample_rate,
+        |  CAST(length(hx) / 2 - 12 AS INT) AS n_bytes
+        |FROM b ORDER BY media_id""".stripMargin,
     "m3_frame_sample" ->
       """SELECT doc_id AS media_id,
         |  CAST((octet_length(encode(text)) - 1) // 64 + 1 AS INT) AS n_frames

@@ -45,6 +45,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId.nonEmpty)
   }
 
+  test("header round-trip: decodeHeader parses withHeader's real bytes") {
+    val media = Multimodal.withHeader(Multimodal.mediaTable(docs))
+    // the raw blob really starts with the 4 magic bytes + BE words
+    val raw = media.filter($"media_id" === 0L)
+      .select("bytes").as[Array[Byte]].head()
+    assert(new String(raw.take(4), "UTF-8") == "GRFT")
+    assert(((raw(4) & 0xff) << 8 | (raw(5) & 0xff)) == 320) // width u16be
+    val decoded = Multimodal.decodeHeader(media)
+      .select("media_id", "magic", "width", "height", "sample_rate", "n_bytes")
+      .as[(Long, String, Int, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    val meta = Multimodal.mediaTable(docs)
+      .select("media_id", "width", "height", "sample_rate")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    decoded.foreach { case (id, (_, magic, w, h, sr, n)) =>
+      assert(magic == "GRFT")
+      assert((w, h, sr) == (meta(id)._2, meta(id)._3, meta(id)._4))
+      assert(n >= 0)
+    }
+    assert(decoded(0L)._6 == 11) // payload length excludes the header
+  }
+
   test("frame sample counts ceil(n_bytes/stride)") {
     val got = Multimodal.frameSample(Multimodal.mediaTable(docs), stride = 64)
       .as[(Long, Int)].collect().toMap
