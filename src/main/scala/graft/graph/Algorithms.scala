@@ -630,7 +630,20 @@ object Algorithms {
     * round count ≥ convergence agrees exactly).
     */
   def kCore(s: SparkSession, g: PropertyGraph, k: Int,
-            labels: Seq[String] = Nil, maxRounds: Int = 30): DataFrame = {
+            labels: Seq[String] = Nil, maxRounds: Int = 30): DataFrame =
+    kCoreStatus(s, g, k, labels, maxRounds)._1
+
+  /** [[kCore]] with an explicit convergence witness: (survivors,
+    * converged) where converged=false means the round cap fired BEFORE
+    * a peel round removed nothing — the survivor set is then an upper
+    * bound on the true core (peeling is monotone decreasing), not the
+    * fixed point. Same contract as [[dagLayersStatus]]: callers branch
+    * on the flag instead of trusting a silently truncated loop
+    * (VERDICT r8 #8; pinned in AlgorithmsSpec and the a_dag_detector
+    * gate's sibling spec).
+    */
+  def kCoreStatus(s: SparkSession, g: PropertyGraph, k: Int,
+            labels: Seq[String] = Nil, maxRounds: Int = 30): (DataFrame, Boolean) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = if (labels.isEmpty) g.edges
     else g.edges.filter(col("label").isin(labels: _*))
@@ -660,7 +673,7 @@ object Algorithms {
         aliveCount = nextCount
         round += 1
       }
-      alive
+      (alive, done)
     } finally und.unpersist(blocking = false)
   }
 

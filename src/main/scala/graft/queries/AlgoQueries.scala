@@ -342,7 +342,40 @@ object AlgoQueries {
       .orderBy(col("dist_a"), col("dist_b"))
   }
 
+  /** Detector-mode convergence witness END-TO-END (the failure-mode
+    * gate): dagLayersStatus on a deliberately CYCLIC graph — nation ⇄
+    * region edges both ways — with a small round cap. The frontier
+    * never empties, so the query must surface `converged = false`
+    * alongside the truncated layering (every vertex climbs one level
+    * per round → level = iters everywhere). A loop that silently
+    * reported the truncated levels as final would pass a levels-only
+    * oracle; the flag column is what this gate pins.
+    */
+  def aDagDetector(s: SparkSession, dir: String): DataFrame = {
+    val nation = graft.Tables.nation(s, dir)
+    val verts = nation.select(
+        PropertyGraph.encode("nation", col("n_nationkey")).as("id"),
+        lit("nation").as("label"))
+      .union(nation.select(
+          PropertyGraph.encode("region", col("n_regionkey")).as("id"),
+          lit("region").as("label"))
+        .distinct())
+    val fwd = nation.select(
+      PropertyGraph.encode("nation", col("n_nationkey")).as("src"),
+      PropertyGraph.encode("region", col("n_regionkey")).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val graph = PropertyGraph(verts, edges)
+    val (levels, converged) =
+      Algorithms.dagLayersStatus(s, graph, iters = 6, strict = false)
+    levels.join(verts, "id")
+      .groupBy(col("label"), col("level"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("converged", lit(converged))
+      .orderBy(col("label"), col("level"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_dag_detector" -> (aDagDetector _),
     "a_toposort" -> (aToposort _),
     "a_copurchase" -> (aCopurchase _),
     "a_scc" -> (aScc _),
@@ -777,7 +810,47 @@ object AlgoQueries {
        |    $pathParts) ELSE NULL END AS path""".stripMargin
   }
 
+  /** DuckDB replay of the cyclic detector-mode run: the same 6
+    * unrolled max-propagation rounds over the bidirectional
+    * nation⇄region edges, with the convergence flag derived exactly as
+    * the Spark loop does — converged ⇔ no vertex's level rose in the
+    * final round (l6 vs l5).
+    */
+  private val dagDetectorSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val iters = 6
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (SELECT v0.id,
+         |    CAST(COALESCE(cc.mx, 0) AS BIGINT) AS lvl
+         |  FROM l0 v0 LEFT JOIN (
+         |    SELECT e.dst AS id, MAX(lp.lvl + 1) AS mx
+         |    FROM e JOIN l${i - 1} lp ON e.src = lp.id
+         |    GROUP BY e.dst) cc USING (id))"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT ${enc("nation", "n_nationkey")} AS src,
+       |         ${enc("region", "n_regionkey")} AS dst FROM nation
+       |  UNION ALL SELECT ${enc("region", "n_regionkey")},
+       |         ${enc("nation", "n_nationkey")} FROM nation),
+       |verts AS (
+       |  SELECT ${enc("nation", "n_nationkey")} AS id,
+       |         'nation' AS label FROM nation
+       |  UNION SELECT DISTINCT ${enc("region", "n_regionkey")},
+       |         'region' FROM nation),
+       |l0 AS (SELECT DISTINCT CAST(id AS BIGINT) AS id,
+       |    CAST(0 AS BIGINT) AS lvl FROM verts),
+       |$rounds,
+       |flag AS (SELECT COUNT(*) = 0 AS converged
+       |  FROM l$iters a JOIN l${iters - 1} b USING (id)
+       |  WHERE a.lvl > b.lvl)
+       |SELECT v.label, lf.lvl AS level, COUNT(*) AS n,
+       |  (SELECT converged FROM flag) AS converged
+       |FROM l$iters lf JOIN verts v USING (id)
+       |GROUP BY v.label, lf.lvl ORDER BY v.label, lf.lvl""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "a_dag_detector" -> dagDetectorSql,
     "a_toposort" -> toposortSql,
     // layered BFS from each seed (visited-set subtraction = first-
     // discovery dists), intersected on the reached vertex

@@ -162,6 +162,44 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(Algorithms.kCore(spark, gDup, k = 3).as[Long].collect().isEmpty)
   }
 
+  test("kCoreStatus surfaces a truncated peel; full run converges") {
+    // a 10-vertex path peels two endpoints per round (5 rounds to the
+    // empty 2-core): a 2-round cap must report converged=false with a
+    // survivor set that is a strict UPPER bound, never pass it off as
+    // the fixed point
+    val path = mkGraph((1L until 10L).map(i => (i, i + 1)))
+    val (truncated, conv) =
+      Algorithms.kCoreStatus(spark, path, k = 2, maxRounds = 2)
+    assert(!conv)
+    assert(truncated.as[Long].collect().toSet == (3L to 8L).toSet)
+    val (full, conv2) = Algorithms.kCoreStatus(spark, path, k = 2)
+    assert(conv2 && full.as[Long].collect().isEmpty)
+  }
+
+  test("scc: round cap fires loudly instead of returning a partial map") {
+    // chain of two 2-cycles: forward coloring floods color 1 over all
+    // four vertices, so round 1 resolves only {1,2}; maxRounds=1 must
+    // throw (remaining vertices unassigned), not emit a partial scc map
+    val g = mkGraph(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L)))
+    val ex = intercept[IllegalArgumentException](
+      Algorithms.stronglyConnected(spark, g, maxRounds = 1).collect())
+    assert(ex.getMessage.contains("did not converge"))
+    val ok = Algorithms.stronglyConnected(spark, g)
+      .as[(Long, Long)].collect().toMap
+    assert(ok == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("dagLayersStatus detector mode: cyclic graph reports converged=false") {
+    // 3-cycle + tail: levels climb past the cap; strict mode throws,
+    // detector mode returns the truncated layering with the flag down
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    val (lvl, conv) = Algorithms.dagLayersStatus(spark, g, iters = 4)
+    assert(!conv)
+    assert(lvl.agg(max("level")).as[Long].head() == 4L)
+    intercept[IllegalArgumentException](
+      Algorithms.dagLayersStatus(spark, g, iters = 4, strict = true))
+  }
+
   test("gate graph 3-core converges within the oracle's unroll bound") {
     // a_kcore's oracle unrolls KcoreRounds rounds; peeling is monotone,
     // so equality between that bound and a larger one proves the fixed
