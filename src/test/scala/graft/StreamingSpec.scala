@@ -410,6 +410,50 @@ class StreamingSpec extends AnyFunSuite {
       && streamed.intersect(batch) == batch)
   }
 
+  test("s1_tumbling gate frame: MemoryStream replay equals the batch gate") {
+    // the watermark-correctness witness the verdict asked for: the REAL
+    // events table (not a toy inline frame) driven through MemoryStream
+    // must reproduce the s1_tumbling gate frame EXACTLY once a
+    // sentinel event seals every real window. Any watermark bug that
+    // drops or double-emits a window breaks set equality here while
+    // the batch oracle stays green.
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    assert(evs.nonEmpty)
+    val batch = graft.queries.StreamingQueries.s1Tumbling(spark, TestSpark.sfDir)
+      .select("bucket", "event_type", "n", "value_sum")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val flush = Ev(-1L, new Timestamp(evs.map(_.ts.getTime).max + 3600 * 1000L),
+      0L, "flushsentinel", 0.0)
+    val stream = MemoryStream[Ev]
+    val out = runStream(stream,
+      EventsPipeline.tumblingCounts(stream.toDF()), "t_s1_gate")(
+      Seq(evs, Seq(flush)))
+    val streamed = out.filter($"event_type" =!= "flushsentinel")
+      .select("bucket", "event_type", "n", "value_sum")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("s4_dedup_counts gate frame: MemoryStream replay equals the batch gate") {
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq
+    val batch = graft.queries.StreamingQueries.s4DedupCounts(spark, TestSpark.sfDir)
+      .as[(String, Long)].collect().toMap
+    val stream = MemoryStream[Ev]
+    // one input batch → dropDuplicatesWithinWatermark state sees every
+    // event before any state eviction; Update mode emits each type's
+    // final count in that batch's emission
+    val out = runStream(stream,
+      EventsPipeline.dedupedCounts(stream.toDF()), "t_s4_gate",
+      OutputMode.Update)(Seq(evs))
+    val streamed = out.groupBy("event_type").agg(max("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("stream-static enrich joins each micro-batch against the dimension") {
     val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("user_id", "segment")
     val stream = MemoryStream[Ev]
