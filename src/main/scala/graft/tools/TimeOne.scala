@@ -29,6 +29,21 @@ object TimeOne {
       })
     val warm = sys.env.get("SPARK_GRAFT_WARM")
 
+    // hypervisor-steal bracketing, same ground truth as Bench: a run
+    // that lost > 2.5 core-s to the host ran on the hypervisor's
+    // clock; its timing is excluded from the reported median whenever
+    // any clean run exists (the isolated re-measure exists precisely
+    // because steal contaminated the in-bench numbers — an isolated
+    // median that silently includes stolen runs re-imports the defect)
+    def stealJiffies(): Long =
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).getOrElse("")
+        val f = line.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } catch { case _: Throwable => 0L }
+    val stealMax = 250L
+
     // SPARK_GRAFT_CANARY=1 brackets the measured set with the same two
     // reference jobs the full bench uses (scan q1_agg + a 5-round
     // nation join/agg loop) so an isolated median can be certified as
@@ -67,14 +82,21 @@ object TimeOne {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
       }
-      val ts = (1 to runs).map { _ =>
+      val timed = (1 to runs).map { _ =>
+        val s0 = stealJiffies()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val el = (System.nanoTime() - t0) / 1e9
+        (el, stealJiffies() - s0 <= stealMax)
       }
-      val sorted = ts.sorted
-      println(f"$n%-24s median=${sorted(runs / 2)}%7.2fs  in-order=${ts.map(t => f"$t%.2f").mkString(",")}")
+      val ts = timed.map(_._1)
+      val clean = timed.filter(_._2).map(_._1).sorted
+      val med = if (clean.nonEmpty) clean(clean.length / 2)
+        else ts.sorted.apply(runs / 2)
+      val ann = timed.map { case (t, ok) => f"$t%.2f" + (if (ok) "" else "*") }
+      println(f"$n%-24s median=$med%7.2fs  clean=${clean.length}/$runs  " +
+        s"in-order=${ann.mkString(",")}  (*=steal-contaminated, excluded)")
       canaries(n)
     }
     spark.stop()
