@@ -11,15 +11,16 @@ Two dirs, so the 10x exponent is apples-to-apples:
   /tmp/scale_10x  : replicas 0..9
 
 Transforms (all pure DuckDB SQL, deterministic):
-  documents  : doc_id += r*100_000; every inter-word gap gains a
-               replica-salt token ("a b" -> "a s<r> b"), so WITHIN a
-               replica the near-dup structure of sf0.1 is preserved
-               (same transform on both sides of every pair) while
-               CROSS-replica shingle sets share nothing (every 3-gram
-               contains the salt) — replication must not fabricate
-               45x cross-copy dup pairs that would corrupt the
-               exponent. The transform also applies to the base dir,
-               keeping per-doc work identical across the two runs.
+  documents  : doc_id += r*100_000; every token gains a replica-salt
+               PREFIX ("a b" -> "r0a r0b") — a per-token bijection, so
+               WITHIN a replica every pairwise k-gram Jaccard is
+               EXACTLY the sf0.1 value (the first design, interleaved
+               salt tokens, silently lowered the effective shingle
+               order and blew d9 up 6-17x at 1x), while CROSS-replica
+               shingle sets share nothing — replication must not
+               fabricate 45x cross-copy dup pairs that would corrupt
+               the exponent. The transform also applies to the base
+               dir, keeping per-doc work identical across both runs.
   embeddings : vec_id += r*10_000; every component += r*0.0011 (break
                exact ties between replicas; bucket geometry per
                replica unchanged).
@@ -58,9 +59,9 @@ def gen(out, nrep):
     rep = f"(SELECT unnest(range({nrep})) AS r)"
     write(f"""
       SELECT doc_id + r*100000 AS doc_id,
-             replace(text, ' ', ' s' || r || ' ') AS text,
+             regexp_replace(text, '([^ ]+)', 'r' || r || '\\1', 'g') AS text,
              lang, source,
-             CAST(length(replace(text, ' ', ' s' || r || ' ')) AS BIGINT)
+             CAST(length(regexp_replace(text, '([^ ]+)', 'r' || r || '\\1', 'g')) AS BIGINT)
                AS n_chars
       FROM {src('documents')}, {rep}""", out, "documents")
     write(f"""
