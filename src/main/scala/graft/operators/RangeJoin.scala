@@ -34,6 +34,13 @@ object RangeJoin {
     * [loCol, hiCol] (inclusive both ends) contains `pointCol`.
     * Emits all columns of both inputs; intervals with hi < lo are
     * empty by definition and drop out naturally (sequence guard).
+    *
+    * Callers should pre-project both inputs to the columns they need:
+    * a band join's OUTPUT is often its dominant volume (every point ×
+    * every covering interval), and every input column rides through
+    * it — the round-9 10× step measured a 16.6× scale-up on the gate
+    * query purely from carrying the fact side's JSON column, restored
+    * to ~linear by projecting first (SCALE.md).
     */
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,

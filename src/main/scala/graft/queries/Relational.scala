@@ -379,9 +379,18 @@ object Relational {
       ((col("p_partkey") * 7) % 480).cast("double").as("lo"),
       ((col("p_partkey") * 7) % 480 + 1 + col("p_partkey") % 13)
         .cast("double").as("hi"))
+    // pre-project the fact side: every point column rides through the
+    // banded join, whose OUTPUT is the dominant volume here (dense
+    // fixed value domain → each point matches ~0.6% of all intervals,
+    // so output grows linearly with the interval count) — carrying the
+    // events row's props JSON through a 10×-interval join measured
+    // 16.6× instead of ~linear (SCALE.md round-9 table). Width 4 vs 16
+    // trades a ~2.5× interval explode for 120 buckets (full local[32]
+    // parallelism; was 31) and 2.6× fewer residual-filter misses.
     graft.operators.RangeJoin.pointInInterval(
-        Tables.events(s, dir), "value", intervals, "lo", "hi",
-        bucketWidth = 16.0)
+        Tables.events(s, dir).select(col("value")), "value",
+        intervals, "lo", "hi",
+        bucketWidth = 4.0)
       .groupBy(col("interval_id"))
       .agg(count(lit(1)).as("n_points"),
         (sum(cents(col("value"))) / 100.0).as("value_sum"))
