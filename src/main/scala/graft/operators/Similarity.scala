@@ -153,13 +153,20 @@ object Similarity {
     * in the same stage as the parquet scan. The negated id reproduces
     * the ORDER BY cdist DESC, centroid_id ASC tie-break.
     */
+  /** argmax over (score, -id) structs — `greatest` needs ≥ 2 args, so
+    * the degenerate single-centroid quantizer short-circuits.
+    */
+  private def argmaxCid(scored: Seq[Column]): Column =
+    -(if (scored.length == 1) scored.head
+      else greatest(scored: _*)).getField("ncid")
+
   private[graft] def assignCells(df: DataFrame, vec: String,
       centroids: Array[(Long, Array[Float])]): DataFrame = {
     val scored = centroids.map { case (cid, cvec) =>
       val cvLit = array(cvec.map(x => lit(x)): _*)
       struct(cosine(col(vec), cvLit).as("cdist"), lit(-cid).as("ncid"))
     }
-    df.withColumn("centroid_id", -greatest(scored.toSeq: _*).getField("ncid"))
+    df.withColumn("centroid_id", argmaxCid(scored.toSeq))
   }
 
   /** Deterministic Lloyd k-means for the IVF coarse quantizer.
@@ -315,8 +322,7 @@ object Similarity {
   def seededCells(corpus: DataFrame, nCentroids: Int = 8): DataFrame = {
     val centroids = seededCentroids(corpus, nCentroids)
     corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("cell",
-        -greatest(seededCellScored(centroids, "embedding"): _*).getField("ncid"))
+      .withColumn("cell", argmaxCid(seededCellScored(centroids, "embedding")))
   }
 
   def ivfTopKSeeded(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -340,6 +346,165 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
+  // ------------------------------------------------ product quantization
+
+  /** Seeded PQ codebook: sub-centroid `j` of subspace `m` is dims
+    * [m·dsub, (m+1)·dsub) of the corpus vector with the j-th smallest
+    * vec_id — the same deterministic, SQL-replayable seeding rule as
+    * [[seededCentroids]] (a trained per-subspace k-means would drop in
+    * the same way [[trainCentroids]] does for IVF; its float means are
+    * not bit-replayable, so the gate face stays seeded). Collected
+    * once: ksub × dim floats of driver state, scale-bounded.
+    */
+  private[graft] def pqCodebook(corpus: DataFrame, nSub: Int, dsub: Int,
+      ksub: Int): Array[Array[Array[Float]]] = {
+    val seeds = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(ksub).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.length == ksub, s"pqCodebook: corpus has < $ksub rows")
+    Array.tabulate(nSub)(m => seeds.map(_.slice(m * dsub, (m + 1) * dsub)))
+  }
+
+  /** micro-unit (1e-6) round-half-up of a double — the integer bridge
+    * both engines agree on bit-for-bit (the e5/e6 lesson: cross-engine
+    * double comparisons ride on rounded integers, never raw doubles).
+    */
+  private def micro(x: Column): Column =
+    floor(x * 1000000d + 0.5d).cast("long")
+
+  /** Map-only PQ encoding: per subspace, argmax of the micro-unit
+    * subvector dot product over the codebook entries, ties to the
+    * lower code — `greatest(struct(pd, -j))`, the assignCells pattern,
+    * so the 8-byte code row materializes in the same stage as the scan
+    * (no join, no shuffle). Adds columns c0..c{nSub-1}.
+    */
+  private[graft] def pqEncode(df: DataFrame, vec: String,
+      cb: Array[Array[Array[Float]]], dsub: Int): DataFrame =
+    cb.zipWithIndex.foldLeft(df) { case (acc, (entries, m)) =>
+      val scored = entries.zipWithIndex.map { case (cv, j) =>
+        val cvLit = array(cv.map(x => lit(x)): _*)
+        struct(micro(dot(slice(col(vec), m * dsub + 1, dsub), cvLit)).as("pd"),
+          lit(-j).as("nj"))
+      }
+      acc.withColumn(s"c$m", -greatest(scored.toSeq: _*).getField("nj"))
+    }
+
+  /** Approximate top-k via product quantization with asymmetric
+    * distance (ADC) and exact rerank — the compressed-exhaustive-scan
+    * ANN: each corpus vector is nSub 4-bit-ish codes (8 bytes at the
+    * defaults vs 256 for float32 — the 100 TB memory story), a query
+    * precomputes its nSub × ksub lookup table of subvector dot
+    * products, and the scan scores every vector with nSub integer
+    * array lookups instead of a dim-wide float kernel. The top
+    * `rerank` by ADC score then rerank by exact round-6 cosine.
+    *
+    * Determinism bridge: LUT cells and encode scores are micro-unit
+    * BIGINTs (floor(x·1e6 + 0.5)), so the ADC score is an integer SUM
+    * — association-order free — and the SQL oracle replays the whole
+    * scheme from the same seeded codebook it derives in a CTE.
+    *
+    * Scale shape: codebook collect is ksub rows; encoding and LUT
+    * build are map-only against literals; the scan joins corpus codes
+    * against the BROADCAST query LUTs (guarded) and the only wide
+    * shuffle is the (query_id, vec_id, approx) window top-`rerank`,
+    * three narrow columns. Exact rerank touches rerank × nq rows.
+    * For sublinear candidate generation compose with the IVF cell
+    * prune ([[seededCells]]) — the classic IVF-PQ layout.
+    */
+  def pqTopKSeeded(queries: DataFrame, corpus: DataFrame, k: Int,
+                   nSub: Int = 8, dsub: Int = 8, ksub: Int = 16,
+                   rerank: Int = 10,
+                   maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
+    val cb = pqCodebook(corpus, nSub, dsub, ksub)
+    val codes = pqEncode(corpus.select(col("vec_id"), col("embedding")),
+      "embedding", cb, dsub)
+      .select(col("vec_id") +: (0 until nSub).map(m => col(s"c$m")): _*)
+    // per-query LUT: entry m*ksub+j = micro dot(query subvector m,
+    // codebook[m][j]) — one flat array column, ksub×nSub longs
+    val lutCells = (0 until nSub).flatMap { m =>
+      cb(m).map { cv =>
+        val cvLit = array(cv.map(x => lit(x)): _*)
+        micro(dot(slice(col("query_vec"), m * dsub + 1, dsub), cvLit))
+      }
+    }
+    val qs = queries.select(col("query_id"), col("query_vec"),
+      array(lutCells: _*).as("lut"))
+    val approx = codes
+      .crossJoin(maybeBroadcast(qs.select(col("query_id"), col("lut")), queries,
+        maxBroadcastRows))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", (0 until nSub)
+        .map(m => element_at(col("lut"), (col(s"c$m") + lit(m * ksub + 1)).cast("int")))
+        .reduce(_ + _))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact rerank of the short candidate list: embeddings re-attach by
+    // id so the ADC scan never carries the float payload
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(maybeBroadcast(qs.select(col("query_id"), col("query_vec")),
+        queries, maxBroadcastRows), "query_id")
+      .withColumn("cosine", round(cosine(col("embedding"), col("query_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
+  // -------------------------------------------------------- SemDeDup
+
+  /** SemDeDup-style semantic prune (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster embeddings (here the seeded quantizer cells
+    * — [[seededCells]], the e7 machinery), compare pairs only WITHIN a
+    * cell, and prune every vector that has a round-6 cosine ≥ `tau`
+    * neighbor with a smaller vec_id. The ∃-smaller-id rule is the
+    * deterministic one-pass variant of the paper's greedy keep-one:
+    * it needs no sequential scan over the cluster, replays exactly in
+    * SQL, and differs only on chains (a≈b, b≈c, a̸≈c prunes c where
+    * sequential greedy would keep it — conservative toward smaller
+    * output).
+    *
+    * Scale shape: pairs form per cell (the SemDeDup design point — the
+    * quadratic term is bounded by the largest cluster, not the
+    * corpus), ids + one rounded double per pair, and `maxCellSize`
+    * guards the degenerate all-one-cluster corpus the same way the
+    * LSH mega-bucket guard does: an over-full cell is split by a
+    * deterministic hash salt of vec_id, trading cross-shard recall
+    * for a hard quadratic bound (documented SemDeDup behavior: prune
+    * within shards of a cluster).
+    */
+  def semdedupPrune(corpus: DataFrame, tau: Double, nCentroids: Int = 8,
+                    maxCellSize: Int = 10000): DataFrame = {
+    val cells = seededCells(corpus, nCentroids)
+    // shard salt stays 1 (identity) until a cell exceeds maxCellSize;
+    // the count is one narrow agg over (cell) — cheap relative to the
+    // pair join it bounds
+    val mcRow = cells.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+      .agg(max(col("csz"))).head
+    val maxCell = if (mcRow.isNullAt(0)) 0L else mcRow.getLong(0)
+    val nShards =
+      if (maxCell <= maxCellSize) 1 else (maxCell / maxCellSize).toInt + 1
+    val sharded = cells.withColumn("shard",
+      pmod(xxhash64(col("vec_id")), lit(nShards.toLong)))
+    val a = sharded.select(col("cell"), col("shard"),
+      col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = sharded.select(col("cell"), col("shard"),
+      col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    a.join(b, Seq("cell", "shard"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(cosine(col("a_vec"), col("b_vec")), 6))
+      .filter(col("cos") >= tau)
+      .groupBy(col("cell"), col("b_id"))
+      .agg(min(col("a_id")).as("pruned_by"), max(col("cos")).as("max_cos"))
+      .select(col("cell"), col("b_id").as("vec_id"),
+        col("pruned_by"), col("max_cos"))
   }
 
   /** Symmetric int8 quantization of an embedding column — the storage

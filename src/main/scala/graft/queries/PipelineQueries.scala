@@ -303,6 +303,30 @@ object PipelineQueries {
         min(col("vec_id")).as("min_doc"))
       .orderBy(col("cell"))
 
+  /** Product-quantization ADC approximate top-3 — the compressed
+    * exhaustive-scan ANN (8-byte codes vs 256-byte float32 vectors;
+    * Jégou et al., TPAMI 2011). The seeded sub-codebooks, micro-unit
+    * integer LUT/ADC scores, and exact rerank all replay in SQL from
+    * the same 16 lowest-vec_id corpus rows the Spark side collects,
+    * so the gate is hash-exact like e2/e3; the semantic recall floor
+    * vs e1 brute force is pinned in SimilaritySpec.
+    */
+  def e8PqTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopKSeeded(queriesDf(s, dir, 20), Tables.embeddings(s, dir), 3)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** SemDeDup semantic prune report: within each seeded-quantizer cell
+    * (the e7 clustering), prune every vector with a round-6 cosine ≥
+    * τ neighbor of smaller vec_id — the deterministic one-pass variant
+    * of the paper's keep-one rule. τ matches e4's near-dup band for
+    * this corpus (weakly clustered synthetic embeddings: cross-pair
+    * cosines concentrate near 0, so ≥ 0.2 is a real semantic-dup
+    * signal, not noise).
+    */
+  def e9SemdedupPrune(s: SparkSession, dir: String): DataFrame =
+    Similarity.semdedupPrune(Tables.embeddings(s, dir), tau = 0.2)
+      .orderBy(col("cell"), col("vec_id"))
+
   /** embedding cosine near-dup pairs over a bounded set — exact oracle. */
   def e4EmbNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.2,
@@ -606,6 +630,8 @@ object PipelineQueries {
     "e2_lsh_topk" -> (e2LshTopk _),
     "e3_ivf_topk" -> (e3IvfTopk _),
     "e7_cluster_profile" -> (e7ClusterProfile _),
+    "e8_pq_topk" -> (e8PqTopk _),
+    "e9_semdedup_prune" -> (e9SemdedupPrune _),
     "e4_emb_near_dup" -> (e4EmbNearDup _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m5_tiles" -> (m5Tiles _),
@@ -820,6 +846,76 @@ object PipelineQueries {
        |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of e8's full PQ scheme: sub-codebooks sliced from
+    * the 16 lowest-vec_id corpus vectors (j = vec_id by construction),
+    * encode/LUT scores as micro-unit BIGINTs of subvector dot products
+    * (floor(x·1e6 + 0.5) — the integer bridge, so the ADC SUM is
+    * association-order free), argmax ties to the lower code, ADC
+    * top-10 rerank by round-6 cosine. Engines must agree on the
+    * micro-rounded dot (the e1 bridge class) and nothing else.
+    */
+  private val pqTopkSql: String = {
+    val nSub = 8; val dsub = 8; val ksub = 16; val k = 3; val nq = 20
+    val rerank = 10
+    s"""WITH cb AS (SELECT m.m, e.vec_id AS j,
+       |    (CAST(e.embedding AS DOUBLE[]))[m.m*$dsub+1 : m.m*$dsub+$dsub] AS sv
+       |  FROM embeddings e CROSS JOIN (SELECT unnest(range($nSub)) AS m) m
+       |  WHERE e.vec_id < $ksub),
+       |codes AS (SELECT vec_id, m, j AS code FROM (
+       |  SELECT e.vec_id, cb.m, cb.j, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id, cb.m
+       |      ORDER BY CAST(floor(list_dot_product(
+       |        (CAST(e.embedding AS DOUBLE[]))[cb.m*$dsub+1 : cb.m*$dsub+$dsub],
+       |        cb.sv) * 1000000 + 0.5) AS BIGINT) DESC, cb.j ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, cb.m, cb.j,
+       |    CAST(floor(list_dot_product(
+       |      (CAST(q.embedding AS DOUBLE[]))[cb.m*$dsub+1 : cb.m*$dsub+$dsub],
+       |      cb.sv) * 1000000 + 0.5) AS BIGINT) AS pd
+       |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < $nq),
+       |approx AS (SELECT l.query_id, c.vec_id, SUM(l.pd) AS approx
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, vec_id ASC) AS arank FROM approx)
+       |  WHERE arank <= $rerank),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+       |                                 CAST(qe.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+       |SELECT query_id, rank, vec_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of e9: the e3/e7 seeded-cell assignment, then the
+    * ∃-smaller-id within-cell prune at round-6 cosine ≥ τ. The shard
+    * salt in Similarity.semdedupPrune stays at 1 while the largest
+    * cell is under maxCellSize (holds at every verified SF by orders
+    * of magnitude), so the oracle replays the unsharded rule.
+    */
+  private val semdedupSql: String =
+    """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |ca AS (SELECT vec_id, cell, v FROM (
+      |  SELECT e.vec_id, c.cid AS cell, CAST(e.embedding AS DOUBLE[]) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |        c.cv), 6) DESC, c.cid ASC) AS rn
+      |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)
+      |SELECT cell, vec_id, pruned_by, max_cos FROM (
+      |  SELECT a.cell, b.vec_id, MIN(a.vec_id) AS pruned_by,
+      |    MAX(round(list_cosine_similarity(a.v, b.v), 6)) AS max_cos
+      |  FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+      |  GROUP BY a.cell, b.vec_id)
+      |ORDER BY cell, vec_id""".stripMargin
+
   private val simhashSql: String = {
     val votes = (0 until 60).map { j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
@@ -840,6 +936,8 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "e2_lsh_topk" -> lshTopkSql,
     "e3_ivf_topk" -> ivfTopkSql,
+    "e8_pq_topk" -> pqTopkSql,
+    "e9_semdedup_prune" -> semdedupSql,
     // the e3 cell-assignment CTE joined onto document metadata
     "e7_cluster_profile" ->
       """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv

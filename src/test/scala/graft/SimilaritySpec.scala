@@ -198,6 +198,102 @@ class SimilaritySpec extends AnyFunSuite {
     assert(seeded >= exact.size / 2, s"recall collapsed: $seeded/${exact.size}")
   }
 
+  test("pqEncode: a seed vector encodes to its own codebook entry") {
+    // corpus whose first 4 rows are axis-aligned unit vectors → the
+    // seeded codebook's subspace entries are those slices; re-encoding
+    // a seed must pick its own code (dot with itself is max), and a
+    // near-copy of seed 2 must code like seed 2 in every subspace
+    val dim = 8
+    def axis(i: Int) = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val corpus = ((0 until 4).map(i => (i.toLong, axis(i))) :+
+      (9L, axis(2).map(x => x * 0.9f))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(corpus, nSub = 2, dsub = 4, ksub = 4)
+    val codes = Similarity.pqEncode(corpus, "embedding", cb, dsub = 4)
+      .select("vec_id", "c0", "c1").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // seed 2 = axis(2): subspace 0 holds its mass → c0 = 2; subspace 1
+    // is all-zero → ties resolve to code 0
+    assert(codes(2L) == ((2, 0)))
+    assert(codes(9L) == ((2, 0)), "a scaled copy must share its seed's codes")
+  }
+
+  test("pq top-k: recall@3 floor vs brute force at the e8 gate params") {
+    // The e8 gate replays the PQ scheme bit-for-bit in SQL — exact but
+    // blind to semantic quality. This is the semantic backstop at the
+    // gate's parameters (20 queries, k=3, 8×8 sub-codebooks of 16
+    // entries, ADC rerank 10) on the corpus PQ likes least:
+    // weakly-clustered near-random embeddings.
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val exact = top3(Similarity.bruteForceTopK(queries, emb, 3))
+    val approx = top3(Similarity.pqTopKSeeded(queries, emb, 3))
+    val found = exact.toSeq.map { case (q, vs) =>
+      (vs & approx.getOrElse(q, Set.empty)).size
+    }.sum
+    val total = exact.valuesIterator.map(_.size).sum
+    info(s"pq recall@3 at gate params: $found/$total")
+    assert(found * 5 >= total,
+      s"recall@3 collapsed below the 20% floor: $found/$total")
+  }
+
+  test("pq top-k: an exact duplicate of the query ranks first") {
+    // a corpus clone of the query shares every code → max ADC score →
+    // survives to rerank, where exact cosine 1.0 pins rank 1
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 64).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val clone = (99L, corpus(40)._2.clone())
+    val df = (corpus :+ clone).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 40L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Similarity.pqTopKSeeded(q, df, 1, nSub = 4, dsub = 4, ksub = 8)
+      .select("vec_id").as[Long].collect()
+    assert(top.sameElements(Array(99L)), s"clone not found: ${top.toSeq}")
+  }
+
+  test("semdedupPrune: within-cell near-dup pruned, cross-cell kept") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),          // centroid of cell 0
+      (1L, Array(0f, 1f, 0f, 0f)),          // centroid of cell 1
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),      // cell 0, cos≈0.994 to v0
+      (3L, Array(0f, 0.9f, 0.3f, 0f)),      // cell 1, cos≈0.949 to v1
+      (4L, Array(0.6f, 0f, 0.8f, 0f)),      // cell 0, cos 0.6 — kept
+      (5L, Array(0.9f, 0.1f, 0f, 0f)))      // clone of 2 → pruned by 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semdedupPrune(corpus, tau = 0.9, nCentroids = 2)
+      .orderBy("vec_id")
+      .select("cell", "vec_id", "pruned_by", "max_cos")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(2L, 3L, 5L), s"wrong prune set: ${got.toSeq}")
+    assert(got.forall { case (_, v, by, _) => by < v })
+    val v5 = got.find(_._2 == 5L).get
+    assert(v5._3 == 0L && v5._4 == 1.0, s"clone must report its min pruner: $v5")
+    // v4 survives: its best within-cell cosine (0.6) is under tau
+  }
+
+  test("semdedupPrune: shard guard bounds an oversized cell") {
+    // one cell, 12 near-identical vectors, maxCellSize 4 → 3+ shards;
+    // the quadratic term is bounded and pruning still happens inside
+    // each shard (the documented recall trade of sharding)
+    val base = Array.tabulate(8)(j => math.cos(j).toFloat)
+    val corpus = (0 until 12).map { i =>
+      (i.toLong, base.map(x => x + i * 1e-4f))
+    }.toDF("vec_id", "embedding")
+    val unsharded = Similarity.semdedupPrune(corpus, tau = 0.99, nCentroids = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val sharded = Similarity.semdedupPrune(corpus, tau = 0.99, nCentroids = 1,
+        maxCellSize = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(unsharded.size == 11, s"all non-min ids prune unsharded: $unsharded")
+    assert(sharded.subsetOf(unsharded) && sharded.nonEmpty,
+      s"sharded prune must be a nonempty subset: $sharded")
+  }
+
   test("quantizeInt8: hand-computed codes, saturation, zero vector") {
     val df = Seq(
       (1L, Array(1f, -2f, 4f)),
