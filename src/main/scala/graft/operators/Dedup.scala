@@ -150,7 +150,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, k, numHashes, tokenHash)
+    // verify joins meet on the 63-bit shingle HASH, not the string —
+    // the shuffle carries (id, long) instead of (id, text); identical
+    // counts absent a 63-bit collision (the same caveat the band
+    // bucketing already accepts), and the oracle replays the hash join
     val sh = shingleRows(docs, k)
+      .select(col("doc_id"), tokenHash(col("s")).as("h"))
 
     // (band, bucket=hash(slice), doc) — one row per band per doc
     val bandStructs = array((0 until bands).map { b =>
@@ -184,8 +189,8 @@ object Dedup {
     // array_intersect runs; everything stays codegen'd.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val ni = cands
-      .join(sh.select(col("doc_id").as("a_id"), col("s")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .join(sh.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("ni"))
     ni
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")

@@ -758,8 +758,8 @@ object PipelineQueries {
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
        |ni AS (SELECT c.a_id, c.b_id, COUNT(*) AS ni
        |  FROM cand c
-       |  JOIN tok ta ON ta.doc_id = c.a_id
-       |  JOIN tok tb ON tb.doc_id = c.b_id AND tb.t = ta.t
+       |  JOIN h ha ON ha.doc_id = c.a_id
+       |  JOIN h hb ON hb.doc_id = c.b_id AND hb.h = ha.h
        |  GROUP BY c.a_id, c.b_id)
        |SELECT a_id, b_id, jaccard FROM (
        |  SELECT ni.a_id, ni.b_id,
