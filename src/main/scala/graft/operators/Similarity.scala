@@ -458,6 +458,66 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
 
+  /** IVF-PQ: the production 100 TB ANN layout — coarse cells prune the
+    * candidate space (only `nprobe`/`nCentroids` of the corpus is
+    * touched per query), PQ codes compress what remains (8-byte ADC
+    * scan instead of float vectors), exact rerank touches only the
+    * short list. This is [[ivfTopKSeeded]] × [[pqTopKSeeded]] sharing
+    * one map-only encode pass: (cell, c0..c7) materialize in the same
+    * stage as the parquet scan, the ADC join meets on the narrow cell
+    * key, and the only corpus-sized shuffle is the (query_id, vec_id,
+    * approx) top-`rerank` window inside probed cells.
+    */
+  def ivfPqTopKSeeded(queries: DataFrame, corpus: DataFrame, k: Int,
+                      nCentroids: Int = 8, nprobe: Int = 2,
+                      nSub: Int = 8, dsub: Int = 8, ksub: Int = 16,
+                      rerank: Int = 10,
+                      maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
+    val centroids = seededCentroids(corpus, nCentroids)
+    val cb = pqCodebook(corpus, nSub, dsub, ksub)
+    val codes = pqEncode(seededCells(corpus, nCentroids), "embedding", cb, dsub)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until nSub).map(m => col(s"c$m")): _*)
+    val lutCells = (0 until nSub).flatMap { m =>
+      cb(m).map { cv =>
+        val cvLit = array(cv.map(x => lit(x)): _*)
+        micro(dot(slice(col("query_vec"), m * dsub + 1, dsub), cvLit))
+      }
+    }
+    // probe expansion first (nprobe rows per query), then one LUT per
+    // exploded row — the LUT is 128 longs, cheaper recomputed than
+    // shuffled wide
+    val qs = queries.select(col("query_id"), col("query_vec"),
+        explode(slice(reverse(array_sort(
+          array(seededCellScored(centroids, "query_vec"): _*))), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("query_vec"), (-col("pc.ncid")).as("cell"),
+        array(lutCells: _*).as("lut"))
+    val approx = codes
+      .join(maybeBroadcast(qs.select(col("query_id"), col("cell"), col("lut")),
+        queries, maxBroadcastRows / nprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", (0 until nSub)
+        .map(m => element_at(col("lut"), (col(s"c$m") + lit(m * ksub + 1)).cast("int")))
+        .reduce(_ + _))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(maybeBroadcast(
+        queries.select(col("query_id"), col("query_vec")), queries,
+        maxBroadcastRows), "query_id")
+      .withColumn("cosine", round(cosine(col("embedding"), col("query_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
   // -------------------------------------------------------- SemDeDup
 
   /** SemDeDup-style semantic prune (Abbas et al. 2023, arXiv

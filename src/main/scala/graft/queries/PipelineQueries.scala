@@ -327,6 +327,15 @@ object PipelineQueries {
     Similarity.semdedupPrune(Tables.embeddings(s, dir), tau = 0.2)
       .orderBy(col("cell"), col("vec_id"))
 
+  /** IVF-PQ approximate top-3 — the composed production ANN layout:
+    * seeded coarse cells prune (e3), seeded PQ codes compress (e8),
+    * exact rerank on the short list. Fully SQL-replayed like both
+    * parents; recall floor vs e1 pinned in SimilaritySpec.
+    */
+  def e10IvfpqTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopKSeeded(queriesDf(s, dir, 20), Tables.embeddings(s, dir), 3)
+      .orderBy(col("query_id"), col("rank"))
+
   /** embedding cosine near-dup pairs over a bounded set — exact oracle. */
   def e4EmbNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.2,
@@ -632,6 +641,7 @@ object PipelineQueries {
     "e7_cluster_profile" -> (e7ClusterProfile _),
     "e8_pq_topk" -> (e8PqTopk _),
     "e9_semdedup_prune" -> (e9SemdedupPrune _),
+    "e10_ivfpq_topk" -> (e10IvfpqTopk _),
     "e4_emb_near_dup" -> (e4EmbNearDup _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m5_tiles" -> (m5Tiles _),
@@ -893,6 +903,63 @@ object PipelineQueries {
        |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of e10 — the e3 cell CTEs composed with the e8 PQ
+    * CTEs: probed cells restrict the ADC join, everything else is
+    * identical to the parents (one source of truth per fragment).
+    */
+  private val ivfPqTopkSql: String = {
+    val nSub = 8; val dsub = 8; val ksub = 16; val k = 3; val nq = 20
+    val rerank = 10; val nCent = 8; val nprobe = 2
+    s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < $nCent),
+       |ca AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |      c.cv), 6) DESC, c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |      c.cv), 6) DESC, c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < $nq) WHERE rn <= $nprobe),
+       |cb AS (SELECT m.m, e.vec_id AS j,
+       |    (CAST(e.embedding AS DOUBLE[]))[m.m*$dsub+1 : m.m*$dsub+$dsub] AS sv
+       |  FROM embeddings e CROSS JOIN (SELECT unnest(range($nSub)) AS m) m
+       |  WHERE e.vec_id < $ksub),
+       |codes AS (SELECT vec_id, m, j AS code FROM (
+       |  SELECT e.vec_id, cb.m, cb.j, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id, cb.m
+       |      ORDER BY CAST(floor(list_dot_product(
+       |        (CAST(e.embedding AS DOUBLE[]))[cb.m*$dsub+1 : cb.m*$dsub+$dsub],
+       |        cb.sv) * 1000000 + 0.5) AS BIGINT) DESC, cb.j ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, cb.m, cb.j,
+       |    CAST(floor(list_dot_product(
+       |      (CAST(q.embedding AS DOUBLE[]))[cb.m*$dsub+1 : cb.m*$dsub+$dsub],
+       |      cb.sv) * 1000000 + 0.5) AS BIGINT) AS pd
+       |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < $nq),
+       |approx AS (SELECT q.query_id, c2.vec_id, SUM(l.pd) AS approx
+       |  FROM qa q JOIN ca c2 ON c2.cell = q.cell
+       |  JOIN codes cd ON cd.vec_id = c2.vec_id
+       |  JOIN lut l ON l.query_id = q.query_id AND l.m = cd.m AND l.j = cd.code
+       |  WHERE c2.vec_id <> q.query_id
+       |  GROUP BY q.query_id, c2.vec_id),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, vec_id ASC) AS arank FROM approx)
+       |  WHERE arank <= $rerank),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+       |                                 CAST(qe.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+       |SELECT query_id, rank, vec_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB replay of e9: the e3/e7 seeded-cell assignment, then the
     * ∃-smaller-id within-cell prune at round-6 cosine ≥ τ. The shard
     * salt in Similarity.semdedupPrune stays at 1 while the largest
@@ -938,6 +1005,7 @@ object PipelineQueries {
     "e3_ivf_topk" -> ivfTopkSql,
     "e8_pq_topk" -> pqTopkSql,
     "e9_semdedup_prune" -> semdedupSql,
+    "e10_ivfpq_topk" -> ivfPqTopkSql,
     // the e3 cell-assignment CTE joined onto document metadata
     "e7_cluster_profile" ->
       """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv

@@ -256,6 +256,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.sameElements(Array(99L)), s"clone not found: ${top.toSeq}")
   }
 
+  test("ivf-pq: recall@3 floor at gate params; exact in the full-probe full-rerank limit") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val exact = top3(Similarity.bruteForceTopK(queries, emb, 3))
+    // gate params: cells prune to 2/8 of the corpus, PQ ranks inside
+    val approx = top3(Similarity.ivfPqTopKSeeded(queries, emb, 3))
+    val found = exact.toSeq.map { case (q, vs) =>
+      (vs & approx.getOrElse(q, Set.empty)).size
+    }.sum
+    val total = exact.valuesIterator.map(_.size).sum
+    info(s"ivf-pq recall@3 at gate params: $found/$total")
+    assert(found * 5 >= total,
+      s"recall@3 collapsed below the 20% floor: $found/$total")
+    // probe every cell and rerank everything → the PQ/IVF approximations
+    // vanish and the result must EQUAL brute force row-for-row
+    val full = top3(Similarity.ivfPqTopKSeeded(queries, emb, 3,
+      nprobe = 8, rerank = n))
+    assert(full == exact, "full-probe full-rerank must equal brute force")
+  }
+
   test("semdedupPrune: within-cell near-dup pruned, cross-cell kept") {
     val corpus = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),          // centroid of cell 0
