@@ -352,4 +352,44 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Apply ONE BPE merge rule (w1 w2 → merged) to every document's
+    * token stream — the application half of the induction pass
+    * [[mergePairCounts]] counts for. Matching is greedy leftmost
+    * non-overlapping, exactly a BPE tokenizer's merge step: when
+    * w1 == w2, a maximal run of r consecutive matching positions
+    * merges at even offsets from the run start (⌈r/2⌉ merges — "a a
+    * a a" merges twice, not three times); when w1 ≠ w2 matches are
+    * never adjacent, so every match merges and the run rule reduces
+    * to the identity. Runs are the gaps-and-islands window
+    * formulation (pos − row_number), all codegen'd.
+    *
+    * Per-doc report: (n_before, n_merges, n_after) for documents the
+    * rule touches. Shape at scale: one explode + doc_id-partitioned
+    * windows + hash-aggs — shuffles carry (doc_id, pos) pairs only,
+    * the token text never leaves its map stage after the match flag.
+    */
+  def applyMergeStep(docs: org.apache.spark.sql.DataFrame,
+      w1: String, w2: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(coalesce(col("text"), lit(""))))
+        .as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val matches = tok
+      .withColumn("nxt", lead(col("t"), 1).over(w))
+      .filter(col("t") === lit(w1) && col("nxt") === lit(w2))
+      .select(col("doc_id"), col("pos"))
+    val runs = matches
+      .withColumn("grp", col("pos") - row_number().over(w))
+    val wg = Window.partitionBy(col("doc_id"), col("grp"))
+    val merges = runs
+      .withColumn("run_start", min(col("pos")).over(wg))
+      .filter(((col("pos") - col("run_start")) % 2) === 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_merges"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_before"))
+    sizes.join(merges, "doc_id")
+      .select(col("doc_id"), col("n_before"), col("n_merges"),
+        (col("n_before") - col("n_merges")).as("n_after"))
+  }
 }

@@ -601,7 +601,23 @@ object PipelineQueries {
   def d22BpePairs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.mergePairCounts(Tables.documents(s, dir), topK = 20)
 
+  /** Tokenizer-induction round trip: find the corpus's top merge pair
+    * (the d22 counting pass, top-1) and APPLY it — greedy leftmost
+    * non-overlapping, a real BPE merge step — reporting per-doc token
+    * counts before/after. The pair is 1 row of driver state; the
+    * oracle recomputes it in a CTE with the identical (n DESC, pair)
+    * tie order.
+    */
+  def d29BpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val top = TextAnalysis.mergePairCounts(docs, 1)
+      .select(col("pair")).head.getString(0)
+    val Array(w1, w2) = top.split(" ", 2)
+    TextAnalysis.applyMergeStep(docs, w1, w2).orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d29_bpe_apply" -> (d29BpeApply _),
     "p1_corpus_curation" -> (p1CorpusCuration _),
     "p3_pretrain_mix" -> (p3PretrainMix _),
     "d19_segment_dedup" -> (d19SegmentDedup _),
@@ -1181,6 +1197,36 @@ object PipelineQueries {
         |ORDER BY n_bigram DESC, w1, w2 LIMIT 20""".stripMargin,
     // lead() pair assembly; the NULL next-token at doc end drops the
     // row on both sides
+    // the d22 top-1 CTE + gaps-and-islands greedy merge. Spark's pos
+    // is 0-based, generate_subscripts 1-based — a per-doc constant
+    // shift that cancels in (pos − row_number) groups and
+    // (pos − run_start) parities.
+    "d29_bpe_apply" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(coalesce(text, ''), '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(coalesce(text, ''),
+        |      '\s+'), 1) AS pos
+        |  FROM documents),
+        |lk AS (SELECT doc_id, pos, t,
+        |    lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM tok),
+        |top1 AS (SELECT pair FROM (
+        |  SELECT t || ' ' || nxt AS pair, COUNT(*) AS n FROM lk
+        |  WHERE nxt IS NOT NULL GROUP BY pair
+        |  ORDER BY n DESC, pair LIMIT 1)),
+        |fl AS (SELECT lk.doc_id, lk.pos FROM lk, top1
+        |  WHERE lk.t || ' ' || lk.nxt = top1.pair),
+        |runs AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM fl),
+        |m AS (SELECT doc_id, COUNT(*) AS n_merges FROM (
+        |    SELECT doc_id, pos,
+        |      min(pos) OVER (PARTITION BY doc_id, grp) AS run_start
+        |    FROM runs) WHERE (pos - run_start) % 2 = 0 GROUP BY doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_before FROM tok GROUP BY doc_id)
+        |SELECT sz.doc_id AS doc_id, n_before, n_merges,
+        |  n_before - n_merges AS n_after
+        |FROM sz JOIN m ON m.doc_id = sz.doc_id ORDER BY sz.doc_id""".stripMargin,
     "d22_bpe_pairs" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(string_split_regex(coalesce(text, ''), '\s+')) AS t,

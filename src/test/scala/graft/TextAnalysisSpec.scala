@@ -102,4 +102,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Double, Double, Double)].collect().toSeq
     assert(got == Seq((1L, 1.0, 0.0, 0.0), (2L, 0.5, 1.0, 0.0)))
   }
+
+  test("applyMergeStep: greedy non-overlapping merges, identical-token runs") {
+    val docs = Seq(
+      (1L, "x a b y a b"),   // w1≠w2: both matches merge → 6 → 4
+      (2L, "a a a a"),       // run of 3 matches → even offsets 0,2 → 2 merges
+      (3L, "a a a"),         // run of 2 → 1 merge ("a a"+"a", not 2)
+      (4L, "no pair here"),  // untouched → absent from the report
+      (5L, "a b"))           // single match → 1 merge
+      .toDF("doc_id", "text")
+    val ab = graft.operators.TextAnalysis.applyMergeStep(docs, "a", "b")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ab == Seq((1L, 6L, 2L, 4L), (5L, 2L, 1L, 1L)), s"got $ab")
+    val aa = graft.operators.TextAnalysis.applyMergeStep(docs, "a", "a")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(aa == Seq((2L, 4L, 2L, 2L), (3L, 3L, 1L, 2L)), s"got $aa")
+  }
 }
