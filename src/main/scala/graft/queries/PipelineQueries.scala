@@ -601,6 +601,34 @@ object PipelineQueries {
   def d22BpePairs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.mergePairCounts(Tables.documents(s, dir), topK = 20)
 
+  /** Semantic-curation composite — the fourth flagship: SemDeDup prune
+    * (e9) drops within-cell semantic duplicates, the survivors join
+    * their documents through the quality gate, and the report is the
+    * POST-curation cluster balance (e7's report after the pipeline
+    * acted on it). One declared plan: pruned ids are narrow, the
+    * anti-join lands before any text scoring, and the final agg is a
+    * single hash-shuffle on the cell key.
+    */
+  def p4SemanticCuration(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pruned = Similarity.semdedupPrune(emb, tau = 0.2).select(col("vec_id"))
+    val kept = Similarity.seededCells(emb).select(col("vec_id"), col("cell"))
+      .join(pruned, Seq("vec_id"), "left_anti")
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    kept.join(scored, "vec_id")
+      .filter(col("quality") >= 0.5)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        (sum(round(col("quality") * 1000000).cast("long")) / 1000000.0 /
+          count(lit(1))).as("avg_quality"))
+      .orderBy(col("cell"))
+  }
+
   /** Tokenizer-induction round trip: find the corpus's top merge pair
     * (the d22 counting pass, top-1) and APPLY it — greedy leftmost
     * non-overlapping, a real BPE merge step — reporting per-doc token
@@ -618,6 +646,7 @@ object PipelineQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d29_bpe_apply" -> (d29BpeApply _),
+    "p4_semantic_curation" -> (p4SemanticCuration _),
     "p1_corpus_curation" -> (p1CorpusCuration _),
     "p3_pretrain_mix" -> (p3PretrainMix _),
     "d19_segment_dedup" -> (d19SegmentDedup _),
@@ -1348,6 +1377,39 @@ object PipelineQueries {
         |    WHEN 1 THEN octet_length(encode(text)) // 32
         |    ELSE 1 END AS INT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    // e9's cell/prune CTEs + p1's quality fragment + e7's report shape
+    "p4_semantic_curation" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |ca AS (SELECT vec_id, cell, v FROM (
+         |  SELECT e.vec_id, c.cid AS cell, CAST(e.embedding AS DOUBLE[]) AS v,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |        c.cv), 6) DESC, c.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |pr AS (SELECT DISTINCT b.vec_id FROM ca a
+         |  JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2),
+         |kept AS (SELECT ca.vec_id, ca.cell FROM ca
+         |  LEFT JOIN pr ON pr.vec_id = ca.vec_id WHERE pr.vec_id IS NULL),
+         |scored AS (
+         |  SELECT doc_id AS vec_id, lang,
+         |    round(least(len($tokensSql) / 50.0, 1.0) * 0.4
+         |      + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[.!?,;:]'))
+         |          / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0)) * 5.0) * 0.3
+         |      + least(len(list_filter($tokensSql, t -> list_contains($stopListSql, t)))
+         |          / greatest(CAST(len($tokensSql) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3,
+         |      6) AS quality,
+         |    len($tokensSql) AS n_tokens
+         |  FROM documents)
+         |SELECT cell, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CAST(ROUND(quality*1000000) AS BIGINT)) AS DOUBLE)
+         |    / 1000000.0 / COUNT(*) AS avg_quality
+         |FROM kept JOIN scored USING (vec_id)
+         |WHERE quality >= 0.5
+         |GROUP BY cell ORDER BY cell""".stripMargin,
     "p1_corpus_curation" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,
