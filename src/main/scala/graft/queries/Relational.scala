@@ -447,7 +447,28 @@ object Relational {
         k = 10)
       .orderBy(col("n_exact").desc, col("l_partkey"))
 
+  /** Salted fact⋈dim join, end to end: lineitem scatters across 8
+    * deterministic replicas of the supplier side (Skew.saltedJoin —
+    * the explicit tool for keys so hot that even AQE's split
+    * partitions overwhelm a task), then the usual exact-cents
+    * aggregate. The oracle is the PLAIN join — the gate IS the
+    * semantics-preservation witness that salting only moves rows
+    * between tasks, never in or out of the result.
+    */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.Skew.saltedJoin(l, sup, "suppkey", salt = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(cents(col("l_quantity"))) / 100.0).as("total_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (qSaltedJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_incremental_agg" -> (qIncrementalAgg _),
@@ -478,6 +499,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the PLAIN join: equality proves the salt scatter/replicate is
+    // semantics-preserving
+    "q_salted_join" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_items,
+         |  ${sqlSumDollars("l_quantity")} AS total_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_approx_quantile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
