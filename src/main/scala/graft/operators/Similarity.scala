@@ -418,9 +418,19 @@ object Similarity {
                    rerank: Int = 10,
                    maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     val cb = pqCodebook(corpus, nSub, dsub, ksub)
+    // The repartition is a MATERIALIZATION BARRIER, not a distribution
+    // choice: without it CollapseProject folds the 128-dot encode
+    // projection into the BroadcastNestedLoopJoin's output, and a BNLJ
+    // evaluates its output projection once per (stream × build) PAIR —
+    // the encode silently runs nq× per corpus row (measured 6.9 s vs
+    // 1.0 s on the sf0.1-scale probe, PqProbe). The exchange pins the
+    // encode to once per row and ships only the narrow (vec_id, codes)
+    // table — exactly the PQ-codes relation a production system
+    // materializes anyway.
     val codes = pqEncode(corpus.select(col("vec_id"), col("embedding")),
       "embedding", cb, dsub)
       .select(col("vec_id") +: (0 until nSub).map(m => col(s"c$m")): _*)
+      .repartition(col("vec_id"))
     // per-query LUT: entry m*ksub+j = micro dot(query subvector m,
     // codebook[m][j]) — one flat array column, ksub×nSub longs
     val lutCells = (0 until nSub).flatMap { m =>
