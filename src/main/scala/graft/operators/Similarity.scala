@@ -485,9 +485,15 @@ object Similarity {
                       maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     val centroids = seededCentroids(corpus, nCentroids)
     val cb = pqCodebook(corpus, nSub, dsub, ksub)
+    // repartition = materialization barrier (see pqTopKSeeded): without
+    // it the collapsed cell-assign + encode projection re-evaluates per
+    // MATCHED join row (~nprobe×nq/nCentroids times per vector through
+    // the cell join — measured 18.9 s vs 3.7 s at the 10× probe scale).
+    // Partitioning on the join key doubles as the co-location choice.
     val codes = pqEncode(seededCells(corpus, nCentroids), "embedding", cb, dsub)
       .select(col("vec_id") +: col("cell") +:
         (0 until nSub).map(m => col(s"c$m")): _*)
+      .repartition(col("cell"))
     val lutCells = (0 until nSub).flatMap { m =>
       cb(m).map { cv =>
         val cvLit = array(cv.map(x => lit(x)): _*)
@@ -561,8 +567,14 @@ object Similarity {
     val maxCell = if (mcRow.isNullAt(0)) 0L else mcRow.getLong(0)
     val nShards =
       if (maxCell <= maxCellSize) 1 else (maxCell / maxCellSize).toInt + 1
+    // repartition = materialization barrier (see pqTopKSeeded): the
+    // within-cell pair join fans out quadratically, and a collapsed
+    // cell-assign projection would re-run its nCentroids cosines per
+    // PAIR instead of per vector. Partitioning on the join keys also
+    // lets both self-join sides reuse one exchange.
     val sharded = cells.withColumn("shard",
-      pmod(xxhash64(col("vec_id")), lit(nShards.toLong)))
+        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)))
+      .repartition(col("cell"), col("shard"))
     val a = sharded.select(col("cell"), col("shard"),
       col("vec_id").as("a_id"), col("embedding").as("a_vec"))
     val b = sharded.select(col("cell"), col("shard"),
