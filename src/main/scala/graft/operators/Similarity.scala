@@ -391,6 +391,66 @@ object Similarity {
       acc.withColumn(s"c$m", -greatest(scored.toSeq: _*).getField("nj"))
     }
 
+  /** Per-subspace Lloyd k-means for the PQ codebooks — the PRODUCTION
+    * quantizer; [[pqTopKSeeded]]'s seeded codebook is the
+    * SQL-replayable gate face (the same trained/seeded split as
+    * [[ivfTopK]] vs [[ivfTopKSeeded]]; iterated float means are not
+    * bit-replayable in SQL, so the trained path's recall is pinned in
+    * SimilaritySpec instead). Starts from the seeded codebook; each
+    * iteration is ONE distributed pass for all subspaces: the map-only
+    * [[pqEncode]] assigns codes, an explode to (m, code, dim, x) rows
+    * feeds a hash-agg of micro-unit BIGINT means (association-order
+    * free — the trainCentroids determinism rule), and only the
+    * nSub × ksub × dsub mean table is collected. Emptied codes keep
+    * their previous entry.
+    */
+  def trainPqCodebooks(corpus: DataFrame, vec: String = "embedding",
+                       nSub: Int = 8, dsub: Int = 8, ksub: Int = 16,
+                       iters: Int = 3): Array[Array[Array[Float]]] = {
+    val base = corpus.select(col(vec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cb = pqCodebook(corpus, nSub, dsub, ksub)
+      for (_ <- 1 to iters) {
+        val enc = pqEncode(base, vec, cb, dsub)
+        val subRows = enc.select(explode(array((0 until nSub).map(m =>
+            struct(lit(m).as("m"), col(s"c$m").as("j"),
+              slice(col(vec), m * dsub + 1, dsub).as("sv"))): _*)).as("r"))
+          .select(col("r.m").as("m"), col("r.j").as("j"),
+            posexplode(col("r.sv")).as(Seq("d", "x")))
+        val means = subRows.groupBy(col("m"), col("j"), col("d"))
+          .agg((sum(round(col("x") * 1000000).cast("long")) / 1000000.0 /
+            count(lit(1))).as("mean"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case ((m, j), rows) =>
+            val v = cb(m)(j).clone()
+            rows.foreach(r => v(r.getInt(2)) = r.getDouble(3).toFloat)
+            (m, j) -> v
+          }
+        cb = Array.tabulate(nSub)(m => Array.tabulate(ksub)(j =>
+          means.getOrElse((m, j), cb(m)(j))))
+      }
+      cb
+    } finally base.unpersist(blocking = true)
+  }
+
+  /** PQ/ADC top-k over TRAINED per-subspace codebooks — the production
+    * face of [[pqTopKSeeded]] (same ADC machinery; recall pinned in
+    * SimilaritySpec). On clustered corpora the Lloyd codebooks fit the
+    * distribution the seeded slices can't; on near-random embeddings
+    * (the gate corpus — PQ's worst case) the two measure within noise
+    * of each other because Lloyd means also shrink centroid norms,
+    * slightly biasing DOT-based ADC.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             nSub: Int = 8, dsub: Int = 8, ksub: Int = 16,
+             trainIters: Int = 3, rerank: Int = 10,
+             maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame =
+    adcTopK(queries, corpus, k,
+      trainPqCodebooks(corpus, "embedding", nSub, dsub, ksub, trainIters),
+      nSub, dsub, ksub, rerank, maxBroadcastRows)
+
   /** Approximate top-k via product quantization with asymmetric
     * distance (ADC) and exact rerank — the compressed-exhaustive-scan
     * ANN: each corpus vector is nSub 4-bit-ish codes (8 bytes at the
@@ -416,8 +476,17 @@ object Similarity {
   def pqTopKSeeded(queries: DataFrame, corpus: DataFrame, k: Int,
                    nSub: Int = 8, dsub: Int = 8, ksub: Int = 16,
                    rerank: Int = 10,
-                   maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
-    val cb = pqCodebook(corpus, nSub, dsub, ksub)
+                   maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame =
+    adcTopK(queries, corpus, k, pqCodebook(corpus, nSub, dsub, ksub),
+      nSub, dsub, ksub, rerank, maxBroadcastRows)
+
+  /** shared ADC scan + exact rerank over a given codebook (seeded gate
+    * face and trained production face differ only in `cb`).
+    */
+  private def adcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                      cb: Array[Array[Array[Float]]],
+                      nSub: Int, dsub: Int, ksub: Int,
+                      rerank: Int, maxBroadcastRows: Long): DataFrame = {
     // The repartition is a MATERIALIZATION BARRIER, not a distribution
     // choice: without it CollapseProject folds the 128-dot encode
     // projection into the BroadcastNestedLoopJoin's output, and a BNLJ

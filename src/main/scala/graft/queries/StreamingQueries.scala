@@ -96,6 +96,26 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Full-outer interval join: the two-sided audit the left join can't
+    * express — per user, errors with a click in the lookback, errors
+    * with none, AND clicks that precede no error (streaming releases
+    * both orphan kinds on watermark passage).
+    */
+  def s17FullInterval(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    EventsPipeline.intervalJoinFull(
+        ev.filter(col("event_type") === "error"),
+        ev.filter(col("event_type") === "click"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(when(col("click_id").isNotNull, col("err_id")))
+          .as("n_matched"),
+        countDistinct(when(col("click_id").isNull, col("err_id")))
+          .as("n_orphan_errors"),
+        countDistinct(when(col("err_id").isNull, col("click_id")))
+          .as("n_orphan_clicks"))
+      .orderBy(col("user_id"))
+  }
+
   /** Gap sessionization (30-min inactivity, exact µs arithmetic) —
     * batch face of the flatMapGroupsWithState custom-state operator;
     * StreamingSpec pins that the stateful streaming path emits the
@@ -168,6 +188,7 @@ object StreamingQueries {
     "s7_asof_join" -> (s7AsofJoin _),
     "s8_interval_join" -> (s8IntervalJoin _),
     "s11_left_interval" -> (s11LeftInterval _),
+    "s17_full_interval" -> (s17FullInterval _),
     "s9_enriched" -> (s9Enriched _),
   )
 
@@ -322,6 +343,22 @@ object StreamingQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ref_id
         |  FROM events WHERE event_type IN ('error', 'click')
         |) WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "s17_full_interval" ->
+      """SELECT COALESCE(e.user_id, c.user_id) AS user_id,
+        |  COUNT(DISTINCT CASE WHEN c.event_id IS NOT NULL
+        |    THEN e.event_id END) AS n_matched,
+        |  COUNT(DISTINCT CASE WHEN c.event_id IS NULL
+        |    THEN e.event_id END) AS n_orphan_errors,
+        |  COUNT(DISTINCT CASE WHEN e.event_id IS NULL
+        |    THEN c.event_id END) AS n_orphan_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = e.user_id
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+        |   - INTERVAL '600 seconds'
+        |GROUP BY COALESCE(e.user_id, c.user_id)
+        |ORDER BY user_id""".stripMargin,
     "s11_left_interval" ->
       """SELECT e.user_id,
         |  COUNT(DISTINCT CASE WHEN c.event_id IS NOT NULL

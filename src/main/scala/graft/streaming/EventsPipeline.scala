@@ -471,4 +471,29 @@ object EventsPipeline {
       "left_outer")
       .select(col("err_id"), col("user_id"), col("click_id"))
   }
+
+  /** FULL OUTER stream-stream interval join: unmatched rows on BOTH
+    * sides are held in state and released once the watermark proves no
+    * partner can arrive — an error with no click in its lookback emits
+    * (err_id, null) and a click that precedes no error emits
+    * (null, click_id). Structured Streaming supports this since 3.1
+    * for exactly this audit shape (which clicks led nowhere, which
+    * errors had no cause); state per side stays bounded by
+    * watermark + windowSec, same as the left-outer variant.
+    */
+  def intervalJoinFull(errors: DataFrame, clicks: DataFrame,
+                       windowSec: Int = 600): DataFrame = {
+    val e = errors.select(col("event_id").as("err_id"), col("user_id"),
+      col("ts").as("err_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    e.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("err_ts") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $windowSec SECONDS"),
+      "full_outer")
+      .select(col("err_id"),
+        coalesce(col("user_id"), col("c_user_id")).as("user_id"),
+        col("click_id"))
+  }
 }

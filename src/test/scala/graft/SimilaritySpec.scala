@@ -240,6 +240,34 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall@3 collapsed below the 20% floor: $found/$total")
   }
 
+  test("trained PQ codebooks: recall quantified vs seeded on real embeddings") {
+    // production face (per-subspace Lloyd) vs the SQL-replayable seeded
+    // gate face — same split as trained-vs-seeded IVF
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val exact = top3(Similarity.bruteForceTopK(queries, emb, 3))
+    def recall(approx: Map[Long, Set[Long]]): Int =
+      exact.toSeq.map { case (q, vs) =>
+        (vs & approx.getOrElse(q, Set.empty)).size
+      }.sum
+    val seeded = recall(top3(Similarity.pqTopKSeeded(queries, emb, 3)))
+    val trained = recall(top3(Similarity.pqTopK(queries, emb, 3)))
+    val total = exact.valuesIterator.map(_.size).sum
+    info(s"pq recall@3 seeded=$seeded/$total trained=$trained/$total")
+    // training must not collapse recall. Measured on this corpus:
+    // seeded 24/60, trained 22/60 — near-random embeddings are PQ's
+    // worst case and L2-style Lloyd means shrink centroid norms, which
+    // slightly biases DOT-based ADC scores; on clustered corpora the
+    // trained codebooks win. The slack absorbs that ±, the floor
+    // catches a real collapse.
+    assert(trained + 3 >= seeded, s"trained $trained < seeded $seeded - 3")
+    assert(trained * 5 >= total, s"trained recall below 20%: $trained/$total")
+  }
+
   test("pq top-k: an exact duplicate of the query ranks first") {
     // a corpus clone of the query shares every code → max ADC score →
     // survives to rerank, where exact cosine 1.0 pins rank 1

@@ -363,6 +363,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((21L, -1L))) // unmatched, released as null
   }
 
+  test("full-outer interval join releases BOTH orphan kinds on watermark") {
+    val errors = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventsPipeline.intervalJoinFull(
+      errors.toDF().withWatermark("ts", "10 minutes"),
+      clicks.toDF().withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("t_ssfull")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Seq(ev(10, "2024-01-01 00:00:00", user = 1, typ = "click"),
+        ev(11, "2024-01-01 00:30:00", user = 2, typ = "click"))) // no error follows
+      errors.addData(Seq(ev(20, "2024-01-01 00:05:00", user = 1, typ = "error"),
+        ev(21, "2024-01-01 00:40:00", user = 1, typ = "error"))) // no click in window
+      q.processAllAvailable()
+      // advance both watermarks far past every lookback before expecting
+      // the unmatched rows on either side to be proven matchless
+      clicks.addData(Seq(ev(12, "2024-01-01 03:00:00", user = 9, typ = "click")))
+      errors.addData(Seq(ev(22, "2024-01-01 03:00:00", user = 9, typ = "error")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_ssfull")
+      .select(col("err_id"), col("click_id")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                 if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((20L, 10L)), s"matched pair missing: $rows")
+    assert(rows.contains((21L, -1L)), s"orphan error not released: $rows")
+    assert(rows.contains((-1L, 11L)), s"orphan click not released: $rows")
+  }
+
   test("file-source streaming: readStream over parquet matches batch") {
     // copy the tiny events table into an isolated stream-input dir
     val dir = "target/test-output/stream_in"
