@@ -98,9 +98,36 @@ def gen(out, nrep):
         write(f"SELECT * FROM {src(t)}", out, t)
 
 
+EV_BASE = "/tmp/scale_ev_base"
+EV_TENX = "/tmp/scale_ev_10x"
+
+
+def gen_events(out, nrep):
+    """Streaming-family scale dirs: events replicated nrep× with
+    user_id/event_id shifted per replica and ts UNCHANGED — the
+    "10× traffic in the same wall-clock window" scale-up, so windowed
+    aggregations see 10× keys per window while per-user session shapes
+    stay bit-identical across replicas. Kept SEPARATE from
+    scale_base/scale_10x: the relational table's q_range_join exponents
+    were measured against the FIXED events table and must stay
+    reproducible.
+    """
+    rep = f"(SELECT unnest(range({nrep})) AS r)"
+    write(f"""
+      SELECT event_id + r*10000000 AS event_id, ts,
+             user_id + r*1000000 AS user_id, event_type, value, props
+      FROM {src('events')}, {rep}""", out, "events")
+    for t in ("nation", "region", "customer", "orders", "lineitem",
+              "supplier", "part", "documents", "embeddings"):
+        write(f"SELECT * FROM {src(t)}", out, t)
+
+
 if __name__ == "__main__":
     only = sys.argv[1] if len(sys.argv) > 1 else None
     if only in (None, "base"):
         gen(BASE, 1)
     if only in (None, "10x"):
         gen(TENX, 10)
+    if only in (None, "events"):
+        gen_events(EV_BASE, 1)
+        gen_events(EV_TENX, 10)
