@@ -737,6 +737,25 @@ object Algorithms {
         round(col("n_reachable").cast("double") /
           col("total_dist").cast("double"), 6))
 
+  /** Harmonic centrality (Boldi–Vigna) of the given seeds: Σ 1/dist
+    * over the reachable set — the closeness variant that stays
+    * meaningful on disconnected graphs (unreachable vertices
+    * contribute 0 instead of poisoning the sum). Each vertex at
+    * distance d contributes floor(1e6/d) micro-units, summed as exact
+    * BIGINTs with one rounded division at the end — the same
+    * integer-bridge discipline as [[closeness]], so the relational
+    * replay agrees bit-for-bit.
+    */
+  def harmonic(s: SparkSession, g: PropertyGraph, seeds: Seq[Long],
+               labels: Seq[String] = Nil, reverse: Boolean = false): DataFrame =
+    multiSourceHops(s, g, seeds, labels, reverse)
+      .filter(col("dist") > 0)
+      .groupBy(col("seed").as("id"))
+      .agg(count(lit(1)).as("n_reachable"),
+        sum(floor(lit(1000000L) / col("dist")).cast("long")).as("h_micro"))
+      .withColumn("harmonic",
+        round(col("h_micro").cast("double") / 1000000d, 6))
+
   /** Global clustering coefficient = 3·triangles / wedges, where
     * wedges = Σ_v d(v)(d(v)−1)/2 over the undirected distinct-neighbor
     * graph — exact integer counts, one rounded division. Triangle

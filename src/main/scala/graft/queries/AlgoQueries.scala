@@ -180,6 +180,16 @@ object AlgoQueries {
         labels = Seq("located_in", "part_of"), reverse = true)
       .orderBy(col("id"))
 
+  /** Harmonic centrality of the five regions over the same reversed
+    * geo tree as a_closeness — the disconnect-robust variant (Σ 1/dist
+    * in exact micro-units; Boldi–Vigna).
+    */
+  def aHarmonic(s: SparkSession, dir: String): DataFrame =
+    Algorithms.harmonic(s, g(s, dir),
+        seeds = (0L until 5L).map(PropertyGraph.encodeId("region", _)),
+        labels = Seq("located_in", "part_of"), reverse = true)
+      .orderBy(col("id"))
+
   /** Global clustering coefficient over the full graph: wedge count is
     * the real computed quantity here (the star schema is triangle-free
     * by construction — same structural zero a_triangles oracles); the
@@ -398,6 +408,7 @@ object AlgoQueries {
     "a_triangles" -> (aTriangles _),
     "a_neighbor_sum" -> (aNeighborSum _),
     "a_closeness" -> (aCloseness _),
+    "a_harmonic" -> (aHarmonic _),
     "a_clustering" -> (aClustering _),
   )
 
@@ -909,6 +920,21 @@ object AlgoQueries {
     "a_pagerank_exact" -> pagerankExactSql,
     "a_kcore" -> kcoreSql,
     "a_wsssp" -> wssspSql,
+    // same reversed geo tree; 1/dist in micro-units: nations (dist 1)
+    // contribute 1e6 each, customers+suppliers (dist 2) 5e5 each
+    "a_harmonic" ->
+      s"""WITH nn AS (SELECT n_regionkey AS r, COUNT(*) AS n1
+         |  FROM nation GROUP BY 1),
+         |cs AS (SELECT n_regionkey AS r, COUNT(*) AS n2
+         |  FROM (SELECT c_nationkey AS nk FROM customer
+         |        UNION ALL SELECT s_nationkey FROM supplier) t
+         |  JOIN nation ON nk = n_nationkey GROUP BY n_regionkey)
+         |SELECT CAST(${PropertyGraph.sqlEncode("region", "r")} AS BIGINT) AS id,
+         |  CAST(n1 + COALESCE(n2, 0) AS BIGINT) AS n_reachable,
+         |  CAST(n1 * 1000000 + COALESCE(n2, 0) * 500000 AS BIGINT) AS h_micro,
+         |  round((n1 * 1000000 + COALESCE(n2, 0) * 500000)
+         |    / 1000000.0, 6) AS harmonic
+         |FROM nn LEFT JOIN cs USING (r) ORDER BY id""".stripMargin,
     // reversed geo tree: nations at dist 1, customers+suppliers at 2
     "a_closeness" ->
       s"""WITH nn AS (SELECT n_regionkey AS r, COUNT(*) AS n1

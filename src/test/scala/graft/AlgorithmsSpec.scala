@@ -243,6 +243,17 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 5L, 0.8)))
   }
 
+  test("harmonic: hand-computed; unreachable vertices contribute zero") {
+    // 1 → 2,3,4 (dist 1) and 2 → 9 (dist 2); 7 → 8 is DISCONNECTED
+    // from 1: harmonic(1) = 3·1 + 1/2 = 3.5 regardless — the
+    // disconnect-robustness closeness lacks
+    val g = mkGraph(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 9L), (7L, 8L)))
+    val got = Algorithms.harmonic(spark, g, Seq(1L))
+      .select("id", "n_reachable", "h_micro", "harmonic")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 3500000L, 3.5)))
+  }
+
   test("clusteringCoefficient: triangle + pendant edge") {
     // triangle 1-2-3 plus edge 3-4: degrees 2,2,3,1 → wedges 1+1+3+0=5
     // triangles 1 → coefficient 3/5 = 0.6
