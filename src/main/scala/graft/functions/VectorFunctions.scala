@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -84,6 +84,107 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All PQ subspace codes of a float vector in ONE codegen'd
+  * expression: for each of `nSub` subspaces, the argmax over `ksub`
+  * codebook entries of the micro-unit subvector dot product, ties to
+  * the lower code — bit-identical to the composed
+  * `greatest(struct(floor(dot(slice(v), cbLit))·1e6+0.5, -j))` chain
+  * it replaces, including the left-to-right double accumulation the
+  * SQL oracles replay.
+  *
+  * Why custom (the same (b)-preference as [[FloatVecDot]]): the
+  * composed form expands to 128 dot kernels + 128 struct allocations +
+  * 8 sixteen-way struct comparisons PER ROW; the generated projection
+  * method grows past what HotSpot will JIT and the whole encode runs
+  * interpreted — measured 25.5 s for a 200k-row encode at the 100×
+  * probe scale (~128 µs/row). This expression is one small method with
+  * a three-deep primitive loop over a referenced float[] codebook:
+  * same arithmetic, ~100× less bytecode.
+  */
+case class FloatPqEncode(child: Expression, cb: Array[Float],
+                         nSub: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  require(cb.length == nSub * ksub * dsub, "codebook shape mismatch")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires array<float>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val codes = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      var best = Long.MinValue
+      var bj = 0
+      var j = 0
+      while (j < ksub) {
+        var sum = 0.0
+        var d = 0
+        val vbase = m * dsub
+        val cbase = (m * ksub + j) * dsub
+        while (d < dsub && vbase + d < n) {
+          sum += v.getFloat(vbase + d).toDouble * cb(cbase + d).toDouble
+          d += 1
+        }
+        val pd = math.floor(sum * 1000000.0 + 0.5).toLong
+        if (pd > best) { best = pd; bj = j }
+        j += 1
+      }
+      codes(m) = bj
+      m += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val codes = ctx.freshName("codes")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bj = ctx.freshName("bj")
+      val sum = ctx.freshName("sum")
+      val pd = ctx.freshName("pd")
+      s"""
+         |int $n = $v.numElements();
+         |int[] $codes = new int[$nSub];
+         |for (int $m = 0; $m < $nSub; $m++) {
+         |  long $best = Long.MIN_VALUE; int $bj = 0;
+         |  for (int $j = 0; $j < $ksub; $j++) {
+         |    double $sum = 0.0;
+         |    for (int $d = 0; $d < $dsub && $m * $dsub + $d < $n; $d++) {
+         |      $sum += (double) $v.getFloat($m * $dsub + $d)
+         |        * (double) $cbRef[($m * $ksub + $j) * $dsub + $d];
+         |    }
+         |    long $pd = (long) java.lang.Math.floor($sum * 1000000.0 + 0.5);
+         |    if ($pd > $best) { $best = $pd; $bj = $j; }
+         |  }
+         |  $codes[$m] = $bj;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatPqEncode =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import ColumnBridge.{toColumn, toExpr}
 
@@ -99,4 +200,12 @@ object VectorFunctions {
     */
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  /** all PQ subspace codes in one codegen'd kernel; `cb(m)(j)` is the
+    * dsub-dim sub-centroid j of subspace m.
+    */
+  def pq_encode(v: Column, cb: Array[Array[Array[Float]]]): Column = {
+    val nSub = cb.length; val ksub = cb(0).length; val dsub = cb(0)(0).length
+    toColumn(FloatPqEncode(toExpr(v), cb.flatten.flatten, nSub, ksub, dsub))
+  }
 }

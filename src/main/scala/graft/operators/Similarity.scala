@@ -376,20 +376,23 @@ object Similarity {
 
   /** Map-only PQ encoding: per subspace, argmax of the micro-unit
     * subvector dot product over the codebook entries, ties to the
-    * lower code — `greatest(struct(pd, -j))`, the assignCells pattern,
-    * so the 8-byte code row materializes in the same stage as the scan
-    * (no join, no shuffle). Adds columns c0..c{nSub-1}.
+    * lower code. ONE codegen'd kernel ([[graft.functions.FloatPqEncode]])
+    * computes every subspace — the composed greatest-of-structs chain
+    * generated more bytecode than HotSpot will JIT and ran interpreted
+    * (25.5 s per 200k rows at the 100× probe; the kernel ~0.5 s). The
+    * 8 c$m projections of the codes array collapse to one kernel
+    * evaluation via codegen subexpression elimination (PqProbe
+    * verifies the encode cost, SimilaritySpec the bit-identical
+    * semantics). Adds columns c0..c{nSub-1}.
     */
   private[graft] def pqEncode(df: DataFrame, vec: String,
-      cb: Array[Array[Array[Float]]], dsub: Int): DataFrame =
-    cb.zipWithIndex.foldLeft(df) { case (acc, (entries, m)) =>
-      val scored = entries.zipWithIndex.map { case (cv, j) =>
-        val cvLit = array(cv.map(x => lit(x)): _*)
-        struct(micro(dot(slice(col(vec), m * dsub + 1, dsub), cvLit)).as("pd"),
-          lit(-j).as("nj"))
-      }
-      acc.withColumn(s"c$m", -greatest(scored.toSeq: _*).getField("nj"))
-    }
+      cb: Array[Array[Array[Float]]], dsub: Int): DataFrame = {
+    val withCodes = df.withColumn("__pq_codes",
+      graft.functions.VectorFunctions.pq_encode(col(vec), cb))
+    cb.indices.foldLeft(withCodes) { case (acc, m) =>
+      acc.withColumn(s"c$m", element_at(col("__pq_codes"), m + 1))
+    }.drop("__pq_codes")
+  }
 
   /** Per-subspace Lloyd k-means for the PQ codebooks — the PRODUCTION
     * quantizer; [[pqTopKSeeded]]'s seeded codebook is the

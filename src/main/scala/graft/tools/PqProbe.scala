@@ -49,7 +49,9 @@ object PqProbe {
     }
     time("lut(20 rows)")(() =>
       queries.select(col("query_id"), array(lutCells: _*).as("lut")))
-    time("adc join")(() => {
+    // the deliberately-UNBARRIERED variant re-runs the encode nq× —
+    // fine at sf0.1 probe scale, hours at 100×; skippable
+    if (sys.env.get("SPARK_GRAFT_SKIP_SLOW").isEmpty) time("adc join")(() => {
       val codes = Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
         "embedding", cb, 8)
         .select(col("vec_id") +: (0 until 8).map(m => col(s"c$m")): _*)

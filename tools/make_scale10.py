@@ -131,3 +131,8 @@ if __name__ == "__main__":
     if only in (None, "events"):
         gen_events(EV_BASE, 1)
         gen_events(EV_TENX, 10)
+    # second decade, opt-in only (1.7 GB): same transform, replicas
+    # 0..99 — run the cheap sublinear queries to show the exponents
+    # hold across TWO decades, not one lucky step
+    if only == "100x":
+        gen("/tmp/scale_100x", 100)
