@@ -99,6 +99,49 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(p) <= 3, s"too many shuffles in seeded ivf:\n$p")
   }
 
+  test("e8 pq: encode sits behind its exchange barrier, not in the join output") {
+    // the repartition between encode and the ADC crossJoin is a
+    // MATERIALIZATION BARRIER (Similarity.pqTopKSeeded scaladoc): a
+    // BroadcastNestedLoopJoin re-evaluates its collapsed output
+    // projection once per (stream × build) PAIR, silently running the
+    // encode kernel nq× per corpus row (measured 6.9 vs 1.0 s). Pin
+    // the Exchange + the kernel's presence below it.
+    val p = plan("e8_pq_topk")
+    assert(p.contains("hashpartitioning(vec_id"),
+      s"codes barrier exchange missing:\n$p")
+    assert(p.contains("floatpqencode") || p.contains("FloatPqEncode"),
+      s"codegen'd PQ encode kernel missing from the plan:\n$p")
+  }
+
+  test("e10 ivf-pq: codes barrier on the cell key; cell join broadcasts queries") {
+    val p = plan("e10_ivfpq_topk")
+    assert(p.contains("hashpartitioning(cell"),
+      s"codes barrier exchange on the join key missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell join must broadcast:\n$p")
+  }
+
+  test("e9 semdedup: pair self-join meets on one exchanged (cell, shard) relation") {
+    // the barrier pins the cell-assign to once per vector (a collapsed
+    // assign would re-run its nCentroids cosines per PAIR) and lets
+    // both self-join sides reuse the same exchange. At gate scale the
+    // tiny build side broadcasts — which also materializes the assign
+    // once — so pin the barrier in the NON-broadcast regime, the one
+    // that holds at 100× where the fix was measured (25.8 → 9.0 s).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("e9_semdedup_prune")
+      assert(p.contains("REPARTITION_BY_COL"),
+        s"(cell, shard) barrier exchange missing:\n$p")
+      // each side evaluates its assign BEFORE its barrier exchange —
+      // once per vector per side, never per pair (AQE's ReusedExchange
+      // dedups the two identical shuffles at runtime; the initial plan
+      // string shows both)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"pair join must stay an equi-join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("r14 splits: keyspace bounds broadcast; split window runs on 8 agg rows") {
     val p = plan("r14_splits")
     // the 1-row (lo, hi) bounds frame joins the base scan via
