@@ -333,6 +333,174 @@ object Algorithms {
     } finally adj.unpersist(blocking = false)
   }
 
+  /** HITS hubs-and-authorities (Kleinberg), exact integer units — the
+    * mutual-reinforcement recurrence on the DIRECTED graph:
+    * a(v) = Σ_{u→v} h(u), then h(u) = Σ_{u→v} a(v), each renormalized
+    * so the max score is one unit (10⁶). Parallel edges keep their
+    * multiplicity (matrix semantics, same contract as
+    * [[eigenvectorExact]]). Hubs are defined over source vertices,
+    * authorities over destination vertices; the output is the full
+    * endpoint set with coalesce-0 for the side a vertex never plays.
+    * Integer floor division after each half-step makes every value
+    * bit-identical across engines/partitionings, so the oracle replays
+    * all iterations as chained CTEs (the pageRankExact/eigenvector
+    * template family).
+    *
+    * Scale: per half-step one narrow (id, score) join against a
+    * persisted copy of the edge list pre-partitioned on THAT
+    * half-step's join key (src for the authority pull, dst for the hub
+    * pull — two persisted copies, the EDGE_OUT/EDGE_IN trade) + one
+    * hash-agg; the renormalizer is ONE scalar MAX to the driver per
+    * half-step. Overflow-guarded like eigenvector: scores ≤ 10⁶, so
+    * the pre-normalize sum needs max in/out-degree < 9.2·10⁶.
+    */
+  def hitsExact(s: SparkSession, g: PropertyGraph,
+      labels: Seq[String] = Nil, iters: Int = 8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val e = e0.select(col("src"), col("dst"))
+    val eBySrc = e.repartition(col("src")).persist(MEMORY_AND_DISK)
+    val eByDst = e.repartition(col("dst")).persist(MEMORY_AND_DISK)
+    try {
+      if (eBySrc.isEmpty) {
+        return e.select(col("src").as("id"), lit(0L).as("hub"),
+          lit(0L).as("auth")).limit(0)
+      }
+      def renorm(m: DataFrame): DataFrame = {
+        val mx = m.agg(max(col("m"))).head().getLong(0)
+        require(mx > 0 && mx <= Long.MaxValue / 1000000L,
+          s"hits renormalizer out of range: $mx")
+        m.select(col("id"), expr(s"(m * 1000000L) div ${mx}L").as("score"))
+          .localCheckpoint()
+      }
+      var h = eBySrc.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(1000000L).as("score")).localCheckpoint()
+      var a = h.limit(0)
+      for (_ <- 1 to iters) {
+        a = renorm(eBySrc
+          .join(h.select(col("id").as("src"), col("score")), "src")
+          .groupBy(col("dst")).agg(sum(col("score")).as("m"))
+          .select(col("dst").as("id"), col("m")))
+        h = renorm(eByDst
+          .join(a.select(col("id").as("dst"), col("score")), "dst")
+          .groupBy(col("src")).agg(sum(col("score")).as("m"))
+          .select(col("src").as("id"), col("m")))
+      }
+      val universe = eBySrc.select(col("src").as("id"))
+        .union(eByDst.select(col("dst").as("id"))).distinct()
+      universe
+        .join(h.select(col("id"), col("score").as("hub")), Seq("id"), "left")
+        .join(a.select(col("id"), col("score").as("auth")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+          coalesce(col("auth"), lit(0L)).as("auth"))
+    } finally {
+      eBySrc.unpersist(blocking = false)
+      eByDst.unpersist(blocking = false)
+    }
+  }
+
+  /** Modularity Q of a vertex partition over the undirected simple
+    * graph — the community-quality metric (Newman–Girvan):
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ] with e_c = intra-community edge
+    * count, d_c = community degree mass, m = |edges|. Returned as the
+    * EXACT rational q_num/q_den (q_num = Σ_c (4·m·e_c − d_c²),
+    * q_den = 4m²) plus a rounded decimal — integer arithmetic end to
+    * end, so the oracle replays it hash-exactly; Q itself is a single
+    * deterministic division at the very end.
+    *
+    * `comm` assigns (id, comm); vertices missing from `comm` drop with
+    * their incident edges (strict = the metric is defined over the
+    * assigned subgraph; both engines apply the same inner join).
+    *
+    * Scale: two narrow joins endpoint→community (the classic
+    * vertex-cut pattern), then two hash-aggs of (comm) keys — output
+    * is ONE row; no driver state beyond scalars.
+    */
+  def modularity(s: SparkSession, edges: DataFrame, comm: DataFrame): DataFrame = {
+    val und = undirectedDistinct(edges)
+    val lab = und
+      .join(comm.select(col("id").as("a"), col("comm").as("ca")), "a")
+      .join(comm.select(col("id").as("b"), col("comm").as("cb")), "b")
+      .persist()
+    try {
+      val m = lab.count()
+      if (m == 0L) {
+        return lab.select(lit(0L).as("m"), lit(0L).as("n_comm"),
+          lit(0L).as("q_num"), lit(0L).as("q_den"),
+          lit(0.0).as("q")).limit(0)
+      }
+      val intra = lab.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("e_c"))
+      val degMass = lab
+        .select(explode(array(col("ca"), col("cb"))).as("comm"))
+        .groupBy(col("comm")).agg(count(lit(1)).as("d_c"))
+      val perComm = degMass.join(intra, Seq("comm"), "left")
+        .select(col("comm"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+          col("d_c"))
+      perComm.agg(
+          count(lit(1)).as("n_comm"),
+          sum(expr(s"4L * ${m}L * e_c - d_c * d_c")).as("q_num"))
+        .select(lit(m).as("m"), col("n_comm"), col("q_num"),
+          lit(4L * m * m).as("q_den"),
+          round(col("q_num").cast("double") / lit(4.0 * m * m), 6).as("q"))
+    } finally lab.unpersist(blocking = false)
+  }
+
+  /** Deterministic random-walk sampling (the node2vec/DeepWalk corpus
+    * generator): from each seed, `steps` hops over the undirected
+    * adjacency, choosing at vertex v on step t the neighbor with rank
+    * ((v mod 1000003)·2654435761 + t·97) mod outdeg(v) in the
+    * id-ordered neighbor list. The "randomness" is a pure-arithmetic
+    * hash both engines evaluate identically (no engine hash functions,
+    * no overflow: ids < 2⁴³ keep every product < 2⁶³), so the sampled
+    * walks — normally the textbook example of an un-oracle-able
+    * operator — replay exactly as unrolled SQL CTEs.
+    *
+    * Output: (seed, step, v) rows, step 0 = the seed itself; a walk
+    * that reaches an isolated vertex stops early (no row emitted).
+    *
+    * Scale: the ranked adjacency (v, n, rk, outdeg) is built ONCE
+    * (one window over the edge shuffle) and persisted across steps;
+    * per step the frontier is |seeds| narrow rows joining that
+    * persisted relation — walk state never exceeds one row per live
+    * walk, and nothing ever collects to the driver.
+    */
+  def randomWalks(s: SparkSession, g: PropertyGraph, seeds: DataFrame,
+      labels: Seq[String] = Nil, steps: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val adj = symmetrize(undirectedDistinct(e0))
+    val w = Window.partitionBy(col("v")).orderBy(col("n"))
+    val ranked = adj
+      .withColumn("rk", row_number().over(w))
+      .withColumn("outdeg", count(lit(1)).over(
+        Window.partitionBy(col("v"))))
+      .repartition(col("v"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      ranked.count() // materialize once; every step reuses the cache
+      var frontier = seeds.select(col("seed"), col("seed").as("cur"))
+        .localCheckpoint()
+      var out = frontier.select(col("seed"), lit(0).as("step"),
+        col("cur").as("v"))
+      for (t <- 1 to steps) {
+        frontier = frontier
+          .join(ranked.select(col("v").as("cur"), col("n"), col("rk"),
+            col("outdeg")), "cur")
+          .filter(col("rk") === expr(
+            s"((cur % 1000003L) * 2654435761L + ${t}L * 97L) % outdeg + 1L"))
+          .select(col("seed"), col("n").as("cur"))
+          .localCheckpoint()
+        out = out.union(frontier.select(col("seed"), lit(t).as("step"),
+          col("cur").as("v")))
+      }
+      out
+    } finally ranked.unpersist(blocking = false)
+  }
+
   /** Topological layering of a DAG (longest-path levels): level(v) = 0
     * for sources, else 1 + max(level(u)) over in-edges u→v — the
     * dependency-scheduling / lineage-depth primitive (level n = the

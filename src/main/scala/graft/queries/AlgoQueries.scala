@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.graph.{Algorithms, PropertyGraph}
 
 /** GraphX analytics queries (SURVEY §2.4 last row: PageRank/WCC/SSSP/
@@ -384,7 +385,65 @@ object AlgoQueries {
       .orderBy(col("label"), col("level"))
   }
 
+  /** HITS hubs/authorities over the directed order graph (customer
+    * →placed→ order →contains→ part): authorities concentrate on
+    * high-traffic parts, hubs on many-part orders. Exact integer-unit
+    * power iteration ([[Algorithms.hitsExact]]); the oracle replays
+    * all 8 double-half-step rounds as chained CTEs — the
+    * pagerankExact/eigenvector template family, now with two mutually
+    * recursive score vectors.
+    */
+  def aHits(s: SparkSession, dir: String): DataFrame =
+    Algorithms.hitsExact(s, g(s, dir),
+        labels = Seq("placed", "contains"), iters = 8)
+      .orderBy(col("auth").desc, col("hub").desc, col("id")).limit(10)
+
+  /** Modularity Q of the geographic partition over the geo subgraph:
+    * communities = nations (customers/suppliers join their nation;
+    * each region is its own singleton community), so every located_in
+    * edge is intra-community and every part_of edge crosses — a real
+    * multi-community quality measurement with an exact rational
+    * oracle (integer numerator/denominator, one rounded division).
+    */
+  def aModularity(s: SparkSession, dir: String): DataFrame = {
+    val gr = g(s, dir)
+    val e = gr.edges.filter(col("label").isin("located_in", "part_of"))
+    val enc = PropertyGraph.encode _
+    val comm = Tables.customer(s, dir).select(
+        enc("customer", col("c_custkey")).as("id"),
+        enc("nation", col("c_nationkey")).as("comm"))
+      .union(Tables.supplier(s, dir).select(
+        enc("supplier", col("s_suppkey")),
+        enc("nation", col("s_nationkey"))))
+      .union(Tables.nation(s, dir).select(
+        enc("nation", col("n_nationkey")),
+        enc("nation", col("n_nationkey"))))
+      .union(Tables.region(s, dir).select(
+        enc("region", col("r_regionkey")),
+        enc("region", col("r_regionkey"))))
+    Algorithms.modularity(s, e, comm)
+  }
+
+  /** Deterministic random-walk corpus sampling over the undirected
+    * order graph: every 100th customer seeds a 4-step walk whose
+    * neighbor choice is a pure-arithmetic hash of (vertex, step) —
+    * the node2vec/DeepWalk sampling primitive, made hash-oracle-able
+    * because both engines evaluate the identical arithmetic over the
+    * identical id-ranked adjacency ([[Algorithms.randomWalks]]).
+    */
+  def aWalkSample(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 100 === 0)
+      .select(PropertyGraph.encode("customer", col("c_custkey")).as("seed"))
+    Algorithms.randomWalks(s, g(s, dir), seeds,
+        labels = Seq("placed", "contains"), steps = 4)
+      .orderBy(col("seed"), col("step"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_hits" -> (aHits _),
+    "a_modularity" -> (aModularity _),
+    "a_walk_sample" -> (aWalkSample _),
     "a_dag_detector" -> (aDagDetector _),
     "a_toposort" -> (aToposort _),
     "a_copurchase" -> (aCopurchase _),
@@ -860,7 +919,125 @@ object AlgoQueries {
        |GROUP BY v.label, lf.lvl ORDER BY v.label, lf.lvl""".stripMargin
   }
 
+  /** the directed order graph's edge list (customer→order→part),
+    * parallel `contains` edges kept — shared by the HITS and walk
+    * oracles (matrix semantics must match the Spark side's
+    * one-edge-per-lineitem-row frame).
+    */
+  private val orderEdgesSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    s"""SELECT ${enc("customer", "o_custkey")} AS src,
+       |       ${enc("order", "o_orderkey")} AS dst FROM orders
+       |UNION ALL SELECT ${enc("order", "l_orderkey")},
+       |       ${enc("part", "l_partkey")} FROM lineitem""".stripMargin
+  }
+
+  /** DuckDB replay of hitsExact over the order graph: 8 rounds, each
+    * an authority pull (Σ hub over in-edges, renormalize to max 10⁶)
+    * then a hub pull (Σ auth over out-edges, renormalize) — window-MAX
+    * normalizers and `//` floor division keep every CTE single-
+    * reference and bit-identical to Spark's `div`.
+    */
+  private val hitsSql: String = {
+    val iters = 8
+    val steps = (1 to iters).map { i =>
+      s"""an$i AS (SELECT e.dst AS id, SUM(h.score) AS m
+         |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+         |a$i AS (SELECT id,
+         |  CAST((m * 1000000) // (MAX(m) OVER ()) AS BIGINT) AS score
+         |  FROM an$i),
+         |hn$i AS (SELECT e.src AS id, SUM(a.score) AS m
+         |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+         |h$i AS (SELECT id,
+         |  CAST((m * 1000000) // (MAX(m) OVER ()) AS BIGINT) AS score
+         |  FROM hn$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($orderEdgesSql),
+       |h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS score
+       |       FROM e),
+       |$steps,
+       |u AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))
+       |SELECT u.id, COALESCE(h.score, 0) AS hub, COALESCE(a.score, 0) AS auth
+       |FROM u LEFT JOIN h$iters h ON u.id = h.id
+       |       LEFT JOIN a$iters a ON u.id = a.id
+       |ORDER BY auth DESC, hub DESC, u.id LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB replay of the modularity computation: identical undirected
+    * simple graph, identical community assignment, exact integer
+    * numerator Σ_c (4·m·e_c − d_c²) over denominator 4m².
+    */
+  private val modularitySql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    s"""WITH e AS ($geoEdgesSql),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM e WHERE src <> dst),
+       |comm AS (
+       |  SELECT ${enc("customer", "c_custkey")} AS id,
+       |         ${enc("nation", "c_nationkey")} AS comm FROM customer
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+       |         ${enc("nation", "s_nationkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+       |         ${enc("nation", "n_nationkey")} FROM nation
+       |  UNION ALL SELECT ${enc("region", "r_regionkey")},
+       |         ${enc("region", "r_regionkey")} FROM region),
+       |lab AS (SELECT u.a, u.b, ca.comm AS ca, cb.comm AS cb
+       |  FROM und u JOIN comm ca ON u.a = ca.id JOIN comm cb ON u.b = cb.id),
+       |mm AS (SELECT COUNT(*) AS m FROM lab),
+       |dm AS (SELECT comm, COUNT(*) AS d_c FROM
+       |  (SELECT ca AS comm FROM lab UNION ALL SELECT cb FROM lab)
+       |  GROUP BY comm),
+       |ic AS (SELECT ca AS comm, COUNT(*) AS e_c FROM lab
+       |       WHERE ca = cb GROUP BY ca),
+       |pc AS (SELECT dm.comm, COALESCE(ic.e_c, 0) AS e_c, dm.d_c
+       |       FROM dm LEFT JOIN ic USING (comm))
+       |SELECT (SELECT m FROM mm) AS m,
+       |  CAST(COUNT(*) AS BIGINT) AS n_comm,
+       |  CAST(SUM(4 * (SELECT m FROM mm) * e_c - d_c * d_c) AS BIGINT)
+       |    AS q_num,
+       |  CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS BIGINT)
+       |    AS q_den,
+       |  round(CAST(SUM(4 * (SELECT m FROM mm) * e_c - d_c * d_c) AS DOUBLE)
+       |    / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 6) AS q
+       |FROM pc""".stripMargin
+  }
+
+  /** DuckDB replay of randomWalks: the identical id-ranked undirected
+    * adjacency and the identical arithmetic neighbor choice, 4 hops
+    * unrolled — each hop CTE references its predecessor exactly once.
+    */
+  private val walkSampleSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val steps = 4
+    val hops = (1 to steps).map { t =>
+      s"""f$t AS (SELECT f.seed, r.n AS cur
+         |  FROM f${t - 1} f JOIN rk r ON r.v = f.cur
+         |  AND r.rk = ((f.cur % 1000003) * 2654435761 + $t * 97)
+         |             % r.outdeg + 1)""".stripMargin
+    }.mkString(",\n")
+    val outs = (0 to steps).map { t =>
+      s"SELECT seed, CAST($t AS INT) AS step, cur AS v FROM f$t"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS ($orderEdgesSql),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM e WHERE src <> dst),
+       |adj AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+       |rk AS (SELECT v, n,
+       |    ROW_NUMBER() OVER (PARTITION BY v ORDER BY n) AS rk,
+       |    COUNT(*) OVER (PARTITION BY v) AS outdeg FROM adj),
+       |f0 AS (SELECT ${enc("customer", "c_custkey")} AS seed,
+       |    ${enc("customer", "c_custkey")} AS cur
+       |  FROM customer WHERE c_custkey % 100 = 0),
+       |$hops
+       |$outs
+       |ORDER BY seed, step""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "a_hits" -> hitsSql,
+    "a_modularity" -> modularitySql,
+    "a_walk_sample" -> walkSampleSql,
     "a_dag_detector" -> dagDetectorSql,
     "a_toposort" -> toposortSql,
     // layered BFS from each seed (visited-set subtraction = first-
