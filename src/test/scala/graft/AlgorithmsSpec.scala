@@ -530,6 +530,64 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 2L, "1->2->4")))
   }
 
+  test("hitsExact: bipartite fixed point and hub/authority separation") {
+    // hubs {1,2}, auths {10,11,12}; 11 cited twice → the fixed point is
+    // a = (500000, 1000000, 500000), h = (1000000, 1000000) from
+    // iteration 1 on (hand-iterated)
+    val g = mkGraph(Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L)))
+    val got = Algorithms.hitsExact(spark, g, iters = 8)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, h, a) => id -> (h, a) }.toMap
+    assert(got(1L) == (1000000L, 0L) && got(2L) == (1000000L, 0L))
+    assert(got(10L) == (0L, 500000L) && got(12L) == (0L, 500000L))
+    assert(got(11L) == (0L, 1000000L))
+    // asymmetric hubs: 1 cites three, 2 cites one → hub(1) > hub(2);
+    // the doubly-cited 12 dominates authorities
+    val g2 = mkGraph(Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L)))
+    val m2 = Algorithms.hitsExact(spark, g2, iters = 8)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, h, a) => id -> (h, a) }.toMap
+    assert(m2(1L)._1 == 1000000L && m2(2L)._1 < m2(1L)._1)
+    assert(m2(12L)._2 == 1000000L && m2(10L)._2 < m2(12L)._2)
+    assert(m2(10L)._2 == m2(11L)._2)
+  }
+
+  test("modularity: two triangles + bridge hand value; one community is zero") {
+    val tri2 = mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)))
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "comm")
+    // m=7, per community e_c=3, d_c=7: q_num = 2*(4*7*3 - 49) = 70,
+    // q_den = 4*49 = 196, Q = 70/196 = 0.357143
+    val got = Algorithms.modularity(spark, tri2.edges, comm)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((7L, 2L, 70L, 196L, 0.357143)))
+    // the degenerate one-community partition always scores exactly 0
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 9L)).toDF("id", "comm")
+    val z = Algorithms.modularity(spark, tri2.edges, one)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(z._3 == 0L && z._5 == 0.0)
+  }
+
+  test("randomWalks: hand-computed arithmetic choice; dead ends stop; deterministic") {
+    // triangle 1-2-3 undirected; from 1 the (v,step) hash picks, per
+    // the formula ((v%1000003)*2654435761 + 97*t) % outdeg + 1 over
+    // id-ranked neighbors: 1→2→1→2 (all parities even → rank 1)
+    val g = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    val seeds = Seq(1L).toDF("seed")
+    val got = Algorithms.randomWalks(spark, g, seeds, steps = 3)
+      .orderBy("step").as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((1L, 0, 1L), (1L, 1, 2L), (1L, 2, 1L), (1L, 3, 2L)))
+    // determinism: a second run is bit-identical
+    val again = Algorithms.randomWalks(spark, g, seeds, steps = 3)
+      .orderBy("step").as[(Long, Int, Long)].collect().toSeq
+    assert(again == got)
+    // a seed absent from the walk graph emits its step-0 row and stops
+    val iso = Algorithms.randomWalks(spark, g, Seq(99L).toDF("seed"), steps = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(iso == Seq((99L, 0, 99L)))
+  }
+
   test("pairShortestPath: undirected, self, and unreachable shapes") {
     val g = mkGraph(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
     // follows edges against their direction
