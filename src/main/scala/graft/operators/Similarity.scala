@@ -34,6 +34,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vec_cosine(a, b)
 
+  /** Cosine over MICRO-QUANTIZED components: each element becomes the
+    * integer floor(x·10⁶ + 0.5) (held as an integer-valued double).
+    * Dots and norms are then sums of integer-valued terms bounded well
+    * under 2⁵³ — EXACT in IEEE double in any accumulation order, in
+    * any engine — so the one final divide-by-sqrt is bit-deterministic
+    * cross-engine. This removes the round-6 boundary flakiness that
+    * raw-float cosines carry (two engines computing dot/‖a‖‖b‖ with
+    * different op order differ at ~1e-16, which flips a .5e-6 rounding
+    * boundary — observed on the e11 pair matrix, 1 cell in 3600):
+    * use this wherever a float similarity feeds a hash-exact gate.
+    */
+  def cosineMicro(a: Column, b: Column): Column = {
+    def qv(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * 1000000d + 0.5d).cast("double"))
+    val (qa, qb) = (qv(a), qv(b))
+    dot(qa, qb) / sqrt(dot(qa, qa) * dot(qb, qb))
+  }
+
   /** Query sets above this row count are NOT broadcast: the join
     * degrades to a shuffle join instead of OOMing the broadcast. The
     * guard costs one count() job over the (narrow) query frame,
@@ -717,4 +735,78 @@ object Similarity {
         max(col("x")).as("max_val"))
       .withColumn("mean_val",
         round(col("sum_micro").cast("double") / col("n_vecs") / 1000000d, 6))
+
+  /** MMR (maximal marginal relevance) diversified top-k: greedily pick
+    * k documents maximizing λ·sim(query, d) − (1−λ)·max_{s∈S} sim(d, s)
+    * — the retrieval re-ranker that trades raw relevance for coverage
+    * (the RAG context-diversity step after an ANN stage). Pick 1 is
+    * the plain most-relevant doc; every later pick penalizes
+    * redundancy against the already-selected set S.
+    *
+    * λ is fixed at 3/4 so the score lives in EXACT quarter-micro
+    * integer units: score_u = 3·simq_u − max_cs_u with simq_u/cs_u the
+    * floor(cos·10⁶ + 0.5) micro cosines (over [[cosineMicro]]'s
+    * quantized components, so the cosine double itself is
+    * bit-deterministic cross-engine). Every comparison the greedy loop
+    * makes is integer-exact — no engine round() in the loop at all
+    * (Spark's round is exact-decimal HALF_UP while DuckDB's rides a
+    * ×10⁶ float multiply; near a .5e-6 boundary they disagree —
+    * observed before this formulation). Ties break by
+    * (score_u DESC, vec_id ASC); the oracle replays the identical
+    * unrolled steps and the output `score` is the single final
+    * division score_u / 4·10⁶.
+    *
+    * Scale shape: `candidates` is the OUTPUT of an ANN stage (tens to
+    * hundreds of rows per query, never the corpus) — here everything
+    * downstream of `cand`/`pairs` is per-query-group work on that
+    * bounded set: one k-step loop of anti-join + max-agg + window
+    * rank, all partitioned by query_id, nothing on the driver.
+    */
+  def mmrSelect(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    def microCos(a: Column, b: Column): Column =
+      floor(cosineMicro(a, b) * 1000000d + 0.5d).cast("long")
+    val cand = candidates.select(col("vec_id"), col("embedding"))
+      .crossJoin(maybeBroadcast(
+        queries.select(col("query_id"), col("query_vec")), queries,
+        DefaultMaxBroadcastRows))
+      .select(col("query_id"), col("vec_id"),
+        microCos(col("embedding"), col("query_vec")).as("simqu"))
+      .persist()
+    val pairs = candidates.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(candidates.select(col("vec_id").as("b"), col("embedding").as("eb")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"), microCos(col("ea"), col("eb")).as("csu"))
+      .persist()
+    try {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_u").desc, col("vec_id").asc)
+      var sel = cand
+        .select(col("query_id"), col("vec_id"),
+          (col("simqu") * 3L).as("score_u"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("score_u"),
+          lit(1).as("pick"))
+        .localCheckpoint()
+      for (t <- 2 to k) {
+        val next = cand
+          .join(sel.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"),
+            "left_anti")
+          .join(sel.select(col("query_id"), col("vec_id").as("sb")), "query_id")
+          .join(pairs, col("vec_id") === col("a") && col("b") === col("sb"))
+          .groupBy(col("query_id"), col("vec_id"), col("simqu"))
+          .agg(max(col("csu")).as("ms"))
+          .select(col("query_id"), col("vec_id"),
+            (col("simqu") * 3L - col("ms")).as("score_u"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("query_id"), col("vec_id"), col("score_u"),
+            lit(t).as("pick"))
+        sel = sel.union(next).localCheckpoint()
+      }
+      sel.select(col("query_id"), col("pick"), col("vec_id"),
+        (col("score_u").cast("double") / 4000000d).as("score"))
+    } finally {
+      cand.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+    }
+  }
 }

@@ -336,6 +336,22 @@ object PipelineQueries {
     Similarity.ivfPqTopKSeeded(queriesDf(s, dir, 20), Tables.embeddings(s, dir), 3)
       .orderBy(col("query_id"), col("rank"))
 
+  /** MMR diversified top-5 over a fixed 60-candidate pool for 3 query
+    * vectors ([[Similarity.mmrSelect]]) — the post-ANN re-rank that
+    * trades relevance for coverage. λ is 3/4 by construction so the
+    * greedy loop compares exact quarter-micro INTEGER scores (see
+    * mmrSelect's determinism contract — engine round() disagreements
+    * near .5e-6 boundaries are why the loop carries no float at all).
+    * The pool is an id-range here so the oracle stays a linear replay;
+    * in production the pool is the e2/e3 ANN output.
+    */
+  def e11Mmr(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrSelect(queriesDf(s, dir, 3),
+        Tables.embeddings(s, dir)
+          .filter(col("vec_id") >= 5 && col("vec_id") < 65),
+        k = 5)
+      .orderBy(col("query_id"), col("pick"))
+
   /** embedding cosine near-dup pairs over a bounded set — exact oracle. */
   def e4EmbNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.2,
@@ -687,6 +703,7 @@ object PipelineQueries {
     "e8_pq_topk" -> (e8PqTopk _),
     "e9_semdedup_prune" -> (e9SemdedupPrune _),
     "e10_ivfpq_topk" -> (e10IvfpqTopk _),
+    "e11_mmr" -> (e11Mmr _),
     "e4_emb_near_dup" -> (e4EmbNearDup _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m5_tiles" -> (m5Tiles _),
@@ -952,6 +969,61 @@ object PipelineQueries {
     * CTEs: probed cells restrict the ADC join, everything else is
     * identical to the parents (one source of truth per fragment).
     */
+  /** DuckDB replay of the MMR greedy selection in exact quarter-micro
+    * integer units: micro-quantized components → integer-valued dots
+    * (exact in double below 2⁵³) → floor(cos·10⁶+0.5) micro cosines →
+    * score_u = 3·simq_u − max cs_u, unrolled 5 picks with
+    * (score_u DESC, vec_id) tie order — no engine round() anywhere in
+    * the loop (Spark/DuckDB round() disagree near .5e-6 boundaries).
+    */
+  private val mmrSql: String = {
+    val k = 5
+    val steps = (2 to k).map { t =>
+      s"""p$t AS (SELECT query_id, vec_id, score_u, $t AS pick FROM (
+         |  SELECT c2.query_id, c2.vec_id,
+         |    3 * c2.simqu - MAX(p.csu) AS score_u,
+         |    ROW_NUMBER() OVER (PARTITION BY c2.query_id
+         |      ORDER BY 3 * c2.simqu - MAX(p.csu) DESC, c2.vec_id) AS rn
+         |  FROM cand c2
+         |  JOIN sel${t - 1} s ON s.query_id = c2.query_id
+         |  JOIN pairs p ON p.a = c2.vec_id AND p.b = s.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |    WHERE x.query_id = c2.query_id AND x.vec_id = c2.vec_id)
+         |  GROUP BY c2.query_id, c2.vec_id, c2.simqu) WHERE rn = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> floor(x * 1000000 + 0.5)) AS qv
+       |  FROM embeddings WHERE vec_id < 3),
+       |c AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> floor(x * 1000000 + 0.5)) AS cv
+       |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 65),
+       |cand AS (SELECT q.query_id, c.vec_id,
+       |    CAST(floor(list_dot_product(c.cv, q.qv)
+       |      / sqrt(list_dot_product(c.cv, c.cv)
+       |             * list_dot_product(q.qv, q.qv))
+       |      * 1000000 + 0.5) AS BIGINT) AS simqu
+       |  FROM q, c),
+       |pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+       |    CAST(floor(list_dot_product(a.cv, b.cv)
+       |      / sqrt(list_dot_product(a.cv, a.cv)
+       |             * list_dot_product(b.cv, b.cv))
+       |      * 1000000 + 0.5) AS BIGINT) AS csu
+       |  FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT query_id, vec_id, 3 * simqu AS score_u, 1 AS pick
+       |  FROM (
+       |    SELECT query_id, vec_id, simqu,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY simqu DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |$steps
+       |SELECT query_id, pick, vec_id,
+       |  CAST(score_u AS DOUBLE) / 4000000 AS score
+       |FROM sel$k ORDER BY query_id, pick""".stripMargin
+  }
+
   private val ivfPqTopkSql: String = {
     val nSub = 8; val dsub = 8; val ksub = 16; val k = 3; val nq = 20
     val rerank = 10; val nCent = 8; val nprobe = 2
@@ -1051,6 +1123,7 @@ object PipelineQueries {
     "e8_pq_topk" -> pqTopkSql,
     "e9_semdedup_prune" -> semdedupSql,
     "e10_ivfpq_topk" -> ivfPqTopkSql,
+    "e11_mmr" -> mmrSql,
     // the e3 cell-assignment CTE joined onto document metadata
     "e7_cluster_profile" ->
       """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv

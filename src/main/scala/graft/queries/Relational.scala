@@ -467,7 +467,42 @@ object Relational {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Correlation / covariance / stddev per group via EXACT integer
+    * moment sums — the scale-safe replacement for the built-in
+    * `corr`/`covar_samp` aggregates, whose float accumulation is
+    * partition-order sensitive (different shuffle → different low
+    * bits → an un-oracle-able result). Here the ONE aggregation pass
+    * collects exact BIGINT moments (n, Σx, Σy, Σxy, Σx², Σy² — all
+    * map-side combinable, one shuffle), and every derived statistic is
+    * a single deterministic double expression per group evaluated once
+    * at the very end — the same op order the oracle replays, so even
+    * the float outputs hash-match. x = quantity, y = whole-dollar
+    * price (floored so y² sums stay in BIGINT range through sf10).
+    */
+  def qCorrMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val m = Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_quantity".cast("long").as("x"),
+        floor($"l_extendedprice").cast("long").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select($"l_returnflag", $"n", $"sx", $"sy", $"sxy", $"sxx", $"syy",
+        (d($"n") * d($"sxx") - d($"sx") * d($"sx")).as("dx"),
+        (d($"n") * d($"syy") - d($"sy") * d($"sy")).as("dy"),
+        (d($"n") * d($"sxy") - d($"sx") * d($"sy")).as("dxy"))
+    m.select($"l_returnflag", $"n", $"sx", $"sy", $"sxy", $"sxx", $"syy",
+        round($"dxy" / sqrt($"dx" * $"dy"), 6).as("corr"),
+        round($"dxy" / $"n" / ($"n" - 1), 6).as("covar_samp"),
+        round(sqrt($"dx" / $"n" / ($"n" - 1)), 6).as("stddev_x"),
+        round(sqrt($"dy" / $"n" / ($"n" - 1)), 6).as("stddev_y"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_moments" -> (qCorrMoments _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_bloom_semi" -> (qBloomSemi _),
@@ -499,6 +534,33 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical exact-integer moments, identical derived-double op
+    // order — the float statistics hash-match because every divide /
+    // sqrt happens once per group on bit-identical inputs
+    "q_corr_moments" ->
+      """SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+        |  round(dxy / sqrt(dx * dy), 6) AS corr,
+        |  round(dxy / n / (n - 1), 6) AS covar_samp,
+        |  round(sqrt(dx / n / (n - 1)), 6) AS stddev_x,
+        |  round(sqrt(dy / n / (n - 1)), 6) AS stddev_y
+        |FROM (
+        |  SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy
+        |  FROM (
+        |    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |      CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |      CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |      CAST(SUM(y * y) AS BIGINT) AS syy
+        |    FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |          CAST(FLOOR(l_extendedprice) AS BIGINT) AS y FROM lineitem)
+        |    GROUP BY l_returnflag))
+        |ORDER BY l_returnflag""".stripMargin,
     // the PLAIN join: equality proves the salt scatter/replicate is
     // semantics-preserving
     "q_salted_join" ->

@@ -20,6 +20,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2) == -1.0)
   }
 
+  test("mmrSelect: redundancy is penalized, plain relevance is not") {
+    // candidates: 20/21 exact duplicates (cs = 1), 22 orthogonal to
+    // them but still query-relevant. Relevance-only top-2 = {20, 21}
+    // (tie → lower id first); MMR pick 2 must be 22: the duplicate's
+    // score 0.75·0.781 − 0.25·1 = 0.336 loses to 22's unpenalized
+    // 0.75·0.625 = 0.469.
+    val cands = Seq(
+      (20L, Array(1f, 0f, 0f, 0f)),
+      (21L, Array(1f, 0f, 0f, 0f)),
+      (22L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1f, 0.8f, 0f, 0f))).toDF("query_id", "query_vec")
+    val got = Similarity.mmrSelect(q, cands, k = 3)
+      .orderBy("pick").select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(20L, 22L, 21L), s"got $got")
+    // scores are quarter-micro integers divided once: exact re-run
+    val again = Similarity.mmrSelect(q, cands, k = 3)
+      .orderBy("pick").as[(Long, Int, Long, Double)].collect().toSeq
+    val first = Similarity.mmrSelect(q, cands, k = 3)
+      .orderBy("pick").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(again == first)
+  }
+
   test("brute-force top-k finds the planted nearest neighbor first") {
     val corpus = Seq(
       (10L, Array(1f, 0f, 0f, 0f)),
