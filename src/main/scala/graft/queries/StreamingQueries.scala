@@ -172,7 +172,16 @@ object StreamingQueries {
     EventsPipeline.cdcLatestState(Tables.events(s, dir))
       .orderBy(col("user_id"))
 
+  /** chained windowed aggregation (5-min buckets → hourly roll-up);
+    * the streaming face runs both levels incrementally under one
+    * watermark (StreamingSpec pins stream ≡ batch).
+    */
+  def s18HourlyRollup(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.hourlyRollup(Tables.events(s, dir))
+      .orderBy(col("hour_bucket"), col("event_type"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_hourly_rollup" -> (s18HourlyRollup _),
     "s16_cdc_state" -> (s16CdcState _),
     "s10_gap_sessions" -> (s10GapSessions _),
     "s12_scd2" -> (s12Scd2 _),
@@ -196,6 +205,13 @@ object StreamingQueries {
     "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "s18_hourly_rollup" ->
+      s"""SELECT (b5 // 3600) * 3600 AS hour_bucket, event_type,
+         |  CAST(SUM(n) AS BIGINT) AS n_events,
+         |  COUNT(*) AS n_buckets, MAX(n) AS peak_bucket
+         |FROM (SELECT $bucketSql AS b5, event_type, COUNT(*) AS n
+         |      FROM events GROUP BY 1, 2)
+         |GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
     "s16_cdc_state" ->
       """SELECT user_id, event_type AS last_type, value AS last_value
         |FROM (SELECT user_id, event_type, value,

@@ -63,6 +63,29 @@ object EventsPipeline {
       .select(unix_timestamp(col("window.start")).as("bucket"),
         col("event_type"), col("n"), col("value_sum"))
 
+  /** CHAINED windowed aggregation: 5-minute tumbling counts rolled up
+    * into 1-hour buckets (events → Σn, bucket count, peak bucket) —
+    * the multi-resolution dashboard cascade. In streaming this is the
+    * chained-time-window pattern (Spark ≥ 3.4): the second groupBy
+    * windows over `window_time` of the first agg's window column, so
+    * BOTH stages run incrementally under one watermark — the naive
+    * alternative (re-aggregating raw events per resolution) scans the
+    * stream once per resolution and keeps per-event state twice.
+    * Batch face identical; the oracle replays both levels.
+    */
+  def hourlyRollup(df: DataFrame, width: String = "5 minutes",
+                   roll: String = "1 hour"): DataFrame =
+    withWatermarked(df)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), roll).as("hw"),
+        col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_buckets"),
+        max(col("n")).as("peak_bucket"))
+      .select(unix_timestamp(col("hw.start")).as("hour_bucket"),
+        col("event_type"), col("n_events"), col("n_buckets"),
+        col("peak_bucket"))
+
   /** Sliding windows (10-minute width, 5-minute hop) per event_type. */
   def slidingCounts(df: DataFrame, width: String = "10 minutes",
                     hop: String = "5 minutes"): DataFrame =

@@ -58,6 +58,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(base + 1800) == 1)
   }
 
+  test("chained windowed aggregation: 5-min buckets roll into hourly, incrementally") {
+    val stream = MemoryStream[Ev]
+    val out = runStream(stream,
+      EventsPipeline.hourlyRollup(stream.toDF()), "t_rollup")(Seq(
+      // hour 0: three 5-min buckets (00:01|00:02 share one; 00:12; 00:31)
+      Seq(ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00"),
+        ev(3, "2024-01-01 00:12:00"), ev(4, "2024-01-01 00:31:00")),
+      // hour 1 + watermark past hour 0's close
+      Seq(ev(5, "2024-01-01 01:20:00")),
+      Seq(ev(6, "2024-01-01 03:00:00")) // close hour 1
+    ))
+    val rows = out.select("hour_bucket", "n_events", "n_buckets", "peak_bucket")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (b, n, k, p) => b -> (n, k, p) }.toMap
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    assert(rows(base) == ((4L, 3L, 2L)), s"got $rows")
+    assert(rows(base + 3600) == ((1L, 1L, 1L)))
+    // stream output ≡ the batch face on the same rows (the unified
+    // contract the s18 gate rides on)
+    val batch = EventsPipeline.hourlyRollup(Seq(
+        ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00"),
+        ev(3, "2024-01-01 00:12:00"), ev(4, "2024-01-01 00:31:00"),
+        ev(5, "2024-01-01 01:20:00"), ev(6, "2024-01-01 03:00:00")).toDF())
+      .select("hour_bucket", "n_events", "n_buckets", "peak_bucket")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val streamed = out.select("hour_bucket", "n_events", "n_buckets", "peak_bucket")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the stream never closes the final (03:00) hour — compare on the
+    // closed windows it did emit
+    assert(streamed.subsetOf(batch) && streamed.size == 2, s"got $streamed vs $batch")
+  }
+
   test("dropDuplicatesWithinWatermark dedups per key bucket") {
     val stream = MemoryStream[Ev]
     val out = runStream(stream,
