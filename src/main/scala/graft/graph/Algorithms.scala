@@ -501,6 +501,51 @@ object Algorithms {
     } finally ranked.unpersist(blocking = false)
   }
 
+  /** Distributed greedy coloring (Jones–Plassmann): vertices take the
+    * round in which they win the priority contest as their color,
+    * where v wins once every uncolored neighbor has lower (priority,
+    * id). The key identity that makes this ONE reusable loop instead
+    * of a new one: JP's round number for v equals the longest
+    * monotone-decreasing-priority path ending at v — i.e. the
+    * [[dagLayers]] longest-path level over the adjacency ORIENTED from
+    * higher to lower priority (a DAG by construction: priorities with
+    * the id tie-break are a total order, so no cycle can be
+    * monotone). Adjacent vertices sit on an oriented edge and
+    * therefore differ in level — a proper coloring.
+    *
+    * Priority is the pure-arithmetic hash (v mod 1000003)·2654435761 +
+    * v mod 97 (the randomWalks family: no engine hash, no overflow),
+    * so the whole computation — orientation included — replays in SQL.
+    * Color count tracks the longest decreasing chain (O(log n /
+    * log log n) expected for hashed priorities), not the chromatic
+    * number; `iters` caps the depth and strict mode fails LOUDLY if
+    * the gate graph ever outgrows the oracle's unroll.
+    *
+    * Scale: inherits dagLayers' delta-frontier loop (Σ|delta| edge
+    * work, narrow (id, level) state, pre-partitioned persisted edges);
+    * the orientation itself is one map over the edge list.
+    */
+  def greedyColoring(s: SparkSession, g: PropertyGraph,
+      labels: Seq[String] = Nil, iters: Int = 16): DataFrame = {
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val und = undirectedDistinct(e0)
+    def pr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (c % 1000003L) * lit(2654435761L) + c % 97L
+    val aWins = pr(col("a")) > pr(col("b")) ||
+      (pr(col("a")) === pr(col("b")) && col("a") > col("b"))
+    val oriented = und.select(
+        when(aWins, struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        lit("oriented").as("label"))
+    val verts = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct().select(col("id"), lit("v").as("label"))
+    dagLayersStatus(s, PropertyGraph(verts, oriented), iters,
+        strict = true)._1
+      .select(col("id"), col("level").as("color"))
+  }
+
   /** Topological layering of a DAG (longest-path levels): level(v) = 0
     * for sources, else 1 + max(level(u)) over in-edges u→v — the
     * dependency-scheduling / lineage-depth primitive (level n = the

@@ -440,7 +440,26 @@ object AlgoQueries {
       .orderBy(col("seed"), col("step"))
   }
 
+  /** Fixed depth cap shared by the a_coloring gate and its oracle
+    * unroll; AlgorithmsSpec asserts the gate graph's realized chain
+    * depth converges well inside it.
+    */
+  val ColoringRounds = 16
+
+  /** Distributed greedy (Jones–Plassmann) coloring of the undirected
+    * order graph, summarized per color class (n, id_sum) — proper
+    * coloring is pinned in AlgorithmsSpec; the oracle replays the
+    * priority orientation + longest-path levels as unrolled CTEs.
+    */
+  def aColoring(s: SparkSession, dir: String): DataFrame =
+    Algorithms.greedyColoring(s, g(s, dir),
+        labels = Seq("placed", "contains"), iters = ColoringRounds)
+      .groupBy(col("color"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+      .orderBy(col("color"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_coloring" -> (aColoring _),
     "a_hits" -> (aHits _),
     "a_modularity" -> (aModularity _),
     "a_walk_sample" -> (aWalkSample _),
@@ -1034,7 +1053,39 @@ object AlgoQueries {
        |ORDER BY seed, step""".stripMargin
   }
 
+  /** DuckDB replay of greedyColoring: identical arithmetic priorities,
+    * identical higher→lower orientation, then the toposortSql
+    * max-propagation template over the oriented DAG (each round
+    * references its predecessor once — linear CTE growth).
+    */
+  private val coloringSql: String = {
+    val rounds = (1 to ColoringRounds).map { i =>
+      s"""l$i AS (SELECT v0.id,
+         |    CAST(COALESCE(cc.mx, 0) AS BIGINT) AS lvl
+         |  FROM l0 v0 LEFT JOIN (
+         |    SELECT pe.dst AS id, MAX(lp.lvl + 1) AS mx
+         |    FROM pe JOIN l${i - 1} lp ON pe.src = lp.id
+         |    GROUP BY pe.dst) cc USING (id))"""
+    }.mkString(",\n")
+    s"""WITH e0 AS ($orderEdgesSql),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM e0 WHERE src <> dst),
+       |pp AS (SELECT a, b,
+       |    (a % 1000003) * 2654435761 + a % 97 AS pa,
+       |    (b % 1000003) * 2654435761 + b % 97 AS pb FROM und),
+       |pe AS (SELECT
+       |    CASE WHEN pa > pb OR (pa = pb AND a > b) THEN a ELSE b END AS src,
+       |    CASE WHEN pa > pb OR (pa = pb AND a > b) THEN b ELSE a END AS dst
+       |  FROM pp),
+       |l0 AS (SELECT DISTINCT id, CAST(0 AS BIGINT) AS lvl FROM
+       |  (SELECT a AS id FROM und UNION ALL SELECT b FROM und)),
+       |$rounds
+       |SELECT lvl AS color, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM l$ColoringRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "a_coloring" -> coloringSql,
     "a_hits" -> hitsSql,
     "a_modularity" -> modularitySql,
     "a_walk_sample" -> walkSampleSql,

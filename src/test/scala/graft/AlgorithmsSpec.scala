@@ -530,6 +530,33 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 2L, "1->2->4")))
   }
 
+  test("greedyColoring: proper on triangle/star/chain; gate depth inside the unroll") {
+    def proper(edges: Seq[(Long, Long)]): Unit = {
+      val g = mkGraph(edges)
+      val colors = Algorithms.greedyColoring(spark, g)
+        .as[(Long, Long)].collect().toMap
+      edges.foreach { case (a, b) =>
+        assert(colors(a) != colors(b), s"edge ($a,$b) same color in $colors")
+      }
+    }
+    proper(Seq((1L, 2L), (2L, 3L), (1L, 3L))) // K3 needs 3 colors
+    proper(Seq((1L, 2L), (1L, 3L), (1L, 4L))) // star
+    proper(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) // chain
+    // K3 uses exactly colors {0,1,2} (a monotone chain covers the clique)
+    val k3 = Algorithms.greedyColoring(spark, mkGraph(Seq((1L, 2L), (2L, 3L), (1L, 3L))))
+      .as[(Long, Long)].collect().map(_._2).toSet
+    assert(k3 == Set(0L, 1L, 2L))
+    // gate-scale convergence: strict mode (inside greedyColoring) must
+    // not throw at the shared ColoringRounds bound on the gate graph
+    val gate = PropertyGraph.fromTpch(spark, TestSpark.sfDir)
+    val dist = Algorithms.greedyColoring(spark, gate,
+        labels = Seq("placed", "contains"),
+        iters = graft.queries.AlgoQueries.ColoringRounds)
+      .groupBy("color").count()
+      .as[(Long, Long)].collect().toMap
+    assert(dist.nonEmpty && dist.keySet.max < graft.queries.AlgoQueries.ColoringRounds)
+  }
+
   test("hitsExact: bipartite fixed point and hub/authority separation") {
     // hubs {1,2}, auths {10,11,12}; 11 cited twice → the fixed point is
     // a = (500000, 1000000, 500000), h = (1000000, 1000000) from
