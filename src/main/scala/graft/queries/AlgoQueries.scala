@@ -395,8 +395,15 @@ object AlgoQueries {
     */
   def aHits(s: SparkSession, dir: String): DataFrame =
     Algorithms.hitsExact(s, g(s, dir),
-        labels = Seq("placed", "contains"), iters = 8)
+        labels = Seq("placed", "contains"), iters = HitsIters)
       .orderBy(col("auth").desc, col("hub").desc, col("id")).limit(10)
+
+  /** Shared by the a_hits gate and its oracle unroll. 5 double
+    * half-steps: HITS rankings on the order graph stabilize by
+    * iteration 3 (each extra round is 2 × 750k-edge joins + 2 driver
+    * normalizer reads at sf0.1 — the bench pays ~1.2 s per round).
+    */
+  val HitsIters = 5
 
   /** Modularity Q of the geographic partition over the geo subgraph:
     * communities = nations (customers/suppliers join their nation;
@@ -958,7 +965,7 @@ object AlgoQueries {
     * reference and bit-identical to Spark's `div`.
     */
   private val hitsSql: String = {
-    val iters = 8
+    val iters = HitsIters
     val steps = (1 to iters).map { i =>
       s"""an$i AS (SELECT e.dst AS id, SUM(h.score) AS m
          |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
