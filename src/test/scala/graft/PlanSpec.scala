@@ -30,6 +30,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(p) <= 3)
   }
 
+  test("q_corr_moments: one partial+final agg pass carries all six moments") {
+    val p = plan("q_corr_moments")
+    // the whole statistic rides ONE map-side-combined aggregation —
+    // no second pass, no join; derived doubles are projections above
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(exchanges(p) <= 2, p) // agg shuffle + final orderBy range
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_join_revenue: dimension joins are broadcast") {
     val p = plan("q_join_revenue")
     assert(p.contains("BroadcastHashJoin"))
