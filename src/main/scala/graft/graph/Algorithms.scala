@@ -371,17 +371,25 @@ object Algorithms {
         return e.select(col("src").as("id"), lit(0L).as("hub"),
           lit(0L).as("auth")).limit(0)
       }
-      // checkpoint the raw sums FIRST, then read the scalar normalizer
-      // off the materialized frame and derive the normalized state as
-      // a lazy narrow map — reading the max before checkpointing would
-      // run every half-step's join+agg TWICE (one job for the scalar,
-      // one for the checkpoint), measured 10× on the 750k-edge gate
+      // overflow guard ONCE, up front: scores stay ≤ 10⁶ after every
+      // renormalize, so each half-step's raw sum is ≤ maxDegree·10⁶
+      // and the ×10⁶ rescale stays in Long iff maxDegree < 9.2·10⁶ —
+      // checking the degree bound here validates all iterations at
+      // once and keeps the loop free of driver round-trips
+      val maxDeg = e.select(col("src").as("id")).union(e.select(col("dst")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      require(maxDeg > 0 && maxDeg <= Long.MaxValue / 1000000L / 1000000L,
+        s"hits: max degree $maxDeg would overflow the integer rescale")
+      // normalizer as a BROADCAST 1-row max joined back — no per-step
+      // scalar collect: the driver-read formulation cost one extra
+      // action per half-step (2× the job count), and reading the max
+      // off the un-checkpointed frame even re-ran the join+agg (the
+      // two together measured 10× on the 750k-edge gate)
       def renorm(m: DataFrame): DataFrame = {
         val mm = m.localCheckpoint()
-        val mx = mm.agg(max(col("m"))).head().getLong(0)
-        require(mx > 0 && mx <= Long.MaxValue / 1000000L,
-          s"hits renormalizer out of range: $mx")
-        mm.select(col("id"), expr(s"(m * 1000000L) div ${mx}L").as("score"))
+        mm.crossJoin(broadcast(mm.agg(max(col("m")).as("mx"))))
+          .select(col("id"), expr("(m * 1000000L) div mx").as("score"))
       }
       var h = eBySrc.select(col("src").as("id")).distinct()
         .select(col("id"), lit(1000000L).as("score")).localCheckpoint()
