@@ -462,7 +462,12 @@ object AlgoQueries {
     Algorithms.greedyColoring(s, g(s, dir),
         labels = Seq("placed", "contains"), iters = ColoringRounds)
       .groupBy(col("color"))
-      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+      // membership checksum as Σ(id mod p): a raw Σ id overflows Long
+      // under ANSI mode at the 100× rehearsal (~3.3e12-magnitude ids ×
+      // 63M vertices ≈ 1.3e20) — the mod-prime form stays bounded at
+      // any corpus scale and pins membership just as hard
+      .agg(count(lit(1)).as("n"),
+        sum(col("id") % 1000000007L).as("id_sum"))
       .orderBy(col("color"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1087,7 +1092,8 @@ object AlgoQueries {
        |l0 AS (SELECT DISTINCT id, CAST(0 AS BIGINT) AS lvl FROM
        |  (SELECT a AS id FROM und UNION ALL SELECT b FROM und)),
        |$rounds
-       |SELECT lvl AS color, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_sum
+       |SELECT lvl AS color, COUNT(*) AS n,
+       |  CAST(SUM(id % 1000000007) AS BIGINT) AS id_sum
        |FROM l$ColoringRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
