@@ -991,6 +991,79 @@ object Algorithms {
       .withColumn("harmonic",
         round(col("h_micro").cast("double") / 1000000d, 6))
 
+  /** Eccentricity of the given seed vertices: the maximum hop distance
+    * each seed reaches (HugeGraph's eccentricity notion restricted to
+    * the reachable set — unreachable vertices do not poison the max,
+    * matching the [[harmonic]] disconnect discipline). A seed with no
+    * outgoing edges reports ecc 0 / n_reachable 0 rather than
+    * vanishing — the dist-0 self row every BFS emits carries it
+    * through the aggregate. One multi-source BFS serves all seeds
+    * (same loop as [[closeness]]); the eccentricities of a seed SET
+    * also bound the graph diameter from below (max over seeds), which
+    * is the standard sampled-diameter estimator at scale.
+    */
+  def eccentricity(s: SparkSession, g: PropertyGraph, seeds: Seq[Long],
+                   labels: Seq[String] = Nil, reverse: Boolean = false,
+                   maxDepth: Int = 30): DataFrame =
+    multiSourceHops(s, g, seeds, labels, reverse, maxDepth)
+      .groupBy(col("seed").as("id"))
+      .agg(max(col("dist")).as("ecc"),
+        sum(when(col("dist") > 0, lit(1L)).otherwise(lit(0L))).as("n_reachable"))
+
+  /** Katz centrality, exact integer units — the attenuated-paths
+    * recurrence x'(v) = β + α·Σ_{u→v} x(u) on the DIRECTED graph
+    * (every in-path of length k contributes α^k; in-degree-0 vertices
+    * sit at the base score β = 10⁶). Convergence needs α < 1/λ_max;
+    * λ_max ≤ max in-degree for a row-substochastic pull, so α is
+    * pinned DATA-DEPENDENTLY at 1/(2·maxInDeg) — computed once as one
+    * scalar aggregate, which also bounds every score by 2β (geometric
+    * ratio ≤ ½), so 64-bit sums cannot overflow at any scale. The α
+    * division is integer floor (m div 2D), making every step
+    * bit-identical across engines/partitionings — the oracle replays
+    * all iterations as chained CTEs, each referencing the previous
+    * state exactly once (the [[pageRankExact]]/[[eigenvectorExact]]
+    * template family).
+    *
+    * Scale: per step one narrow (id, score) join against the persisted
+    * edge list pre-partitioned on src (the step's join key) + one
+    * hash-agg; driver traffic is the single up-front maxInDeg scalar.
+    */
+  def katzExact(s: SparkSession, g: PropertyGraph,
+                labels: Seq[String] = Nil, iters: Int = 6): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val edges = e0.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .persist(MEMORY_AND_DISK)
+      try {
+        if (edges.isEmpty) {
+          return verts.select(col("id"), lit(1000000L).as("score")).limit(0)
+        }
+        val maxInDeg = edges.groupBy(col("dst"))
+          .agg(count(lit(1)).as("d")).agg(max(col("d"))).head().getLong(0)
+        val denom = 2L * maxInDeg
+        var x = verts.select(col("id"), lit(1000000L).as("score"))
+          .localCheckpoint()
+        for (_ <- 1 to iters) {
+          val m = edges
+            .join(x.select(col("id").as("src"), col("score")), "src")
+            .groupBy(col("dst")).agg(sum(col("score")).as("m"))
+          x = verts
+            .join(m.select(col("dst").as("id"), col("m")), Seq("id"), "left")
+            .select(col("id"),
+              expr(s"1000000L + coalesce(m, 0L) div ${denom}L").as("score"))
+            .localCheckpoint()
+        }
+        x
+      } finally verts.unpersist(blocking = false)
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** Global clustering coefficient = 3·triangles / wedges, where
     * wedges = Σ_v d(v)(d(v)−1)/2 over the undirected distinct-neighbor
     * graph — exact integer counts, one rounded division. Triangle

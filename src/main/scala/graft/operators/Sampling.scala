@@ -66,4 +66,27 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= n)
   }
+
+  /** Per-group cap: keep each group's n smallest-`key` rows (the
+    * per-domain document cap every web-scale curation pipeline runs —
+    * one mega-domain must not dominate the training mix). Unlike
+    * [[stratifiedSample]]'s window (which shuffles EVERY row to its
+    * group before ranking), this rides the bounded
+    * [[graft.functions.TopKAggregator]]: map-side buffers hold at most
+    * n entries per (group × partition), so the shuffle carries ≤
+    * n·partitions rows per group no matter how skewed the domain —
+    * the partial-aggregation win applied to capping. Returns
+    * (groupCol, cap_rank, key) with cap_rank 1-based in ascending key
+    * order.
+    */
+  def capPerGroup(df: DataFrame, group: String, key: String,
+                  n: Int): DataFrame = {
+    require(n > 0, "cap must be > 0")
+    // constant score ⇒ the aggregator's id-ascending tie-break IS the
+    // ordering: smallest n keys survive
+    graft.functions.TopKAggregator.topKPerGroup(
+        df.select(col(group), lit(0.0).as("cap_score"), col(key)),
+        Seq(group), "cap_score", key, n)
+      .select(col(group), col("rank").as("cap_rank"), col(key))
+  }
 }

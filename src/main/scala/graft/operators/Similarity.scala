@@ -87,6 +87,28 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
 
+  /** Range search: ALL corpus vectors within the cosine threshold of
+    * each query — the fixed-radius dual of [[bruteForceTopK]] (recall
+    * tasks want "everything at least this similar", not a fixed k; a
+    * query legitimately returns zero rows). Same broadcast-guarded
+    * scan shape: the corpus never shuffles, the filter runs inside
+    * whole-stage codegen on the [[graft.functions.VectorFunctions]]
+    * kernel, and — unlike top-k — there is NO per-query window/sort
+    * at all, so the operator is a pure map over the corpus at any
+    * scale.
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, minCosine: Double,
+                  maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
+    val q = maybeBroadcast(
+      queries.select(col("query_id"), col("query_vec")), queries, maxBroadcastRows)
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("embedding"), col("query_vec")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+  }
+
   /** Deterministic random hyperplanes: nBits × dim doubles from a fixed
     * seed, embedded as a literal — identical on every executor.
     */

@@ -191,6 +191,38 @@ object AlgoQueries {
         labels = Seq("located_in", "part_of"), reverse = true)
       .orderBy(col("id"))
 
+  /** Eccentricity of the five lowest customers over the forward order
+    * chain (customer → placed → order → contains → part → supplied_by
+    * → supplier): per seed, the max BFS depth reached plus the
+    * reachable-set size. Depths are type-layered (orders 1, parts 2,
+    * suppliers 3), so the oracle derives both columns relationally —
+    * but n_reachable carries real per-seed signal (distinct orders +
+    * parts + suppliers), and the max over seeds is the standard
+    * sampled lower bound on graph diameter. Deeper/irregular depth
+    * structure is pinned on planted chains in AlgorithmsSpec.
+    */
+  def aEcc(s: SparkSession, dir: String): DataFrame =
+    Algorithms.eccentricity(s, g(s, dir),
+        seeds = (1L to 5L).map(PropertyGraph.encodeId("customer", _)),
+        labels = Seq("placed", "contains", "supplied_by"))
+      .orderBy(col("id"))
+
+  /** Katz centrality over the geo subgraph (located_in + part_of),
+    * 6 exact integer iterations with α pinned at 1/(2·maxInDeg):
+    * nations accumulate attenuated mass from their customers and
+    * suppliers, regions from their nations AND (at α²) from the
+    * population two hops down — the path-counting refinement degree
+    * centrality misses. Top 10 by score (the most populous nations —
+    * at α = 1/(2·maxInDeg) a region's attenuated two-hop mass stays
+    * below the nations' direct mass), id-asc tie-broken; the oracle
+    * replays all 6 rounds as chained CTEs off the same α scalar.
+    */
+  def aKatz(s: SparkSession, dir: String): DataFrame =
+    Algorithms.katzExact(s, g(s, dir),
+        labels = Seq("located_in", "part_of"), iters = 6)
+      .orderBy(col("score").desc, col("id"))
+      .limit(10)
+
   /** Global clustering coefficient over the full graph: wedge count is
     * the real computed quantity here (the star schema is triangle-free
     * by construction — same structural zero a_triangles oracles); the
@@ -499,6 +531,8 @@ object AlgoQueries {
     "a_neighbor_sum" -> (aNeighborSum _),
     "a_closeness" -> (aCloseness _),
     "a_harmonic" -> (aHarmonic _),
+    "a_ecc" -> (aEcc _),
+    "a_katz" -> (aKatz _),
     "a_clustering" -> (aClustering _),
   )
 
@@ -511,6 +545,42 @@ object AlgoQueries {
   /** DuckDB replay of dagLayers: the same monotone max-propagation
     * unrolled as chained CTEs (one template, two engines — no drift).
     */
+  /** DuckDB replay of katzExact over the geo subgraph: the same 6
+    * integer rounds unrolled as chained CTEs (one template per engine
+    * pair — no drift), each referencing the previous state exactly
+    * once (DuckDB inlines CTEs; a double reference would expand the
+    * plan tree 2^rounds). α's denominator is the same 2·maxInDeg
+    * scalar, recomputed per round as a (cheap) scalar subquery.
+    */
+  private val katzSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val iters = 6
+    val rounds = (1 to iters).map { i =>
+      s"""x$i AS (SELECT v.id,
+         |    CAST(1000000 + COALESCE(m.m, 0) // (SELECT dn FROM d)
+         |      AS BIGINT) AS score
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(xp.score) AS m
+         |    FROM e JOIN x${i - 1} xp ON e.src = xp.id
+         |    GROUP BY e.dst) m USING (id))"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT ${enc("customer", "c_custkey")} AS src,
+       |         ${enc("nation", "c_nationkey")} AS dst FROM customer
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+       |         ${enc("nation", "s_nationkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+       |         ${enc("region", "n_regionkey")} FROM nation),
+       |v AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |d AS (SELECT 2 * MAX(c) AS dn FROM
+       |  (SELECT COUNT(*) AS c FROM e GROUP BY dst)),
+       |x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS score FROM v),
+       |$rounds
+       |SELECT id, score FROM x$iters
+       |ORDER BY score DESC, id LIMIT 10""".stripMargin
+  }
+
   private val toposortSql: String = {
     def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
     val iters = 8
@@ -1176,6 +1246,31 @@ object AlgoQueries {
          |  round((n1 * 1000000 + COALESCE(n2, 0) * 500000)
          |    / 1000000.0, 6) AS harmonic
          |FROM nn LEFT JOIN cs USING (r) ORDER BY id""".stripMargin,
+    // forward order chain from customers 1-5: orders at dist 1,
+    // distinct parts at 2, their (globally-paired) suppliers at 3 —
+    // type-layered depths make ecc the CASE over nonempty layers and
+    // n_reachable the sum of the three distinct layer counts
+    "a_ecc" ->
+      s"""WITH o AS (SELECT o_custkey AS ck, COUNT(*) AS n_orders
+         |  FROM orders WHERE o_custkey BETWEEN 1 AND 5 GROUP BY 1),
+         |rp AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE o_custkey BETWEEN 1 AND 5),
+         |p AS (SELECT ck, COUNT(*) AS n_parts FROM rp GROUP BY ck),
+         |sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         |su AS (SELECT rp.ck, COUNT(DISTINCT sp.l_suppkey) AS n_sups
+         |  FROM rp JOIN sp ON sp.l_partkey = rp.pk GROUP BY rp.ck),
+         |c AS (SELECT c_custkey AS ck FROM customer
+         |  WHERE c_custkey BETWEEN 1 AND 5)
+         |SELECT CAST(${PropertyGraph.sqlEncode("customer", "ck")} AS BIGINT) AS id,
+         |  CAST(CASE WHEN COALESCE(n_sups, 0) > 0 THEN 3
+         |    WHEN COALESCE(n_parts, 0) > 0 THEN 2
+         |    WHEN COALESCE(n_orders, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS ecc,
+         |  CAST(COALESCE(n_orders, 0) + COALESCE(n_parts, 0)
+         |    + COALESCE(n_sups, 0) AS BIGINT) AS n_reachable
+         |FROM c LEFT JOIN o USING (ck) LEFT JOIN p USING (ck)
+         |  LEFT JOIN su USING (ck) ORDER BY id""".stripMargin,
+    "a_katz" -> katzSql,
     // reversed geo tree: nations at dist 1, customers+suppliers at 2
     "a_closeness" ->
       s"""WITH nn AS (SELECT n_regionkey AS r, COUNT(*) AS n1

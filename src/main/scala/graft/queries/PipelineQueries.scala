@@ -263,6 +263,29 @@ object PipelineQueries {
     Similarity.bruteForceTopK(queriesDf(s, dir, 5), Tables.embeddings(s, dir), 3)
       .orderBy(col("query_id"), col("rank"))
 
+  /** fixed-radius range search: every corpus match with cosine ≥ 0.3
+    * for the same 5 query vectors — the no-window dual of e1 (a query
+    * may legitimately return zero rows; no rank is assigned).
+    */
+  def e12RangeSearch(s: SparkSession, dir: String): DataFrame =
+    Similarity.rangeSearch(queriesDf(s, dir, 5), Tables.embeddings(s, dir), 0.3)
+      .orderBy(col("query_id"), col("vec_id"))
+
+  /** per-domain document cap (15 smallest doc_ids per source survive)
+    * via the bounded top-k aggregator — the map-side-combine capping
+    * path, summarized per source against the uncapped totals.
+    */
+  def d30SourceCaps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = Sampling.capPerGroup(
+        docs.select(col("source"), col("doc_id")), "source", "doc_id", 15)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"))
+      .orderBy(col("source"))
+  }
+
   /** LSH-bucketed approximate top-3. Approximate ≠ un-oracle-able
     * (round-7 verdict): the hyperplanes are deterministic seeded
     * constants, so the oracle replays the ENTIRE scheme — 8 tables ×
@@ -704,7 +727,9 @@ object PipelineQueries {
     "e9_semdedup_prune" -> (e9SemdedupPrune _),
     "e10_ivfpq_topk" -> (e10IvfpqTopk _),
     "e11_mmr" -> (e11Mmr _),
+    "e12_range_search" -> (e12RangeSearch _),
     "e4_emb_near_dup" -> (e4EmbNearDup _),
+    "d30_source_caps" -> (d30SourceCaps _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m5_tiles" -> (m5Tiles _),
     "m2_media_features" -> (m2MediaFeatures _),
@@ -1732,6 +1757,22 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 5
         |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "e12_range_search" ->
+      """SELECT query_id, vec_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |) WHERE cosine >= 0.3 ORDER BY query_id, vec_id""".stripMargin,
+    "d30_source_caps" ->
+      """WITH ranked AS (SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT) AS kept_id_sum
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
     "e4_emb_near_dup" ->
       """SELECT a_id, b_id, cosine FROM (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

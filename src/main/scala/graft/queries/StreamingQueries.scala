@@ -180,7 +180,24 @@ object StreamingQueries {
     EventsPipeline.hourlyRollup(Tables.events(s, dir))
       .orderBy(col("hour_bucket"), col("event_type"))
 
+  /** Late-data accounting under deterministic straggler injection:
+    * every 97th event is DELIVERED 997 arrival positions late (its
+    * event-time ts unchanged), each event_type is an independent
+    * source tracking its own running-max watermark (10-minute
+    * allowed lateness), and the gate reports per source how many
+    * events a watermarked aggregate would have dropped plus their id
+    * checksum — the numDroppedRows observability a real pipeline
+    * needs broken down per source.
+    */
+  def s19LateData(s: SparkSession, dir: String): DataFrame =
+    EventsPipeline.lateAccounting(
+        Tables.events(s, dir), "event_type",
+        col("event_id") + when(col("event_id") % 97 === 0, lit(997L))
+          .otherwise(lit(0L)))
+      .orderBy(col("event_type"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_late_data" -> (s19LateData _),
     "s18_hourly_rollup" -> (s18HourlyRollup _),
     "s16_cdc_state" -> (s16CdcState _),
     "s10_gap_sessions" -> (s10GapSessions _),
@@ -205,6 +222,26 @@ object StreamingQueries {
     "CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // same straggler transform + per-source running-max watermark
+    // replay; ROWS window ordered by (arrival key, event_id) — the
+    // tie-break matters because a straggler can land on a resident key
+    "s19_late_data" ->
+      """WITH b AS (SELECT event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    event_id + CASE WHEN event_id % 97 = 0 THEN 997 ELSE 0 END AS ak
+        |  FROM events),
+        |f AS (SELECT event_type, event_id,
+        |    CASE WHEN MAX(ts_us) OVER (PARTITION BY event_type
+        |        ORDER BY ak, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        - 600000000 > ts_us
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM b)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(late) AS BIGINT) AS n_late,
+        |  CAST(COALESCE(SUM(CASE WHEN late = 1 THEN event_id END), 0)
+        |    AS BIGINT) AS late_id_sum
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s18_hourly_rollup" ->
       s"""SELECT (b5 // 3600) * 3600 AS hour_bucket, event_type,
          |  CAST(SUM(n) AS BIGINT) AS n_events,

@@ -519,4 +519,40 @@ object EventsPipeline {
         coalesce(col("user_id"), col("c_user_id")).as("user_id"),
         col("click_id"))
   }
+
+  /** Late-event accounting under a replayed per-source watermark: how
+    * many events WOULD a watermarked streaming aggregate have dropped,
+    * and which ones — the observability counterpart of every watermark
+    * operator above (Spark reports this only as an opaque
+    * numDroppedRows metric; training pipelines need the per-source
+    * breakdown to size their allowed-lateness).
+    *
+    * Arrival order is `arrivalKey` (the position a shuffling transport
+    * delivered the event, distinct from its event-time `ts`); each
+    * `sourceCol` partition tracks its own running max event-time — the
+    * per-source maxima whose executor-min IS Spark's global watermark,
+    * so per-source lateness lower-bounds what the global accounting
+    * would drop, deterministically and without a total order. An event
+    * is late when its ts falls more than `delayUs` behind its source's
+    * prior maximum. One window per source partition (sources are few
+    * and bounded — Kafka-partition cardinality, not row cardinality),
+    * then a hash-agg; ties on arrivalKey are broken by event_id so the
+    * replay is engine-independent.
+    */
+  def lateAccounting(df: DataFrame, sourceCol: String, arrivalKey: Column,
+                     delayUs: Long = 600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(arrivalKey, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("src_wm", max(col("ts_us")).over(w) - delayUs)
+      .withColumn("is_late",
+        col("src_wm").isNotNull && col("ts_us") < col("src_wm"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_late"), lit(1L)).otherwise(lit(0L))).as("n_late"),
+        coalesce(sum(when(col("is_late"), col("event_id"))), lit(0L))
+          .as("late_id_sum"))
+  }
 }

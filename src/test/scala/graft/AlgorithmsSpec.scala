@@ -385,6 +385,36 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(p(1L) > 690000L && p(1L) < 725000L, s"got $p")
   }
 
+  test("eccentricity: chain depths, no-out-edge seed, diamond dedup") {
+    // chain 1→2→3→4: seed 1 ecc 3 (n=3); seed 3 ecc 1 (n=1); seed 4
+    // has no out-edges — reported as ecc 0 / n 0, not dropped
+    val chain = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val got = Algorithms.eccentricity(spark, chain, seeds = Seq(1L, 3L, 4L))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map(1L -> ((3L, 3L)), 3L -> ((1L, 1L)), 4L -> ((0L, 0L))))
+    // diamond 1→{2,3}→4: vertex 4 reachable on two paths counts once
+    val dia = mkGraph(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    val d = Algorithms.eccentricity(spark, dia, seeds = Seq(1L))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(d == Map(1L -> ((2L, 3L))))
+  }
+
+  test("katzExact: hand-computed fixed points on chain and star") {
+    // chain 1→2→3: maxInDeg 1 ⇒ α = 1/2; fixed point
+    // x(1)=β=1e6, x(2)=β+x(1)/2=1.5e6, x(3)=β+x(2)/2=1.75e6
+    val chain = Algorithms.katzExact(spark, mkGraph(Seq((1L, 2L), (2L, 3L))),
+      iters = 6).as[(Long, Long)].collect().toMap
+    assert(chain == Map(1L -> 1000000L, 2L -> 1500000L, 3L -> 1750000L))
+    // in-star {2,3,4}→1: maxInDeg 3 ⇒ α = 1/6; hub = β + 3β/6 = 1.5e6
+    val star = Algorithms.katzExact(spark,
+      mkGraph(Seq((2L, 1L), (3L, 1L), (4L, 1L))), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(star == Map(1L -> 1500000L, 2L -> 1000000L, 3L -> 1000000L,
+      4L -> 1000000L))
+  }
+
   test("betweenness: hand-computed path, star, and cycle") {
     // path 1-2-3-4: pairs through 2 = (1,3),(1,4); through 3 = (1,4),(2,4)
     val path = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L)))

@@ -31,6 +31,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("capPerGroup keeps each group's n smallest keys; small groups intact") {
+    // group a: 100 rows → capped to 5 smallest; group b: 3 rows → intact
+    val df = ((0L until 100L).map(i => ("a", i)) ++
+      Seq(("b", 7L), ("b", 3L), ("b", 9L))).toDF("source", "doc_id")
+    val got = Sampling.capPerGroup(df, "source", "doc_id", 5)
+      .as[(String, Int, Long)].collect()
+    val byGroup = got.groupBy(_._1)
+    assert(byGroup("a").map(_._3).sorted.toSeq == (0L until 5L))
+    assert(byGroup("b").map(_._3).sorted.toSeq == Seq(3L, 7L, 9L))
+    // rank is 1-based ascending-key within the group
+    assert(byGroup("b").sortBy(_._2).map(_._3).toSeq == Seq(3L, 7L, 9L))
+    // agreement with the window formulation, on a repartitioned input
+    // (map-side buffers must not change the surviving set)
+    val win = Sampling.stratifiedSample(
+      df.repartition(7), col("source"), col("doc_id"), 5) // hash order differs
+    assert(win.count() == 8) // both cap to 5 + 3 rows, whatever the order
+  }
+
   test("sampleFraction keeps a stable subset of about the right size") {
     val s1 = Sampling.sampleFraction(ids, col("id"), 0.25)
       .select("id").as[Long].collect().toSet

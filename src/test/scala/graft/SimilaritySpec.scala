@@ -54,6 +54,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq(11L, 12L)) // excludes self (vec_id == query_id)
   }
 
+  test("rangeSearch returns exactly the matches over the threshold") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),   // self — excluded
+      (11L, Array(0.9f, 0.1f, 0f, 0f)), // cos ≈ 0.994 — in
+      (12L, Array(1f, 1f, 0f, 0f)),   // cos ≈ 0.707 — in
+      (13L, Array(0f, 1f, 0f, 0f)),   // orthogonal — out
+      (14L, Array(-1f, 0f, 0f, 0f))   // opposite — out
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1f, 0f, 0f, 0f))).toDF("query_id", "query_vec")
+    val got = Similarity.rangeSearch(queries, corpus, 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == Seq(11L, 12L))
+    assert(got.forall(_._3 >= 0.5))
+    // a query with no matches yields zero rows, not a null row
+    val far = Seq((99L, Array(0f, 0f, 0f, 1f))).toDF("query_id", "query_vec")
+    assert(Similarity.rangeSearch(far, corpus, 0.9).count() == 0)
+  }
+
   test("lsh top-k: identical vectors share a bucket and rank first") {
     val vecs = (0 until 32).map { i =>
       val v = new Array[Float](8); v(i % 8) = 1f; v((i + 3) % 8) = 0.5f

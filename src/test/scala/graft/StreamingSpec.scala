@@ -38,6 +38,35 @@ class StreamingSpec extends AnyFunSuite {
     spark.table(name)
   }
 
+  test("lateAccounting: hand-computed per-source lateness replay") {
+    // one source, arrival order = event_id; event 3 carries a 100 s
+    // event-time against a source max of 2000 s ⇒ with 600 s allowed
+    // lateness its ts < 2000−600 and it is LATE; event 4 at 1500 s is
+    // within the allowance and survives
+    val df = Seq(
+      ev(1, "2024-01-01 00:16:40"), // 1000 s
+      ev(2, "2024-01-01 00:33:20"), // 2000 s
+      ev(3, "2024-01-01 00:01:40"), // 100 s  — late
+      ev(4, "2024-01-01 00:25:00")  // 1500 s — inside allowance
+    ).toDF()
+    val got = EventsPipeline.lateAccounting(df, "event_type", col("event_id"),
+        delayUs = 600000000L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("click", 4L, 1L, 3L)))
+    // two sources: each tracks its OWN watermark — the same late event
+    // under a different source whose max is still low is NOT late
+    val two = Seq(
+      ev(1, "2024-01-01 00:33:20", typ = "click"),
+      ev(2, "2024-01-01 00:01:40", typ = "view"), // its source max unset
+      ev(3, "2024-01-01 00:01:40", typ = "click") // late vs click's max
+    ).toDF()
+    val g2 = EventsPipeline.lateAccounting(two, "event_type", col("event_id"),
+        delayUs = 600000000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(g2 == Map("click" -> ((2L, 1L, 3L)), "view" -> ((1L, 0L, 0L))))
+  }
+
   test("tumbling windows emit on watermark passage; late data dropped") {
     val stream = MemoryStream[Ev]
     val out = runStream(stream,
