@@ -1064,6 +1064,70 @@ object Algorithms {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Maximal independent set via Luby's algorithm with DETERMINISTIC
+    * priorities: p(v) = md5(v) as a hex string (collision-free in
+    * practice, byte-lexicographic in both engines — no seed plumbing,
+    * no ties). Per round, an undecided vertex joins the MIS iff its
+    * priority beats every UNDECIDED neighbor's (vertices with no
+    * undecided neighbors join unconditionally — their neighborhood is
+    * already all non-MIS); the round's winners and their neighbors
+    * leave the undecided set. O(log n) rounds w.h.p.; a fixed round
+    * budget ≥ convergence yields the identical set (converged rounds
+    * add nothing), so the oracle unrolls `maxRounds` rounds as
+    * MATERIALIZED CTEs, and non-convergence fails LOUDLY here rather
+    * than returning a non-maximal set.
+    *
+    * Defined over vertices incident to ≥1 (label-filtered) edge — the
+    * same subgraph contract as [[eigenvectorExact]] (every vertex
+    * isolated from the subgraph is trivially independent and carries
+    * no information).
+    *
+    * Scale: per round one (v,n)-narrow join against the persisted
+    * symmetric edge list + one hash-agg MIN + two anti-joins, all on
+    * 16-byte keyed rows; undecided-set state is (id, 32-char pr) and
+    * shrinks geometrically. Driver traffic = one count per round.
+    */
+  def maximalIndependentSet(s: SparkSession, g: PropertyGraph,
+      labels: Seq[String] = Nil, maxRounds: Int = 6): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val sym = symmetrize(undirectedDistinct(e0))
+      .repartition(col("n"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      var und = sym.select(col("v").as("id")).distinct()
+        .withColumn("pr", md5(col("id").cast("string")))
+        .localCheckpoint()
+      var mis = Seq.empty[DataFrame]
+      var undCount = und.count()
+      var round = 0
+      while (undCount > 0 && round < maxRounds) {
+        round += 1
+        val nbrMin = sym
+          .join(und.select(col("id").as("n"), col("pr").as("npr")), "n")
+          .groupBy(col("v")).agg(min(col("npr")).as("min_npr"))
+        val cand = und
+          .join(nbrMin.select(col("v").as("id"), col("min_npr")),
+            Seq("id"), "left")
+          .filter(col("min_npr").isNull || col("pr") < col("min_npr"))
+          .select(col("id"))
+          .localCheckpoint()
+        val removed = cand
+          .union(sym.join(cand.select(col("id").as("v")), "v")
+            .select(col("n").as("id")))
+          .distinct()
+        und = und.join(removed, Seq("id"), "left_anti").localCheckpoint()
+        mis = mis :+ cand
+        undCount = und.count()
+      }
+      require(undCount == 0,
+        s"MIS did not converge in $maxRounds rounds: $undCount undecided")
+      // empty edge set ⇒ empty incident-vertex set ⇒ empty MIS frame
+      mis.reduceOption(_ union _).getOrElse(und.select(col("id")))
+    } finally sym.unpersist(blocking = false)
+  }
+
   /** Global clustering coefficient = 3·triangles / wedges, where
     * wedges = Σ_v d(v)(d(v)−1)/2 over the undirected distinct-neighbor
     * graph — exact integer counts, one rounded division. Triangle

@@ -223,6 +223,35 @@ object AlgoQueries {
       .orderBy(col("score").desc, col("id"))
       .limit(10)
 
+  /** Fixed round budget shared by the a_mis gate and its oracle: the
+    * MIS loop exits early once converged and extra unrolled oracle
+    * rounds add nothing, so any budget ≥ convergence yields the
+    * identical set; non-convergence fails loudly in
+    * [[Algorithms.maximalIndependentSet]]. Sufficiency at the gate
+    * scale is pinned in AlgorithmsSpec.
+    */
+  val MisRounds = 6
+
+  /** Luby maximal independent set over the geo subgraph (located_in +
+    * part_of), md5 priorities — most customers/suppliers win against
+    * their single nation neighbor; nations/regions resolve in later
+    * rounds. Summarized per label namespace with the mod-prime
+    * membership checksum (the a_coloring overflow discipline); the
+    * oracle unrolls the same rounds as MATERIALIZED CTEs (each round
+    * references the previous state three times — materialization, not
+    * single-reference chaining, is what keeps DuckDB's inliner from
+    * going exponential here).
+    */
+  def aMis(s: SparkSession, dir: String): DataFrame =
+    Algorithms.maximalIndependentSet(s, g(s, dir),
+        labels = Seq("located_in", "part_of"), maxRounds = MisRounds)
+      .select(col("id"),
+        expr(s"id div ${1L << PropertyGraph.Shift}").as("label_code"))
+      .groupBy(col("label_code"))
+      .agg(count(lit(1)).as("n_in_mis"),
+        sum(col("id") % 1000000007L).as("id_sum"))
+      .orderBy(col("label_code"))
+
   /** Global clustering coefficient over the full graph: wedge count is
     * the real computed quantity here (the star schema is triangle-free
     * by construction — same structural zero a_triangles oracles); the
@@ -533,6 +562,7 @@ object AlgoQueries {
     "a_harmonic" -> (aHarmonic _),
     "a_ecc" -> (aEcc _),
     "a_katz" -> (aKatz _),
+    "a_mis" -> (aMis _),
     "a_clustering" -> (aClustering _),
   )
 
@@ -545,6 +575,53 @@ object AlgoQueries {
   /** DuckDB replay of dagLayers: the same monotone max-propagation
     * unrolled as chained CTEs (one template, two engines — no drift).
     */
+  /** DuckDB replay of the Luby MIS over the geo subgraph: the same
+    * md5 priorities (hex strings compare byte-identically in both
+    * engines) and the same `MisRounds` rounds, each round's candidate
+    * and surviving-undecided sets as MATERIALIZED CTEs — a round
+    * references the previous state three times, so materialization
+    * (not the single-reference chaining the pageRankExact family
+    * uses) is what prevents the inliner's 3^rounds blowup.
+    */
+  private val misSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val rounds = (1 to MisRounds).map { i =>
+      s"""cand$i AS MATERIALIZED (
+         |  SELECT u.id FROM und${i - 1} u LEFT JOIN (
+         |    SELECT e.v, MIN(b.pr) AS mn FROM e
+         |    JOIN und${i - 1} b ON e.n = b.id GROUP BY e.v) m
+         |  ON m.v = u.id
+         |  WHERE m.mn IS NULL OR u.pr < m.mn),
+         |und$i AS MATERIALIZED (
+         |  SELECT u.id, u.pr FROM und${i - 1} u
+         |  WHERE u.id NOT IN (SELECT id FROM cand$i)
+         |    AND NOT EXISTS (SELECT 1 FROM e JOIN cand$i c ON e.n = c.id
+         |                    WHERE e.v = u.id))"""
+    }.mkString(",\n")
+    val unionAll = (1 to MisRounds)
+      .map(i => s"SELECT id FROM cand$i").mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT ${enc("customer", "c_custkey")} AS v,
+       |         ${enc("nation", "c_nationkey")} AS n FROM customer
+       |  UNION ALL SELECT ${enc("nation", "c_nationkey")},
+       |         ${enc("customer", "c_custkey")} FROM customer
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+       |         ${enc("nation", "s_nationkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "s_nationkey")},
+       |         ${enc("supplier", "s_suppkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+       |         ${enc("region", "n_regionkey")} FROM nation
+       |  UNION ALL SELECT ${enc("region", "n_regionkey")},
+       |         ${enc("nation", "n_nationkey")} FROM nation),
+       |und0 AS MATERIALIZED (
+       |  SELECT DISTINCT v AS id, md5(CAST(v AS VARCHAR)) AS pr FROM e),
+       |$rounds
+       |SELECT CAST(id // ${1L << PropertyGraph.Shift} AS BIGINT) AS label_code,
+       |  CAST(COUNT(*) AS BIGINT) AS n_in_mis,
+       |  CAST(SUM(id % 1000000007) AS BIGINT) AS id_sum
+       |FROM ($unionAll) GROUP BY 1 ORDER BY label_code""".stripMargin
+  }
+
   /** DuckDB replay of katzExact over the geo subgraph: the same 6
     * integer rounds unrolled as chained CTEs (one template per engine
     * pair — no drift), each referencing the previous state exactly
@@ -1271,6 +1348,7 @@ object AlgoQueries {
          |FROM c LEFT JOIN o USING (ck) LEFT JOIN p USING (ck)
          |  LEFT JOIN su USING (ck) ORDER BY id""".stripMargin,
     "a_katz" -> katzSql,
+    "a_mis" -> misSql,
     // reversed geo tree: nations at dist 1, customers+suppliers at 2
     "a_closeness" ->
       s"""WITH nn AS (SELECT n_regionkey AS r, COUNT(*) AS n1

@@ -401,6 +401,44 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(d == Map(1L -> ((2L, 3L))))
   }
 
+  test("maximalIndependentSet: independence + maximality invariants") {
+    def checkInvariants(edges: Seq[(Long, Long)], mis: Set[Long]): Unit = {
+      for ((a, b) <- edges)
+        assert(!(mis(a) && mis(b)), s"edge ($a,$b) inside MIS $mis")
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      for (v <- adj.keySet if !mis(v))
+        assert(adj(v).exists(mis), s"non-MIS vertex $v has no MIS neighbor")
+    }
+    // triangle + pendant
+    val e1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val m1 = Algorithms.maximalIndependentSet(spark, mkGraph(e1))
+      .as[Long].collect().toSet
+    checkInvariants(e1, m1)
+    // star K1,5: either the hub alone or all five leaves
+    val e2 = (2L to 6L).map(i => (1L, i))
+    val m2 = Algorithms.maximalIndependentSet(spark, mkGraph(e2))
+      .as[Long].collect().toSet
+    checkInvariants(e2, m2)
+    assert(m2 == Set(1L) || m2 == (2L to 6L).toSet)
+    // 40-chain converges within a 10-round budget and is deterministic
+    val e3 = (1L until 40L).map(i => (i, i + 1))
+    val m3a = Algorithms.maximalIndependentSet(spark, mkGraph(e3),
+      maxRounds = 10).as[Long].collect().toSet
+    checkInvariants(e3, m3a)
+    val m3b = Algorithms.maximalIndependentSet(spark, mkGraph(e3),
+      maxRounds = 10).as[Long].collect().toSet
+    assert(m3a == m3b)
+  }
+
+  test("a_mis round budget converges at the gate scale") {
+    // the gate's fixed budget must cover the sf geo graph; the loop
+    // requires loud non-convergence, so simply running it pins both
+    val out = graft.queries.AlgoQueries.aMis(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+  }
+
   test("katzExact: hand-computed fixed points on chain and star") {
     // chain 1→2→3: maxInDeg 1 ⇒ α = 1/2; fixed point
     // x(1)=β=1e6, x(2)=β+x(1)/2=1.5e6, x(3)=β+x(2)/2=1.75e6
