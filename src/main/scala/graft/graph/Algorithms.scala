@@ -1128,6 +1128,122 @@ object Algorithms {
     } finally sym.unpersist(blocking = false)
   }
 
+  /** SimRank (Jeh–Widom), exact integer micro-units: "two objects are
+    * similar if referenced by similar objects" —
+    * s(a,b) = C/(|I(a)|·|I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i,j), s(a,a)=1,
+    * with C = 4/5 and SET semantics on in-neighborhoods (edges
+    * deduplicated — standard SimRank is on simple graphs). Every
+    * iteration applies one integer floor division (4m div 5·da·db),
+    * so scores are bit-identical across engines/partitionings and the
+    * oracle unrolls the iterations as MATERIALIZED CTEs. Returns the
+    * final iteration's CANONICAL (a < b) similar pairs — s is
+    * symmetric, so emitting one orientation is the whole answer.
+    *
+    * The state is SPARSE and stays so structurally: an off-diagonal
+    * pair enters only through a shared-in-structure path, and pairs of
+    * SINK vertices (no out-edges) never generate contributions — on a
+    * customer→order→part DAG the live state is exactly {diagonal} ∪
+    * {same-customer order pairs} ∪ {order-sharing part pairs}, NOT
+    * |V|². Σ-volume per round is Σ_pairs |O(i)|·|O(j)| — bounded by
+    * out-degree, not corpus size. SimRank's contract is pairwise
+    * similarity over a bounded entity universe (here parts/orders);
+    * all-pairs-of-everything at 100 TB is not a sane ask of ANY
+    * engine, and the state never materializes pairs the recursion
+    * doesn't reach.
+    *
+    * Overflow-guarded: Σ ≤ da·db·10⁶, so 4Σ needs da·db < 2.3·10¹² —
+    * checked loudly against the true max in-degree.
+    */
+  def simRankExact(s: SparkSession, g: PropertyGraph,
+      labels: Seq[String] = Nil, iters: Int = 3,
+      finalize: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val e = e0.select(col("src"), col("dst")).distinct()
+      .persist(MEMORY_AND_DISK)
+    try {
+      val verts = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        .persist(MEMORY_AND_DISK)
+      try {
+        val maxIn = indeg.agg(max(col("d"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        require(maxIn * maxIn <= Long.MaxValue / (5L * 1000000L),
+          s"simrank Σ would overflow 64 bits at max in-degree $maxIn")
+        val diag = verts
+          .select(col("id").as("i"), col("id").as("j"), lit(1000000L).as("s"))
+        // Two Σ-volume levers, both bit-identical by construction
+        // (SimrankProbe decomposition at sf0.1: the final round's Σ is
+        // 27.8M rows and its naive post-processing dominated the
+        // query):
+        // (a) sink-pair deferral — a SINK vertex (no out-edges) never
+        //     contributes to later rounds, so intermediate rounds
+        //     expand only against edges into NON-SINK targets; on the
+        //     customer→order→part DAG the dominant part-pair volume
+        //     runs ONCE, not every round;
+        // (b) the in-degrees ride the edge expansion (da/db as extra
+        //     grouping columns — functionally dependent on (a,b)), so
+        //     the Σ aggregate's output needs NO 27M-row joins after
+        //     the fact; and the FINAL round is never checkpointed —
+        //     `finalize` (the caller's top-k/filter reduction) runs
+        //     directly on the aggregate INSIDE the operator's cache
+        //     scope, so the full pair frame never materializes; the
+        //     canonical a<b aggregation below halves the Σ shuffle on
+        //     top. Together: 24.1 → 11.6 s steal-clean median at
+        //     sf0.1 for the a_simrank gate — the remainder IS the Σ
+        //     volume (14M surviving expansion rows into the final
+        //     aggregate, SimrankProbe).
+        val eDeg = e.join(indeg, "dst")
+          .select(col("src"), col("dst"), col("d"))
+          .persist(MEMORY_AND_DISK)
+        val eNonSinkDeg = eDeg.join(
+            e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
+          .persist(MEMORY_AND_DISK)
+        var state = diag.localCheckpoint()
+        var lastOff = diag.limit(0)
+        for (k <- 1 to iters) {
+          val eRound = if (k < iters) eNonSinkDeg else eDeg
+          // s is symmetric: aggregate CANONICAL (a < b) pairs only —
+          // the a > b expansion rows die in the map-side filter, so
+          // the Σ shuffle carries half the volume — then symmetrize
+          // the surviving pairs back map-side (explode) for the next
+          // round's two-sided lookup
+          val offC = state
+            .join(eRound.select(col("src").as("i"), col("dst").as("a"),
+              col("d").as("da")), "i")
+            .join(eRound.select(col("src").as("j"), col("dst").as("b"),
+              col("d").as("db")), "j")
+            .filter(col("a") < col("b"))
+            .groupBy(col("a"), col("b"), col("da"), col("db"))
+            .agg(sum(col("s")).as("m"))
+            .select(col("a").as("i"), col("b").as("j"),
+              expr("(4L * m) div (5L * da * db)").as("s"))
+            .filter(col("s") > 0)
+          lastOff = offC
+          if (k < iters) {
+            val sym = offC.select(explode(array(
+                struct(col("i"), col("j"), col("s")),
+                struct(col("j").as("i"), col("i").as("j"), col("s")))).as("p"))
+              .select(col("p.i").as("i"), col("p.j").as("j"), col("p.s").as("s"))
+            state = diag.unionByName(sym).localCheckpoint()
+          }
+        }
+        // eager: materialize the (reduced) result while e/eDeg/indeg
+        // are still cached — everything unpersists right after
+        val result = finalize(lastOff
+            .select(col("i").as("a"), col("j").as("b"), col("s").as("score")))
+          .localCheckpoint()
+        eDeg.unpersist(blocking = false)
+        eNonSinkDeg.unpersist(blocking = false)
+        result
+      } finally indeg.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Global clustering coefficient = 3·triangles / wedges, where
     * wedges = Σ_v d(v)(d(v)−1)/2 over the undirected distinct-neighbor
     * graph — exact integer counts, one rounded division. Triangle

@@ -223,6 +223,30 @@ object AlgoQueries {
       .orderBy(col("score").desc, col("id"))
       .limit(10)
 
+  /** SimRank (Jeh–Widom) similarity of PARTS over the customer →
+    * order → part DAG, 3 exact integer iterations, C = 4/5: two parts
+    * are similar when similar orders contain them — shared orders
+    * score first (round 1), same-customer co-purchases flow in
+    * through the order-pair similarities (rounds 2–3). Top 20 pairs,
+    * (a, b)-asc tie-broken; the oracle unrolls the identical rounds
+    * as MATERIALIZED CTEs over the same deduplicated edge set.
+    */
+  def aSimrank(s: SparkSession, dir: String): DataFrame = {
+    val part = PropertyGraph.LabelCodes("part")
+    val shift = 1L << PropertyGraph.Shift
+    // the top-k reduction runs INSIDE the operator's cache scope
+    // (finalize) — a TakeOrderedAndProject over the final Σ aggregate,
+    // so the full pair frame never materializes; the outer orderBy
+    // only re-sorts the 20 surviving rows deterministically
+    Algorithms.simRankExact(s, g(s, dir),
+        labels = Seq("placed", "contains"), iters = 3,
+        finalize = df => df
+          .filter(expr(s"a div $shift = $part") && expr(s"b div $shift = $part"))
+          .orderBy(col("score").desc, col("a"), col("b"))
+          .limit(20))
+      .orderBy(col("score").desc, col("a"), col("b"))
+  }
+
   /** Fixed round budget shared by the a_mis gate and its oracle: the
     * MIS loop exits early once converged and extra unrolled oracle
     * rounds add nothing, so any budget ≥ convergence yields the
@@ -563,6 +587,7 @@ object AlgoQueries {
     "a_ecc" -> (aEcc _),
     "a_katz" -> (aKatz _),
     "a_mis" -> (aMis _),
+    "a_simrank" -> (aSimrank _),
     "a_clustering" -> (aClustering _),
   )
 
@@ -575,6 +600,48 @@ object AlgoQueries {
   /** DuckDB replay of dagLayers: the same monotone max-propagation
     * unrolled as chained CTEs (one template, two engines — no drift).
     */
+  /** DuckDB replay of simRankExact over the order DAG: identical
+    * deduplicated edge set, identical integer recurrence, 3 unrolled
+    * MATERIALIZED rounds (state is referenced twice per round — once
+    * per side of the Σ join).
+    */
+  private val simrankSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val iters = 3
+    val rounds = (1 to iters).map { i =>
+      s"""contrib$i AS MATERIALIZED (
+         |  SELECT ea.dst AS a, eb.dst AS b, SUM(st.s) AS m
+         |  FROM s${i - 1} st JOIN e ea ON ea.src = st.i
+         |  JOIN e eb ON eb.src = st.j
+         |  WHERE ea.dst <> eb.dst GROUP BY 1, 2),
+         |s$i AS MATERIALIZED (
+         |  SELECT i, j, s FROM diag
+         |  UNION ALL
+         |  SELECT c.a AS i, c.b AS j,
+         |    (4 * c.m) // (5 * da.d * db.d) AS s
+         |  FROM contrib$i c JOIN indeg da ON da.dst = c.a
+         |  JOIN indeg db ON db.dst = c.b
+         |  WHERE (4 * c.m) // (5 * da.d * db.d) > 0)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT ${enc("customer", "o_custkey")} AS src,
+       |         ${enc("order", "o_orderkey")} AS dst FROM orders
+       |  UNION ALL SELECT DISTINCT ${enc("order", "l_orderkey")},
+       |         ${enc("part", "l_partkey")} FROM lineitem),
+       |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |indeg AS MATERIALIZED (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst),
+       |diag AS MATERIALIZED (
+       |  SELECT id AS i, id AS j, CAST(1000000 AS BIGINT) AS s FROM verts),
+       |s0 AS MATERIALIZED (SELECT i, j, s FROM diag),
+       |$rounds
+       |SELECT i AS a, j AS b, CAST(s AS BIGINT) AS score FROM s$iters
+       |WHERE i < j
+       |  AND i // ${1L << PropertyGraph.Shift} = ${PropertyGraph.LabelCodes("part")}
+       |  AND j // ${1L << PropertyGraph.Shift} = ${PropertyGraph.LabelCodes("part")}
+       |ORDER BY score DESC, a, b LIMIT 20""".stripMargin
+  }
+
   /** DuckDB replay of the Luby MIS over the geo subgraph: the same
     * md5 priorities (hex strings compare byte-identically in both
     * engines) and the same `MisRounds` rounds, each round's candidate
@@ -1349,6 +1416,7 @@ object AlgoQueries {
          |  LEFT JOIN su USING (ck) ORDER BY id""".stripMargin,
     "a_katz" -> katzSql,
     "a_mis" -> misSql,
+    "a_simrank" -> simrankSql,
     // reversed geo tree: nations at dist 1, customers+suppliers at 2
     "a_closeness" ->
       s"""WITH nn AS (SELECT n_regionkey AS r, COUNT(*) AS n1

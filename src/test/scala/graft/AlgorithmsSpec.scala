@@ -401,6 +401,38 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(d == Map(1L -> ((2L, 3L))))
   }
 
+  test("simRankExact: hand-computed scores on the textbook DAG") {
+    // univ(1) → profs(2,3) → students(4,5):
+    // s(2,3) = C·s(1,1) = 800000; s(4,5) = C·s(2,3) = 640000
+    val g1 = mkGraph(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 5L)))
+    val got1 = Algorithms.simRankExact(spark, g1, iters = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got1((2L, 3L)) == 800000L)
+    assert(!got1.contains((3L, 2L))) // canonical a < b orientation only
+    assert(got1((4L, 5L)) == 640000L)
+    // orders o1(11)={p1,p2}, o2(12)={p2,p3}, same customer 1:
+    // s(o1,o2) = 800000 (round 1, shared single in-neighbor)
+    // s(p1,p3) = C·s(o1,o2)           = 640000  (|I|=1 each)
+    // s(p1,p2) = C·(s(o1,o1)+s(o1,o2))/(1·2) = 4·1800000/10 = 720000
+    val g2 = mkGraph(Seq((1L, 11L), (1L, 12L),
+      (11L, 21L), (11L, 22L), (12L, 22L), (12L, 23L)))
+    val got2 = Algorithms.simRankExact(spark, g2, iters = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got2((11L, 12L)) == 800000L)
+    assert(got2((21L, 23L)) == 640000L)
+    assert(got2((21L, 22L)) == 720000L)
+    // sink pairs with disjoint in-neighborhood structure stay absent
+    assert(!got2.contains((1L, 21L)))
+    // duplicate edges must not inflate |I| (set semantics)
+    val g3 = mkGraph(Seq((1L, 2L), (1L, 3L), (1L, 2L)))
+    val got3 = Algorithms.simRankExact(spark, g3, iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got3((2L, 3L)) == 800000L)
+  }
+
   test("maximalIndependentSet: independence + maximality invariants") {
     def checkInvariants(edges: Seq[(Long, Long)], mis: Set[Long]): Unit = {
       for ((a, b) <- edges)
