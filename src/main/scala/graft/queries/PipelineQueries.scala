@@ -668,6 +668,32 @@ object PipelineQueries {
       .orderBy(col("cell"))
   }
 
+  /** Fifth flagship composite — the balanced-corpus curation funnel:
+    * exact dedup (keep min doc_id per content fingerprint) → per-
+    * domain cap (10 survivors per source via the bounded top-k
+    * aggregator) → per (source, lang) funnel report. Each stage's
+    * survivor count lands in its own column, so the report IS the
+    * audit trail a curation run ships (how much each source/language
+    * lost at each gate).
+    */
+  def p5BalancedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keep = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val surv = docs.select(col("source"), col("doc_id"))
+      .join(keep, Seq("doc_id"), "left_semi")
+    val capped = Sampling.capPerGroup(surv, "source", "doc_id", 10)
+      .select(col("doc_id"))
+    docs.select(col("source"), col("lang"), col("doc_id"))
+      .join(keep.withColumn("is_dedup", lit(1)), Seq("doc_id"), "left")
+      .join(capped.withColumn("is_capped", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(coalesce(col("is_dedup"), lit(0))).cast("long").as("n_dedup"),
+        sum(coalesce(col("is_capped"), lit(0))).cast("long").as("n_capped"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Tokenizer-induction round trip: find the corpus's top merge pair
     * (the d22 counting pass, top-1) and APPLY it — greedy leftmost
     * non-overlapping, a real BPE merge step — reporting per-doc token
@@ -686,6 +712,7 @@ object PipelineQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d29_bpe_apply" -> (d29BpeApply _),
     "p4_semantic_curation" -> (p4SemanticCuration _),
+    "p5_balanced_corpus" -> (p5BalancedCorpus _),
     "p1_corpus_curation" -> (p1CorpusCuration _),
     "p3_pretrain_mix" -> (p3PretrainMix _),
     "d19_segment_dedup" -> (d19SegmentDedup _),
@@ -1475,6 +1502,24 @@ object PipelineQueries {
         |    WHEN 1 THEN octet_length(encode(text)) // 32
         |    ELSE 1 END AS INT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    "p5_balanced_corpus" ->
+      """WITH keep AS (SELECT MIN(doc_id) AS doc_id
+        |  FROM documents GROUP BY md5(text)),
+        |surv AS (SELECT d.source, d.doc_id FROM documents d
+        |  JOIN keep USING (doc_id)),
+        |capped AS (SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER
+        |    (PARTITION BY source ORDER BY doc_id) AS rn FROM surv)
+        |  WHERE rn <= 10)
+        |SELECT d.source, d.lang, CAST(COUNT(*) AS BIGINT) AS n_raw,
+        |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dedup,
+        |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_capped
+        |FROM documents d
+        |LEFT JOIN keep k ON k.doc_id = d.doc_id
+        |LEFT JOIN capped c ON c.doc_id = d.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // e9's cell/prune CTEs + p1's quality fragment + e7's report shape
     "p4_semantic_curation" ->
       s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv

@@ -236,6 +236,27 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** RANGE-frame window: per user, each event's trailing 10-MINUTE
+    * event count and value sum — the time-based frame
+    * (`rangeBetween(-600, 0)` over epoch seconds) that ROWS frames
+    * cannot express: the frame holds however many events fall in the
+    * interval, including same-second peers. Money in exact cents.
+    */
+  def qTimeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec")
+      .rangeBetween(-600, 0)
+    Tables.events(s, dir)
+      .filter($"user_id" <= 50)
+      .select($"user_id", $"event_id",
+        unix_timestamp($"ts").as("ts_sec"),
+        cents($"value").as("cts"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .withColumn("window_sum", sum($"cts").over(w) / 100.0)
+      .drop("cts")
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** ROLLUP: subtotal + grand-total rows (NULL group keys). */
   def qRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -511,6 +532,7 @@ object Relational {
     "q_approx_quantile" -> (qApproxQuantile _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_window_running" -> (qWindowRunning _),
+    "q_time_window" -> (qTimeWindow _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -630,6 +652,17 @@ object Relational {
         |FROM orders WHERE o_custkey <= 40
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // RANGE frame over epoch seconds: same-second peers are in-frame
+    // for each other in both engines (RANGE peer semantics)
+    "q_time_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  COUNT(*) OVER w AS n_in_window,
+        |  SUM(CAST(ROUND((value)*100) AS BIGINT)) OVER w / 100.0 AS window_sum
+        |FROM events WHERE user_id <= 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total
