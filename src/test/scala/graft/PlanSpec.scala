@@ -344,4 +344,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in lm plan:\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 4, s"plan:\n$p")
   }
+
+  test("d30 domain cap: map-side partial capping, never a per-group sort") {
+    val p = plan("d30_source_caps")
+    // the cap rides the bounded TopKAggregator: partial + final
+    // ObjectHashAggregate around ONE exchange — the shuffle carries
+    // ≤ n·partitions rows per source, the stratifiedSample-window
+    // formulation (a per-source sort of EVERY row) must not reappear
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, s"plan:\n$p")
+    assert(!p.contains("Window"), s"cap degraded to a window sort:\n$p")
+  }
+
+  test("e12 range search: broadcast pure map — no window, no sort before the filter") {
+    val p = plan("e12_range_search")
+    // fixed-radius search must stay a broadcast map over the corpus:
+    // queries broadcast, corpus never shuffles, no per-query ranking
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("Window"), s"range search grew a ranking window:\n$p")
+    assert(p.contains("floatvecdot"), s"cosine kernel not codegen'd:\n$p")
+  }
+
+  test("s19 late accounting: one per-source window, one agg, no joins") {
+    val p = plan("s19_late_data")
+    assert(p.contains("Window"), s"plan:\n$p")
+    assert(!p.contains("Join"), s"late accounting must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"plan:\n$p")
+  }
 }
