@@ -128,6 +128,41 @@ object Writer {
     merged
   }
 
+  /** Compare-and-swap batch: each update row carries the value it
+    * EXPECTS the base row to currently hold; the swap applies only
+    * where that expectation matches — the optimistic-concurrency
+    * refusal semantic behind the reference's atomic KV batches
+    * (TikvStdSessions.java:245-261 batchPutAtomic — all-or-nothing
+    * against concurrent writers; here each row's conflict surfaces
+    * individually instead of aborting the batch). One key-equi join
+    * against base; conflicts and absent keys are NO-OPS here — pair
+    * with [[casRejects]] to audit them, nothing is silently dropped
+    * end-to-end.
+    */
+  def casUpdate(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                valueCol: String, expectedCol: String,
+                newCol: String): DataFrame = {
+    val u = updates.select((keys.map(col) :+ col(expectedCol) :+ col(newCol)): _*)
+    base.join(u, keys, "left")
+      .withColumn(valueCol,
+        when(col(expectedCol).isNotNull && col(expectedCol) === col(valueCol),
+          col(newCol)).otherwise(col(valueCol)))
+      .drop(expectedCol, newCol)
+  }
+
+  /** The update rows [[casUpdate]] refused: expectation stale (current
+    * value moved) or key absent from base — both are conflicts a
+    * caller must see to retry/abort, exactly what the reference's
+    * atomic batch signals by failing.
+    */
+  def casRejects(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                 valueCol: String, expectedCol: String): DataFrame =
+    updates.join(
+        base.select((keys.map(col) :+ col(valueCol).as("cas_current")): _*),
+        keys, "left")
+      .filter(col("cas_current").isNull ||
+        col(expectedCol) =!= col("cas_current"))
+
   /** W8 counter / id allocation, tiny-dimension path. The reference's
     * counter is a racy read-add-put (TikvStdSessions.java:396-405);
     * deterministic dense ids from a total order replace it (SURVEY

@@ -28,6 +28,35 @@ object WriteQueries {
       (sum(graft.util.Exact.cents(col("o_totalprice"))) / 100.0).as("total"))
   }
 
+  /** Compare-and-swap batch over customer balances (exact cents):
+    * every 7th customer submits a CAS (+100.00 to its balance) whose
+    * expectation is CORRECT for even custkeys and STALE (off by one
+    * cent) for odd ones — applied swaps land in the per-segment
+    * totals, stale and only stale ones surface in the reject count.
+    */
+  def w15Cas(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        graft.util.Exact.cents(col("c_acctbal")).as("bal_cents"))
+    val updates = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, col("bal_cents"))
+          .otherwise(col("bal_cents") + 1).as("expected_cents"),
+        (col("bal_cents") + 10000L).as("new_cents"))
+    val merged = Writer.casUpdate(c, updates, Seq("c_custkey"),
+      "bal_cents", "expected_cents", "new_cents")
+    val rejSeg = Writer.casRejects(c, updates, Seq("c_custkey"),
+        "bal_cents", "expected_cents")
+      .join(c.select(col("c_custkey"), col("c_mktsegment")), "c_custkey")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_rejected"))
+    merged.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        (sum(col("bal_cents")) / 100.0).as("total_bal"))
+      .join(rejSeg, Seq("c_mktsegment"), "left")
+      .withColumn("n_rejected", coalesce(col("n_rejected"), lit(0L)))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** W2 delete: every 10th order deleted; summarize survivors. */
   def w2Delete(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -213,6 +242,7 @@ object WriteQueries {
     "w8_alloc_partitioned" -> (w8AllocPartitioned _),
     "w1_upsert" -> (w1Upsert _),
     "w2_delete" -> (w2Delete _),
+    "w15_cas" -> (w15Cas _),
     "w3_delete_range" -> (w3DeleteRange _),
     "w4_ttl" -> (w4Ttl _),
     "w5_eliminate" -> (w5Eliminate _),
@@ -263,6 +293,24 @@ object WriteQueries {
         |SELECT COUNT(*) AS n,
         |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total
         |FROM merged""".stripMargin,
+    "w15_cas" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal FROM customer),
+        |u AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN bal ELSE bal + 1 END AS expected,
+        |    bal + 10000 AS newv FROM c WHERE c_custkey % 7 = 0),
+        |m AS (SELECT c.c_custkey, c.c_mktsegment,
+        |    CASE WHEN u.expected IS NOT NULL AND u.expected = c.bal
+        |      THEN u.newv ELSE c.bal END AS bal
+        |  FROM c LEFT JOIN u USING (c_custkey)),
+        |r AS (SELECT c.c_mktsegment, COUNT(*) AS n_rejected
+        |  FROM u JOIN c USING (c_custkey)
+        |  WHERE u.expected <> c.bal GROUP BY 1)
+        |SELECT m.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |  SUM(m.bal)/100.0 AS total_bal,
+        |  CAST(COALESCE(MAX(r.n_rejected), 0) AS BIGINT) AS n_rejected
+        |FROM m LEFT JOIN r ON r.c_mktsegment = m.c_mktsegment
+        |GROUP BY m.c_mktsegment ORDER BY m.c_mktsegment""".stripMargin,
     "w2_delete" ->
       """SELECT COUNT(*) AS n,
         |  SUM(CAST(ROUND((o_totalprice)*100) AS BIGINT))/100.0 AS total

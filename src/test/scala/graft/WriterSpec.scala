@@ -11,6 +11,21 @@ class WriterSpec extends AnyFunSuite {
   lazy val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
     .toDF("id", "name", "v")
 
+  test("casUpdate applies only matching expectations; rejects audit the rest") {
+    val b = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    val u = Seq(
+      (1L, 10L, 111L), // expectation correct → applied
+      (2L, 99L, 222L), // stale expectation → no-op, rejected
+      (9L, 0L, 999L)   // absent key → no-op, rejected
+    ).toDF("id", "expected", "newv")
+    val merged = Writer.casUpdate(b, u, Seq("id"), "v", "expected", "newv")
+      .as[(Long, Long)].collect().toMap
+    assert(merged == Map(1L -> 111L, 2L -> 20L, 3L -> 30L))
+    val rejects = Writer.casRejects(b, u, Seq("id"), "v", "expected")
+      .select("id").as[Long].collect().toSet
+    assert(rejects == Set(2L, 9L)) // stale AND absent — nothing silent
+  }
+
   test("applyCdc: latest op per key wins — U→D deletes, D→U restores") {
     val changes = Seq(
       (1L, "a2", 11.0, "U", 1L), (1L, "a", 10.0, "D", 2L), // D last → gone
