@@ -1128,6 +1128,58 @@ object Algorithms {
     } finally sym.unpersist(blocking = false)
   }
 
+  /** Maximal matching via parallel greedy (Luby on the line graph):
+    * deterministic edge priorities p(e) = md5(a‖'_'‖b) over canonical
+    * a<b edges; per round an undecided edge enters the matching iff
+    * its priority is the strict minimum over every undecided edge
+    * sharing either endpoint (with unique priorities: p(e) equals
+    * BOTH endpoints' min), then matched vertices leave with all their
+    * incident edges. Same determinism/round-budget contract as
+    * [[maximalIndependentSet]]: fixed budget ≥ convergence is
+    * idempotent, non-convergence fails loudly, MATERIALIZED-CTE
+    * oracle replay.
+    *
+    * Scale: per round one explode to endpoint rows + one MIN hash-agg
+    * + two joins back on the endpoint keys + two anti-joins — all
+    * narrow keyed rows; the undecided edge set shrinks geometrically.
+    */
+  def maximalMatching(s: SparkSession, g: PropertyGraph,
+      labels: Seq[String] = Nil, maxRounds: Int = 8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    var und = undirectedDistinct(e0)
+      .withColumn("pr",
+        md5(concat(col("a").cast("string"), lit("_"), col("b").cast("string"))))
+      .localCheckpoint()
+    var matched = Seq.empty[DataFrame]
+    var undCount = und.count()
+    var round = 0
+    while (undCount > 0 && round < maxRounds) {
+      round += 1
+      val vMin = und.select(explode(array(col("a"), col("b"))).as("v"), col("pr"))
+        .groupBy(col("v")).agg(min(col("pr")).as("mn"))
+      val sel = und
+        .join(vMin.select(col("v").as("a"), col("mn").as("mna")), "a")
+        .join(vMin.select(col("v").as("b"), col("mn").as("mnb")), "b")
+        .filter(col("pr") === col("mna") && col("pr") === col("mnb"))
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      matched = matched :+ sel
+      val mv = sel.select(explode(array(col("a"), col("b"))).as("v")).distinct()
+      und = und
+        .join(mv.select(col("v").as("a")), Seq("a"), "left_anti")
+        .join(mv.select(col("v").as("b")), Seq("b"), "left_anti")
+        .select(col("a"), col("b"), col("pr"))
+        .localCheckpoint()
+      undCount = und.count()
+    }
+    require(undCount == 0,
+      s"matching did not converge in $maxRounds rounds: $undCount undecided")
+    matched.reduceOption(_ unionByName _)
+      .getOrElse(und.select(col("a"), col("b")))
+  }
+
   /** SimRank (Jeh–Widom), exact integer micro-units: "two objects are
     * similar if referenced by similar objects" —
     * s(a,b) = C/(|I(a)|·|I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i,j), s(a,a)=1,
@@ -1242,6 +1294,40 @@ object Algorithms {
         result
       } finally indeg.unpersist(blocking = false)
     } finally e.unpersist(blocking = false)
+  }
+
+  /** Degree assortativity (Newman): the Pearson correlation of
+    * endpoint degrees over the ordered endpoint pairs of the
+    * undirected distinct-neighbor graph — do hubs attach to hubs
+    * (r > 0, social networks) or to leaves (r < 0, hub-and-spoke
+    * infrastructure)? One pass of exact BIGINT moments (n = 2m, Σx,
+    * Σx², Σxy — x and y share marginals by symmetry, so
+    * r = (nΣxy − (Σx)²) / (nΣx² − (Σx)²)) and ONE double division at
+    * the end, in the q_corr_moments expression-shape discipline so the
+    * relational replay is bit-deterministic. Scale: degree hash-agg +
+    * two narrow joins + one map-side-combined moment aggregate.
+    */
+  def assortativity(s: SparkSession, g: PropertyGraph,
+                    labels: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val all = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val und = undirectedDistinct(all).persist(MEMORY_AND_DISK)
+    try {
+      val deg = degreesOf(und)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      symmetrize(und)
+        .join(deg.select(col("v"), col("d").as("x")), "v")
+        .join(deg.select(col("v").as("n"), col("d").as("y")), "n")
+        .agg(count(lit(1)).as("n_ends"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n_ends"), col("sx"), col("sxx"), col("sxy"),
+          round(
+            (d(col("n_ends")) * d(col("sxy")) - d(col("sx")) * d(col("sx"))) /
+              (d(col("n_ends")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))),
+            6).as("assortativity"))
+    } finally und.unpersist(blocking = false)
   }
 
   /** Global clustering coefficient = 3·triangles / wedges, where

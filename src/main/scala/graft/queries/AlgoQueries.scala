@@ -223,6 +223,15 @@ object AlgoQueries {
       .orderBy(col("score").desc, col("id"))
       .limit(10)
 
+  /** Degree assortativity of the full property graph: the TPC-H star
+    * schema is hub-and-spoke at every layer (customers fan into
+    * nations, parts into suppliers), so r is strongly NEGATIVE — the
+    * structural signature the oracle reproduces from the same moment
+    * sums.
+    */
+  def aAssort(s: SparkSession, dir: String): DataFrame =
+    Algorithms.assortativity(s, g(s, dir))
+
   /** SimRank (Jeh–Widom) similarity of PARTS over the customer →
     * order → part DAG, 3 exact integer iterations, C = 4/5: two parts
     * are similar when similar orders contain them — shared orders
@@ -245,6 +254,30 @@ object AlgoQueries {
           .orderBy(col("score").desc, col("a"), col("b"))
           .limit(20))
       .orderBy(col("score").desc, col("a"), col("b"))
+  }
+
+  /** Fixed round budget shared by the a_matching gate and its oracle
+    * (same idempotence argument as [[MisRounds]]).
+    */
+  val MatchingRounds = 8
+
+  /** Luby maximal matching over the geo subgraph: per label-pair
+    * namespace, how many edges matched plus mod-prime membership
+    * checksums. Customers/suppliers pair off with their nations,
+    * remaining nations with their regions — a maximal (not maximum)
+    * matching, pinned deterministically by the md5 edge priorities.
+    */
+  def aMatching(s: SparkSession, dir: String): DataFrame = {
+    val shift = 1L << PropertyGraph.Shift
+    Algorithms.maximalMatching(s, g(s, dir),
+        labels = Seq("located_in", "part_of"), maxRounds = MatchingRounds)
+      .select(expr(s"a div $shift").as("label_a"),
+        expr(s"b div $shift").as("label_b"), col("a"), col("b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("a") % 1000000007L).as("a_sum"),
+        sum(col("b") % 1000000007L).as("b_sum"))
+      .orderBy(col("label_a"), col("label_b"))
   }
 
   /** Fixed round budget shared by the a_mis gate and its oracle: the
@@ -588,6 +621,8 @@ object AlgoQueries {
     "a_katz" -> (aKatz _),
     "a_mis" -> (aMis _),
     "a_simrank" -> (aSimrank _),
+    "a_assort" -> (aAssort _),
+    "a_matching" -> (aMatching _),
     "a_clustering" -> (aClustering _),
   )
 
@@ -640,6 +675,49 @@ object AlgoQueries {
        |  AND i // ${1L << PropertyGraph.Shift} = ${PropertyGraph.LabelCodes("part")}
        |  AND j // ${1L << PropertyGraph.Shift} = ${PropertyGraph.LabelCodes("part")}
        |ORDER BY score DESC, a, b LIMIT 20""".stripMargin
+  }
+
+  /** DuckDB replay of the Luby maximal matching over the geo
+    * subgraph: same canonical edges, same md5('a_b') priorities, same
+    * strict-min-on-both-endpoints selection, `MatchingRounds` rounds
+    * as MATERIALIZED CTEs.
+    */
+  private val matchingSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val rounds = (1 to MatchingRounds).map { i =>
+      s"""vmin$i AS MATERIALIZED (
+         |  SELECT v, MIN(pr) AS mn FROM (
+         |    SELECT a AS v, pr FROM und${i - 1}
+         |    UNION ALL SELECT b, pr FROM und${i - 1}) GROUP BY v),
+         |sel$i AS MATERIALIZED (
+         |  SELECT u.a, u.b FROM und${i - 1} u
+         |  JOIN vmin$i x ON x.v = u.a JOIN vmin$i y ON y.v = u.b
+         |  WHERE u.pr = x.mn AND u.pr = y.mn),
+         |und$i AS MATERIALIZED (
+         |  SELECT u.a, u.b, u.pr FROM und${i - 1} u
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$i s
+         |    WHERE s.a = u.a OR s.b = u.a OR s.a = u.b OR s.b = u.b))"""
+    }.mkString(",\n")
+    val unionAll = (1 to MatchingRounds)
+      .map(i => s"SELECT a, b FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH e0 AS (
+       |  SELECT ${enc("customer", "c_custkey")} AS a,
+       |         ${enc("nation", "c_nationkey")} AS b FROM customer
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+       |         ${enc("nation", "s_nationkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+       |         ${enc("region", "n_regionkey")} FROM nation),
+       |und0 AS MATERIALIZED (
+       |  SELECT a, b, md5(CAST(a AS VARCHAR) || '_' || CAST(b AS VARCHAR))
+       |    AS pr FROM e0),
+       |$rounds,
+       |mm AS (SELECT a, b FROM ($unionAll))
+       |SELECT CAST(a // ${1L << PropertyGraph.Shift} AS BIGINT) AS label_a,
+       |  CAST(b // ${1L << PropertyGraph.Shift} AS BIGINT) AS label_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_matched,
+       |  CAST(SUM(a % 1000000007) AS BIGINT) AS a_sum,
+       |  CAST(SUM(b % 1000000007) AS BIGINT) AS b_sum
+       |FROM mm GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
   }
 
   /** DuckDB replay of the Luby MIS over the geo subgraph: the same
@@ -1416,7 +1494,46 @@ object AlgoQueries {
          |  LEFT JOIN su USING (ck) ORDER BY id""".stripMargin,
     "a_katz" -> katzSql,
     "a_mis" -> misSql,
+    "a_matching" -> matchingSql,
     "a_simrank" -> simrankSql,
+    // same full-graph undirected distinct set as a_clustering's
+    // oracle; identical expression SHAPE for the one double division
+    // (the q_corr_moments determinism discipline)
+    "a_assort" -> {
+      def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+      s"""WITH e0 AS (
+         |  SELECT ${enc("customer", "o_custkey")} AS src,
+         |         ${enc("order", "o_orderkey")} AS dst FROM orders
+         |  UNION ALL SELECT ${enc("order", "l_orderkey")},
+         |         ${enc("part", "l_partkey")} FROM lineitem
+         |  UNION ALL SELECT DISTINCT ${enc("part", "l_partkey")},
+         |         ${enc("supplier", "l_suppkey")} FROM lineitem
+         |  UNION ALL SELECT ${enc("customer", "c_custkey")},
+         |         ${enc("nation", "c_nationkey")} FROM customer
+         |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+         |         ${enc("nation", "s_nationkey")} FROM supplier
+         |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+         |         ${enc("region", "n_regionkey")} FROM nation),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |deg AS (SELECT v, COUNT(*) AS d FROM
+         |  (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+         |ends AS (SELECT da.d AS x, db.d AS y FROM und
+         |  JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+         |  UNION ALL
+         |  SELECT db.d, da.d FROM und
+         |  JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ends,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx,
+         |  CAST(SUM(x*y) AS BIGINT) AS sxy FROM ends)
+         |SELECT n_ends, sx, sxx, sxy,
+         |  round((CAST(n_ends AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    / (CAST(n_ends AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |    AS assortativity
+         |FROM m""".stripMargin
+    },
     // reversed geo tree: nations at dist 1, customers+suppliers at 2
     "a_closeness" ->
       s"""WITH nn AS (SELECT n_regionkey AS r, COUNT(*) AS n1

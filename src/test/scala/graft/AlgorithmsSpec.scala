@@ -401,6 +401,25 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(d == Map(1L -> ((2L, 3L))))
   }
 
+  test("assortativity: hand-computed r on path graphs; star is -1") {
+    // path-4: degrees 1,2,2,1 → n=6, Σx=10, Σx²=18, Σxy=16 →
+    // r = (6·16−100)/(6·18−100) = −0.5
+    val p4 = Algorithms.assortativity(spark,
+      mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L)))).collect()(0)
+    assert(p4.getLong(0) == 6L && p4.getLong(1) == 10L)
+    assert(p4.getLong(2) == 18L && p4.getLong(3) == 16L)
+    assert(p4.getDouble(4) == -0.5)
+    // star K1,3: every edge joins the deg-3 hub to a deg-1 leaf —
+    // perfectly disassortative
+    val st = Algorithms.assortativity(spark,
+      mkGraph(Seq((1L, 2L), (1L, 3L), (1L, 4L)))).collect()(0)
+    assert(st.getDouble(4) == -1.0)
+    // duplicate/reverse edges collapse before degrees are counted
+    val dup = Algorithms.assortativity(spark,
+      mkGraph(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)))).collect()(0)
+    assert(dup.getLong(0) == 6L && dup.getDouble(4) == -0.5)
+  }
+
   test("simRankExact: hand-computed scores on the textbook DAG") {
     // univ(1) → profs(2,3) → students(4,5):
     // s(2,3) = C·s(1,1) = 800000; s(4,5) = C·s(2,3) = 640000
@@ -431,6 +450,40 @@ class AlgorithmsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
     assert(got3((2L, 3L)) == 800000L)
+  }
+
+  test("maximalMatching: matching + maximality invariants, determinism") {
+    def check(edges: Seq[(Long, Long)], m: Set[(Long, Long)]): Unit = {
+      val mv = m.flatMap(e => Seq(e._1, e._2))
+      assert(mv.size == 2 * m.size, s"vertex matched twice in $m")
+      val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      for (e <- canon if !m(e))
+        assert(mv(e._1) || mv(e._2), s"unmatched edge $e has free endpoints")
+    }
+    // triangle: exactly one edge can match
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val mTri = Algorithms.maximalMatching(spark, mkGraph(tri))
+      .as[(Long, Long)].collect().toSet
+    assert(mTri.size == 1); check(tri, mTri)
+    // star K1,5: the hub matches exactly once
+    val star = (2L to 6L).map(i => (1L, i))
+    val mStar = Algorithms.maximalMatching(spark, mkGraph(star))
+      .as[(Long, Long)].collect().toSet
+    assert(mStar.size == 1); check(star, mStar)
+    // 30-chain: invariants + run-to-run determinism
+    val chain = (1L until 30L).map(i => (i, i + 1))
+    val m1 = Algorithms.maximalMatching(spark, mkGraph(chain), maxRounds = 12)
+      .as[(Long, Long)].collect().toSet
+    check(chain, m1)
+    val m2 = Algorithms.maximalMatching(spark, mkGraph(chain), maxRounds = 12)
+      .as[(Long, Long)].collect().toSet
+    assert(m1 == m2)
+  }
+
+  test("a_matching round budget converges at the gate scale") {
+    val out = graft.queries.AlgoQueries
+      .aMatching(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
   }
 
   test("maximalIndependentSet: independence + maximality invariants") {
