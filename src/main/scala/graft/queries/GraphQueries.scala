@@ -246,7 +246,38 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** Graph CONSTRUCTION from event logs — the events→graph bridge
+    * every log-analytics graph starts with: users co-occurring in the
+    * same (event_type, 5-minute bucket) become an edge weighted by
+    * co-occurrence support. Rides [[graft.graph.Algorithms
+    * .bipartiteProjection]] (basket = type×bucket, item = user), so
+    * the mega-bucket skew guard bounds the per-basket quadratic
+    * exactly as co-purchase does. Output: support histogram with
+    * mod-prime endpoint checksums — pins the full edge SET, not just
+    * counts.
+    */
+  def g25EventGraph(s: SparkSession, dir: String): DataFrame = {
+    val typeCode = when(col("event_type") === "click", 0L)
+      .when(col("event_type") === "error", 1L)
+      .when(col("event_type") === "purchase", 2L)
+      .when(col("event_type") === "signup", 3L)
+      .otherwise(4L)
+    val baskets = graft.Tables.events(s, dir)
+      .select(
+        (expr("CAST(floor(unix_timestamp(ts) / 300) AS BIGINT)") * 8L +
+          typeCode).as("src"),
+        col("user_id").as("dst"))
+    graft.graph.Algorithms
+      .bipartiteProjection(baskets, minSupport = 1L, maxBasketSize = 100)
+      .groupBy(col("support"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("item_a") % 1000000007L).as("a_sum"),
+        sum(col("item_b") % 1000000007L).as("b_sum"))
+      .orderBy(col("support"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g25_event_graph" -> (g25EventGraph _),
     "g23_kout" -> (g23Kout _),
     "g24_same_neighbors" -> (g24SameNeighbors _),
     "g21_stored_traversal" -> (g21StoredTraversal _),
@@ -274,6 +305,25 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // co-occurrence projection replay: distinct (basket, user) rows,
+    // ≤100-user basket guard, a<b pairs, support histogram + checksums
+    "g25_event_graph" ->
+      """WITH d AS (SELECT DISTINCT
+        |    CAST(floor(epoch(ts) / 300) AS BIGINT) * 8 +
+        |      CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |        WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+        |        ELSE 4 END AS bk,
+        |    user_id AS it FROM events),
+        |sized AS (SELECT d.bk, d.it FROM d JOIN (
+        |    SELECT bk FROM d GROUP BY bk HAVING COUNT(*) <= 100) g
+        |  USING (bk)),
+        |pairs AS (SELECT a.it AS ua, b.it AS ub, COUNT(*) AS support
+        |  FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2)
+        |SELECT support, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(ua % 1000000007) AS BIGINT) AS a_sum,
+        |  CAST(SUM(ub % 1000000007) AS BIGINT) AS b_sum
+        |FROM pairs GROUP BY support ORDER BY support""".stripMargin,
     // 3-layer BFS replay with explicit visited-set subtraction
     "g23_kout" -> {
       def enc(l: String, k: String) = graft.graph.PropertyGraph.sqlEncode(l, k)
