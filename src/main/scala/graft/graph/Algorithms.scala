@@ -267,6 +267,53 @@ object Algorithms {
     }
   }
 
+  /** Weighted PageRank, exact integer units: the weighted random
+    * surfer — a vertex splits its rank over out-edges PROPORTIONALLY
+    * to edge weight (contribution = pr·w div Σw per edge, one integer
+    * floor per edge term) instead of uniformly. Same 0.15/0.85 damping
+    * and oracle-unroll discipline as [[pageRankExact]]; weights come
+    * in as any deterministic integer Column over (src, dst) so the
+    * relational replay computes the identical Σw and per-edge floors.
+    * Scale: identical plan family to pageRankExact — one persisted
+    * pre-partitioned weighted adjacency, per round one narrow join +
+    * hash-agg.
+    */
+  def pageRankWeightedExact(s: SparkSession, g: PropertyGraph,
+      weight: org.apache.spark.sql.Column, labels: Seq[String] = Nil,
+      iters: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val ew = e0.select(col("src"), col("dst"))
+      .withColumn("w", weight.cast("long"))
+    val sw = ew.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val edgesW = ew.join(sw, "src")
+      .select(col("src"), col("dst"), col("w"), col("sw"))
+      .repartition(col("src"))
+      .persist(MEMORY_AND_DISK)
+    val verts = edgesW.select(col("src").as("id"))
+      .union(edgesW.select(col("dst").as("id"))).distinct()
+      .persist(MEMORY_AND_DISK)
+    try {
+      var pr = verts.select(col("id"), lit(1000000L).as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val contrib = edgesW
+          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .select(col("dst").as("id"), expr("(pr * w) div sw").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("m"))
+        pr = verts.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+          .localCheckpoint()
+      }
+      pr
+    } finally {
+      edgesW.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
+    }
+  }
+
   /** Eigenvector centrality, exact integer units — the HugeGraph
     * EigenvectorCentrality traverser: power iteration on A+I (the
     * undirected adjacency matrix PLUS self-loops; parallel edges keep

@@ -155,6 +155,18 @@ object AlgoQueries {
       .orderBy(col("pr").desc, col("id"))
       .limit(10)
 
+  /** Weighted PageRank over the geo subgraph with the wsssp weight
+    * convention w = (src%97 + dst%89)%7 + 1: rank splits over
+    * out-edges proportionally to weight. Top 10 by rank; the oracle
+    * unrolls the same 10 weighted rounds.
+    */
+  def aWpagerank(s: SparkSession, dir: String): DataFrame =
+    Algorithms.pageRankWeightedExact(s, g(s, dir),
+        weight = expr("(src % 97 + dst % 89) % 7 + 1"),
+        labels = Seq("located_in", "part_of"), iters = 10)
+      .orderBy(col("pr").desc, col("id"))
+      .limit(10)
+
   /** Personalized PageRank seeded at the SUPPLIER vertices over the
     * geo subgraph: rank concentrates on the nations/regions suppliers
     * sit in (proximity-to-seed-set, the recommendation primitive).
@@ -623,6 +635,7 @@ object AlgoQueries {
     "a_simrank" -> (aSimrank _),
     "a_assort" -> (aAssort _),
     "a_matching" -> (aMatching _),
+    "a_wpagerank" -> (aWpagerank _),
     "a_clustering" -> (aClustering _),
   )
 
@@ -925,6 +938,33 @@ object AlgoQueries {
        |v AS (SELECT DISTINCT id FROM
        |       (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM v),
+       |$steps
+       |SELECT id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB replay of pageRankWeightedExact: the pagerankExactSql
+    * template with per-edge weights and per-source weight sums — the
+    * per-edge integer floor (pr·w // sw) is replayed term-for-term.
+    */
+  private val wpagerankSql: String = {
+    val iters = 10
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT v.id,
+         |  CAST(150000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+         |  FROM v LEFT JOIN (
+         |    SELECT ew.dst AS id, SUM((p.pr * ew.w) // ew.sw) AS m
+         |    FROM ew JOIN pr${i - 1} p ON ew.src = p.id
+         |    GROUP BY ew.dst) s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($geoEdgesSql),
+       |ew0 AS (SELECT src, dst,
+       |  CAST((src % 97 + dst % 89) % 7 + 1 AS BIGINT) AS w FROM e),
+       |ew AS (SELECT ew0.src, ew0.dst, ew0.w, sw.sw FROM ew0 JOIN (
+       |  SELECT src, SUM(w) AS sw FROM ew0 GROUP BY src) sw
+       |  USING (src)),
+       |v AS (SELECT DISTINCT id FROM
+       |       (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
        |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM v),
        |$steps
        |SELECT id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 10""".stripMargin
@@ -1495,6 +1535,7 @@ object AlgoQueries {
     "a_katz" -> katzSql,
     "a_mis" -> misSql,
     "a_matching" -> matchingSql,
+    "a_wpagerank" -> wpagerankSql,
     "a_simrank" -> simrankSql,
     // same full-graph undirected distinct set as a_clustering's
     // oracle; identical expression SHAPE for the one double division

@@ -401,6 +401,24 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(d == Map(1L -> ((2L, 3L))))
   }
 
+  test("pageRankWeightedExact: rank splits by weight — hand-computed") {
+    // 1→2 (w=1), 1→4 (w=3): Σw=4. Round 1: m(2)=250000, m(4)=750000 →
+    // pr=362500 / 787500. Round 2 feeds from pr(1)=150000:
+    // pr(2)=150000+⌊85·37500/100⌋=181875, pr(4)=150000+95625=245625
+    val g1 = mkGraph(Seq((1L, 2L), (1L, 4L)))
+    val got = Algorithms.pageRankWeightedExact(spark, g1,
+        weight = expr("dst - 1"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150000L, 2L -> 181875L, 4L -> 245625L))
+    // uniform weights reduce to the unweighted recurrence exactly
+    val g2 = mkGraph(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)))
+    val w = Algorithms.pageRankWeightedExact(spark, g2,
+        weight = lit(7), iters = 6).as[(Long, Long)].collect().toMap
+    val u = Algorithms.pageRankExact(spark, g2, iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(w == u)
+  }
+
   test("assortativity: hand-computed r on path graphs; star is -1") {
     // path-4: degrees 1,2,2,1 → n=6, Σx=10, Σx²=18, Σxy=16 →
     // r = (6·16−100)/(6·18−100) = −0.5
