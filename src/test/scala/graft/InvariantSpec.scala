@@ -32,6 +32,35 @@ class InvariantSpec extends AnyFunSuite {
       .select(col("dst").as("src"), col("src").as("dst"),
         col("label"), col("sort_key")))
 
+  test("MIS and maximal matching agree structurally on random graphs") {
+    // two independently-implemented Luby loops must satisfy each
+    // other's invariants on the SAME graph: a matched edge is a graph
+    // edge, so independence forbids both its endpoints in the MIS;
+    // and both survive arbitrary maximality cross-checks
+    import graft.graph.Algorithms
+    for (_ <- 1 to 5) {
+      val (g, edges, _) = randomGraph()
+      if (edges.nonEmpty) {
+        val mis = Algorithms.maximalIndependentSet(spark, g, maxRounds = 12)
+          .as[Long].collect().toSet
+        val matching = Algorithms.maximalMatching(spark, g, maxRounds = 12)
+          .as[(Long, Long)].collect()
+        for ((a, b) <- matching)
+          assert(!(mis(a) && mis(b)),
+            s"matched edge ($a,$b) has BOTH endpoints in the MIS $mis")
+        // every matched vertex set is a vertex cover of... not in
+        // general — but every edge must touch a matched vertex
+        // (matching maximality), and every vertex is in the MIS or
+        // adjacent to it (MIS maximality) — both already pinned per
+        // operator; here the cross-operator claim is independence ∩
+        // matching above plus determinism under re-run
+        val again = Algorithms.maximalMatching(spark, g, maxRounds = 12)
+          .as[(Long, Long)].collect()
+        assert(matching.toSet == again.toSet)
+      }
+    }
+  }
+
   test("out on G equals in on reversed G (dual edge-table duality)") {
     (1 to 8).foreach { _ =>
       val (g, _, ids) = randomGraph()
