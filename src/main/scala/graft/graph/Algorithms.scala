@@ -274,6 +274,12 @@ object Algorithms {
     * and oracle-unroll discipline as [[pageRankExact]]; weights come
     * in as any deterministic integer Column over (src, dst) so the
     * relational replay computes the identical Σw and per-edge floors.
+    * CONTRACT: weights must be POSITIVE integers — a zero/negative/
+    * NULL weight would make Σw ≤ 0 for some src, turning per-edge
+    * `pr·w div sw` into NULLs that silently vanish from the Spark sum
+    * while a relational replay errors on the division. Out-of-contract
+    * edges are filtered out (w > 0) so both engines see the same
+    * positive-weight graph instead of diverging silently.
     * Scale: identical plan family to pageRankExact — one persisted
     * pre-partitioned weighted adjacency, per round one narrow join +
     * hash-agg.
@@ -286,6 +292,7 @@ object Algorithms {
     else g.edges.filter(col("label").isin(labels: _*))
     val ew = e0.select(col("src"), col("dst"))
       .withColumn("w", weight.cast("long"))
+      .filter(col("w") > 0) // positive-weight contract (see scaladoc)
     val sw = ew.groupBy(col("src")).agg(sum(col("w")).as("sw"))
     val edgesW = ew.join(sw, "src")
       .select(col("src"), col("dst"), col("w"), col("sw"))
@@ -1281,7 +1288,10 @@ object Algorithms {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
         }
-        require(maxIn * maxIn <= Long.MaxValue / (5L * 1000000L),
+        // division-first so the GUARD itself cannot wrap: maxIn*maxIn
+        // overflows Long for maxIn > ~3.0e9, which would let the
+        // require pass spuriously exactly when it must fire (ADVICE r9)
+        require(maxIn == 0L || maxIn <= Long.MaxValue / (5L * 1000000L) / maxIn,
           s"simrank Σ would overflow 64 bits at max in-degree $maxIn")
         val diag = verts
           .select(col("id").as("i"), col("id").as("j"), lit(1000000L).as("s"))
@@ -1373,6 +1383,11 @@ object Algorithms {
     try {
       val deg = degreesOf(und)
       val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      // degree-REGULAR graphs (cycle, perfect matching) make the
+      // variance denominator n·Σx²−(Σx)² exactly 0; r is undefined
+      // there and NaN/±Inf render differently across engines, so both
+      // this expression and the oracle return NULL via a nullif-style
+      // guard instead (ADVICE r9)
       symmetrize(und)
         .join(deg.select(col("v"), col("d").as("x")), "v")
         .join(deg.select(col("v").as("n"), col("d").as("y")), "n")
@@ -1382,7 +1397,8 @@ object Algorithms {
         .select(col("n_ends"), col("sx"), col("sxx"), col("sxy"),
           round(
             (d(col("n_ends")) * d(col("sxy")) - d(col("sx")) * d(col("sx"))) /
-              (d(col("n_ends")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))),
+              nullif(d(col("n_ends")) * d(col("sxx")) - d(col("sx")) * d(col("sx")),
+                lit(0.0)),
             6).as("assortativity"))
     } finally und.unpersist(blocking = false)
   }

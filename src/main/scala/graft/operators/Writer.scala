@@ -135,9 +135,18 @@ object Writer {
     * (TikvStdSessions.java:245-261 batchPutAtomic — all-or-nothing
     * against concurrent writers; here each row's conflict surfaces
     * individually instead of aborting the batch). One key-equi join
-    * against base; conflicts and absent keys are NO-OPS here — pair
-    * with [[casRejects]] to audit them, nothing is silently dropped
-    * end-to-end.
+    * against base; conflicts, absent keys and NULL expectations are
+    * NO-OPS here — pair with [[casRejects]] to audit them, nothing is
+    * silently dropped end-to-end (a NULL `expectedCol` surfaces as a
+    * reject there: an update that never states its expectation can
+    * never win the swap).
+    *
+    * PRECONDITION: `updates` must carry at most one row per key —
+    * the left join would otherwise fan base rows out (one output row
+    * per matching update), silently multiplying base cardinality.
+    * Callers with ambiguous batches must resolve them first (e.g.
+    * keep the latest per key); this operator will not pick a winner
+    * silently.
     */
   def casUpdate(base: DataFrame, updates: DataFrame, keys: Seq[String],
                 valueCol: String, expectedCol: String,
@@ -151,16 +160,20 @@ object Writer {
   }
 
   /** The update rows [[casUpdate]] refused: expectation stale (current
-    * value moved) or key absent from base — both are conflicts a
-    * caller must see to retry/abort, exactly what the reference's
-    * atomic batch signals by failing.
+    * value moved), key absent from base, or a NULL expectation (which
+    * [[casUpdate]]'s isNotNull guard makes a no-op — without the
+    * explicit isNull arm here the three-valued `=!=` would evaluate to
+    * NULL and the row would vanish from BOTH outputs, breaking the
+    * nothing-silently-dropped contract). All are conflicts a caller
+    * must see to retry/abort, exactly what the reference's atomic
+    * batch signals by failing.
     */
   def casRejects(base: DataFrame, updates: DataFrame, keys: Seq[String],
                  valueCol: String, expectedCol: String): DataFrame =
     updates.join(
         base.select((keys.map(col) :+ col(valueCol).as("cas_current")): _*),
         keys, "left")
-      .filter(col("cas_current").isNull ||
+      .filter(col(expectedCol).isNull || col("cas_current").isNull ||
         col(expectedCol) =!= col("cas_current"))
 
   /** W8 counter / id allocation, tiny-dimension path. The reference's

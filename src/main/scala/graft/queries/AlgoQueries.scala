@@ -1570,8 +1570,8 @@ object AlgoQueries {
          |SELECT n_ends, sx, sxx, sxy,
          |  round((CAST(n_ends AS DOUBLE) * CAST(sxy AS DOUBLE)
          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-         |    / (CAST(n_ends AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |    / nullif(CAST(n_ends AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6)
          |    AS assortativity
          |FROM m""".stripMargin
     },

@@ -436,6 +436,12 @@ class AlgorithmsSpec extends AnyFunSuite {
     val dup = Algorithms.assortativity(spark,
       mkGraph(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)))).collect()(0)
     assert(dup.getLong(0) == 6L && dup.getDouble(4) == -0.5)
+    // degree-REGULAR graphs (cycle C4: every degree 2) have zero
+    // degree variance — r is undefined; the guard returns NULL
+    // instead of engine-dependent NaN/±Inf renderings (ADVICE r9)
+    val c4 = Algorithms.assortativity(spark,
+      mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))).collect()(0)
+    assert(c4.getLong(0) == 8L && c4.isNullAt(4))
   }
 
   test("simRankExact: hand-computed scores on the textbook DAG") {

@@ -26,6 +26,21 @@ class WriterSpec extends AnyFunSuite {
     assert(rejects == Set(2L, 9L)) // stale AND absent — nothing silent
   }
 
+  test("cas: NULL expectation is a no-op in casUpdate AND surfaces as a reject") {
+    // ADVICE r9: with a plain =!= the NULL-expectation row evaluates
+    // to NULL in the reject filter and vanishes from BOTH outputs —
+    // the one way to silently drop an update end-to-end
+    val b = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val u = Seq((1L, Option.empty[Long], 111L), (2L, Some(20L), 222L))
+      .toDF("id", "expected", "newv")
+    val merged = Writer.casUpdate(b, u, Seq("id"), "v", "expected", "newv")
+      .as[(Long, Long)].collect().toMap
+    assert(merged == Map(1L -> 10L, 2L -> 222L)) // NULL expectation: no-op
+    val rejects = Writer.casRejects(b, u, Seq("id"), "v", "expected")
+      .select("id").as[Long].collect().toSet
+    assert(rejects == Set(1L)) // …but LOUD: it lands in the audit
+  }
+
   test("applyCdc: latest op per key wins — U→D deletes, D→U restores") {
     val changes = Seq(
       (1L, "a2", 11.0, "U", 1L), (1L, "a", 10.0, "D", 2L), // D last → gone
