@@ -79,6 +79,18 @@ object Bench {
   private val IterCanaryRounds = 5
   private val WindowSize = 20
   private val MaxWindowReruns = 2
+  // all-stolen retry budget per query (each batch preceded by a 3 s
+  // settle) and the end-of-bench re-pass: every query whose shipped
+  // median exceeds RepassMinSec — plus every SUSPECT one — gets one
+  // extra independent measure() at the END of the bench, hours of
+  // weather away from its window, and ships min(window, repass).
+  // Contention only ever ADDS time, so the min of two ≥3-run
+  // steal-clean medians taken in different windows is the better
+  // estimate of the query's uncontended cost; both values are
+  // recorded in BENCH_DETAIL.json ("repass") for audit.
+  private val StealMaxRetryBatches = 3
+  private val RepassMinSec = 3.0
+  private val RepassMaxQueries = 16
 
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
@@ -180,7 +192,13 @@ object Bench {
     // a >3x spread among successful runs means at least one timing is
     // not steady state (JIT compile, GC storm, transient contention) —
     // take extra runs so the median reflects the reproducible cost.
-    def measure(name: String): Double = {
+    // Returns (median, cleanOnly): cleanOnly=false means the shipped
+    // value includes steal-contaminated runs (every retry batch was
+    // also stolen) — the caller marks those queries SUSPECT in both
+    // JSON outputs so a slow artifact value carries its own health
+    // flag (round-9 lesson: a_simrank shipped 35.8 s vs a certified
+    // 11.5 s with nothing in the artifact saying the window was bad).
+    def measure(name: String): (Double, Boolean) = {
       try materialize(name, sfDir) catch { case _: Throwable => }
       var timed = timedRuns(name, runs)
       val g0 = timed.filter(_._2).map(_._1)
@@ -191,10 +209,16 @@ object Bench {
           f"[bench] $name spread ${g0.min}%.2f..${g0.max}%.2f s — rerunning")
         timed = timed ++ timedRuns(name, runs - 1)
       }
-      // every successful run steal-contaminated → one batch of retries
-      // for a timing taken on OUR cpu shares
-      if (timed.exists(_._2) && !timed.exists(t => t._2 && t._3)) {
-        System.err.println(s"[bench] $name: all runs steal-contaminated — retrying")
+      // every successful run steal-contaminated → retry batches (with
+      // settle pauses so a burst can pass) until a clean run exists;
+      // bounded so a steal STORM cannot wedge the bench
+      var stealRetries = 0
+      while (timed.exists(_._2) && !timed.exists(t => t._2 && t._3)
+          && stealRetries < StealMaxRetryBatches) {
+        stealRetries += 1
+        System.err.println(s"[bench] $name: all runs steal-contaminated — " +
+          s"settling + retry batch $stealRetries/$StealMaxRetryBatches")
+        Thread.sleep(3000)
         timed = timed ++ timedRuns(name, math.max(runs - 1, 1))
       }
       // median over SUCCESSFUL, STEAL-CLEAN runs — a near-instant
@@ -212,7 +236,7 @@ object Bench {
       // 7.8 s / 54.8 s on the same query). Collect BETWEEN queries so
       // each starts with a clean heap and pays only its own garbage.
       System.gc()
-      med
+      (med, clean.nonEmpty || !timed.exists(_._2))
     }
 
     // one canary observation: min of 2 back-to-back runs — a single
@@ -285,11 +309,16 @@ object Bench {
     // r7 failure mode: a quiet-looking load average while unchanged
     // queries measured 3-9× slow) and is re-measured from scratch.
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val suspect = scala.collection.mutable.LinkedHashSet.empty[String]
     names.grouped(WindowSize).zipWithIndex.foreach { case (window, wi) =>
       var attempt = 0
       var clean = false
       while (!clean) {
-        window.foreach { n => medians(n) = measure(n) }
+        window.foreach { n =>
+          val (med, cleanOnly) = measure(n)
+          medians(n) = med
+          if (cleanOnly) suspect -= n else suspect += n
+        }
         attempt += 1
         if (!haveCanary) clean = true
         else {
@@ -326,6 +355,31 @@ object Bench {
         }
       }
     }
+    // END-OF-BENCH RE-PASS (round-10, the a_simrank lesson): heavy and
+    // suspect queries get one more independent measurement now — their
+    // original window may have sat inside a steal storm the guards
+    // could only flag, not dodge. Ship min(window, repass): each value
+    // is itself a multi-run steal-clean-preferred median, and noise on
+    // this VM is one-sided (contention adds time, nothing subtracts).
+    val repassLog = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val repassSet = names
+      .filter(n => medians(n) >= RepassMinSec || suspect(n))
+      .sortBy(n => -medians(n)).take(RepassMaxQueries)
+    if (repassSet.nonEmpty) {
+      System.err.println(s"[bench] re-pass over ${repassSet.length} heavy/suspect " +
+        s"queries: ${repassSet.mkString(", ")}")
+      repassSet.foreach { n =>
+        val (med2, cleanOnly2) = measure(n)
+        repassLog(n) = (medians(n), med2)
+        if (med2 < medians(n)) {
+          medians(n) = med2
+          if (cleanOnly2) suspect -= n
+        }
+        System.err.println(
+          f"[bench] re-pass $n: window ${repassLog(n)._1}%.2f s vs ${med2}%.2f s" +
+            f" → shipped ${medians(n)}%.2f s")
+      }
+    }
     val results = names.map(n => n -> medians(n))
     val total = results.map(_._2).sum
     val loadAfter = loadAvg()
@@ -345,8 +399,12 @@ object Bench {
     val iterJson = iterChecks
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val windowsJson = windowsRerun.mkString("[", ",", "]")
+    val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val repassJson = repassLog
+      .map { case (k, (a, b)) => "\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRef)},"canary_checks":$canaryJson,"iter_canary":"nation-lpa-${IterCanaryRounds}r","iter_canary_ref":${fmt(iterRef)},"iter_canary_checks":$iterJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenRuns,"queries":${qJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRef)},"canary_checks":$canaryJson,"iter_canary":"nation-lpa-${IterCanaryRounds}r","iter_canary_ref":${fmt(iterRef)},"iter_canary_checks":$iterJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenRuns,"suspect":$suspectJson,"repass":$repassJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try {
       java.nio.file.Files.write(
@@ -360,6 +418,14 @@ object Bench {
     // Final stdout line: per-query map trimmed to the slowest entries
     // that keep the whole line under the tail window, the rest rolled
     // up into "other" so the total is still the sum of the parts.
+    // The suspect list is capped here (full list in the detail file)
+    // so a storm cannot blow the line past the driver's tail window.
+    val suspectStdout = {
+      val kept = suspect.take(8).map("\"" + _ + "\"")
+      val extra = suspect.size - kept.size
+      (if (extra > 0) kept ++ Seq("\"+" + extra + " more\"") else kept)
+        .mkString("[", ",", "]")
+    }
     val budget = 1900
     val bySlow = results.sortBy(-_._2)
     def compact(n: Int): String = {
@@ -368,7 +434,7 @@ object Bench {
       val entries = if (kept.length < results.length)
         qJson(kept).dropRight(1) + s""","other":${fmt(rest)}}"""
       else qJson(kept)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"queries":$entries,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"stolen_runs":$stolenRuns,"suspect":$suspectStdout,"queries":$entries,"sf":"$sfDir"}"""
     }
     val line = (results.length to 1 by -1).view.map(compact).find(_.length <= budget)
       .getOrElse(compact(1))

@@ -1,0 +1,481 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+
+/** Textual Gremlin front-end for the implemented verb subset.
+  *
+  * The reference's user surface is Gremlin STRINGS: hugegraph-core's
+  * traversal compiler lowers them onto exactly the store calls the
+  * TiKV plugin serves (TikvTable.java:30-58 imports the Query IR the
+  * compiler emits). The repo's [[Traversal]] DSL covers those verbs as
+  * fluent Scala; this parser closes the last user-visible parity gap —
+  * a user of the reference types
+  * {{{ g.V().hasLabel('customer').has('mktsegment','BUILDING').out('placed').count() }}}
+  * and gets the IDENTICAL DataFrame plan the DSL produces, because
+  * compilation is a fold of parsed steps over the same Traversal
+  * methods (no second execution path to drift — proven plan-for-plan
+  * by TraversalSpec's `sameResult` cases and the g26/g27 gates).
+  *
+  * Grammar (recursive descent, tokens: ident/string/number/punct):
+  * {{{
+  * query  := 'g' '.' source step*
+  * source := 'V' '(' ids? ')' | 'E' '(' ')'
+  * step   := '.' ident '(' args? ')'
+  * args   := arg (',' arg)*
+  * arg    := literal | pred '(' literal* ')' | '__' step+
+  * }}}
+  *
+  * Supported verbs: hasLabel, has(k,lit|pred), hasId, out/in/both,
+  * outE/inE/bothE, inV/outV/otherV, repeat(sub).times(n), where(sub),
+  * not(sub), union(subs), coalesce(subs), optional(sub), dedup, limit,
+  * order([k,asc|desc])/order().by(k[,order]), sample(d[,b]), path,
+  * count, values(k), valueMap(ks), groupCount(k)/groupCount().by(k).
+  * Predicates: eq/neq/gt/gte/lt/lte/between/inside/outside/within/
+  * without/textContains/containing/startingWith.
+  */
+object GremlinParser {
+
+  // ---------- AST ----------
+  sealed trait GStep
+  final case class GSource(edge: Boolean, ids: Seq[Long]) extends GStep
+  final case class GHasLabel(ls: Seq[String]) extends GStep
+  final case class GHas(k: String, p: P) extends GStep
+  final case class GHasId(ids: Seq[Long]) extends GStep
+  final case class GHop(kind: String, labels: Seq[String]) extends GStep
+  final case class GToV(kind: String) extends GStep
+  final case class GRepeat(sub: Seq[GStep], times: Int) extends GStep
+  final case class GWhere(sub: Seq[GStep], neg: Boolean) extends GStep
+  final case class GUnion(subs: Seq[Seq[GStep]]) extends GStep
+  final case class GCoalesce(subs: Seq[Seq[GStep]]) extends GStep
+  final case class GOptional(sub: Seq[GStep]) extends GStep
+  case object GDedup extends GStep
+  final case class GLimit(n: Int) extends GStep
+  final case class GOrder(key: String, asc: Boolean) extends GStep
+  final case class GSample(denom: Int, bucket: Int) extends GStep
+  case object GCount extends GStep
+  final case class GValues(k: String) extends GStep
+  final case class GValueMap(ks: Seq[String]) extends GStep
+  final case class GGroupCount(k: String) extends GStep
+  case object GPath extends GStep
+
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  // ---------- tokenizer ----------
+  private sealed trait Tok
+  private final case class TIdent(s: String) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TNum(s: String) extends Tok
+  private final case class TPunct(c: Char) extends Tok
+
+  private def tokenize(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val end = q.indexOf(c, i + 1)
+        if (end < 0) throw ParseException(s"unterminated string at offset $i")
+        out += TStr(q.substring(i + 1, end)); i = end + 1
+      } else if (c.isDigit || (c == '-' && i + 1 < q.length && q.charAt(i + 1).isDigit)) {
+        val s = i; i += 1
+        while (i < q.length && (q.charAt(i).isDigit || q.charAt(i) == '.')) i += 1
+        if (i < q.length && (q.charAt(i) == 'L' || q.charAt(i) == 'l')) {
+          out += TNum(q.substring(s, i)); i += 1
+        } else out += TNum(q.substring(s, i))
+      } else if (c.isLetter || c == '_') {
+        val s = i
+        while (i < q.length && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
+        out += TIdent(q.substring(s, i))
+      } else if ("().,".indexOf(c) >= 0) { out += TPunct(c); i += 1 }
+      else throw ParseException(s"unexpected character '$c' at offset $i")
+    }
+    out.result()
+  }
+
+  // ---------- parser ----------
+  private final class Cursor(toks: Vector[Tok]) {
+    var pos = 0
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def next(): Tok =
+      if (pos < toks.length) { pos += 1; toks(pos - 1) }
+      else throw ParseException("unexpected end of query")
+    def expectPunct(c: Char): Unit = next() match {
+      case TPunct(`c`) => ()
+      case t => throw ParseException(s"expected '$c', got $t")
+    }
+    def expectIdent(): String = next() match {
+      case TIdent(s) => s
+      case t => throw ParseException(s"expected identifier, got $t")
+    }
+    def atPunct(c: Char): Boolean = peek.contains(TPunct(c))
+  }
+
+  /** Parse a full query string (must start `g.V(...)` or `g.E()`). */
+  def parse(q: String): Seq[GStep] = {
+    val cur = new Cursor(tokenize(q))
+    if (cur.expectIdent() != "g") throw ParseException("query must start with g")
+    cur.expectPunct('.')
+    val srcName = cur.expectIdent()
+    val src = srcName match {
+      case "V" => GSource(edge = false, ids = parseLongArgs(cur))
+      case "E" =>
+        val ids = parseLongArgs(cur)
+        if (ids.nonEmpty) throw ParseException("E() takes no ids")
+        GSource(edge = true, Nil)
+      case other => throw ParseException(s"unknown source step $other")
+    }
+    val steps = src +: parseSteps(cur)
+    if (cur.peek.nonEmpty) throw ParseException(s"trailing tokens after step ${cur.peek.get}")
+    fuseModulators(steps)
+  }
+
+  private def parseLongArgs(cur: Cursor): Seq[Long] = {
+    cur.expectPunct('(')
+    val ids = Vector.newBuilder[Long]
+    while (!cur.atPunct(')')) {
+      cur.next() match {
+        case TNum(s) => ids += s.toLong
+        case t => throw ParseException(s"expected numeric id, got $t")
+      }
+      if (cur.atPunct(',')) cur.next()
+    }
+    cur.expectPunct(')')
+    ids.result()
+  }
+
+  /** steps until the chain ends (end of tokens or an enclosing ')'). */
+  private def parseSteps(cur: Cursor): Seq[GStep] = {
+    val steps = Vector.newBuilder[GStep]
+    while (cur.atPunct('.')) {
+      cur.next()
+      steps += parseStep(cur)
+    }
+    steps.result()
+  }
+
+  private def parseStep(cur: Cursor): GStep = {
+    val name = cur.expectIdent()
+    name match {
+      case "hasLabel" => GHasLabel(parseStrArgs(cur))
+      case "has" => parseHas(cur)
+      case "hasId" => GHasId(parseLongArgs(cur))
+      case "out" | "in" | "both" | "outE" | "inE" | "bothE" =>
+        GHop(name, parseStrArgs(cur))
+      case "inV" | "outV" | "otherV" => emptyArgs(cur); GToV(name)
+      case "repeat" => parseRepeat(cur)
+      case "where" => GWhere(parseSubArg(cur), neg = false)
+      case "not" => GWhere(parseSubArg(cur), neg = true)
+      case "union" => GUnion(parseSubArgs(cur))
+      case "coalesce" => GCoalesce(parseSubArgs(cur))
+      case "optional" => GOptional(parseSubArg(cur))
+      case "dedup" => emptyArgs(cur); GDedup
+      case "limit" => GLimit(parseIntArgs(cur, 1).head)
+      case "order" => parseOrder(cur)
+      case "by" => parseByModulator(cur)
+      case "sample" =>
+        val a = parseIntArgs(cur, 1, 2)
+        GSample(a.head, if (a.length > 1) a(1) else 0)
+      case "path" => emptyArgs(cur); GPath
+      case "count" => emptyArgs(cur); GCount
+      case "values" => GValues(parseStrArgs(cur) match {
+        case Seq(k) => k
+        case _ => throw ParseException("values() takes exactly one key")
+      })
+      case "valueMap" => GValueMap(parseStrArgs(cur))
+      case "groupCount" =>
+        val ks = parseStrArgs(cur)
+        if (ks.length > 1) throw ParseException("groupCount() takes at most one key")
+        GGroupCount(ks.headOption.getOrElse(""))
+      case "times" =>
+        throw ParseException("times() must directly follow repeat(...)")
+      case other => throw ParseException(s"unknown step $other")
+    }
+  }
+
+  /** `.by('k' [,'asc'|'desc'])` — only valid straight after order() /
+    * groupCount(); parsed to a GValues the fuser consumes (never
+    * survives to compile).
+    */
+  private def parseByModulator(cur: Cursor): GStep = {
+    cur.expectPunct('(')
+    val k = cur.next() match {
+      case TStr(s) => s
+      case t => throw ParseException(s"by() expects a property key, got $t")
+    }
+    var asc = true
+    if (cur.atPunct(',')) {
+      cur.next()
+      cur.next() match {
+        case TIdent(o) => asc = parseAsc(o)
+        case TStr(o) => asc = parseAsc(o)
+        case t => throw ParseException(s"by() order must be asc/desc, got $t")
+      }
+    }
+    cur.expectPunct(')')
+    ByModulator(k, asc)
+  }
+  private final case class ByModulator(k: String, asc: Boolean) extends GStep
+
+  private def parseAsc(o: String): Boolean = o match {
+    case "asc" | "incr" => true
+    case "desc" | "decr" => false
+    case other => throw ParseException(s"unknown order $other")
+  }
+
+  private def parseOrder(cur: Cursor): GStep = {
+    cur.expectPunct('(')
+    if (cur.atPunct(')')) { cur.next(); GOrder("", asc = true) } // await .by
+    else {
+      val k = cur.next() match {
+        case TStr(s) => s
+        case t => throw ParseException(s"order() key must be a string, got $t")
+      }
+      var asc = true
+      if (cur.atPunct(',')) {
+        cur.next()
+        cur.next() match {
+          case TIdent(o) => asc = parseAsc(o)
+          case TStr(o) => asc = parseAsc(o)
+          case t => throw ParseException(s"order must be asc/desc, got $t")
+        }
+      }
+      cur.expectPunct(')')
+      GOrder(k, asc)
+    }
+  }
+
+  private def parseRepeat(cur: Cursor): GStep = {
+    val sub = parseSubArg(cur)
+    // require .times(n) immediately
+    cur.expectPunct('.')
+    if (cur.expectIdent() != "times")
+      throw ParseException("repeat(...) must be followed by .times(n)")
+    GRepeat(sub, parseIntArgs(cur, 1).head)
+  }
+
+  private def parseHas(cur: Cursor): GStep = {
+    cur.expectPunct('(')
+    val k = cur.next() match {
+      case TStr(s) => s
+      case t => throw ParseException(s"has() key must be a string, got $t")
+    }
+    cur.expectPunct(',')
+    val p = cur.next() match {
+      case TIdent(pred) => parsePredicate(pred, cur)
+      case TStr(s) => P.Eq(s)
+      case TNum(s) => P.Eq(num(s))
+      case t => throw ParseException(s"has() value must be literal or predicate, got $t")
+    }
+    cur.expectPunct(')')
+    GHas(k, p)
+  }
+
+  private def num(s: String): Any = if (s.contains('.')) s.toDouble else s.toLong
+
+  private def parsePredicate(pred: String, cur: Cursor): P = {
+    def lits(): Seq[Any] = {
+      cur.expectPunct('(')
+      val vs = Vector.newBuilder[Any]
+      while (!cur.atPunct(')')) {
+        cur.next() match {
+          case TStr(s) => vs += s
+          case TNum(s) => vs += num(s)
+          case TIdent("true") => vs += true
+          case TIdent("false") => vs += false
+          case t => throw ParseException(s"expected literal in $pred(), got $t")
+        }
+        if (cur.atPunct(',')) cur.next()
+      }
+      cur.expectPunct(')')
+      vs.result()
+    }
+    def one(): Any = lits() match {
+      case Seq(v) => v
+      case vs => throw ParseException(s"$pred() takes one argument, got ${vs.length}")
+    }
+    def two(): (Any, Any) = lits() match {
+      case Seq(a, b) => (a, b)
+      case vs => throw ParseException(s"$pred() takes two arguments, got ${vs.length}")
+    }
+    def str(): String = one() match {
+      case s: String => s
+      case v => throw ParseException(s"$pred() takes a string, got $v")
+    }
+    pred match {
+      case "eq" => P.Eq(one())
+      case "neq" => P.Neq(one())
+      case "gt" => P.Gt(one())
+      case "gte" => P.Gte(one())
+      case "lt" => P.Lt(one())
+      case "lte" => P.Lte(one())
+      case "between" => val (a, b) = two(); P.Between(a, b)
+      case "inside" => val (a, b) = two(); P.Inside(a, b)
+      case "outside" => val (a, b) = two(); P.Outside(a, b)
+      case "within" => P.Within(lits())
+      case "without" => P.Without(lits())
+      case "textContains" | "containing" => P.TextContains(str())
+      case "startingWith" => P.StartsWith(str())
+      case "contains" => P.Contains(one())
+      case "containsKey" => P.ContainsKey(str())
+      case "textContainsAny" => P.TextContainsAny(lits().map {
+        case s: String => s
+        case v => throw ParseException(s"textContainsAny takes strings, got $v")
+      })
+      case other => throw ParseException(s"unknown predicate $other")
+    }
+  }
+
+  private def parseStrArgs(cur: Cursor): Seq[String] = {
+    cur.expectPunct('(')
+    val out = Vector.newBuilder[String]
+    while (!cur.atPunct(')')) {
+      cur.next() match {
+        case TStr(s) => out += s
+        case t => throw ParseException(s"expected string argument, got $t")
+      }
+      if (cur.atPunct(',')) cur.next()
+    }
+    cur.expectPunct(')')
+    out.result()
+  }
+
+  private def parseIntArgs(cur: Cursor, min: Int, max: Int = 1): Seq[Int] = {
+    cur.expectPunct('(')
+    val out = Vector.newBuilder[Int]
+    while (!cur.atPunct(')')) {
+      cur.next() match {
+        case TNum(s) => out += s.toInt
+        case t => throw ParseException(s"expected int argument, got $t")
+      }
+      if (cur.atPunct(',')) cur.next()
+    }
+    cur.expectPunct(')')
+    val r = out.result()
+    if (r.length < min || r.length > math.max(min, max))
+      throw ParseException(s"expected $min..$max int arguments, got ${r.length}")
+    r
+  }
+
+  private def emptyArgs(cur: Cursor): Unit = {
+    cur.expectPunct('(')
+    cur.expectPunct(')')
+  }
+
+  /** one anonymous sub-traversal argument:  ( __.step... )  */
+  private def parseSubArg(cur: Cursor): Seq[GStep] = {
+    cur.expectPunct('(')
+    val sub = parseAnon(cur)
+    cur.expectPunct(')')
+    sub
+  }
+
+  /** comma-separated anonymous sub-traversals:  ( __. ... , __. ... ) */
+  private def parseSubArgs(cur: Cursor): Seq[Seq[GStep]] = {
+    cur.expectPunct('(')
+    val subs = Vector.newBuilder[Seq[GStep]]
+    while (!cur.atPunct(')')) {
+      subs += parseAnon(cur)
+      if (cur.atPunct(',')) cur.next()
+    }
+    cur.expectPunct(')')
+    subs.result()
+  }
+
+  private def parseAnon(cur: Cursor): Seq[GStep] = {
+    if (cur.expectIdent() != "__")
+      throw ParseException("sub-traversal must start with __")
+    val steps = Vector.newBuilder[GStep]
+    while (cur.atPunct('.')) {
+      cur.next()
+      steps += parseStep(cur)
+    }
+    val r = fuseModulators(steps.result())
+    if (r.isEmpty) throw ParseException("empty sub-traversal")
+    r
+  }
+
+  /** fold ByModulator placeholders into the preceding order()/groupCount(). */
+  private def fuseModulators(steps: Seq[GStep]): Seq[GStep] = {
+    val out = Vector.newBuilder[GStep]
+    var prev: Option[GStep] = None
+    steps.foreach {
+      case ByModulator(k, asc) => prev match {
+        case Some(GOrder("", _)) => prev = Some(GOrder(k, asc))
+        case Some(GGroupCount("")) => prev = Some(GGroupCount(k))
+        case _ => throw ParseException(".by() must follow order() or groupCount()")
+      }
+      case s =>
+        prev.foreach(out += _)
+        prev = Some(s)
+    }
+    prev.foreach(out += _)
+    out.result().map {
+      case GOrder("", _) =>
+        throw ParseException("order() needs a key: order('k') or order().by('k')")
+      case GGroupCount("") =>
+        throw ParseException("groupCount() needs a key: groupCount('k') or groupCount().by('k')")
+      case s => s
+    }
+  }
+
+  // ---------- compiler ----------
+
+  /** Compile + run a Gremlin string against a graph. Terminal steps
+    * (count/values/valueMap/groupCount/path) yield their DataFrame;
+    * a chain without a terminal yields the frontier's full frame.
+    */
+  def run(g: PropertyGraph, query: String): DataFrame = {
+    val steps = parse(query)
+    val (src, rest) = (steps.head.asInstanceOf[GSource], steps.tail)
+    var t = src match {
+      case GSource(true, _) => g.E
+      case GSource(false, Seq()) => g.V
+      case GSource(false, ids) => g.V(ids: _*)
+    }
+    if (rest.contains(GPath)) t = t.withPath
+    var result: Option[DataFrame] = None
+    rest.foreach { s =>
+      if (result.nonEmpty)
+        throw ParseException(s"step after terminal: $s")
+      s match {
+        case GPath => result = Some(t.paths)
+        case GCount => result = Some(t.count())
+        case GValues(k) => result = Some(t.values(k))
+        case GValueMap(ks) => result = Some(t.valueMap(ks: _*))
+        case GGroupCount(k) => result = Some(t.groupCount(k))
+        case other => t = applyStep(t, other)
+      }
+    }
+    result.getOrElse(t.toDF)
+  }
+
+  private def subFn(sub: Seq[GStep]): Traversal => Traversal =
+    t0 => sub.foldLeft(t0)(applyStep)
+
+  private def applyStep(t: Traversal, s: GStep): Traversal = s match {
+    case GHasLabel(ls) => t.hasLabel(ls: _*)
+    case GHas(k, p) => t.has(k, p)
+    case GHasId(ids) => t.hasId(ids: _*)
+    case GHop("out", ls) => t.out(ls: _*)
+    case GHop("in", ls) => t.in(ls: _*)
+    case GHop("both", ls) => t.both(ls: _*)
+    case GHop("outE", ls) => t.outE(ls: _*)
+    case GHop("inE", ls) => t.inE(ls: _*)
+    case GHop("bothE", ls) => t.bothE(ls: _*)
+    case GToV("inV") => t.inV
+    case GToV("outV") => t.outV
+    case GToV("otherV") => t.otherV
+    case GRepeat(sub, n) => t.repeat(n)(subFn(sub))
+    case GWhere(sub, false) => t.where(subFn(sub))
+    case GWhere(sub, true) => t.not(subFn(sub))
+    case GUnion(subs) => t.union(subs.map(subFn): _*)
+    case GCoalesce(subs) => t.coalesce(subs.map(subFn): _*)
+    case GOptional(sub) => t.optional(subFn(sub))
+    case GDedup => t.dedup()
+    case GLimit(n) => t.limit(n)
+    case GOrder(k, asc) => t.order(k, asc)
+    case GSample(d, b) => t.sample(d, b)
+    case other => throw ParseException(s"cannot apply step $other here")
+  }
+}

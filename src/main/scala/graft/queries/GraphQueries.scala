@@ -19,6 +19,31 @@ object GraphQueries {
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
       .out("placed").count()
 
+  /** Gremlin STRING front-end — the reference's actual user surface
+    * (hugegraph-core compiles Gremlin text onto the store calls of
+    * TikvTable.java:30-58). The string below goes through
+    * [[graft.graph.GremlinParser]], which folds the parsed steps over
+    * the same Traversal methods the DSL gates use — so this gate
+    * witnesses that a user typing a query STRING gets the identical
+    * distributed plan (TraversalSpec proves plan-for-plan equality via
+    * sameResult; here the DuckDB oracle pins the semantics end-to-end).
+    */
+  def g26Parsed(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer')" +
+        ".has('mktsegment', within('BUILDING', 'AUTOMOBILE'))" +
+        ".out('placed').has('totalprice', gt(150000.0))" +
+        ".out('contains').dedup().count()")
+
+  /** Parsed-string groupCount().by() with a hop: suppliers per nation
+    * name — exercises the parser's modulator fusing and a non-count
+    * terminal through the string path.
+    */
+  def g27ParsedGroup(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('supplier').out('located_in').groupCount().by('name')")
+      .orderBy("name")
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -277,6 +302,8 @@ object GraphQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g26_parsed" -> (g26Parsed _),
+    "g27_parsed_group" -> (g27ParsedGroup _),
     "g25_event_graph" -> (g25EventGraph _),
     "g23_kout" -> (g23Kout _),
     "g24_same_neighbors" -> (g24SameNeighbors _),
@@ -305,6 +332,20 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // parsed-Gremlin-string gate: distinct parts inside expensive
+    // orders placed by BUILDING/AUTOMOBILE customers
+    "g26_parsed" ->
+      """SELECT COUNT(*) AS cnt FROM (
+        |  SELECT DISTINCT l_partkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |    AND o_totalprice > 150000.0)""".stripMargin,
+    // parsed groupCount().by('name'): suppliers per nation name
+    "g27_parsed_group" ->
+      """SELECT n_name AS name, COUNT(*) AS cnt FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // co-occurrence projection replay: distinct (basket, user) rows,
     // ≤100-user basket guard, a<b pairs, support histogram + checksums
     "g25_event_graph" ->

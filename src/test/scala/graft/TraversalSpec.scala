@@ -211,4 +211,100 @@ class TraversalSpec extends AnyFunSuite {
     val gc = triangle.V.groupCount("label").as[(String, Long)].collect().toMap
     assert(gc == Map("node" -> 3L))
   }
+
+  // ---- Gremlin string front-end: parsed query ≡ DSL, plan-for-plan ----
+
+  import graft.graph.GremlinParser
+
+  private def samePlan(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean =
+    a.queryExecution.optimizedPlan.sameResult(b.queryExecution.optimizedPlan)
+
+  test("parser: filter+hop+count compiles to the identical plan as the DSL") {
+    val parsed = GremlinParser.run(triangle,
+      "g.V().hasLabel('node').has('score', gt(10)).out('next').count()")
+    val dsl = triangle.V.hasLabel("node").has("score", P.Gt(10L))
+      .out("next").count()
+    assert(samePlan(parsed, dsl))
+    assert(parsed.as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("parser: V(ids), predicates, dedup, values") {
+    val parsed = GremlinParser.run(triangle,
+      "g.V(1, 2).out('next').dedup().values('score')")
+    val dsl = triangle.V(1L, 2L).out("next").dedup().values("score")
+    assert(samePlan(parsed, dsl))
+    assert(parsed.as[Int].collect().sorted.toSeq == Seq(20, 30))
+    // predicate battery: each parses and matches its DSL twin
+    val preds = Seq(
+      "between(10, 30)" -> P.Between(10L, 30L),
+      "inside(10, 30)" -> P.Inside(10L, 30L),
+      "outside(10, 20)" -> P.Outside(10L, 20L),
+      "within(10, 30)" -> P.Within(Seq(10L, 30L)),
+      "without(20)" -> P.Without(Seq(20L)),
+      "neq(20)" -> P.Neq(20L))
+    preds.foreach { case (txt, p) =>
+      val ps = GremlinParser.run(triangle, s"g.V().has('score', $txt).count()")
+      val ds = triangle.V.has("score", p).count()
+      assert(samePlan(ps, ds), s"plan mismatch for $txt")
+    }
+  }
+
+  test("parser: repeat/times, where, not") {
+    val parsed = GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).times(3).count()")
+    val dsl = triangle.V(1L).repeat(3)(_.out("next")).count()
+    assert(samePlan(parsed, dsl))
+    assert(parsed.as[Long].collect().toSeq == Seq(1L))
+    val w = GremlinParser.run(triangle,
+      "g.V().where(__.out('next').has('score', eq(20))).count()")
+    val wd = triangle.V.where(_.out("next").has("score", P.Eq(20L))).count()
+    assert(samePlan(w, wd))
+    val n = GremlinParser.run(triangle,
+      "g.V().not(__.out('next').has('score', eq(20))).count()")
+    val nd = triangle.V.not(_.out("next").has("score", P.Eq(20L))).count()
+    assert(samePlan(n, nd))
+  }
+
+  test("parser: union, coalesce, order().by, groupCount().by, limit") {
+    val u = GremlinParser.run(triangle,
+      "g.V(1).union(__.out('next'), __.in('next')).values('id')")
+    val ud = triangle.V(1L).union(_.out("next"), _.in("next")).values("id")
+    assert(samePlan(u, ud))
+    assert(u.as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    val o = GremlinParser.run(triangle,
+      "g.V().order().by('score', desc).limit(2).values('score')")
+    val od = triangle.V.order("score", asc = false).limit(2).values("score")
+    assert(samePlan(o, od))
+    val gcs = GremlinParser.run(triangle, "g.V().groupCount().by('label')")
+    assert(samePlan(gcs, triangle.V.groupCount("label")))
+    val co = GremlinParser.run(triangle,
+      "g.V(1).coalesce(__.out('next'), __.hasLabel('node'))")
+    val cod = triangle.V(1L).coalesce(_.out("next"), _.hasLabel("node"))
+    assert(samePlan(co, cod.toDF))
+  }
+
+  test("parser: path() tracking and edge-step verbs") {
+    val p = GremlinParser.run(triangle, "g.V(1).out('next').out('next').path()")
+    val pd = triangle.V(1L).withPath.out("next").out("next").paths
+    assert(samePlan(p, pd))
+    assert(p.as[Seq[Long]].collect().toSeq == Seq(Seq(1L, 2L, 3L)))
+    val e = GremlinParser.run(triangle,
+      "g.V(1).outE('next').inV().values('id')")
+    val ed = triangle.V(1L).outE("next").inV.values("id")
+    assert(samePlan(e, ed))
+  }
+
+  test("parser: malformed queries fail loudly, never silently") {
+    def bad(q: String): Unit =
+      assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle, q))
+    bad("V().count()")                       // missing g.
+    bad("g.V().frobnicate()")                // unknown step
+    bad("g.V().has('score', plusOrMinus(3))") // unknown predicate
+    bad("g.V().repeat(__.out('next'))")      // repeat without times
+    bad("g.V().by('score')")                 // stray by()
+    bad("g.V().order()")                     // order with no key and no by
+    bad("g.V().hasLabel('unclosed")          // unterminated string
+    bad("g.V().count().out('next')")         // step after terminal
+  }
 }
