@@ -248,17 +248,16 @@ object Algorithms {
       .union(edges.select(col("dst").as("id"))).distinct()
       .persist(MEMORY_AND_DISK)
     try {
-      var pr = verts.select(col("id"), lit(1000000L).as("pr"))
-        .localCheckpoint()
+      val rc = new graft.util.Checkpoints.Rolling
+      var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
       for (_ <- 1 to iters) {
         val contrib = edgesDeg
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
-        pr = verts.join(contrib, Seq("id"), "left")
+        pr = rc.roll(verts.join(contrib, Seq("id"), "left")
           .select(col("id"),
-            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
-          .localCheckpoint()
+            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr")))
       }
       pr
     } finally {
@@ -302,17 +301,16 @@ object Algorithms {
       .union(edgesW.select(col("dst").as("id"))).distinct()
       .persist(MEMORY_AND_DISK)
     try {
-      var pr = verts.select(col("id"), lit(1000000L).as("pr"))
-        .localCheckpoint()
+      val rc = new graft.util.Checkpoints.Rolling
+      var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
       for (_ <- 1 to iters) {
         val contrib = edgesW
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .select(col("dst").as("id"), expr("(pr * w) div sw").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
-        pr = verts.join(contrib, Seq("id"), "left")
+        pr = rc.roll(verts.join(contrib, Seq("id"), "left")
           .select(col("id"),
-            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
-          .localCheckpoint()
+            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr")))
       }
       pr
     } finally {
@@ -370,17 +368,17 @@ object Algorithms {
       if (adj.isEmpty) {
         return adj.select(col("v").as("id"), lit(1000000L).as("score")).limit(0)
       }
-      var x = adj.select(col("v").as("id")).distinct()
-        .select(col("id"), lit(1000000L).as("score")).localCheckpoint()
+      val rc = new graft.util.Checkpoints.Rolling
+      var x = rc.roll(adj.select(col("v").as("id")).distinct()
+        .select(col("id"), lit(1000000L).as("score")))
       for (_ <- 1 to iters) {
         // checkpoint BEFORE the scalar read: the driver max and the
         // next round must share ONE materialization of the join+agg,
         // not recompute it (the hitsExact lesson — reading the
         // normalizer off the lazy frame doubles every step's work)
-        val m = adj.join(x.select(col("id").as("n"), col("score")), "n")
+        val m = rc.roll(adj.join(x.select(col("id").as("n"), col("score")), "n")
           .groupBy(col("v")).agg(sum(col("score")).as("m"))
-          .select(col("v").as("id"), col("m"))
-          .localCheckpoint()
+          .select(col("v").as("id"), col("m")))
         val mx = m.agg(max(col("m"))).head().getLong(0)
         require(mx > 0 && mx <= Long.MaxValue / 1000000L,
           s"eigenvector renormalizer out of range: $mx")
@@ -440,24 +438,29 @@ object Algorithms {
       // action per half-step (2× the job count), and reading the max
       // off the un-checkpointed frame even re-ran the join+agg (the
       // two together measured 10× on the 750k-edge gate)
-      def renorm(m: DataFrame): DataFrame = {
-        val mm = m.localCheckpoint()
+      def renorm(rc: graft.util.Checkpoints.Rolling, m: DataFrame): DataFrame = {
+        val mm = rc.roll(m)
         mm.crossJoin(broadcast(mm.agg(max(col("m")).as("mx"))))
           .select(col("id"), expr("(m * 1000000L) div mx").as("score"))
       }
-      var h = eBySrc.select(col("src").as("id")).distinct()
-        .select(col("id"), lit(1000000L).as("score")).localCheckpoint()
+      // one rolling slot per half-step chain: round k's hub state may
+      // release round k−1's HUB blocks, never the authority frame the
+      // final join still reads
+      val rcH = new graft.util.Checkpoints.Rolling
+      val rcA = new graft.util.Checkpoints.Rolling
+      var h = rcH.roll(eBySrc.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(1000000L).as("score")))
       var a = h.limit(0)
       for (_ <- 1 to iters) {
         // hint rides the narrow STATE side → it becomes the hash-join
         // build side (building on the 750k-edge side instead measured
         // 2× slower); the pre-partitioned persisted edges stream
-        a = renorm(eBySrc
+        a = renorm(rcA, eBySrc
           .join(h.select(col("id").as("src"), col("score"))
             .hint("shuffle_hash"), "src")
           .groupBy(col("dst")).agg(sum(col("score")).as("m"))
           .select(col("dst").as("id"), col("m")))
-        h = renorm(eByDst
+        h = renorm(rcH, eByDst
           .join(a.select(col("id").as("dst"), col("score"))
             .hint("shuffle_hash"), "dst")
           .groupBy(col("src")).agg(sum(col("score")).as("m"))
@@ -668,8 +671,9 @@ object Algorithms {
       // through — Σ|delta| work, not rounds × |E| — and the loop stops
       // itself on an empty frontier (depth+1 rounds on a DAG) instead
       // of burning fixed iterations past convergence.
-      var lvl = g.vertices.select(col("id")).distinct()
-        .select(col("id"), lit(0L).as("level")).localCheckpoint()
+      val rc = new graft.util.Checkpoints.Rolling
+      var lvl = rc.roll(g.vertices.select(col("id")).distinct()
+        .select(col("id"), lit(0L).as("level")))
       var delta = lvl
       var round = 0
       while (round < iters && !delta.isEmpty) {
@@ -678,12 +682,11 @@ object Algorithms {
           .join(delta.select(col("id").as("src"), col("level")), "src")
           .groupBy(col("dst")).agg(max(col("level") + 1L).as("cand"))
           .select(col("dst").as("id"), col("cand"))
-        val merged = lvl.join(cand, Seq("id"), "left")
+        val merged = rc.roll(lvl.join(cand, Seq("id"), "left")
           .select(col("id"),
             greatest(col("level"), coalesce(col("cand"), col("level")))
               .as("level"),
-            (col("cand") > col("level")).as("__rose"))
-          .localCheckpoint()
+            (col("cand") > col("level")).as("__rose")))
         delta = merged.filter(col("__rose")).select(col("id"), col("level"))
         lvl = merged.select(col("id"), col("level"))
       }
@@ -768,25 +771,25 @@ object Algorithms {
       .repartition(col("n"))
       .persist(MEMORY_AND_DISK)
     try {
-      var lab = g.vertices.select(col("id")).distinct()
-        .select(col("id"), col("id").as("comp")).localCheckpoint()
+      val rc = new graft.util.Checkpoints.Rolling
+      var lab = rc.roll(g.vertices.select(col("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
       // round 1 on the identity labeling needs no join at all:
       // min neighbor id IS the candidate (comp(id) = id) — one
       // aggregation replaces the heaviest (all-vertices) delta round
-      val first = lab.join(
+      val first = rc.roll(lab.join(
           adj.groupBy(col("v")).agg(min(col("n")).as("cand"))
             .select(col("v").as("id"), col("cand")).hint("shuffle_hash"),
           Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
-          (coalesce(col("cand"), col("comp")) < col("comp")).as("__chg"))
-        .localCheckpoint()
+          (coalesce(col("cand"), col("comp")) < col("comp")).as("__chg")))
       var delta = first.filter(col("__chg")).select(col("id"), col("comp"))
       var lab2 = first.select(col("id"), col("comp"))
       var it = 1
       while (it < maxIter && !delta.isEmpty) {
         it += 1
-        val merged = ccAltRound(adj, lab2, delta).localCheckpoint()
+        val merged = rc.roll(ccAltRound(adj, lab2, delta))
         delta = merged.filter(col("__chg")).select(col("id"), col("comp"))
         lab2 = merged.select(col("id"), col("comp"))
       }
@@ -825,18 +828,17 @@ object Algorithms {
       .select(col("id"), coalesce(col("__seed"), lit(0L)).as("seed"))
       .persist(MEMORY_AND_DISK)
     try {
-      var pr = vflag.select(col("id"), (col("seed") * 1000000L).as("pr"))
-        .localCheckpoint()
+      val rc = new graft.util.Checkpoints.Rolling
+      var pr = rc.roll(vflag.select(col("id"), (col("seed") * 1000000L).as("pr")))
       for (_ <- 1 to iters) {
         val contrib = edgesDeg
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
-        pr = vflag.join(contrib, Seq("id"), "left")
+        pr = rc.roll(vflag.join(contrib, Seq("id"), "left")
           .select(col("id"),
             (col("seed") * 150000L +
-              expr("(85L * coalesce(m, 0L)) div 100L")).as("pr"))
-          .localCheckpoint()
+              expr("(85L * coalesce(m, 0L)) div 100L")).as("pr")))
       }
       pr
     } finally {
@@ -878,7 +880,8 @@ object Algorithms {
     val verts = g.vertices.select(col("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var lab = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
+      val rc = new graft.util.Checkpoints.Rolling
+      var lab = rc.roll(verts.select(col("id"), col("id").as("lbl")))
       for (_ <- 1 to iters) {
         // shuffle_hash: an SMJ would re-SORT the cached pre-partitioned
         // adjacency every round (the ccAltRound lesson — ~0.9s/round)
@@ -890,9 +893,8 @@ object Algorithms {
           // lexicographic struct max = (max count, then min label)
           .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
           .select(col("v").as("id"), (-col("m.nl")).as("new_lbl"))
-        lab = lab.join(pick, Seq("id"), "left")
-          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-          .localCheckpoint()
+        lab = rc.roll(lab.join(pick, Seq("id"), "left")
+          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl")))
       }
       lab
     } finally {
@@ -943,7 +945,8 @@ object Algorithms {
       .select(col("v").as("src"), col("n").as("dst"))
       .persist(MEMORY_AND_DISK)
     try {
-      var alive = und.select(col("src").as("id")).distinct().localCheckpoint()
+      val rc = new graft.util.Checkpoints.Rolling
+      var alive = rc.roll(und.select(col("src").as("id")).distinct())
       var aliveCount = alive.count()
       var round = 0
       var done = false
@@ -952,8 +955,7 @@ object Algorithms {
           .join(alive.select(col("id").as("src")), "src")
           .join(alive.select(col("id").as("dst")), "dst")
           .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        val next = deg.filter(col("deg") >= k).select(col("src").as("id"))
-          .localCheckpoint()
+        val next = rc.roll(deg.filter(col("deg") >= k).select(col("src").as("id")))
         // track the survivor count in a local — alive.count() would be
         // a second job per round over the already-counted frame
         val nextCount = next.count()
@@ -1111,17 +1113,16 @@ object Algorithms {
         val maxInDeg = edges.groupBy(col("dst"))
           .agg(count(lit(1)).as("d")).agg(max(col("d"))).head().getLong(0)
         val denom = 2L * maxInDeg
-        var x = verts.select(col("id"), lit(1000000L).as("score"))
-          .localCheckpoint()
+        val rc = new graft.util.Checkpoints.Rolling
+        var x = rc.roll(verts.select(col("id"), lit(1000000L).as("score")))
         for (_ <- 1 to iters) {
           val m = edges
             .join(x.select(col("id").as("src"), col("score")), "src")
             .groupBy(col("dst")).agg(sum(col("score")).as("m"))
-          x = verts
+          x = rc.roll(verts
             .join(m.select(col("dst").as("id"), col("m")), Seq("id"), "left")
             .select(col("id"),
-              expr(s"1000000L + coalesce(m, 0L) div ${denom}L").as("score"))
-            .localCheckpoint()
+              expr(s"1000000L + coalesce(m, 0L) div ${denom}L").as("score")))
         }
         x
       } finally verts.unpersist(blocking = false)
@@ -1160,9 +1161,9 @@ object Algorithms {
       .repartition(col("n"))
       .persist(MEMORY_AND_DISK)
     try {
-      var und = sym.select(col("v").as("id")).distinct()
-        .withColumn("pr", md5(col("id").cast("string")))
-        .localCheckpoint()
+      val rcU = new graft.util.Checkpoints.Rolling
+      var und = rcU.roll(sym.select(col("v").as("id")).distinct()
+        .withColumn("pr", md5(col("id").cast("string"))))
       var mis = Seq.empty[DataFrame]
       var undCount = und.count()
       var round = 0
@@ -1181,7 +1182,7 @@ object Algorithms {
           .union(sym.join(cand.select(col("id").as("v")), "v")
             .select(col("n").as("id")))
           .distinct()
-        und = und.join(removed, Seq("id"), "left_anti").localCheckpoint()
+        und = rcU.roll(und.join(removed, Seq("id"), "left_anti"))
         mis = mis :+ cand
         undCount = und.count()
       }
@@ -1212,10 +1213,10 @@ object Algorithms {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = if (labels.isEmpty) g.edges
     else g.edges.filter(col("label").isin(labels: _*))
-    var und = undirectedDistinct(e0)
+    val rcU = new graft.util.Checkpoints.Rolling
+    var und = rcU.roll(undirectedDistinct(e0)
       .withColumn("pr",
-        md5(concat(col("a").cast("string"), lit("_"), col("b").cast("string"))))
-      .localCheckpoint()
+        md5(concat(col("a").cast("string"), lit("_"), col("b").cast("string")))))
     var matched = Seq.empty[DataFrame]
     var undCount = und.count()
     var round = 0
@@ -1231,11 +1232,10 @@ object Algorithms {
         .localCheckpoint()
       matched = matched :+ sel
       val mv = sel.select(explode(array(col("a"), col("b"))).as("v")).distinct()
-      und = und
+      und = rcU.roll(und
         .join(mv.select(col("v").as("a")), Seq("a"), "left_anti")
         .join(mv.select(col("v").as("b")), Seq("b"), "left_anti")
-        .select(col("a"), col("b"), col("pr"))
-        .localCheckpoint()
+        .select(col("a"), col("b"), col("pr")))
       undCount = und.count()
     }
     require(undCount == 0,
@@ -1356,6 +1356,7 @@ object Algorithms {
           .select(col("a").as("i"), col("b").as("j"),
             expr("(4L * m) div (5L * da * db)").as("s"))
           .filter(col("s") > 0)
+        val rcS = new graft.util.Checkpoints.Rolling
         var symOff = diag.limit(0) // symmetrized off-diagonal state
         var lastOff = diag.limit(0)
         for (k <- 1 to iters) {
@@ -1374,7 +1375,7 @@ object Algorithms {
             // materialization stop per skipped round (~1 s at sf0.1).
             // Lineage depth stays ≤ 2 rounds between cuts, safe for
             // arbitrarily many iterations.
-            val chk = if (k % 2 == 0) offC.localCheckpoint() else offC
+            val chk = if (k % 2 == 0) rcS.roll(offC) else offC
             symOff = chk.select(explode(array(
                 struct(col("i"), col("j"), col("s")),
                 struct(col("j").as("i"), col("i").as("j"), col("s")))).as("p"))
@@ -1629,8 +1630,8 @@ object Algorithms {
         // per step instead of a full compare-join.
         def cSum(df: DataFrame): java.math.BigDecimal =
           df.agg(sum(col("c").cast("decimal(38,0)"))).head().getDecimal(0)
-        var c = verts.select(col("id"), col("id").as("c"))
-          .localCheckpoint()
+        val rcC = new graft.util.Checkpoints.Rolling
+        var c = rcC.roll(verts.select(col("id"), col("id").as("c")))
         var prevSum = cSum(c)
         var stable = false
         var it = 0
@@ -1639,10 +1640,9 @@ object Algorithms {
           val in = edges.join(c.select(col("id").as("src"), col("c")), "src")
             .groupBy(col("dst")).agg(min(col("c")).as("cin"))
             .select(col("dst").as("id"), col("cin"))
-          val next = c.join(in, Seq("id"), "left")
+          val next = rcC.roll(c.join(in, Seq("id"), "left")
             .select(col("id"), least(col("c"), coalesce(col("cin"),
-              col("c"))).as("c"))
-            .localCheckpoint()
+              col("c"))).as("c")))
           val s2 = cSum(next)
           stable = s2.compareTo(prevSum) == 0
           prevSum = s2
@@ -1658,17 +1658,17 @@ object Algorithms {
           .join(c.select(col("id").as("dst"), col("c").as("c_dst")), "dst")
           .filter(col("c_src") === col("c_dst"))
           .select(col("src"), col("dst")).localCheckpoint()
-        var m = c.filter(col("id") === col("c")).select(col("id"))
-          .localCheckpoint()
+        val rcM = new graft.util.Checkpoints.Rolling
+        var m = rcM.roll(c.filter(col("id") === col("c")).select(col("id")))
         var mCount = m.count()
         var grew = true
         var bit = 0
         while (grew && bit < maxIter) {
           bit += 1
-          val next = m.union(
+          val next = rcM.roll(m.union(
               e2.join(m.select(col("id").as("dst")), Seq("dst"), "left_semi")
                 .select(col("src").as("id")))
-            .distinct().localCheckpoint()
+            .distinct())
           val nextCount = next.count()
           grew = nextCount > mCount
           m = next
@@ -1679,6 +1679,11 @@ object Algorithms {
         val comp = c.join(m, Seq("id"), "left_semi")
           .select(col("id"), col("c").as("scc")).localCheckpoint()
         assigned += comp
+        // comp is materialized: this outer round's scratch frames
+        // (within-color edges + the two fixpoint states) are dead
+        graft.util.Checkpoints.release(e2)
+        rcC.releaseLast()
+        rcM.releaseLast()
         verts = verts.join(comp.select(col("id")), Seq("id"), "left_anti")
           .localCheckpoint()
         edges = edges

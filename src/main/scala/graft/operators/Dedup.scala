@@ -370,6 +370,10 @@ object Dedup {
         converged = next.join(labels.select(col("id"),
               col("comp").as("prev")), "id")
           .filter(col("comp") =!= col("prev")).isEmpty
+        // round k−1's blocks are dead once the convergence check (the
+        // last reader of `labels`) has run — release deterministically
+        // instead of waiting for a GC (SCALE.md block-release item)
+        graft.util.Checkpoints.release(labels)
         labels = next
         it += 1
       }

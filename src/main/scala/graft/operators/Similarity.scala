@@ -802,13 +802,13 @@ object Similarity {
     try {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score_u").desc, col("vec_id").asc)
-      var sel = cand
+      val rc = new graft.util.Checkpoints.Rolling
+      var sel = rc.roll(cand
         .select(col("query_id"), col("vec_id"),
           (col("simqu") * 3L).as("score_u"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("query_id"), col("vec_id"), col("score_u"),
-          lit(1).as("pick"))
-        .localCheckpoint()
+          lit(1).as("pick")))
       for (t <- 2 to k) {
         val next = cand
           .join(sel.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"),
@@ -822,7 +822,9 @@ object Similarity {
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("query_id"), col("vec_id"), col("score_u"),
             lit(t).as("pick"))
-        sel = sel.union(next).localCheckpoint()
+        // the new checkpoint materializes the FULL running union, so
+        // the previous round's blocks are releasable immediately
+        sel = rc.roll(sel.union(next))
       }
       sel.select(col("query_id"), col("pick"), col("vec_id"),
         (col("score_u").cast("double") / 4000000d).as("score"))

@@ -19,6 +19,23 @@ class AlgorithmsSpec extends AnyFunSuite {
     PropertyGraph(v, e)
   }
 
+  test("rolling checkpoints: iterative loops pin O(1) RDDs, not O(rounds)") {
+    // SCALE.md block-release item: each round's localCheckpoint used
+    // to pin its blocks until a GC surfaced the dead reference — a
+    // 12-round loop transiently held 13 checkpoint RDDs. With the
+    // Checkpoints.Rolling release, the loop holds the current round
+    // (+ the persisted adjacency) only, independent of round count.
+    val g1 = mkGraph((1L to 40L).map(i => (i, i % 40 + 1)))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pr = Algorithms.pageRankExact(spark, g1, iters = 12)
+    assert(pr.count() == 40)
+    val during = spark.sparkContext.getPersistentRDDs.size
+    // without release this reads ≥ before + 13 (one per round + seed);
+    // with it: the final state + loop-scoped persists not yet swept
+    assert(during - before <= 4,
+      s"iterative loop pinned ${during - before} RDDs — rolling release broken")
+  }
+
   test("scc: planted cycle + tail; overlapping cycles merge") {
     // 1→2→3→1 cycle, tail 3→4
     val g1 = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
