@@ -22,7 +22,11 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
                       width: Int, height: Int, sample_rate: Int)
 
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+  /** width/height are DECODED from the payload for image rows (the PGM
+    * parse, [[decodePgm]]) and 0 for the still-stubbed kinds.
+    */
+  case class MediaFeatures(media_id: Long, kind: String, width: Int,
+                           height: Int, n_bytes: Long,
                            checksum: String, mean_byte: Double,
                            n_frames: Int, feature: Array[Float])
 
@@ -81,11 +85,12 @@ object Multimodal {
       (length(col("bytes")) - 12).cast("int").as("n_bytes"))
   }
 
-  /** STUB decode kernel — deterministic fake standing in for the real
-    * codec (??? in production this calls libjpeg/ffmpeg via FFI; the
-    * container-header parse, by contrast, is real — see
-    * [[decodeHeader]]). Runs per-partition so a real codec would init
-    * once per partition.
+  /** STUB decode kernel for the AUDIO/VIDEO kinds — deterministic fake
+    * standing in for the real codec (??? in production this calls
+    * ffmpeg via FFI; there is no audio/video lib in this container).
+    * IMAGE rows no longer come here: they carry a real P5 PGM payload
+    * ([[toPgm]]) and go through the real [[decodePgm]] parser. Runs
+    * per-partition so a real codec would init once per partition.
     */
   def decodeStub(row: MediaRow): MediaFeatures = {
     val bytes = row.bytes
@@ -99,8 +104,87 @@ object Multimodal {
       case "audio" => bytes.length / 32
       case _ => 1
     }
-    MediaFeatures(row.media_id, row.kind, bytes.length.toLong,
+    MediaFeatures(row.media_id, row.kind, 0, 0, bytes.length.toLong,
       bytes.map("%02x".format(_)).mkString.take(16), mean, nFrames, hist)
+  }
+
+  /** Re-encode image rows as REAL binary images: P5 (raw-pixel) PGM —
+    * `"P5\n" width " " height "\n255\n"` ASCII header followed by
+    * width×height raw grayscale bytes. Pixels are the payload's first
+    * 16·(len div 16) bytes laid out as a 16-wide raster (the tail that
+    * doesn't fill a row is dropped; payloads under one row give a
+    * 16×0 image). Fixed 5-digit header fields are valid PGM — any
+    * standard viewer opens these blobs. All codegen'd Column ops:
+    * map-only at 100 TB, and the non-image kinds pass through
+    * untouched.
+    */
+  def toPgm(media: DataFrame): DataFrame = {
+    val h = expr("length(bytes) div 16").cast("int")
+    media
+      .withColumn("bytes",
+        when(col("kind") === "image",
+          concat(
+            encode(concat(lit("P5\n"),
+              lpad(lit("16"), 5, "0"), lit(" "),
+              lpad(h.cast("string"), 5, "0"), lit("\n255\n")), "UTF-8"),
+            expr("substring(bytes, 1, 16 * (length(bytes) div 16))")))
+          .otherwise(col("bytes")))
+      .withColumn("width", when(col("kind") === "image", 16).otherwise(0))
+      .withColumn("height", when(col("kind") === "image", h).otherwise(0))
+  }
+
+  /** REAL image decode: a whitespace-tolerant P5 PGM parser over the
+    * raw payload bytes — magic check, three ASCII integers (width,
+    * height, maxval), the single post-maxval whitespace byte, then
+    * per-PIXEL byte arithmetic (sum/min/max + an 8-bucket intensity
+    * histogram as the feature vector). Nothing is read from the row's
+    * metadata columns — width/height in the output are what the BYTES
+    * say, and every malformed case (bad magic, truncated raster,
+    * non-255 maxval) fails loudly rather than yielding garbage.
+    * This retires the image branch of [[decodeStub]]: the features for
+    * image rows are now computed from actually-decoded pixel values.
+    */
+  def decodePgm(row: MediaRow): MediaFeatures = {
+    val b = row.bytes
+    require(b.length >= 2 && b(0) == 'P'.toByte && b(1) == '5'.toByte,
+      s"media ${row.media_id}: not a P5 PGM (magic ${b.take(2).mkString(",")})")
+    var i = 2
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def readInt(): Int = {
+      while (i < b.length && isWs(b(i))) i += 1
+      require(i < b.length && b(i) >= '0' && b(i) <= '9',
+        s"media ${row.media_id}: malformed PGM header at byte $i")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(maxval == 255, s"media ${row.media_id}: unsupported maxval $maxval")
+    require(i < b.length && isWs(b(i)),
+      s"media ${row.media_id}: missing raster separator")
+    i += 1 // exactly ONE whitespace byte before the raster (PGM spec)
+    val n = w * h
+    require(b.length - i >= n,
+      s"media ${row.media_id}: raster truncated (${b.length - i} of $n bytes)")
+    var sum = 0L
+    var mn = 255; var mx = 0
+    val hist = new Array[Float](8)
+    var j = 0
+    while (j < n) {
+      val v = b(i + j) & 0xff
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      hist(v >> 5) += 1f
+      j += 1
+    }
+    val mean = if (n > 0) sum.toDouble / n else 0.0
+    val checksum = b.slice(i, i + math.min(8, n))
+      .map("%02x".format(_)).mkString
+    MediaFeatures(row.media_id, row.kind, w, h, n.toLong, checksum, mean,
+      1, hist)
   }
 
   /** Tile-grid layout for vision-encoder preprocessing: how a
@@ -126,8 +210,9 @@ object Multimodal {
   def extractFeatures(s: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import s.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // real impl: init codec here, once per partition
-      it.map(decodeStub)
+      // real impl: init the remaining (audio/video) codecs here, once
+      // per partition; images decode for real via the PGM parser
+      it.map(r => if (r.kind == "image") decodePgm(r) else decodeStub(r))
     }
   }
 

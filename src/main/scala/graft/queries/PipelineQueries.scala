@@ -418,13 +418,22 @@ object PipelineQueries {
         Multimodal.mediaTable(Tables.documents(s, dir)), tileSize = 224)
       .orderBy(col("media_id"))
 
-  /** stubbed decode/feature-extract via mapPartitions (rows-only: the
-    * fake features aren't SQL; the batch shape is what's exercised).
+  /** decode/feature-extract via mapPartitions. IMAGE rows are REAL
+    * decoding end-to-end (round 10): the ingest re-encodes them as
+    * actual P5 PGM blobs (`Multimodal.toPgm` — ASCII header + raw
+    * raster, opens in any viewer) and `Multimodal.decodePgm` parses the
+    * header and walks the PIXEL bytes for the reported width/height/
+    * mean/checksum — nothing is passed through from metadata columns.
+    * Audio/video keep the declared stub kernel (no codec libs in this
+    * container). The oracle rebuilds both branches with DuckDB byte
+    * arithmetic over the same payloads.
     */
   def m2MediaFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)))
+    Multimodal.extractFeatures(s,
+        Multimodal.toPgm(Multimodal.mediaTable(Tables.documents(s, dir))))
       .toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_bytes"), col("checksum"),
         round(col("mean_byte"), 6).as("mean_byte"), col("n_frames"))
       .orderBy(col("media_id"))
 
@@ -1489,19 +1498,30 @@ object PipelineQueries {
       s"""$langIdSql
          |SELECT lang_pred, COUNT(*) AS n FROM pred
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    // image branch replays the PGM pixel walk: the raster is the first
+    // 16·(len div 16) payload bytes, and width/height/mean/checksum
+    // all derive from those PIXELS (text is ASCII, so ord(char) ==
+    // byte value); audio/video replay the declared stub arithmetic
     "m2_media_features" ->
-      """SELECT doc_id AS media_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS k, text,
+        |    octet_length(encode(text)) AS len FROM documents),
+        |b AS (SELECT doc_id, k, text, len,
+        |    CASE WHEN k = 0 THEN 16 * (len // 16) ELSE len END AS n
+        |  FROM t)
+        |SELECT doc_id AS media_id,
+        |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  lower(substr(hex(text), 1, 16)) AS checksum,
-        |  round(list_sum(list_transform(split(text, ''), c -> ord(c)))
-        |        / CAST(octet_length(encode(text)) AS DOUBLE), 6) AS mean_byte,
-        |  CAST(CASE CAST(doc_id % 3 AS INT)
-        |    WHEN 2 THEN octet_length(encode(text)) // 64
-        |    WHEN 1 THEN octet_length(encode(text)) // 32
+        |  CAST(CASE WHEN k = 0 THEN 16 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN k = 0 THEN len // 16 ELSE 0 END AS INT) AS height,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  lower(substr(hex(substr(text, 1, n)), 1, 16)) AS checksum,
+        |  round(CASE WHEN n > 0 THEN
+        |      list_sum(list_transform(split(substr(text, 1, n), ''),
+        |        c -> ord(c))) / CAST(n AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS mean_byte,
+        |  CAST(CASE k WHEN 2 THEN len // 64 WHEN 1 THEN len // 32
         |    ELSE 1 END AS INT) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM b ORDER BY media_id""".stripMargin,
     "p5_balanced_corpus" ->
       """WITH keep AS (SELECT MIN(doc_id) AS doc_id
         |  FROM documents GROUP BY md5(text)),
