@@ -25,7 +25,8 @@ import org.apache.spark.sql.DataFrame
   * arg    := literal | pred '(' literal* ')' | '__' step+
   * }}}
   *
-  * Supported verbs: hasLabel, has(k,lit|pred), hasId, out/in/both,
+  * Supported verbs: hasLabel, has(k,lit|pred), hasId, as/select (one
+  * label = jump back, several = projection terminal), out/in/both,
   * outE/inE/bothE, inV/outV/otherV, repeat(sub).times(n), where(sub),
   * not(sub), union(subs), coalesce(subs), optional(sub), dedup, limit,
   * order([k,asc|desc])/order().by(k[,order]), sample(d[,b]), path,
@@ -52,6 +53,8 @@ object GremlinParser {
   final case class GLimit(n: Int) extends GStep
   final case class GOrder(key: String, asc: Boolean) extends GStep
   final case class GSample(denom: Int, bucket: Int) extends GStep
+  final case class GAs(label: String) extends GStep
+  final case class GSelect(labels: Seq[String]) extends GStep
   case object GCount extends GStep
   final case class GValues(k: String) extends GStep
   final case class GValueMap(ks: Seq[String]) extends GStep
@@ -169,6 +172,14 @@ object GremlinParser {
       case "union" => GUnion(parseSubArgs(cur))
       case "coalesce" => GCoalesce(parseSubArgs(cur))
       case "optional" => GOptional(parseSubArg(cur))
+      case "as" => GAs(parseStrArgs(cur) match {
+        case Seq(l) => l
+        case _ => throw ParseException("as() takes exactly one label")
+      })
+      case "select" =>
+        val ls = parseStrArgs(cur)
+        if (ls.isEmpty) throw ParseException("select() needs at least one label")
+        GSelect(ls)
       case "dedup" => emptyArgs(cur); GDedup
       case "limit" => GLimit(parseIntArgs(cur, 1).head)
       case "order" => parseOrder(cur)
@@ -439,6 +450,7 @@ object GremlinParser {
       if (result.nonEmpty)
         throw ParseException(s"step after terminal: $s")
       s match {
+        case GSelect(ls) if ls.length > 1 => result = Some(t.select(ls: _*))
         case GPath => result = Some(t.paths)
         case GCount => result = Some(t.count())
         case GValues(k) => result = Some(t.values(k))
@@ -472,6 +484,8 @@ object GremlinParser {
     case GUnion(subs) => t.union(subs.map(subFn): _*)
     case GCoalesce(subs) => t.coalesce(subs.map(subFn): _*)
     case GOptional(sub) => t.optional(subFn(sub))
+    case GAs(l) => t.as(l)
+    case GSelect(Seq(l)) => t.selectStep(l)
     case GDedup => t.dedup()
     case GLimit(n) => t.limit(n)
     case GOrder(k, asc) => t.order(k, asc)

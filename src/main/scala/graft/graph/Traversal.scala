@@ -127,8 +127,12 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     * self-joins of the same edges/vertices DataFrames — resolve
     * unambiguously.
     */
+  private def tagCols: Seq[Column] =
+    df.columns.filter(_.startsWith(TAG)).map(col).toSeq
+
   private def frontierCols: Seq[Column] =
-    if (hasPath) Seq(col("id").as(FRONT), col(PATH)) else Seq(col("id").as(FRONT))
+    (if (hasPath) Seq(col("id").as(FRONT), col(PATH))
+     else Seq(col("id").as(FRONT))) ++ tagCols
 
   def outE(ls: String*): Traversal = {
     requireV()
@@ -165,7 +169,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
 
   private def toVertex(end: String): Traversal = {
     requireE()
-    val keep = if (hasPath) Seq(col(end).as(HOP), col(PATH)) else Seq(col(end).as(HOP))
+    val keep = (if (hasPath) Seq(col(end).as(HOP), col(PATH))
+                else Seq(col(end).as(HOP))) ++ tagCols
     val joined = df.select(keep: _*).join(g.vertices, col(HOP) === col("id")).drop(HOP)
     val res = if (hasPath)
       joined.withColumn(PATH, concat(col(PATH), array(col("id"))))
@@ -353,6 +358,45 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     copy(df = joined)
   }
 
+  /** Gremlin `as(label)`: tag the CURRENT vertex so a later
+    * [[selectStep]]/[[select]] can refer back to it. The tag is one
+    * extra id column riding the frontier — carried through every hop
+    * by the frontier projection, costing one 8-byte column, never a
+    * join. Re-tagging a used label overwrites it (Gremlin keeps a
+    * list; the LAST element is what single-label select sees, which is
+    * the overwrite semantic).
+    */
+  def as(label: String): Traversal = {
+    requireV()
+    copy(df = df.withColumn(TAG + label, col("id")))
+  }
+
+  /** Gremlin one-label `select('a')` MID-TRAVERSAL: jump the frontier
+    * back to the vertex tagged 'a' (other tags and path survive). One
+    * join against the vertices table re-hydrates the full row —
+    * the same shape as a hop, so Catalyst/AQE treat it identically.
+    */
+  def selectStep(label: String): Traversal = {
+    requireV()
+    require(df.columns.contains(TAG + label), s"select: no as('$label') tag")
+    val keep = Seq(col(TAG + label).as(HOP)) ++
+      (if (hasPath) Seq(col(PATH)) else Nil) ++ tagCols
+    val joined = df.select(keep: _*)
+      .join(g.vertices, col(HOP) === col("id")).drop(HOP)
+    copy(df = joined)
+  }
+
+  /** Gremlin multi-label `select('a','b',…)` terminal: one row per
+    * traverser, one column per tag (the tagged vertex ids), column
+    * names = the labels.
+    */
+  def select(labels: String*): DataFrame = {
+    require(labels.nonEmpty, "select needs at least one label")
+    labels.foreach(l => require(df.columns.contains(TAG + l),
+      s"select: no as('$l') tag"))
+    df.select(labels.map(l => col(TAG + l).as(l)): _*)
+  }
+
   def dedup(): Traversal =
     if (isEdge) copy(df = df.dropDuplicates("src", "dst", "label", "sort_key"))
     else copy(df = df.dropDuplicates("id"))
@@ -376,6 +420,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
 
 object Traversal {
   private[graph] val FRONT = "__frontier_id"
+  private[graph] val TAG = "__as_"
   private[graph] val OTHER = "__other"
   private[graph] val HOP = "__hop_id"
   private[graph] val PATH = "__path"

@@ -44,6 +44,29 @@ object GraphQueries {
       "g.V().hasLabel('supplier').out('located_in').groupCount().by('name')")
       .orderBy("name")
 
+  /** Gremlin as()/select() projection — the step-label surface
+    * (TinkerPop's path-to-tuple primitive): BUILDING customers tagged
+    * 'c', their nation tagged 'n', projected as (c, n) id pairs. The
+    * tag is one 8-byte column riding the frontier through the hop —
+    * no extra join until select re-names the tag columns.
+    */
+  def g28SelectPairs(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
+      .as("c").out("located_in").as("n")
+      .select("c", "n")
+      .orderBy(col("c"), col("n"))
+
+  /** Gremlin one-label select — the jump-back step, through the STRING
+    * front-end: customers tagged before hopping to their expensive
+    * orders, then select('c') returns the frontier to the customer,
+    * dedup'd and counted. (Equivalent to a where()-exists filter; this
+    * gate witnesses the select mechanics produce the same answer.)
+    */
+  def g29SelectBack(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').as('c').out('placed')" +
+        ".has('totalprice', gt(200000.0)).select('c').dedup().count()")
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -304,6 +327,8 @@ object GraphQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g26_parsed" -> (g26Parsed _),
     "g27_parsed_group" -> (g27ParsedGroup _),
+    "g28_select_pairs" -> (g28SelectPairs _),
+    "g29_select_back" -> (g29SelectBack _),
     "g25_event_graph" -> (g25EventGraph _),
     "g23_kout" -> (g23Kout _),
     "g24_same_neighbors" -> (g24SameNeighbors _),
@@ -346,6 +371,18 @@ object GraphQueries {
       """SELECT n_name AS name, COUNT(*) AS cnt FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // as/select projection: (customer, nation) encoded-id pairs
+    "g28_select_pairs" -> {
+      def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+      s"""SELECT ${enc("customer", "c_custkey")} AS c,
+         |       ${enc("nation", "c_nationkey")} AS n
+         |FROM customer WHERE c_mktsegment = 'BUILDING'
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // select jump-back: distinct customers with an order > 200000
+    "g29_select_back" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS cnt FROM orders
+        |WHERE o_totalprice > 200000.0""".stripMargin,
     // co-occurrence projection replay: distinct (basket, user) rows,
     // ≤100-user basket guard, a<b pairs, support histogram + checksums
     "g25_event_graph" ->

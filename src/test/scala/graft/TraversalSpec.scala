@@ -295,6 +295,38 @@ class TraversalSpec extends AnyFunSuite {
     assert(samePlan(e, ed))
   }
 
+  test("as/select: tags ride the frontier through hops; select projects/jumps") {
+    // pair projection: (origin, destination) ids after a hop
+    val pairs = triangle.V.as("a").out("next").as("b").select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (3L, 1L)))
+    // jump-back: two hops out, then return to the start vertex
+    val back = triangle.V(1L).as("a").out("next").out("next")
+      .selectStep("a").toDF.select("id").as[Long].collect()
+    assert(back.toSeq == Seq(1L))
+    // tags survive the jump: select AFTER selectStep still sees 'b'
+    val both = triangle.V(1L).as("a").out("next").as("b")
+      .selectStep("a").select("a", "b").as[(Long, Long)].collect()
+    assert(both.toSeq == Seq((1L, 2L)))
+    // missing tag fails loudly
+    assertThrows[IllegalArgumentException](triangle.V.select("nope"))
+    assertThrows[IllegalArgumentException](triangle.V(1L).selectStep("nope"))
+  }
+
+  test("parser: as/select strings match the DSL plan-for-plan") {
+    val p = GremlinParser.run(triangle,
+      "g.V().as('a').out('next').as('b').select('a', 'b')")
+    val d = triangle.V.as("a").out("next").as("b").select("a", "b")
+    assert(samePlan(p, d))
+    // single-label select = jump-back step, chain continues
+    val pj = GremlinParser.run(triangle,
+      "g.V(1).as('a').out('next').out('next').select('a').values('id')")
+    val dj = triangle.V(1L).as("a").out("next").out("next")
+      .selectStep("a").values("id")
+    assert(samePlan(pj, dj))
+    assert(pj.as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("parser: malformed queries fail loudly, never silently") {
     def bad(q: String): Unit =
       assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle, q))
