@@ -27,7 +27,8 @@ import org.apache.spark.sql.DataFrame
   *
   * Supported verbs: hasLabel, has(k,lit|pred), hasId, as/select (one
   * label = jump back, several = projection terminal), out/in/both,
-  * outE/inE/bothE, inV/outV/otherV, repeat(sub).times(n), where(sub),
+  * outE/inE/bothE, inV/outV/otherV, repeat(sub)[.emit()].times(n),
+  * simplePath (auto-enables path tracking), where(sub),
   * not(sub), union(subs), coalesce(subs), optional(sub), dedup, limit,
   * order([k,asc|desc])/order().by(k[,order]), sample(d[,b]), path,
   * count, values(k), valueMap(ks), groupCount(k)/groupCount().by(k).
@@ -44,7 +45,9 @@ object GremlinParser {
   final case class GHasId(ids: Seq[Long]) extends GStep
   final case class GHop(kind: String, labels: Seq[String]) extends GStep
   final case class GToV(kind: String) extends GStep
-  final case class GRepeat(sub: Seq[GStep], times: Int) extends GStep
+  final case class GRepeat(sub: Seq[GStep], times: Int,
+                           emit: Boolean = false) extends GStep
+  case object GSimplePath extends GStep
   final case class GWhere(sub: Seq[GStep], neg: Boolean) extends GStep
   final case class GUnion(subs: Seq[Seq[GStep]]) extends GStep
   final case class GCoalesce(subs: Seq[Seq[GStep]]) extends GStep
@@ -188,6 +191,7 @@ object GremlinParser {
         val a = parseIntArgs(cur, 1, 2)
         GSample(a.head, if (a.length > 1) a(1) else 0)
       case "path" => emptyArgs(cur); GPath
+      case "simplePath" => emptyArgs(cur); GSimplePath
       case "count" => emptyArgs(cur); GCount
       case "values" => GValues(parseStrArgs(cur) match {
         case Seq(k) => k
@@ -258,11 +262,18 @@ object GremlinParser {
 
   private def parseRepeat(cur: Cursor): GStep = {
     val sub = parseSubArg(cur)
-    // require .times(n) immediately
+    // require .times(n) immediately, optionally via .emit()
     cur.expectPunct('.')
-    if (cur.expectIdent() != "times")
-      throw ParseException("repeat(...) must be followed by .times(n)")
-    GRepeat(sub, parseIntArgs(cur, 1).head)
+    var emit = false
+    var nxt = cur.expectIdent()
+    if (nxt == "emit") {
+      emptyArgs(cur); emit = true
+      cur.expectPunct('.')
+      nxt = cur.expectIdent()
+    }
+    if (nxt != "times")
+      throw ParseException("repeat(...) must be followed by [.emit()].times(n)")
+    GRepeat(sub, parseIntArgs(cur, 1).head, emit)
   }
 
   private def parseHas(cur: Cursor): GStep = {
@@ -444,7 +455,7 @@ object GremlinParser {
       case GSource(false, Seq()) => g.V
       case GSource(false, ids) => g.V(ids: _*)
     }
-    if (rest.contains(GPath)) t = t.withPath
+    if (rest.contains(GPath) || rest.contains(GSimplePath)) t = t.withPath
     var result: Option[DataFrame] = None
     rest.foreach { s =>
       if (result.nonEmpty)
@@ -478,7 +489,9 @@ object GremlinParser {
     case GToV("inV") => t.inV
     case GToV("outV") => t.outV
     case GToV("otherV") => t.otherV
-    case GRepeat(sub, n) => t.repeat(n)(subFn(sub))
+    case GRepeat(sub, n, false) => t.repeat(n)(subFn(sub))
+    case GRepeat(sub, n, true) => t.repeatEmit(n)(subFn(sub))
+    case GSimplePath => t.simplePath()
     case GWhere(sub, false) => t.where(subFn(sub))
     case GWhere(sub, true) => t.not(subFn(sub))
     case GUnion(subs) => t.union(subs.map(subFn): _*)

@@ -188,6 +188,33 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   def repeat(n: Int)(step: Traversal => Traversal): Traversal =
     (1 to n).foldLeft(this)((t, _) => step(t))
 
+  /** Gremlin repeat(...).emit().times(n): the BAG UNION of every
+    * round's frontier (each round emitted, not just the last). Still n
+    * chained joins — the union adds no shuffle, and Catalyst shares
+    * the common prefix of the per-round plans.
+    */
+  def repeatEmit(n: Int)(step: Traversal => Traversal): Traversal = {
+    require(n >= 1, "repeatEmit needs at least one round")
+    var cur = this
+    var acc: Option[DataFrame] = None
+    for (_ <- 1 to n) {
+      cur = step(cur)
+      acc = Some(acc.map(_.unionByName(cur.df)).getOrElse(cur.df))
+    }
+    Traversal(g, acc.get, cur.isEdge)
+  }
+
+  /** Gremlin simplePath(): keep only walks that never revisit a
+    * vertex — a per-row codegen'd filter over the tracked path array
+    * (size(distinct) = size), zero shuffle. Requires [[withPath]]
+    * tracking, exactly like paths().
+    */
+  def simplePath(): Traversal = {
+    require(hasPath, "call withPath before traversing to use simplePath")
+    copy(df = df.filter(
+      size(array_distinct(col(PATH))) === size(col(PATH))))
+  }
+
   /** Gremlin repeat(step).until(frontier empty) — variable-depth
     * expansion to a fixed point (reachability / unbounded repeats the
     * hugegraph engine runs over this store). Result = every vertex

@@ -67,6 +67,26 @@ object GraphQueries {
       "g.V().hasLabel('customer').as('c').out('placed')" +
         ".has('totalprice', gt(200000.0)).select('c').dedup().count()")
 
+  /** repeat(...).emit().times(2) through the string front-end: from
+    * region 0, every vertex reached in ONE or TWO reverse hops — its
+    * nations (round 1) plus their customers+suppliers (round 2), as a
+    * bag union of both frontiers.
+    */
+  def g30Emit(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      s"g.V(${PropertyGraph.encodeId("region", 0L)})" +
+        ".repeat(__.in()).emit().times(2).count()")
+
+  /** simplePath() through the string front-end: 2-step both('part_of')
+    * walks from nations go nation → region → sibling nation; the walks
+    * that return to their start vertex are exactly what simplePath
+    * removes, so the count is Σ_region n·(n−1) over nation counts.
+    */
+  def g31SimplePath(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('nation').both('part_of').both('part_of')" +
+        ".simplePath().count()")
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -329,6 +349,8 @@ object GraphQueries {
     "g27_parsed_group" -> (g27ParsedGroup _),
     "g28_select_pairs" -> (g28SelectPairs _),
     "g29_select_back" -> (g29SelectBack _),
+    "g30_emit" -> (g30Emit _),
+    "g31_simple_path" -> (g31SimplePath _),
     "g25_event_graph" -> (g25EventGraph _),
     "g23_kout" -> (g23Kout _),
     "g24_same_neighbors" -> (g24SameNeighbors _),
@@ -383,6 +405,19 @@ object GraphQueries {
     "g29_select_back" ->
       """SELECT COUNT(DISTINCT o_custkey) AS cnt FROM orders
         |WHERE o_totalprice > 200000.0""".stripMargin,
+    // emit: region-0 nations + their customers and suppliers (bag)
+    "g30_emit" ->
+      """SELECT (SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+        |  + (SELECT COUNT(*) FROM customer JOIN nation
+        |       ON c_nationkey = n_nationkey WHERE n_regionkey = 0)
+        |  + (SELECT COUNT(*) FROM supplier JOIN nation
+        |       ON s_nationkey = n_nationkey WHERE n_regionkey = 0)
+        |  AS cnt""".stripMargin,
+    // simplePath: nation → region → DIFFERENT nation walks
+    "g31_simple_path" ->
+      """SELECT COUNT(*) AS cnt FROM nation a JOIN nation b
+        |ON a.n_regionkey = b.n_regionkey
+        |AND a.n_nationkey <> b.n_nationkey""".stripMargin,
     // co-occurrence projection replay: distinct (basket, user) rows,
     // ≤100-user basket guard, a<b pairs, support histogram + checksums
     "g25_event_graph" ->

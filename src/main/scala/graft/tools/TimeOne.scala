@@ -88,7 +88,18 @@ object TimeOne {
         graft.SparkEntry.queries(n)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         val el = (System.nanoTime() - t0) / 1e9
-        (el, stealJiffies() - s0 <= stealMax)
+        // duration-scaled threshold for LONG runs (round-10): the
+        // absolute 2.5 core-s limit flags every multi-minute scale run
+        // by construction (the background steal rate alone crosses it),
+        // reducing the flag to noise exactly where a real verdict is
+        // wanted. Sub-minute runs keep the strict absolute limit (the
+        // r8 evidence: 2.5 core-s concentrated on stage scheduling can
+        // triple a short iterative query); beyond 60 s a run is flagged
+        // only when steal exceeds 2% of its total core-time — a
+        // materiality threshold, not a fixed tax allowance.
+        val limit = if (el <= 60.0) stealMax
+          else math.max(stealMax, (el * cpus.toInt * 100 * 0.02).toLong)
+        (el, stealJiffies() - s0 <= limit)
       }
       val ts = timed.map(_._1)
       val clean = timed.filter(_._2).map(_._1).sorted

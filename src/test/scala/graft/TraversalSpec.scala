@@ -327,6 +327,32 @@ class TraversalSpec extends AnyFunSuite {
     assert(pj.as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("repeatEmit unions every round; simplePath drops revisiting walks") {
+    // triangle 1→2→3→1: emit().times(3) from 1 = {2, 3, 1} (one per round)
+    val em = triangle.V(1L).repeatEmit(3)(_.out("next"))
+      .toDF.select("id").as[Long].collect().sorted
+    assert(em.toSeq == Seq(1L, 2L, 3L))
+    // 3-hop walk returns to 1 — simplePath kills it; 2-hop walk survives
+    val s3 = triangle.V(1L).withPath.repeat(3)(_.out("next")).simplePath()
+      .toDF.count()
+    assert(s3 == 0)
+    val s2 = triangle.V(1L).withPath.repeat(2)(_.out("next")).simplePath()
+      .toDF.select("id").as[Long].collect()
+    assert(s2.toSeq == Seq(3L))
+    assertThrows[IllegalArgumentException](triangle.V.simplePath())
+    // parser equivalence (simplePath auto-enables path tracking)
+    val p = GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).emit().times(3).values('id')")
+    val d = triangle.V(1L).repeatEmit(3)(_.out("next")).values("id")
+    assert(samePlan(p, d))
+    val ps = GremlinParser.run(triangle,
+      "g.V(1).out('next').out('next').out('next').simplePath().count()")
+    val ds = triangle.V(1L).withPath.out("next").out("next").out("next")
+      .simplePath().count()
+    assert(samePlan(ps, ds))
+    assert(ps.as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("parser: malformed queries fail loudly, never silently") {
     def bad(q: String): Unit =
       assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle, q))
