@@ -441,6 +441,71 @@ object GremlinParser {
     }
   }
 
+  // ---------- renderer (parse's inverse) ----------
+
+  /** Render an AST back to query text — `parse(render(s)) == s` for
+    * every AST parse can produce (property-tested). Useful for
+    * programmatic query construction and for logging the canonical
+    * form of a user query.
+    */
+  def render(steps: Seq[GStep]): String = {
+    def lit(v: Any): String = v match {
+      case s: String => s"'$s'"
+      case d: Double => d.toString
+      case other => other.toString
+    }
+    def pred(p: P): String = p match {
+      case P.Eq(v) => s"eq(${lit(v)})"
+      case P.Neq(v) => s"neq(${lit(v)})"
+      case P.Gt(v) => s"gt(${lit(v)})"
+      case P.Gte(v) => s"gte(${lit(v)})"
+      case P.Lt(v) => s"lt(${lit(v)})"
+      case P.Lte(v) => s"lte(${lit(v)})"
+      case P.Between(a, b) => s"between(${lit(a)}, ${lit(b)})"
+      case P.Inside(a, b) => s"inside(${lit(a)}, ${lit(b)})"
+      case P.Outside(a, b) => s"outside(${lit(a)}, ${lit(b)})"
+      case P.Within(vs) => s"within(${vs.map(lit).mkString(", ")})"
+      case P.Without(vs) => s"without(${vs.map(lit).mkString(", ")})"
+      case P.TextContains(s) => s"textContains(${lit(s)})"
+      case P.StartsWith(s) => s"startingWith(${lit(s)})"
+      case P.Contains(v) => s"contains(${lit(v)})"
+      case P.ContainsKey(k) => s"containsKey(${lit(k)})"
+      case P.TextContainsAny(ws) => s"textContainsAny(${ws.map(lit).mkString(", ")})"
+    }
+    def strs(ls: Seq[String]) = ls.map(l => s"'$l'").mkString(", ")
+    def anon(sub: Seq[GStep]) = "__" + sub.map(s => "." + step(s)).mkString
+    def step(s: GStep): String = s match {
+      case GSource(true, _) => "E()"
+      case GSource(false, ids) => s"V(${ids.mkString(", ")})"
+      case GHasLabel(ls) => s"hasLabel(${strs(ls)})"
+      case GHas(k, p) => s"has('$k', ${pred(p)})"
+      case GHasId(ids) => s"hasId(${ids.mkString(", ")})"
+      case GHop(kind, ls) => s"$kind(${strs(ls)})"
+      case GToV(kind) => s"$kind()"
+      case GRepeat(sub, n, emit) =>
+        s"repeat(${anon(sub)})" + (if (emit) ".emit()" else "") + s".times($n)"
+      case GWhere(sub, false) => s"where(${anon(sub)})"
+      case GWhere(sub, true) => s"not(${anon(sub)})"
+      case GUnion(subs) => s"union(${subs.map(anon).mkString(", ")})"
+      case GCoalesce(subs) => s"coalesce(${subs.map(anon).mkString(", ")})"
+      case GOptional(sub) => s"optional(${anon(sub)})"
+      case GAs(l) => s"as('$l')"
+      case GSelect(ls) => s"select(${strs(ls)})"
+      case GDedup => "dedup()"
+      case GLimit(n) => s"limit($n)"
+      case GOrder(k, asc) => s"order('$k', ${if (asc) "asc" else "desc"})"
+      case GSample(d, 0) => s"sample($d)"
+      case GSample(d, b) => s"sample($d, $b)"
+      case GSimplePath => "simplePath()"
+      case GCount => "count()"
+      case GValues(k) => s"values('$k')"
+      case GValueMap(ks) => s"valueMap(${strs(ks)})"
+      case GGroupCount(k) => s"groupCount('$k')"
+      case GPath => "path()"
+    }
+    "g." + steps.map(step).mkString(".")
+  }
+
   // ---------- compiler ----------
 
   /** Compile + run a Gremlin string against a graph. Terminal steps

@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, rng}
+import graft.graph.{GremlinParser => GP, P}
+import graft.graph.GremlinParser._
+
+/** Property test for the Gremlin string front-end: for randomly
+  * generated ASTs covering every verb and predicate, rendering to
+  * query text and re-parsing is the IDENTITY — the grammar and the
+  * parser cannot drift apart without this failing. Deterministic
+  * seeds (the DedupSpec pureApply pattern) so failures reproduce.
+  */
+class GremlinPropertySpec extends AnyFunSuite {
+
+  private val ident: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private val scalar: Gen[Any] = Gen.oneOf(
+    Gen.chooseNum(-1000000L, 1000000L),
+    // plain-decimal doubles only: the tokenizer (like Gremlin's) has
+    // no exponent notation
+    Gen.chooseNum(-9999L, 9999L).map(n => n / 8.0),
+    ident,
+    Gen.oneOf(true, false))
+
+  private val predicate: Gen[P] = Gen.oneOf(
+    scalar.map(P.Eq), scalar.map(P.Neq), scalar.map(P.Gt),
+    scalar.map(P.Gte), scalar.map(P.Lt), scalar.map(P.Lte),
+    Gen.zip(scalar, scalar).map { case (a, b) => P.Between(a, b) },
+    Gen.zip(scalar, scalar).map { case (a, b) => P.Inside(a, b) },
+    Gen.zip(scalar, scalar).map { case (a, b) => P.Outside(a, b) },
+    Gen.nonEmptyListOf(scalar).map(P.Within(_)),
+    Gen.nonEmptyListOf(scalar).map(P.Without(_)),
+    ident.map(P.TextContains), ident.map(P.StartsWith),
+    scalar.map(P.Contains), ident.map(P.ContainsKey),
+    Gen.nonEmptyListOf(ident).map(P.TextContainsAny(_)))
+
+  private val labels: Gen[Seq[String]] =
+    Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, ident))
+  private val labels1: Gen[Seq[String]] =
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, ident))
+
+  /** chainable (non-terminal, non-source) steps; depth bounds nesting */
+  private def chainStep(depth: Int): Gen[GStep] = {
+    val flat: Seq[Gen[GStep]] = Seq(
+      labels1.map(GHasLabel),
+      Gen.zip(ident, predicate).map { case (k, p) => GHas(k, p) },
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 999L)).map(GHasId),
+      Gen.zip(Gen.oneOf("out", "in", "both", "outE", "inE", "bothE"), labels)
+        .map { case (k, ls) => GHop(k, ls) },
+      Gen.oneOf("inV", "outV", "otherV").map(GToV),
+      ident.map(GAs),
+      ident.map(l => GSelect(Seq(l))),
+      Gen.const(GDedup),
+      Gen.chooseNum(1, 100).map(GLimit),
+      Gen.zip(ident, Gen.oneOf(true, false))
+        .map { case (k, a) => GOrder(k, a) },
+      Gen.zip(Gen.chooseNum(2, 64), Gen.chooseNum(0, 8))
+        .map { case (d, b) => GSample(d, b) },
+      Gen.const(GSimplePath))
+    val nested: Seq[Gen[GStep]] =
+      if (depth <= 0) Nil
+      else Seq(
+        Gen.zip(subChain(depth - 1), Gen.chooseNum(1, 5),
+            Gen.oneOf(true, false))
+          .map { case (s, n, e) => GRepeat(s, n, e) },
+        Gen.zip(subChain(depth - 1), Gen.oneOf(true, false))
+          .map { case (s, neg) => GWhere(s, neg) },
+        Gen.chooseNum(1, 3)
+          .flatMap(n => Gen.listOfN(n, subChain(depth - 1))).map(GUnion(_)),
+        Gen.chooseNum(1, 3)
+          .flatMap(n => Gen.listOfN(n, subChain(depth - 1))).map(GCoalesce(_)),
+        subChain(depth - 1).map(GOptional))
+    Gen.oneOf((flat ++ nested).head, (flat ++ nested)(1),
+      (flat ++ nested).drop(2): _*)
+  }
+
+  private def subChain(depth: Int): Gen[Seq[GStep]] =
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, chainStep(depth)))
+
+  private val terminal: Gen[GStep] = Gen.oneOf(
+    Gen.const(GCount), ident.map(GValues),
+    Gen.nonEmptyListOf(ident).map(GValueMap(_)),
+    ident.map(GGroupCount), Gen.const(GPath),
+    Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, ident)).map(GSelect(_)))
+
+  private val source: Gen[GStep] = Gen.oneOf(
+    Gen.const(GSource(edge = false, Nil)),
+    Gen.nonEmptyListOf(Gen.chooseNum(0L, 9999L))
+      .map(ids => GSource(edge = false, ids)),
+    Gen.const(GSource(edge = true, Nil)))
+
+  private val query: Gen[Seq[GStep]] = for {
+    s <- source
+    chain <- subChain(2)
+    hasTerm <- Gen.oneOf(true, false)
+    term <- terminal
+  } yield (s +: chain) ++ (if (hasTerm) Seq(term) else Nil)
+
+  test("parse ∘ render = identity over 500 random ASTs") {
+    (1 to 500).foreach { seed =>
+      val ast = query.pureApply(Gen.Parameters.default, rng.Seed(seed.toLong))
+      val text = GP.render(ast)
+      val back =
+        try GP.parse(text)
+        catch {
+          case e: Throwable =>
+            fail(s"seed $seed: parse failed on rendered query\n  $text\n  $e")
+        }
+      assert(back == ast, s"seed $seed: round-trip mismatch\n  $text")
+    }
+  }
+
+  test("rendered queries with terminals compile against a real graph") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val v = Seq((1L, "node", 10), (2L, "node", 20)).toDF("id", "label", "score")
+    val e = Seq((1L, 2L, "next", 1L)).toDF("src", "dst", "label", "sort_key")
+    val g = graft.graph.PropertyGraph(v, e)
+    // compile (plan-build) every renderable query whose steps apply to
+    // a vertex chain; execution correctness is the equivalence suite's
+    // job — this pins "parser output is always compilable"
+    var compiled = 0
+    (1 to 200).foreach { seed =>
+      val ast = query.pureApply(Gen.Parameters.default, rng.Seed(seed.toLong))
+      try {
+        GP.run(g, GP.render(ast)).queryExecution.analyzed
+        compiled += 1
+      } catch {
+        case _: IllegalArgumentException => () // vertex/edge step mismatch etc.
+        case _: ParseException => fail(s"seed $seed: rendered query failed to parse")
+        case _: org.apache.spark.sql.AnalysisException => () // unknown prop column
+      }
+    }
+    assert(compiled > 20, s"only $compiled/200 random queries compiled")
+  }
+}
