@@ -60,6 +60,8 @@ object GremlinParser {
   final case class GSelect(labels: Seq[String]) extends GStep
   case object GCount extends GStep
   final case class GValues(k: String) extends GStep
+  final case class GAgg(op: String, k: String) extends GStep
+  final case class GHasKey(k: String, neg: Boolean) extends GStep
   final case class GValueMap(ks: Seq[String]) extends GStep
   final case class GGroupCount(k: String) extends GStep
   case object GPath extends GStep
@@ -166,6 +168,12 @@ object GremlinParser {
       case "hasLabel" => GHasLabel(parseStrArgs(cur))
       case "has" => parseHas(cur)
       case "hasId" => GHasId(parseLongArgs(cur))
+      case "hasNot" => GHasKey(parseStrArgs(cur) match {
+        case Seq(k) => k
+        case _ => throw ParseException("hasNot() takes exactly one key")
+      }, neg = true)
+      case "sum" | "mean" | "min" | "max" =>
+        emptyArgs(cur); GAgg(name, "") // key filled by the values() fuse
       case "out" | "in" | "both" | "outE" | "inE" | "bothE" =>
         GHop(name, parseStrArgs(cur))
       case "inV" | "outV" | "otherV" => emptyArgs(cur); GToV(name)
@@ -282,6 +290,7 @@ object GremlinParser {
       case TStr(s) => s
       case t => throw ParseException(s"has() key must be a string, got $t")
     }
+    if (cur.atPunct(')')) { cur.next(); return GHasKey(k, neg = false) }
     cur.expectPunct(',')
     val p = cur.next() match {
       case TIdent(pred) => parsePredicate(pred, cur)
@@ -422,6 +431,10 @@ object GremlinParser {
     val out = Vector.newBuilder[GStep]
     var prev: Option[GStep] = None
     steps.foreach {
+      case GAgg(op, "") => prev match {
+        case Some(GValues(k)) => prev = Some(GAgg(op, k))
+        case _ => throw ParseException(s"$op() must follow values('k')")
+      }
       case ByModulator(k, asc) => prev match {
         case Some(GOrder("", _)) => prev = Some(GOrder(k, asc))
         case Some(GGroupCount("")) => prev = Some(GGroupCount(k))
@@ -480,6 +493,9 @@ object GremlinParser {
       case GHasLabel(ls) => s"hasLabel(${strs(ls)})"
       case GHas(k, p) => s"has('$k', ${pred(p)})"
       case GHasId(ids) => s"hasId(${ids.mkString(", ")})"
+      case GHasKey(k, false) => s"has('$k')"
+      case GHasKey(k, true) => s"hasNot('$k')"
+      case GAgg(op, _) => s"$op()"
       case GHop(kind, ls) => s"$kind(${strs(ls)})"
       case GToV(kind) => s"$kind()"
       case GRepeat(sub, n, emit) =>
@@ -502,6 +518,8 @@ object GremlinParser {
       case GValueMap(ks) => s"valueMap(${strs(ks)})"
       case GGroupCount(k) => s"groupCount('$k')"
       case GPath => "path()"
+      case other => // ByModulator never survives fuseModulators
+        throw ParseException(s"unrenderable step $other")
     }
     "g." + steps.map(step).mkString(".")
   }
@@ -526,6 +544,10 @@ object GremlinParser {
       if (result.nonEmpty)
         throw ParseException(s"step after terminal: $s")
       s match {
+        case GAgg("sum", k) => result = Some(t.sumOf(k))
+        case GAgg("mean", k) => result = Some(t.meanOf(k))
+        case GAgg("min", k) => result = Some(t.minOf(k))
+        case GAgg("max", k) => result = Some(t.maxOf(k))
         case GSelect(ls) if ls.length > 1 => result = Some(t.select(ls: _*))
         case GPath => result = Some(t.paths)
         case GCount => result = Some(t.count())
@@ -563,6 +585,8 @@ object GremlinParser {
     case GCoalesce(subs) => t.coalesce(subs.map(subFn): _*)
     case GOptional(sub) => t.optional(subFn(sub))
     case GAs(l) => t.as(l)
+    case GHasKey(k, false) => t.hasKey(k)
+    case GHasKey(k, true) => t.hasNot(k)
     case GSelect(Seq(l)) => t.selectStep(l)
     case GDedup => t.dedup()
     case GLimit(n) => t.limit(n)

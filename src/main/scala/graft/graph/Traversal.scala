@@ -436,6 +436,28 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   /** terminal: bag of property values. */
   def values(key: String): DataFrame = df.select(col(key))
 
+  /** Gremlin values(k).sum()/mean()/min()/max() terminals — one
+    * map-side-combined aggregate over the frontier's property bag.
+    */
+  def sumOf(key: String): DataFrame =
+    df.agg(sum(col(key)).as(s"sum_$key"))
+  def meanOf(key: String): DataFrame =
+    df.agg(avg(col(key)).as(s"mean_$key"))
+  def minOf(key: String): DataFrame =
+    df.agg(min(col(key)).as(s"min_$key"))
+  def maxOf(key: String): DataFrame =
+    df.agg(max(col(key)).as(s"max_$key"))
+
+  /** Gremlin has(key) / hasNot(key): property EXISTENCE — in the
+    * union-schema vertex frame a label that lacks the property carries
+    * a typed NULL, so existence is a null test (the same semantic the
+    * reference gets from key presence in the serialized row).
+    */
+  def hasKey(key: String): Traversal =
+    copy(df = df.filter(col(key).isNotNull))
+  def hasNot(key: String): Traversal =
+    copy(df = df.filter(col(key).isNull))
+
   /** terminal: COUNT — the one aggregate the reference pushes down
     * (R10, TikvTable.java:135-148).
     */

@@ -87,6 +87,22 @@ object GraphQueries {
       "g.V().hasLabel('nation').both('part_of').both('part_of')" +
         ".simplePath().count()")
 
+  /** values(k).sum() aggregate terminal through the string front-end
+    * (integer-typed property so the Σ is engine-exact).
+    */
+  def g32ParsedSum(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('part').values('size').sum()")
+
+  /** has(key)/hasNot(key) EXISTENCE predicates: in the union-schema
+    * vertex frame a label without the property carries a typed NULL
+    * (PropertyGraph.align), so existence = null test — here counting
+    * the non-customer vertices via hasNot('mktsegment').
+    */
+  def g33HasNot(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasNot('mktsegment').count()")
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -351,6 +367,8 @@ object GraphQueries {
     "g29_select_back" -> (g29SelectBack _),
     "g30_emit" -> (g30Emit _),
     "g31_simple_path" -> (g31SimplePath _),
+    "g32_parsed_sum" -> (g32ParsedSum _),
+    "g33_has_not" -> (g33HasNot _),
     "g25_event_graph" -> (g25EventGraph _),
     "g23_kout" -> (g23Kout _),
     "g24_same_neighbors" -> (g24SameNeighbors _),
@@ -418,6 +436,14 @@ object GraphQueries {
       """SELECT COUNT(*) AS cnt FROM nation a JOIN nation b
         |ON a.n_regionkey = b.n_regionkey
         |AND a.n_nationkey <> b.n_nationkey""".stripMargin,
+    // values(size).sum() over part vertices — integer-exact Σ
+    "g32_parsed_sum" ->
+      "SELECT CAST(SUM(p_size) AS BIGINT) AS sum_size FROM part",
+    // hasNot('mktsegment') = every vertex except customers
+    "g33_has_not" ->
+      """SELECT (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM part)
+        |  + (SELECT COUNT(*) FROM supplier) + (SELECT COUNT(*) FROM nation)
+        |  + (SELECT COUNT(*) FROM region) AS cnt""".stripMargin,
     // co-occurrence projection replay: distinct (basket, user) rows,
     // ≤100-user basket guard, a<b pairs, support histogram + checksums
     "g25_event_graph" ->

@@ -353,6 +353,28 @@ class TraversalSpec extends AnyFunSuite {
     assert(ps.as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("aggregate terminals and existence predicates (DSL + parser)") {
+    val ps = GremlinParser.run(triangle, "g.V().values('score').sum()")
+    assert(samePlan(ps, triangle.V.sumOf("score")))
+    assert(ps.as[Long].collect().toSeq == Seq(60L))
+    val pm = GremlinParser.run(triangle, "g.V().values('score').mean()")
+    assert(samePlan(pm, triangle.V.meanOf("score")))
+    assert(pm.as[Double].collect().toSeq == Seq(20.0))
+    val px = GremlinParser.run(triangle, "g.V().values('score').max()")
+    assert(samePlan(px, triangle.V.maxOf("score")))
+    assert(px.as[Int].collect().toSeq == Seq(30))
+    assert(GremlinParser.run(triangle, "g.V().values('score').min()")
+      .as[Int].collect().toSeq == Seq(10))
+    // existence: score present on all triangle vertices, absent never
+    assert(GremlinParser.run(triangle, "g.V().has('score').count()")
+      .as[Long].collect().toSeq == Seq(3L))
+    assert(GremlinParser.run(triangle, "g.V().hasNot('score').count()")
+      .as[Long].collect().toSeq == Seq(0L))
+    // sum() must follow values()
+    assertThrows[GremlinParser.ParseException](
+      GremlinParser.run(triangle, "g.V().sum()"))
+  }
+
   test("parser: malformed queries fail loudly, never silently") {
     def bad(q: String): Unit =
       assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle, q))
