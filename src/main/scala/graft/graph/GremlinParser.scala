@@ -25,15 +25,18 @@ import org.apache.spark.sql.DataFrame
   * arg    := literal | pred '(' literal* ')' | '__' step+
   * }}}
   *
-  * Supported verbs: hasLabel, has(k,lit|pred), hasId, as/select (one
-  * label = jump back, several = projection terminal), out/in/both,
-  * outE/inE/bothE, inV/outV/otherV, repeat(sub)[.emit()].times(n),
-  * simplePath (auto-enables path tracking), where(sub),
-  * not(sub), union(subs), coalesce(subs), optional(sub), dedup, limit,
-  * order([k,asc|desc])/order().by(k[,order]), sample(d[,b]), path,
-  * count, values(k), valueMap(ks), groupCount(k)/groupCount().by(k).
-  * Predicates: eq/neq/gt/gte/lt/lte/between/inside/outside/within/
-  * without/textContains/containing/startingWith.
+  * Supported verbs: hasLabel, has(k,lit|pred), has(k)/hasNot(k)
+  * existence, hasId, as/select (one label = jump back, several =
+  * projection terminal), out/in/both, outE/inE/bothE, inV/outV/otherV,
+  * repeat(sub)[.emit()].times(n), simplePath (auto-enables path
+  * tracking), where(sub), not(sub), union(subs), coalesce(subs),
+  * optional(sub), dedup, limit, order([k,asc|desc])/order().by(k[,
+  * order]), sample(d[,b]), path, count, values(k),
+  * values(k).sum()/mean()/min()/max(), valueMap(ks),
+  * groupCount(k)/groupCount().by(k). Predicates: eq/neq/gt/gte/lt/
+  * lte/between/inside/outside/within/without/textContains/containing/
+  * startingWith/contains/containsKey/textContainsAny. [[render]] is
+  * parse's inverse (property-tested round trip).
   */
 object GremlinParser {
 
@@ -495,7 +498,8 @@ object GremlinParser {
       case GHasId(ids) => s"hasId(${ids.mkString(", ")})"
       case GHasKey(k, false) => s"has('$k')"
       case GHasKey(k, true) => s"hasNot('$k')"
-      case GAgg(op, _) => s"$op()"
+      // the fused form: values(k).op() re-fuses to GAgg(op, k) on parse
+      case GAgg(op, k) if k.nonEmpty => s"values('$k').$op()"
       case GHop(kind, ls) => s"$kind(${strs(ls)})"
       case GToV(kind) => s"$kind()"
       case GRepeat(sub, n, emit) =>

@@ -59,6 +59,8 @@ class GremlinPropertySpec extends AnyFunSuite {
         .map { case (k, a) => GOrder(k, a) },
       Gen.zip(Gen.chooseNum(2, 64), Gen.chooseNum(0, 8))
         .map { case (d, b) => GSample(d, b) },
+      ident.map(k => GHasKey(k, neg = false)),
+      ident.map(k => GHasKey(k, neg = true)),
       Gen.const(GSimplePath))
     val nested: Seq[Gen[GStep]] =
       if (depth <= 0) Nil
@@ -82,6 +84,8 @@ class GremlinPropertySpec extends AnyFunSuite {
 
   private val terminal: Gen[GStep] = Gen.oneOf(
     Gen.const(GCount), ident.map(GValues),
+    Gen.zip(Gen.oneOf("sum", "mean", "min", "max"), ident)
+      .map { case (op, k) => GAgg(op, k) },
     Gen.nonEmptyListOf(ident).map(GValueMap(_)),
     ident.map(GGroupCount), Gen.const(GPath),
     Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, ident)).map(GSelect(_)))
