@@ -51,6 +51,7 @@ object GremlinParser {
   final case class GRepeat(sub: Seq[GStep], times: Int,
                            emit: Boolean = false) extends GStep
   case object GSimplePath extends GStep
+  case object GCyclicPath extends GStep
   final case class GWhere(sub: Seq[GStep], neg: Boolean) extends GStep
   final case class GUnion(subs: Seq[Seq[GStep]]) extends GStep
   final case class GCoalesce(subs: Seq[Seq[GStep]]) extends GStep
@@ -203,6 +204,7 @@ object GremlinParser {
         GSample(a.head, if (a.length > 1) a(1) else 0)
       case "path" => emptyArgs(cur); GPath
       case "simplePath" => emptyArgs(cur); GSimplePath
+      case "cyclicPath" => emptyArgs(cur); GCyclicPath
       case "count" => emptyArgs(cur); GCount
       case "values" => GValues(parseStrArgs(cur) match {
         case Seq(k) => k
@@ -522,6 +524,7 @@ object GremlinParser {
       case GValueMap(ks) => s"valueMap(${strs(ks)})"
       case GGroupCount(k) => s"groupCount('$k')"
       case GPath => "path()"
+      case GCyclicPath => "cyclicPath()"
       case other => // ByModulator never survives fuseModulators
         throw ParseException(s"unrenderable step $other")
     }
@@ -542,7 +545,8 @@ object GremlinParser {
       case GSource(false, Seq()) => g.V
       case GSource(false, ids) => g.V(ids: _*)
     }
-    if (rest.contains(GPath) || rest.contains(GSimplePath)) t = t.withPath
+    if (rest.contains(GPath) || rest.contains(GSimplePath) ||
+        rest.contains(GCyclicPath)) t = t.withPath
     var result: Option[DataFrame] = None
     rest.foreach { s =>
       if (result.nonEmpty)
@@ -583,6 +587,7 @@ object GremlinParser {
     case GRepeat(sub, n, false) => t.repeat(n)(subFn(sub))
     case GRepeat(sub, n, true) => t.repeatEmit(n)(subFn(sub))
     case GSimplePath => t.simplePath()
+    case GCyclicPath => t.cyclicPath()
     case GWhere(sub, false) => t.where(subFn(sub))
     case GWhere(sub, true) => t.not(subFn(sub))
     case GUnion(subs) => t.union(subs.map(subFn): _*)

@@ -215,6 +215,15 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
       size(array_distinct(col(PATH))) === size(col(PATH))))
   }
 
+  /** Gremlin cyclicPath(): the complement — keep only walks that DID
+    * revisit a vertex (ring/cycle detection). Same zero-shuffle filter.
+    */
+  def cyclicPath(): Traversal = {
+    require(hasPath, "call withPath before traversing to use cyclicPath")
+    copy(df = df.filter(
+      size(array_distinct(col(PATH))) < size(col(PATH))))
+  }
+
   /** Gremlin repeat(step).until(frontier empty) — variable-depth
     * expansion to a fixed point (reachability / unbounded repeats the
     * hugegraph engine runs over this store). Result = every vertex

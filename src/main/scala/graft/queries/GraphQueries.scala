@@ -87,6 +87,15 @@ object GraphQueries {
       "g.V().hasLabel('nation').both('part_of').both('part_of')" +
         ".simplePath().count()")
 
+  /** cyclicPath() — ring detection through the string front-end: the
+    * 2-step both('part_of') walks that RETURN to their start nation
+    * (exactly one ring per nation, via its region).
+    */
+  def g34CyclicPath(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('nation').both('part_of').both('part_of')" +
+        ".cyclicPath().count()")
+
   /** values(k).sum() aggregate terminal through the string front-end
     * (integer-typed property so the Σ is engine-exact).
     */
@@ -369,6 +378,7 @@ object GraphQueries {
     "g31_simple_path" -> (g31SimplePath _),
     "g32_parsed_sum" -> (g32ParsedSum _),
     "g33_has_not" -> (g33HasNot _),
+    "g34_cyclic_path" -> (g34CyclicPath _),
     "g25_event_graph" -> (g25EventGraph _),
     "g23_kout" -> (g23Kout _),
     "g24_same_neighbors" -> (g24SameNeighbors _),
@@ -436,6 +446,9 @@ object GraphQueries {
       """SELECT COUNT(*) AS cnt FROM nation a JOIN nation b
         |ON a.n_regionkey = b.n_regionkey
         |AND a.n_nationkey <> b.n_nationkey""".stripMargin,
+    // cyclicPath: one self-returning 2-hop walk per nation
+    "g34_cyclic_path" ->
+      "SELECT COUNT(*) AS cnt FROM nation",
     // values(size).sum() over part vertices — integer-exact Σ
     "g32_parsed_sum" ->
       "SELECT CAST(SUM(p_size) AS BIGINT) AS sum_size FROM part",

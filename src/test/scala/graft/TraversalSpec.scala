@@ -340,6 +340,15 @@ class TraversalSpec extends AnyFunSuite {
       .toDF.select("id").as[Long].collect()
     assert(s2.toSeq == Seq(3L))
     assertThrows[IllegalArgumentException](triangle.V.simplePath())
+    // cyclicPath is the exact complement: the 3-hop ring survives,
+    // the 2-hop simple walk dies
+    assert(triangle.V(1L).withPath.repeat(3)(_.out("next")).cyclicPath()
+      .toDF.count() == 1)
+    assert(triangle.V(1L).withPath.repeat(2)(_.out("next")).cyclicPath()
+      .toDF.count() == 0)
+    assert(GremlinParser.run(triangle,
+        "g.V(1).out('next').out('next').out('next').cyclicPath().count()")
+      .as[Long].collect().toSeq == Seq(1L))
     // parser equivalence (simplePath auto-enables path tracking)
     val p = GremlinParser.run(triangle,
       "g.V(1).repeat(__.out('next')).emit().times(3).values('id')")
