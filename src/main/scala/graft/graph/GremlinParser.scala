@@ -68,6 +68,8 @@ object GremlinParser {
   final case class GHasKey(k: String, neg: Boolean) extends GStep
   final case class GValueMap(ks: Seq[String]) extends GStep
   final case class GGroupCount(k: String) extends GStep
+  /** group().by(key).by(__.values(valKey).op()) — grouped aggregate */
+  final case class GGroup(key: String, valKey: String, op: String) extends GStep
   case object GPath extends GStep
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
@@ -211,6 +213,7 @@ object GremlinParser {
         case _ => throw ParseException("values() takes exactly one key")
       })
       case "valueMap" => GValueMap(parseStrArgs(cur))
+      case "group" => emptyArgs(cur); GGroup("", "", "")
       case "groupCount" =>
         val ks = parseStrArgs(cur)
         if (ks.length > 1) throw ParseException("groupCount() takes at most one key")
@@ -227,6 +230,16 @@ object GremlinParser {
     */
   private def parseByModulator(cur: Cursor): GStep = {
     cur.expectPunct('(')
+    if (cur.peek.contains(TIdent("__"))) {
+      // aggregate sub-traversal form: by(__.values('k').op())
+      val sub = parseAnon(cur)
+      cur.expectPunct(')')
+      return sub match {
+        case Seq(GAgg(op, k)) if k.nonEmpty => ByAggModulator(op, k)
+        case _ => throw ParseException(
+          "by(sub) supports exactly __.values('k').sum()/mean()/min()/max()")
+      }
+    }
     val k = cur.next() match {
       case TStr(s) => s
       case t => throw ParseException(s"by() expects a property key, got $t")
@@ -244,6 +257,7 @@ object GremlinParser {
     ByModulator(k, asc)
   }
   private final case class ByModulator(k: String, asc: Boolean) extends GStep
+  private final case class ByAggModulator(op: String, k: String) extends GStep
 
   private def parseAsc(o: String): Boolean = o match {
     case "asc" | "incr" => true
@@ -443,7 +457,15 @@ object GremlinParser {
       case ByModulator(k, asc) => prev match {
         case Some(GOrder("", _)) => prev = Some(GOrder(k, asc))
         case Some(GGroupCount("")) => prev = Some(GGroupCount(k))
-        case _ => throw ParseException(".by() must follow order() or groupCount()")
+        case Some(GGroup("", "", "")) => prev = Some(GGroup(k, "", ""))
+        case _ => throw ParseException(
+          ".by() must follow order(), group() or groupCount()")
+      }
+      case ByAggModulator(op, vk) => prev match {
+        case Some(GGroup(key, "", "")) if key.nonEmpty =>
+          prev = Some(GGroup(key, vk, op))
+        case _ => throw ParseException(
+          ".by(__.values...) must follow group().by('key')")
       }
       case s =>
         prev.foreach(out += _)
@@ -455,6 +477,9 @@ object GremlinParser {
         throw ParseException("order() needs a key: order('k') or order().by('k')")
       case GGroupCount("") =>
         throw ParseException("groupCount() needs a key: groupCount('k') or groupCount().by('k')")
+      case GGroup(k, v, op) if k.isEmpty || v.isEmpty || op.isEmpty =>
+        throw ParseException(
+          "group() needs .by('key').by(__.values('k').sum()/mean()/min()/max())")
       case s => s
     }
   }
@@ -523,6 +548,7 @@ object GremlinParser {
       case GValues(k) => s"values('$k')"
       case GValueMap(ks) => s"valueMap(${strs(ks)})"
       case GGroupCount(k) => s"groupCount('$k')"
+      case GGroup(k, v, op) => s"group().by('$k').by(__.values('$v').$op())"
       case GPath => "path()"
       case GCyclicPath => "cyclicPath()"
       case other => // ByModulator never survives fuseModulators
@@ -556,6 +582,7 @@ object GremlinParser {
         case GAgg("mean", k) => result = Some(t.meanOf(k))
         case GAgg("min", k) => result = Some(t.minOf(k))
         case GAgg("max", k) => result = Some(t.maxOf(k))
+        case GGroup(k, v, op) => result = Some(t.group(k, v, op))
         case GSelect(ls) if ls.length > 1 => result = Some(t.select(ls: _*))
         case GPath => result = Some(t.paths)
         case GCount => result = Some(t.count())

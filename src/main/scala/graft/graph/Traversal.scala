@@ -457,6 +457,22 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   def maxOf(key: String): DataFrame =
     df.agg(max(col(key)).as(s"max_$key"))
 
+  /** Gremlin group().by(key).by(values(valKey).op()) — grouped
+    * aggregate terminal (one partial+final hash-agg shuffle). `op` ∈
+    * sum/mean/min/max; output columns (key, op_valKey).
+    */
+  def group(key: String, valKey: String, op: String): DataFrame = {
+    val a = op match {
+      case "sum" => sum(col(valKey))
+      case "mean" => avg(col(valKey))
+      case "min" => min(col(valKey))
+      case "max" => max(col(valKey))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported group aggregate $other")
+    }
+    df.groupBy(col(key)).agg(a.as(s"${op}_$valKey"))
+  }
+
   /** Gremlin has(key) / hasNot(key): property EXISTENCE — in the
     * union-schema vertex frame a label that lacks the property carries
     * a typed NULL, so existence is a null test (the same semantic the

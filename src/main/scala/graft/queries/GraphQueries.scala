@@ -96,6 +96,15 @@ object GraphQueries {
       "g.V().hasLabel('nation').both('part_of').both('part_of')" +
         ".cyclicPath().count()")
 
+  /** group().by(key).by(values.sum()) — Gremlin's grouped-aggregate
+    * form through the string front-end: total part size per brand.
+    */
+  def g35Group(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('part').group().by('brand')" +
+        ".by(__.values('size').sum())")
+      .orderBy("brand")
+
   /** values(k).sum() aggregate terminal through the string front-end
     * (integer-typed property so the Σ is engine-exact).
     */
@@ -379,6 +388,7 @@ object GraphQueries {
     "g32_parsed_sum" -> (g32ParsedSum _),
     "g33_has_not" -> (g33HasNot _),
     "g34_cyclic_path" -> (g34CyclicPath _),
+    "g35_group" -> (g35Group _),
     "g25_event_graph" -> (g25EventGraph _),
     "g23_kout" -> (g23Kout _),
     "g24_same_neighbors" -> (g24SameNeighbors _),
@@ -449,6 +459,10 @@ object GraphQueries {
     // cyclicPath: one self-returning 2-hop walk per nation
     "g34_cyclic_path" ->
       "SELECT COUNT(*) AS cnt FROM nation",
+    // group().by(brand).by(values(size).sum()) — per-brand Σ
+    "g35_group" ->
+      """SELECT p_brand AS brand, CAST(SUM(p_size) AS BIGINT) AS sum_size
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     // values(size).sum() over part vertices — integer-exact Σ
     "g32_parsed_sum" ->
       "SELECT CAST(SUM(p_size) AS BIGINT) AS sum_size FROM part",

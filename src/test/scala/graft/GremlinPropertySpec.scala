@@ -86,6 +86,8 @@ class GremlinPropertySpec extends AnyFunSuite {
     Gen.const(GCount), ident.map(GValues),
     Gen.zip(Gen.oneOf("sum", "mean", "min", "max"), ident)
       .map { case (op, k) => GAgg(op, k) },
+    Gen.zip(ident, ident, Gen.oneOf("sum", "mean", "min", "max"))
+      .map { case (k, v, op) => GGroup(k, v, op) },
     Gen.nonEmptyListOf(ident).map(GValueMap(_)),
     ident.map(GGroupCount), Gen.const(GPath),
     Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, ident)).map(GSelect(_)))

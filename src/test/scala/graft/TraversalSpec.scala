@@ -382,6 +382,16 @@ class TraversalSpec extends AnyFunSuite {
     // sum() must follow values()
     assertThrows[GremlinParser.ParseException](
       GremlinParser.run(triangle, "g.V().sum()"))
+    // group().by().by(): per-label sum matches the DSL terminal
+    val pg = GremlinParser.run(triangle,
+      "g.V().group().by('label').by(__.values('score').sum())")
+    assert(samePlan(pg, triangle.V.group("label", "score", "sum")))
+    assert(pg.as[(String, Long)].collect().toMap == Map("node" -> 60L))
+    // group() without both by-modulators fails loudly
+    assertThrows[GremlinParser.ParseException](
+      GremlinParser.run(triangle, "g.V().group().by('label')"))
+    assertThrows[GremlinParser.ParseException](
+      GremlinParser.run(triangle, "g.V().group()"))
   }
 
   test("parser: malformed queries fail loudly, never silently") {
