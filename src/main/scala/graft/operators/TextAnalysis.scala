@@ -40,6 +40,44 @@ object TextAnalysis {
     size(filter(tokens(text), t => array_contains(stopArr, t)))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, Appendix A — the public
+    * heuristic filter battery every large-scale pretraining corpus
+    * pipeline runs): per-document boolean flags for the 7 rules this
+    * corpus' schema can express, plus the conjunction. Every ratio
+    * threshold is rewritten as INTEGER cross-multiplication
+    * (e.g. mean word length in [3,10] ⇔ 3·n_tok ≤ chars ≤ 10·n_tok)
+    * so the flags are bit-exact across engines — no double division
+    * anywhere. Map-only projection; codegen'd builtins throughout.
+    */
+  def gopherFlags(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val chars = length(regexp_replace(t, "\\s+", ""))
+    val nSym = regexp_count(t, lit("#|\\.\\.\\."))
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val nEll = size(filter(lines, l => l.endsWith("...")))
+    val nBullet = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("•")))
+    val nAlpha = size(filter(toks, tk => tk.rlike("[a-zA-Z]")))
+    val stopArr = array(EnStopwords.map(lit): _*)
+    val nStopDistinct = size(array_intersect(array_distinct(toks), stopArr))
+    val flags = Seq(
+      (nTok >= 50 && nTok <= 100000).as("r_word_count"),
+      (chars >= nTok * 3 && chars <= nTok * 10).as("r_mean_word_len"),
+      (nSym * 10 < nTok).as("r_symbol_ratio"),          // < 0.1 sym/word
+      (nEll * 10 <= nLines * 3).as("r_ellipsis_lines"), // ≤ 30% of lines
+      (nBullet * 10 <= nLines * 9).as("r_bullet_lines"),// ≤ 90% of lines
+      (nAlpha * 5 >= nTok * 4).as("r_alpha_words"),     // ≥ 80% alphabetic
+      (nStopDistinct >= 2).as("r_stopwords"))           // ≥ 2 distinct stops
+    docs.select((col("doc_id") +: flags): _*)
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_ellipsis_lines") &&
+          col("r_bullet_lines") && col("r_alpha_words") && col("r_stopwords"))
+  }
+
   /** composite quality score in [0,1]: length saturation, low
     * punctuation noise, natural-language stopword density. Per-row
     * double arithmetic — deterministic and engine-portable.

@@ -23,6 +23,15 @@ object PipelineQueries {
       .drop("lang_pred") // argmax-over-profiles is unit-tested, not oracled
       .orderBy(col("doc_id"))
 
+  /** Gopher rule battery (Rae et al. 2021): per-document boolean flags
+    * ordered by doc_id plus integer-exact cross-multiplied thresholds —
+    * the pretraining corpus filter every large-scale pipeline runs.
+    * The oracle replays each rule with the same integer arithmetic.
+    */
+  def d31Gopher(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFlags(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
   /** predicted-language distribution (rows-only: heuristic argmax). */
   def d3LangidDist(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(Tables.documents(s, dir))
@@ -732,6 +741,7 @@ object PipelineQueries {
     "p2_rag_retrieval" -> (p2RagRetrieval _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
+    "d31_gopher" -> (d31Gopher _),
     "d3_langid_dist" -> (d3LangidDist _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d7_shingle_jaccard" -> (d7ShingleJaccard _),
@@ -1644,6 +1654,36 @@ object PipelineQueries {
       s"""SELECT $fingerprintSql AS fingerprint, MIN(doc_id) AS keep_id,
          |  COUNT(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    // Gopher rules: same integer cross-multiplied thresholds per rule
+    "d31_gopher" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    len($tokensSql) AS n_tok,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS chars,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+         |    len(string_split(text, chr(10))) AS n_lines,
+         |    len(list_filter(string_split(text, chr(10)),
+         |      l -> l LIKE '%...')) AS n_ell,
+         |    len(list_filter(string_split(text, chr(10)),
+         |      l -> l LIKE '-%' OR l LIKE '•%')) AS n_bullet,
+         |    len(list_filter($tokensSql,
+         |      t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         |    len(list_intersect(list_distinct($tokensSql),
+         |      $stopListSql)) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id,
+         |  n_tok >= 50 AND n_tok <= 100000 AS r_word_count,
+         |  chars >= n_tok * 3 AND chars <= n_tok * 10 AS r_mean_word_len,
+         |  n_sym * 10 < n_tok AS r_symbol_ratio,
+         |  n_ell * 10 <= n_lines * 3 AS r_ellipsis_lines,
+         |  n_bullet * 10 <= n_lines * 9 AS r_bullet_lines,
+         |  n_alpha * 5 >= n_tok * 4 AS r_alpha_words,
+         |  n_stop >= 2 AS r_stopwords,
+         |  (n_tok >= 50 AND n_tok <= 100000)
+         |    AND (chars >= n_tok * 3 AND chars <= n_tok * 10)
+         |    AND (n_sym * 10 < n_tok) AND (n_ell * 10 <= n_lines * 3)
+         |    AND (n_bullet * 10 <= n_lines * 9)
+         |    AND (n_alpha * 5 >= n_tok * 4) AND (n_stop >= 2) AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
     "d2_text_stats" ->
       s"""SELECT doc_id,
          |  len($tokensSql) AS n_tokens,

@@ -8,6 +8,34 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("gopherFlags: each rule fails on its crafted pathology, passes on clean text") {
+    val good = (("the quick brown fox jumps over a lazy dog and " * 6).trim)
+    val docs = Seq(
+      (1L, good),                                // clean: every rule passes
+      (2L, "short text with the and a"),         // < 50 words
+      (3L, ("a b c " * 40).trim),                // mean word len < 3
+      (4L, good + " " + ("# " * 70).trim),       // symbol ratio ≥ 0.1
+      (5L, (1 to 10).map(i =>
+        if (i <= 4) s"line $i trails off..." else s"line $i is fine here")
+        .mkString("\n") + " " + good),           // 40% ellipsis lines
+      (6L, (1 to 10).map(i =>
+        s"- bullet $i").mkString("\n") + " " + good), // 100% bullet lines
+      (7L, good + " " + ("1234 5678 " * 30).trim),   // < 80% alphabetic words
+      (8L, ("words without common stop tokens flowing onward " * 8).trim))
+      .toDF("doc_id", "text")
+    val f = graft.operators.TextAnalysis.gopherFlags(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getBoolean(8), "clean doc must pass the conjunction")
+    assert(!f(2L).getBoolean(1), "word-count rule")
+    assert(!f(3L).getBoolean(2), "mean-word-length rule")
+    assert(!f(4L).getBoolean(3), "symbol-ratio rule")
+    assert(!f(5L).getBoolean(4), "ellipsis-lines rule")
+    assert(!f(6L).getBoolean(5), "bullet-lines rule")
+    assert(!f(7L).getBoolean(6), "alphabetic-words rule")
+    assert(!f(8L).getBoolean(7), "stopword rule")
+    (2L to 8L).foreach(id => assert(!f(id).getBoolean(8), s"doc $id must fail pass"))
+  }
+
   test("langId classifies clear-cut sentences") {
     val df = Seq(
       (1L, "the cat and the dog sat in the garden with all of the birds"),
