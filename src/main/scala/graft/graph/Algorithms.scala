@@ -866,6 +866,85 @@ object Algorithms {
     * LPA can oscillate on bipartite regions, so convergence testing
     * would not terminate — fixed-k is the standard batch variant.
     */
+  /** Louvain community detection, LEVEL-1 local-move phase (Blondel et
+    * al. 2008) with INTEGER-EXACT modularity gains: each vertex
+    * considers its neighbors' communities (plus its own) and moves to
+    * the one maximizing the gain score
+    * `2m·k_i_in(C) − k_i·(Σtot(C) − [i∈C]·k_i)` — the standard ΔQ
+    * with the positive constant factor (2m)² cleared, so every
+    * comparison is 64-bit integer arithmetic and the result is
+    * bit-stable across engines (the oracle unrolls the same rounds as
+    * CTEs). Determinism contract, mirroring [[labelPropagation]]:
+    *  - SYNCHRONOUS rounds with PARITY ALTERNATION (round r moves only
+    *    vertices with id % 2 == r % 2) — the standard distributed
+    *    damping that breaks two-community oscillation while staying a
+    *    pure function of (graph, round);
+    *  - move iff the best score STRICTLY beats the stay-put score,
+    *    tie-broken to the minimum community id among the maximizers;
+    *  - fixed round budget (no convergence test — same rationale as
+    *    LPA).
+    * Scale: per round one (v,n)⋈assignment join + three hash-aggs
+    * over narrow (id, community) longs; the symmetrized adjacency is
+    * persisted pre-partitioned; state rolls with block release. The
+    * full multi-level Louvain contracts the graph and recurses — the
+    * contraction is [[bipartiteProjection]]-shaped and level-1 already
+    * yields the nation/region community structure this schema has.
+    */
+  def louvainLevel1(s: SparkSession, g: PropertyGraph, rounds: Int = 6,
+                    labels: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val all = if (labels.isEmpty) g.edges
+    else g.edges.filter(col("label").isin(labels: _*))
+    val und = undirectedDistinct(all).persist(MEMORY_AND_DISK)
+    val sym = symmetrize(und).repartition(col("n")).persist(MEMORY_AND_DISK)
+    val deg = degreesOf(und).persist(MEMORY_AND_DISK)
+    try {
+      val m2 = 2L * und.count()
+      require(m2 > 0, "louvain: empty edge set")
+      val rc = new graft.util.Checkpoints.Rolling
+      var asg = rc.roll(deg.select(col("v").as("id"), col("v").as("c")))
+      for (r <- 1 to rounds) {
+        val tot = asg.join(deg.select(col("v").as("id"), col("d")), "id")
+          .groupBy(col("c")).agg(sum(col("d")).as("tot"))
+        val kin = sym
+          .join(asg.select(col("id").as("n"), col("c").as("nc")), "n")
+          .groupBy(col("v"), col("nc")).agg(count(lit(1)).as("kin"))
+        // own community is always a candidate (kin contributes 0, so a
+        // plain SUM after the union cannot double-count)
+        val cand = kin
+          .unionByName(asg.select(col("id").as("v"), col("c").as("nc"),
+            lit(0L).as("kin")))
+          .groupBy(col("v"), col("nc")).agg(sum(col("kin")).as("kin"))
+        val scored = cand
+          .join(deg, "v")
+          .join(tot.select(col("c").as("nc"), col("tot")), "nc")
+          .join(asg.select(col("id").as("v"), col("c").as("cur")), "v")
+          .select(col("v"), col("nc"), col("cur"),
+            (lit(m2) * col("kin") - col("d") *
+              (col("tot") - when(col("nc") === col("cur"), col("d"))
+                .otherwise(lit(0L)))).as("score"))
+        // ONE aggregate carries both the argmax candidate and the
+        // stay-put score (own community is unique per v, so the
+        // conditional MAX is exact) — two shuffles fewer per round
+        // than separate best/own frames
+        val best = scored.groupBy(col("v"))
+          .agg(max(struct(col("score"), (-col("nc")).as("mn"))).as("b"),
+            max(when(col("nc") === col("cur"), col("score"))).as("os"))
+          .select(col("v").as("id"), col("b.score").as("bs"),
+            (-col("b.mn")).as("bc"), col("os"))
+        asg = rc.roll(asg.join(best, "id")
+          .select(col("id"),
+            when(col("id") % 2 === lit(r % 2) && col("bs") > col("os"),
+              col("bc")).otherwise(col("c")).as("c")))
+      }
+      asg.localCheckpoint()
+    } finally {
+      und.unpersist(blocking = false)
+      sym.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+    }
+  }
+
   def labelPropagation(s: SparkSession, g: PropertyGraph, iters: Int = 4,
                        labels: Seq[String] = Nil): DataFrame = {
     val all = if (labels.isEmpty) g.edges

@@ -268,6 +268,24 @@ object AlgoQueries {
       .orderBy(col("score").desc, col("a"), col("b"))
   }
 
+  /** Fixed round budget shared by the a_louvain gate and its oracle. */
+  val LouvainRounds = 6
+
+  /** Louvain level-1 over the geo subgraph: community-size histogram
+    * with mod-prime community-id checksums — customers/suppliers
+    * coalesce around their nations (and nations around regions) under
+    * integer-exact modularity gains. The oracle unrolls all
+    * `LouvainRounds` synchronous parity-damped rounds as MATERIALIZED
+    * CTEs from one template.
+    */
+  def aLouvain(s: SparkSession, dir: String): DataFrame =
+    Algorithms.louvainLevel1(s, g(s, dir), rounds = LouvainRounds,
+        labels = Seq("located_in", "part_of"))
+      .groupBy(col("c")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_comms"),
+        sum(col("c") % 1000000007L).as("c_sum"))
+      .orderBy(col("size"))
+
   /** Fixed round budget shared by the a_matching gate and its oracle
     * (same idempotence argument as [[MisRounds]]).
     */
@@ -633,6 +651,7 @@ object AlgoQueries {
     "a_katz" -> (aKatz _),
     "a_mis" -> (aMis _),
     "a_simrank" -> (aSimrank _),
+    "a_louvain" -> (aLouvain _),
     "a_assort" -> (aAssort _),
     "a_matching" -> (aMatching _),
     "a_wpagerank" -> (aWpagerank _),
@@ -653,6 +672,64 @@ object AlgoQueries {
     * MATERIALIZED rounds (state is referenced twice per round — once
     * per side of the Σ join).
     */
+  /** DuckDB replay of louvainLevel1 over the geo subgraph: identical
+    * integer gain score 2m·kin − k_i·(Σtot − [i∈C]·k_i), identical
+    * parity damping and strict-improvement/min-id move rule,
+    * `LouvainRounds` rounds as MATERIALIZED CTEs from one template.
+    */
+  private val louvainSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val rounds = (1 to LouvainRounds).map { r =>
+      s"""tot$r AS MATERIALIZED (
+         |  SELECT c, SUM(d) AS tot FROM a${r - 1} JOIN deg USING (v)
+         |  GROUP BY c),
+         |cand$r AS MATERIALIZED (
+         |  SELECT v, nc, SUM(kin) AS kin FROM (
+         |    SELECT s.v, a.c AS nc, COUNT(*) AS kin
+         |    FROM sym s JOIN a${r - 1} a ON a.v = s.n GROUP BY 1, 2
+         |    UNION ALL SELECT v, c, 0 FROM a${r - 1}) GROUP BY 1, 2),
+         |sc$r AS MATERIALIZED (
+         |  SELECT cand.v, cand.nc, a.c AS cur,
+         |    m2.m2 * cand.kin - deg.d * (tot.tot -
+         |      CASE WHEN cand.nc = a.c THEN deg.d ELSE 0 END) AS score
+         |  FROM cand$r cand JOIN deg ON deg.v = cand.v
+         |  JOIN tot$r tot ON tot.c = cand.nc
+         |  JOIN a${r - 1} a ON a.v = cand.v CROSS JOIN m2),
+         |mx$r AS MATERIALIZED (SELECT v, MAX(score) AS ms FROM sc$r GROUP BY v),
+         |bc$r AS MATERIALIZED (
+         |  SELECT sc.v, mx.ms, MIN(sc.nc) AS bc
+         |  FROM sc$r sc JOIN mx$r mx ON mx.v = sc.v AND sc.score = mx.ms
+         |  GROUP BY 1, 2),
+         |a$r AS MATERIALIZED (
+         |  SELECT a.v, CASE WHEN a.v % 2 = ${r % 2} AND bc.ms > own.score
+         |    THEN bc.bc ELSE a.c END AS c
+         |  FROM a${r - 1} a JOIN bc$r bc ON bc.v = a.v
+         |  JOIN sc$r own ON own.v = a.v AND own.nc = a.c)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT ${enc("customer", "c_custkey")} AS src,
+       |         ${enc("nation", "c_nationkey")} AS dst FROM customer
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+       |         ${enc("nation", "s_nationkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+       |         ${enc("region", "n_regionkey")} FROM nation),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e0 WHERE src <> dst),
+       |sym AS MATERIALIZED (SELECT a AS v, b AS n FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM
+       |  (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+       |m2 AS (SELECT 2 * COUNT(*) AS m2 FROM und),
+       |a0 AS MATERIALIZED (SELECT v, v AS c FROM deg),
+       |$rounds
+       |SELECT size, COUNT(*) AS n_comms,
+       |  CAST(SUM(c % 1000000007) AS BIGINT) AS c_sum
+       |FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS size
+       |      FROM a$LouvainRounds GROUP BY c)
+       |GROUP BY size ORDER BY size""".stripMargin
+  }
+
   private val simrankSql: String = {
     def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
     val iters = 3
@@ -1537,6 +1614,7 @@ object AlgoQueries {
     "a_matching" -> matchingSql,
     "a_wpagerank" -> wpagerankSql,
     "a_simrank" -> simrankSql,
+    "a_louvain" -> louvainSql,
     // same full-graph undirected distinct set as a_clustering's
     // oracle; identical expression SHAPE for the one double division
     // (the q_corr_moments determinism discipline)

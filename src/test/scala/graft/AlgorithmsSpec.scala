@@ -36,6 +36,25 @@ class AlgorithmsSpec extends AnyFunSuite {
       s"iterative loop pinned ${during - before} RDDs — rolling release broken")
   }
 
+  test("louvainLevel1: two triangles with a bridge split into two communities") {
+    val g1 = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)))
+    val c = Algorithms.louvainLevel1(spark, g1)
+      .as[(Long, Long)].collect().toMap
+    assert(c(1L) == c(2L) && c(2L) == c(3L), s"left triangle split: $c")
+    assert(c(4L) == c(5L) && c(5L) == c(6L), s"right triangle split: $c")
+    assert(c(3L) != c(4L), s"bridge merged the triangles: $c")
+    // determinism: identical map on a second run
+    val c2 = Algorithms.louvainLevel1(spark, g1)
+      .as[(Long, Long)].collect().toMap
+    assert(c == c2)
+    // star: all leaves join the hub's community
+    val st = Algorithms.louvainLevel1(spark,
+      mkGraph(Seq((10L, 11L), (10L, 12L), (10L, 13L))))
+      .as[(Long, Long)].collect().toMap
+    assert(st.values.toSet.size == 1, s"star fragmented: $st")
+  }
+
   test("scc: planted cycle + tail; overlapping cycles merge") {
     // 1→2→3→1 cycle, tail 3→4
     val g1 = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
