@@ -85,12 +85,13 @@ object Multimodal {
       (length(col("bytes")) - 12).cast("int").as("n_bytes"))
   }
 
-  /** STUB decode kernel for the AUDIO/VIDEO kinds — deterministic fake
-    * standing in for the real codec (??? in production this calls
-    * ffmpeg via FFI; there is no audio/video lib in this container).
-    * IMAGE rows no longer come here: they carry a real P5 PGM payload
-    * ([[toPgm]]) and go through the real [[decodePgm]] parser. Runs
-    * per-partition so a real codec would init once per partition.
+  /** STUB decode kernel — now demoted to the VIDEO kind only in terms
+    * of realism coverage: IMAGE rows carry real P5 PGM payloads
+    * ([[toPgm]]/[[decodePgm]]) and AUDIO rows have the real RIFF/WAVE
+    * path ([[toWav]]/[[decodeWav]], gate m6). Video keeps this
+    * deterministic fake (??? in production this calls ffmpeg via FFI;
+    * no video lib exists in this container). Runs per-partition so a
+    * real codec would init once per partition.
     */
   def decodeStub(row: MediaRow): MediaFeatures = {
     val bytes = row.bytes
@@ -187,6 +188,106 @@ object Multimodal {
       1, hist)
   }
 
+  /** Re-encode audio rows as REAL audio files: canonical RIFF/WAVE
+    * containers (8-bit unsigned mono PCM) — "RIFF" ‖ u32le size ‖
+    * "WAVE" ‖ "fmt " chunk (PCM, 1 channel, the row's sample_rate,
+    * 8 bits) ‖ "data" chunk holding the payload bytes as samples.
+    * Every little-endian word is built from codegen'd Column byte ops
+    * (hex → lpad → per-byte reorder → unhex), so the attach is a
+    * map-only projection; any standard audio tool opens these blobs.
+    * Non-audio kinds pass through untouched.
+    */
+  def toWav(media: DataFrame): DataFrame = {
+    def le(c: Column, nBytes: Int): Column = {
+      val hx = lpad(hex(c), nBytes * 2, "0")
+      unhex(concat((0 until nBytes).map(i =>
+        substring(hx, (nBytes - 1 - i) * 2 + 1, 2)): _*))
+    }
+    val n = length(col("bytes"))
+    media.withColumn("bytes",
+      when(col("kind") === "audio",
+        concat(
+          encode(lit("RIFF"), "UTF-8"), le(n + 36, 4),
+          encode(lit("WAVE"), "UTF-8"),
+          encode(lit("fmt "), "UTF-8"), le(lit(16), 4),
+          le(lit(1), 2),                   // PCM
+          le(lit(1), 2),                   // mono
+          le(col("sample_rate"), 4),
+          le(col("sample_rate"), 4),       // byte rate = rate·1·1
+          le(lit(1), 2),                   // block align
+          le(lit(8), 2),                   // bits per sample
+          encode(lit("data"), "UTF-8"), le(n, 4),
+          col("bytes")))
+        .otherwise(col("bytes")))
+  }
+
+  case class WavFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
+                         amp_min: Int, amp_max: Int, amp_sum: Long,
+                         crossings: Long)
+
+  /** REAL audio decode: a chunk-walking RIFF/WAVE parser over the raw
+    * payload bytes — validates the RIFF/WAVE magics, walks chunks to
+    * find "fmt " (requiring PCM / mono / 8-bit; the sample RATE in the
+    * output comes from the fmt chunk, not from metadata columns) and
+    * "data", then computes per-SAMPLE statistics from the decoded
+    * 8-bit PCM: min/max/Σ amplitude and the 100-level crossing count
+    * (the zero-crossing analog for unsigned samples) — all integers,
+    * so the DuckDB oracle replays them exactly. Malformed containers
+    * (bad magic, missing chunks, truncated data, non-PCM format) fail
+    * loudly. This retires the audio branch of [[decodeStub]]; only
+    * video remains stubbed (no codec libs in this container).
+    */
+  def decodeWav(row: MediaRow): WavFeatures = {
+    val b = row.bytes
+    def u16(p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    def tag(p: Int): String = new String(b, p, 4, "US-ASCII")
+    require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"media ${row.media_id}: not a RIFF/WAVE container")
+    var pos = 12
+    var rate = -1
+    var dataAt = -1
+    var dataLen = -1L
+    while (pos + 8 <= b.length && (rate < 0 || dataAt < 0)) {
+      val id = tag(pos); val size = u32(pos + 4)
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"media ${row.media_id}: short fmt chunk")
+          require(u16(pos + 8) == 1, s"media ${row.media_id}: not PCM")
+          require(u16(pos + 10) == 1, s"media ${row.media_id}: not mono")
+          require(u16(pos + 22) == 8, s"media ${row.media_id}: not 8-bit")
+          rate = u32(pos + 12).toInt
+        case "data" =>
+          dataAt = pos + 8; dataLen = size
+        case _ => () // unknown chunk: skip (the RIFF contract)
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    require(rate >= 0, s"media ${row.media_id}: missing fmt chunk")
+    require(dataAt >= 0, s"media ${row.media_id}: missing data chunk")
+    require(dataAt + dataLen <= b.length,
+      s"media ${row.media_id}: data chunk truncated")
+    val n = dataLen.toInt
+    var mn = 255; var mx = 0; var sum = 0L; var crossings = 0L
+    var i = 0
+    var prevHigh = false
+    while (i < n) {
+      val v = b(dataAt + i) & 0xff
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      val high = v >= 100
+      if (i > 0 && high != prevHigh) crossings += 1
+      prevHigh = high
+      i += 1
+    }
+    WavFeatures(row.media_id, rate, n.toLong,
+      if (n == 0) 0 else mn, mx, sum, crossings)
+  }
+
   /** Tile-grid layout for vision-encoder preprocessing: how a
     * width×height image splits into tileSize² patches (edge tiles
     * clamped) — the ViT patchification bookkeeping a multimodal
@@ -210,10 +311,20 @@ object Multimodal {
   def extractFeatures(s: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import s.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // real impl: init the remaining (audio/video) codecs here, once
-      // per partition; images decode for real via the PGM parser
+      // real impl: init the remaining (video) codec here, once per
+      // partition; images decode for real via the PGM parser, audio
+      // for real via decodeWav (the m6 gate's dedicated feature set)
       it.map(r => if (r.kind == "image") decodePgm(r) else decodeStub(r))
     }
+  }
+
+  /** REAL audio feature extraction over WAV-wrapped rows — the
+    * [[decodeWav]] kernel per partition, audio rows only.
+    */
+  def extractWavFeatures(s: SparkSession, media: DataFrame): Dataset[WavFeatures] = {
+    import s.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions(_.map(decodeWav))
   }
 
   /** "Frame sampling" for video rows: every `stride`-th byte as a

@@ -446,6 +446,20 @@ object PipelineQueries {
         round(col("mean_byte"), 6).as("mean_byte"), col("n_frames"))
       .orderBy(col("media_id"))
 
+  /** REAL audio decode end-to-end (round 10): audio rows are wrapped
+    * as canonical RIFF/WAVE files (`Multimodal.toWav` — 8-bit mono PCM,
+    * opens in any audio tool) and `Multimodal.decodeWav` chunk-walks
+    * the container (fmt validation, sample RATE read from the fmt
+    * chunk bytes) and computes per-SAMPLE integer statistics: min/max/Σ
+    * amplitude plus the 100-level crossing count. The oracle replays
+    * the same arithmetic over the payload bytes.
+    */
+  def m6Audio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractWavFeatures(s,
+        Multimodal.toWav(Multimodal.mediaTable(Tables.documents(s, dir))))
+      .toDF()
+      .orderBy(col("media_id"))
+
   /** frame sampling over video rows — oracle via ceil arithmetic. */
   def m3FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(Multimodal.mediaTable(Tables.documents(s, dir)))
@@ -742,6 +756,7 @@ object PipelineQueries {
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
     "d31_gopher" -> (d31Gopher _),
+    "m6_audio" -> (m6Audio _),
     "d3_langid_dist" -> (d3LangidDist _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d7_shingle_jaccard" -> (d7ShingleJaccard _),
@@ -1654,6 +1669,24 @@ object PipelineQueries {
       s"""SELECT $fingerprintSql AS fingerprint, MIN(doc_id) AS keep_id,
          |  COUNT(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    // WAV decode replay: audio rows (doc_id%3=1), rate 16000 from the
+    // fmt chunk the builder wrote, per-sample integer stats over the
+    // payload (text is ASCII so ord(char) == byte value)
+    "m6_audio" ->
+      """WITH a AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 1)
+        |SELECT doc_id AS media_id, CAST(16000 AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_min(list_transform(split(text, ''), c -> ord(c)))
+        |    AS INT) AS amp_min,
+        |  CAST(list_max(list_transform(split(text, ''), c -> ord(c)))
+        |    AS INT) AS amp_max,
+        |  CAST(list_sum(list_transform(split(text, ''), c -> ord(c)))
+        |    AS BIGINT) AS amp_sum,
+        |  CAST(len(list_filter(range(2, n + 1),
+        |    i -> (ord(split(text, '')[i-1]) >= 100)
+        |      <> (ord(split(text, '')[i]) >= 100))) AS BIGINT) AS crossings
+        |FROM a ORDER BY media_id""".stripMargin,
     // Gopher rules: same integer cross-multiplied thresholds per rule
     "d31_gopher" ->
       s"""WITH f AS (SELECT doc_id,
