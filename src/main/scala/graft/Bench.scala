@@ -192,13 +192,20 @@ object Bench {
     // a >3x spread among successful runs means at least one timing is
     // not steady state (JIT compile, GC storm, transient contention) —
     // take extra runs so the median reflects the reproducible cost.
-    // Returns (median, cleanOnly): cleanOnly=false means the shipped
-    // value includes steal-contaminated runs (every retry batch was
-    // also stolen) — the caller marks those queries SUSPECT in both
-    // JSON outputs so a slow artifact value carries its own health
-    // flag (round-9 lesson: a_simrank shipped 35.8 s vs a certified
-    // 11.5 s with nothing in the artifact saying the window was bad).
-    def measure(name: String): (Double, Boolean) = {
+    // Returns (median, cleanOnly, anySuccess): cleanOnly=false means
+    // the shipped value includes steal-contaminated runs (every retry
+    // batch was also stolen) — the caller marks those queries SUSPECT
+    // in both JSON outputs so a slow artifact value carries its own
+    // health flag (round-9 lesson: a_simrank shipped 35.8 s vs a
+    // certified 11.5 s with nothing in the artifact saying the window
+    // was bad). anySuccess=false means EVERY run threw — the returned
+    // value is the worst failure elapsed, which for a fast failure
+    // mode (e.g. a stopped SparkContext after an external kill) is
+    // milliseconds; the caller must record the query as FAILED and
+    // never let that number displace a real measurement (round-10
+    // lesson: a session kill mid-re-pass shipped 5 ms "timings" for
+    // nine iterative queries).
+    def measure(name: String): (Double, Boolean, Boolean) = {
       try materialize(name, sfDir) catch { case _: Throwable => }
       var timed = timedRuns(name, runs)
       val g0 = timed.filter(_._2).map(_._1)
@@ -228,6 +235,7 @@ object Bench {
       val clean = timed.filter(t => t._2 && t._3).map(_._1).sorted
       val good = if (clean.nonEmpty) clean
         else timed.filter(_._2).map(_._1).sorted
+      val anySuccess = timed.exists(_._2)
       val med = if (good.nonEmpty) good(good.length / 2) else timed.map(_._1).max
       // Spark's ContextCleaner releases dead cache/localCheckpoint
       // blocks only when a GC notices them; across 150 queries the
@@ -236,7 +244,7 @@ object Bench {
       // 7.8 s / 54.8 s on the same query). Collect BETWEEN queries so
       // each starts with a clean heap and pays only its own garbage.
       System.gc()
-      (med, clean.nonEmpty || !timed.exists(_._2))
+      (med, clean.nonEmpty || !anySuccess, anySuccess)
     }
 
     // one canary observation: min of 2 back-to-back runs — a single
@@ -310,14 +318,16 @@ object Bench {
     // queries measured 3-9× slow) and is re-measured from scratch.
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val suspect = scala.collection.mutable.LinkedHashSet.empty[String]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     names.grouped(WindowSize).zipWithIndex.foreach { case (window, wi) =>
       var attempt = 0
       var clean = false
       while (!clean) {
         window.foreach { n =>
-          val (med, cleanOnly) = measure(n)
+          val (med, cleanOnly, anyOk) = measure(n)
           medians(n) = med
           if (cleanOnly) suspect -= n else suspect += n
+          if (anyOk) failed -= n else failed += n
         }
         attempt += 1
         if (!haveCanary) clean = true
@@ -369,14 +379,17 @@ object Bench {
       System.err.println(s"[bench] re-pass over ${repassSet.length} heavy/suspect " +
         s"queries: ${repassSet.mkString(", ")}")
       repassSet.foreach { n =>
-        val (med2, cleanOnly2) = measure(n)
+        val (med2, cleanOnly2, anyOk2) = measure(n)
         repassLog(n) = (medians(n), med2)
-        if (med2 < medians(n)) {
+        // an all-failed re-pass (e.g. the context was torn down under
+        // us) must never displace the real window measurement
+        if (anyOk2 && med2 < medians(n)) {
           medians(n) = med2
           if (cleanOnly2) suspect -= n
         }
         System.err.println(
           f"[bench] re-pass $n: window ${repassLog(n)._1}%.2f s vs ${med2}%.2f s" +
+            (if (anyOk2) "" else " (ALL RUNS FAILED — discarded)") +
             f" → shipped ${medians(n)}%.2f s")
       }
     }
@@ -400,11 +413,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val windowsJson = windowsRerun.mkString("[", ",", "]")
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val repassJson = repassLog
       .map { case (k, (a, b)) => "\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]" }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRef)},"canary_checks":$canaryJson,"iter_canary":"nation-lpa-${IterCanaryRounds}r","iter_canary_ref":${fmt(iterRef)},"iter_canary_checks":$iterJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenRuns,"suspect":$suspectJson,"repass":$repassJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRef)},"canary_checks":$canaryJson,"iter_canary":"nation-lpa-${IterCanaryRounds}r","iter_canary_ref":${fmt(iterRef)},"iter_canary_checks":$iterJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenRuns,"suspect":$suspectJson,"failed":$failedJson,"repass":$repassJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try {
       java.nio.file.Files.write(
@@ -434,7 +448,7 @@ object Bench {
       val entries = if (kept.length < results.length)
         qJson(kept).dropRight(1) + s""","other":${fmt(rest)}}"""
       else qJson(kept)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"stolen_runs":$stolenRuns,"suspect":$suspectStdout,"queries":$entries,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"stolen_runs":$stolenRuns,"suspect":$suspectStdout,"failed":$failedJson,"queries":$entries,"sf":"$sfDir"}"""
     }
     val line = (results.length to 1 by -1).view.map(compact).find(_.length <= budget)
       .getOrElse(compact(1))
