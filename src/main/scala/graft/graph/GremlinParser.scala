@@ -58,6 +58,8 @@ object GremlinParser {
   final case class GOptional(sub: Seq[GStep]) extends GStep
   case object GDedup extends GStep
   final case class GLimit(n: Int) extends GStep
+  final case class GRange(lo: Int, hi: Int) extends GStep
+  final case class GSkip(n: Int) extends GStep
   final case class GOrder(key: String, asc: Boolean) extends GStep
   final case class GSample(denom: Int, bucket: Int) extends GStep
   final case class GAs(label: String) extends GStep
@@ -199,6 +201,9 @@ object GremlinParser {
         GSelect(ls)
       case "dedup" => emptyArgs(cur); GDedup
       case "limit" => GLimit(parseIntArgs(cur, 1).head)
+      case "range" =>
+        val a = parseIntArgs(cur, 2, 2); GRange(a(0), a(1))
+      case "skip" => GSkip(parseIntArgs(cur, 1).head)
       case "order" => parseOrder(cur)
       case "by" => parseByModulator(cur)
       case "sample" =>
@@ -540,6 +545,8 @@ object GremlinParser {
       case GSelect(ls) => s"select(${strs(ls)})"
       case GDedup => "dedup()"
       case GLimit(n) => s"limit($n)"
+      case GRange(lo, hi) => s"range($lo, $hi)"
+      case GSkip(n) => s"skip($n)"
       case GOrder(k, asc) => s"order('$k', ${if (asc) "asc" else "desc"})"
       case GSample(d, 0) => s"sample($d)"
       case GSample(d, b) => s"sample($d, $b)"
@@ -626,6 +633,8 @@ object GremlinParser {
     case GSelect(Seq(l)) => t.selectStep(l)
     case GDedup => t.dedup()
     case GLimit(n) => t.limit(n)
+    case GRange(lo, hi) => t.range(lo, hi)
+    case GSkip(n) => t.skip(n)
     case GOrder(k, asc) => t.order(k, asc)
     case GSample(d, b) => t.sample(d, b)
     case other => throw ParseException(s"cannot apply step $other here")

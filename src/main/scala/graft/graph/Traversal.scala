@@ -439,6 +439,19 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
 
   def limit(n: Int): Traversal = copy(df = df.limit(n))
 
+  /** Gremlin range(lo, hi): skip the first `lo` travellers, keep the
+    * next `hi − lo`. Deterministic after an order() step (Offset +
+    * GlobalLimit compose on the sorted plan); without one the
+    * selection is arbitrary, same as Gremlin's unordered contract.
+    */
+  def range(lo: Int, hi: Int): Traversal = {
+    require(0 <= lo && lo <= hi, s"range bounds must satisfy 0 <= lo <= hi")
+    copy(df = df.offset(lo).limit(hi - lo))
+  }
+
+  /** Gremlin skip(n): drop the first n travellers. */
+  def skip(n: Int): Traversal = copy(df = df.offset(n))
+
   def order(key: String, asc: Boolean = true): Traversal =
     copy(df = df.orderBy(if (asc) col(key).asc else col(key).desc))
 

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (BASELINE.json north-star surface):
   * image/audio/video as opaque BinaryType columns with typed metadata.
   *
-  * The media codecs are NOT in this container, so the decode kernel is
-  * a clearly-marked deterministic STUB; everything Spark-side — the
-  * schema, the batched per-partition execution shape, partitioning, and
-  * the feature-frame contract — is real and tested. Swapping
-  * `decodeStub` for a JNI/FFI codec changes no plan shape.
+  * Every kind decodes a REAL container format with byte arithmetic —
+  * image = P5 PGM, audio = RIFF/WAVE (8-bit mono PCM), video =
+  * YUV4MPEG2 Cmono — built by the matching `to*` wrapper and parsed
+  * back by the matching `decode*` walk; no compressed-codec library
+  * exists in this container, so the formats are the uncompressed
+  * members of each family (a production swap to libjpeg/ffmpeg
+  * replaces only the per-partition kernel bodies, no plan change).
   *
   * Scale notes: binary payloads ride in their own Parquet column, so
   * metadata-only queries never read bytes (column pruning); decode runs
@@ -22,8 +24,8 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
                       width: Int, height: Int, sample_rate: Int)
 
-  /** width/height are DECODED from the payload for image rows (the PGM
-    * parse, [[decodePgm]]) and 0 for the still-stubbed kinds.
+  /** width/height are DECODED from the payload bytes — the PGM header
+    * for image rows, the Y4M stream header for video rows; 0 for audio.
     */
   case class MediaFeatures(media_id: Long, kind: String, width: Int,
                            height: Int, n_bytes: Long,
@@ -45,8 +47,8 @@ object Multimodal {
       when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(44100)
         .cast("int").as("sample_rate"))
 
-  /** 12-byte container header, the real-decode counterpart to the
-    * stubbed pixel codec below: magic "GRFT" ‖ width:u16be ‖
+  /** 12-byte container header for the m1 metadata gate: magic "GRFT"
+    * ‖ width:u16be ‖
     * height:u16be ‖ sample_rate:u32be, prepended to the payload. Built
     * from codegen'd Column ops only (hex→lpad→unhex produces the
     * big-endian byte string; concat on BinaryType concatenates bytes),
@@ -85,29 +87,13 @@ object Multimodal {
       (length(col("bytes")) - 12).cast("int").as("n_bytes"))
   }
 
-  /** STUB decode kernel — now demoted to the VIDEO kind only in terms
-    * of realism coverage: IMAGE rows carry real P5 PGM payloads
-    * ([[toPgm]]/[[decodePgm]]) and AUDIO rows have the real RIFF/WAVE
-    * path ([[toWav]]/[[decodeWav]], gate m6). Video keeps this
-    * deterministic fake (??? in production this calls ffmpeg via FFI;
-    * no video lib exists in this container). Runs per-partition so a
-    * real codec would init once per partition.
-    */
-  def decodeStub(row: MediaRow): MediaFeatures = {
-    val bytes = row.bytes
-    val mean = if (bytes.isEmpty) 0.0
-    else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-    // fake 8-dim "embedding": byte histogram over 8 value buckets
-    val hist = new Array[Float](8)
-    bytes.foreach(b => hist(((b & 0xff) >> 5)) += 1f)
-    val nFrames = row.kind match {
-      case "video" => bytes.length / 64 // pretend 64-byte frames
-      case "audio" => bytes.length / 32
-      case _ => 1
-    }
-    MediaFeatures(row.media_id, row.kind, 0, 0, bytes.length.toLong,
-      bytes.map("%02x".format(_)).mkString.take(16), mean, nFrames, hist)
-  }
+  // (round-10 close: the decode STUB is gone. Every kind now has a
+  //  real container build + real byte-level parse: image = P5 PGM
+  //  ([[toPgm]]/[[decodePgm]]), audio = RIFF/WAVE
+  //  ([[toWav]]/[[decodeWav]]), video = YUV4MPEG2 Cmono
+  //  ([[toY4m]]/[[decodeY4m]]). A production swap to libjpeg/ffmpeg
+  //  replaces only the per-partition kernel bodies — the plan shape,
+  //  schema, and batching contract are exactly what ships here.)
 
   /** Re-encode image rows as REAL binary images: P5 (raw-pixel) PGM —
     * `"P5\n" width " " height "\n255\n"` ASCII header followed by
@@ -142,8 +128,8 @@ object Multimodal {
     * metadata columns — width/height in the output are what the BYTES
     * say, and every malformed case (bad magic, truncated raster,
     * non-255 maxval) fails loudly rather than yielding garbage.
-    * This retires the image branch of [[decodeStub]]: the features for
-    * image rows are now computed from actually-decoded pixel values.
+    * The features for image rows are computed from actually-decoded
+    * pixel values.
     */
   def decodePgm(row: MediaRow): MediaFeatures = {
     val b = row.bytes
@@ -234,10 +220,16 @@ object Multimodal {
     * (the zero-crossing analog for unsigned samples) — all integers,
     * so the DuckDB oracle replays them exactly. Malformed containers
     * (bad magic, missing chunks, truncated data, non-PCM format) fail
-    * loudly. This retires the audio branch of [[decodeStub]]; only
-    * video remains stubbed (no codec libs in this container).
+    * loudly.
     */
-  def decodeWav(row: MediaRow): WavFeatures = {
+  def decodeWav(row: MediaRow): WavFeatures = wavWalk(row)._1
+
+  /** The chunk walk shared by [[decodeWav]] (m6's integer sample
+    * stats) and [[decodeWavAsMedia]] (m2's unified feature frame):
+    * returns the WavFeatures plus the 8-bucket amplitude histogram and
+    * the hex checksum of the first (≤8) sample bytes.
+    */
+  private def wavWalk(row: MediaRow): (WavFeatures, Array[Float], String) = {
     val b = row.bytes
     def u16(p: Int): Int =
       (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
@@ -272,6 +264,7 @@ object Multimodal {
       s"media ${row.media_id}: data chunk truncated")
     val n = dataLen.toInt
     var mn = 255; var mx = 0; var sum = 0L; var crossings = 0L
+    val hist = new Array[Float](8)
     var i = 0
     var prevHigh = false
     while (i < n) {
@@ -279,13 +272,175 @@ object Multimodal {
       if (v < mn) mn = v
       if (v > mx) mx = v
       sum += v
+      hist(v >> 5) += 1f
       val high = v >= 100
       if (i > 0 && high != prevHigh) crossings += 1
       prevHigh = high
       i += 1
     }
-    WavFeatures(row.media_id, rate, n.toLong,
-      if (n == 0) 0 else mn, mx, sum, crossings)
+    val checksum = b.slice(dataAt, dataAt + math.min(8, n))
+      .map("%02x".format(_)).mkString
+    (WavFeatures(row.media_id, rate, n.toLong,
+      if (n == 0) 0 else mn, mx, sum, crossings), hist, checksum)
+  }
+
+  /** [[wavWalk]] adapted to the unified [[MediaFeatures]] contract for
+    * m2: n_bytes = decoded sample count, mean over SAMPLE values,
+    * n_frames = the 10 ms frame count (samples div (rate div 100) —
+    * rate read from the fmt chunk BYTES), checksum/histogram over the
+    * decoded samples.
+    */
+  def decodeWavAsMedia(row: MediaRow): MediaFeatures = {
+    val (wf, hist, ck) = wavWalk(row)
+    val n = wf.n_samples
+    MediaFeatures(row.media_id, row.kind, 0, 0, n, ck,
+      if (n > 0) wf.amp_sum.toDouble / n else 0.0,
+      (n / (wf.sample_rate / 100)).toInt, hist)
+  }
+
+  /** Re-encode video rows as REAL uncompressed video streams:
+    * YUV4MPEG2 with the `Cmono` (luma-only) colorspace — the ASCII
+    * stream header `YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono\n` followed by
+    * one `FRAME\n` marker per frame and 8×8 = 64 raw luma bytes per
+    * frame (the payload's first 64·(len div 64) bytes; the tail that
+    * doesn't fill a frame is dropped — payloads under one frame give a
+    * header-only stream). ffmpeg/mpv open these blobs. The per-frame
+    * marker interleave is a higher-order `aggregate` over a
+    * `sequence`-built frame index — native Catalyst, map-only, no
+    * shuffle at 100 TB. Non-video kinds pass through untouched.
+    */
+  def toY4m(media: DataFrame): DataFrame = {
+    val nf = expr("length(bytes) div 64")
+    val framed = aggregate(
+      transform(sequence(lit(0L), nf.cast("long") - 1),
+        f => concat(encode(lit("FRAME\n"), "UTF-8"),
+          col("bytes").substr((f * 64 + 1).cast("int"), lit(64)))),
+      lit(Array.emptyByteArray),
+      (acc, x) => concat(acc, x))
+    media
+      .withColumn("bytes",
+        when(col("kind") === "video",
+          concat(
+            encode(lit("YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono\n"), "UTF-8"),
+            when(nf > 0, framed).otherwise(lit(Array.emptyByteArray))))
+          .otherwise(col("bytes")))
+      .withColumn("width", when(col("kind") === "video", 8)
+        .otherwise(col("width")))
+      .withColumn("height", when(col("kind") === "video", 8)
+        .otherwise(col("height")))
+  }
+
+  case class VideoFeatures(media_id: Long, width: Int, height: Int,
+                           fps_num: Int, fps_den: Int, n_frames: Int,
+                           luma_min: Int, luma_max: Int, luma_sum: Long,
+                           motion: Long)
+
+  /** REAL video decode: a YUV4MPEG2 stream parser over the raw payload
+    * bytes — validates the `YUV4MPEG2` magic, tokenizes the
+    * space-separated header tags (W/H/F parsed; I/A/X skipped per the
+    * spec; C must be `mono`), then walks `FRAME` markers (with
+    * optional per-frame params up to the newline, as the format
+    * allows) reading width×height luma bytes per frame. Per-PIXEL
+    * integer statistics (min/max/Σ) plus an inter-frame MOTION proxy —
+    * Σ|lumaSum(frame k) − lumaSum(frame k−1)| — all integers, so the
+    * DuckDB oracle replays them exactly. Width/height/fps in the
+    * output are what the BYTES say, not metadata columns; malformed
+    * streams (bad magic, non-mono colorspace, unterminated or
+    * truncated frames) fail loudly. This retires the last stubbed
+    * kind: all three media kinds now decode real containers.
+    */
+  def decodeY4m(row: MediaRow): VideoFeatures = y4mWalk(row)._1
+
+  /** The frame walk shared by [[decodeY4m]] (m7's integer stats) and
+    * [[decodeY4mAsMedia]] (m2's unified feature frame): returns the
+    * VideoFeatures plus the 8-bucket luma histogram and the hex
+    * checksum of the first frame's first (≤8) luma bytes.
+    */
+  private def y4mWalk(row: MediaRow): (VideoFeatures, Array[Float], String) = {
+    val b = row.bytes
+    var i = 0
+    while (i < b.length && b(i) != '\n') i += 1
+    require(i < b.length, s"media ${row.media_id}: no Y4M header terminator")
+    val header = new String(b, 0, i, "US-ASCII")
+    i += 1
+    val toks = header.split(" ")
+    require(toks.nonEmpty && toks(0) == "YUV4MPEG2",
+      s"media ${row.media_id}: not a YUV4MPEG2 stream")
+    var w = -1; var h = -1; var fn = -1; var fd = -1
+    var cs = "420jpeg" // the format's default when no C tag is present
+    toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'F' =>
+          val p = t.substring(1).split(":")
+          require(p.length == 2, s"media ${row.media_id}: malformed F tag $t")
+          fn = p(0).toInt; fd = p(1).toInt
+        case 'C' => cs = t.substring(1)
+        case _ => () // I (interlacing), A (aspect), X (extension): skip
+      }
+    }
+    require(w > 0 && h > 0, s"media ${row.media_id}: missing W/H header tags")
+    require(cs == "mono",
+      s"media ${row.media_id}: unsupported colorspace C$cs (mono only)")
+    val fsz = w * h
+    var nFrames = 0
+    var mn = 255; var mx = 0; var sum = 0L; var motion = 0L
+    var prevSum = -1L
+    val hist = new Array[Float](8)
+    var checksum = ""
+    while (i < b.length) {
+      require(i + 5 <= b.length && new String(b, i, 5, "US-ASCII") == "FRAME",
+        s"media ${row.media_id}: missing FRAME marker at byte $i")
+      i += 5
+      while (i < b.length && b(i) != '\n') i += 1 // optional frame params
+      require(i < b.length, s"media ${row.media_id}: unterminated FRAME header")
+      i += 1
+      require(b.length - i >= fsz,
+        s"media ${row.media_id}: truncated frame (${b.length - i} of $fsz bytes)")
+      if (nFrames == 0)
+        checksum = b.slice(i, i + math.min(8, fsz))
+          .map("%02x".format(_)).mkString
+      var fsum = 0L
+      var j = 0
+      while (j < fsz) {
+        val v = b(i + j) & 0xff
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        fsum += v
+        hist(v >> 5) += 1f
+        j += 1
+      }
+      sum += fsum
+      if (prevSum >= 0) motion += math.abs(fsum - prevSum)
+      prevSum = fsum
+      nFrames += 1
+      i += fsz
+    }
+    (VideoFeatures(row.media_id, w, h, fn, fd, nFrames,
+      if (nFrames == 0) 0 else mn, if (nFrames == 0) 0 else mx, sum, motion),
+      hist, checksum)
+  }
+
+  /** [[y4mWalk]] adapted to the unified [[MediaFeatures]] contract for
+    * m2: width/height from the stream header BYTES, n_bytes = decoded
+    * luma byte count, mean over PIXEL values, checksum/histogram over
+    * the decoded raster.
+    */
+  def decodeY4mAsMedia(row: MediaRow): MediaFeatures = {
+    val (vf, hist, ck) = y4mWalk(row)
+    val n = vf.n_frames.toLong * vf.width * vf.height
+    MediaFeatures(row.media_id, row.kind, vf.width, vf.height, n, ck,
+      if (n > 0) vf.luma_sum.toDouble / n else 0.0, vf.n_frames, hist)
+  }
+
+  /** REAL video feature extraction over Y4M-wrapped rows — the
+    * [[decodeY4m]] kernel per partition, video rows only.
+    */
+  def extractY4mFeatures(s: SparkSession, media: DataFrame): Dataset[VideoFeatures] = {
+    import s.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions(_.map(decodeY4m))
   }
 
   /** Tile-grid layout for vision-encoder preprocessing: how a
@@ -306,15 +461,25 @@ object Multimodal {
       .withColumn("n_tiles", col("tiles_x") * col("tiles_y"))
 
   /** decode / feature-extract over the media table — the batched
-    * narrow-transformation shape a real pipeline uses.
+    * narrow-transformation shape a real pipeline uses. Expects every
+    * row wrapped in its kind's REAL container ([[toPgm]] ∘ [[toWav]] ∘
+    * [[toY4m]] — each touches only its own kind, so the composition is
+    * one map-only projection) and dispatches the matching byte-level
+    * parser per row. A production impl inits its codecs here, once per
+    * partition, and changes nothing about the plan.
     */
   def extractFeatures(s: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import s.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // real impl: init the remaining (video) codec here, once per
-      // partition; images decode for real via the PGM parser, audio
-      // for real via decodeWav (the m6 gate's dedicated feature set)
-      it.map(r => if (r.kind == "image") decodePgm(r) else decodeStub(r))
+      it.map { r =>
+        r.kind match {
+          case "image" => decodePgm(r)
+          case "audio" => decodeWavAsMedia(r)
+          case "video" => decodeY4mAsMedia(r)
+          case other => throw new IllegalArgumentException(
+            s"media ${r.media_id}: unknown kind $other")
+        }
+      }
     }
   }
 

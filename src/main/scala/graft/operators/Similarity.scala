@@ -833,4 +833,76 @@ object Similarity {
       pairs.unpersist(blocking = false)
     }
   }
+
+  /** Integer-exact Lloyd k-means over MILLI-quantized embeddings — the
+    * cluster-training step of an embedding pipeline as a first-class,
+    * hash-oracle-able operator (the float path, [[trainCentroids]],
+    * feeds IVF but can't be replayed bit-exact across engines).
+    *
+    * Every quantity is integer: coordinates are floor(x·1000) (the
+    * float→double promotion and ·1000 are exact, floor deterministic),
+    * distances are Σ(Δ)² over Long coords, centroid updates are
+    * per-dimension `sum div count`, and ties in the nearest-centroid
+    * argmin break to the smaller centroid id — so Spark and DuckDB
+    * agree on every bit of every iteration. Seeds are the k smallest
+    * vec_ids' vectors; a cluster that empties keeps its previous
+    * centroid (the standard Lloyd fallback, replayed by the oracle's
+    * LEFT JOIN + COALESCE).
+    *
+    * Scale shape: the quantized corpus is computed once; each round is
+    * corpus ⋈ broadcast(k centroids) → per-vector argmin (a vec_id-
+    * partitioned window) → per-(cid, dim) hash-agg (partial agg does
+    * the map-side reduction) → a k-row centroid table that is NEVER
+    * collected to the driver — it re-enters the next round as a
+    * broadcast join, unlike the literal-centroid float path. With
+    * milli coords (|q| ≲ 4·10³), per-dim squared deltas are ≤ ~6·10⁷,
+    * a 64-dim distance ≤ ~4·10⁹, and the reported inertia stays under
+    * Long for any cluster below ~2·10⁹ members — ample at 100 TB
+    * (guarded: k and iters are small constants, the plan depth is
+    * iters·3 joins, no checkpoint needed).
+    *
+    * Output (k rows): centroid_id, n_members, coord_sum (Σ over dims
+    * of the final centroid), inertia (Σ of members' squared distance
+    * to their final centroid).
+    */
+  def kmeansExact(corpus: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val q = corpus.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+    val seedW = Window.orderBy(col("vec_id"))
+    var cents = q.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(seedW) - 1).cast("long").as("cid"),
+        col("qv").as("cv"))
+    def assign(c: DataFrame): DataFrame = {
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cid"))
+      q.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("qv"), col("cid"),
+          aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
+    }
+    (1 to iters).foreach { _ =>
+      val means = assign(cents)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(expr("sum(x) div count(1)").as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv_new"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv_new"), col("cv")).as("cv"))
+    }
+    val fin = assign(cents)
+    fin.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+      .join(cents.select(col("cid"),
+        aggregate(col("cv"), lit(0L), (acc, x) => acc + x).as("coord_sum")),
+        Seq("cid"))
+      .select(col("cid").as("centroid_id"), col("n_members"),
+        col("coord_sum"), col("inertia"))
+  }
 }

@@ -430,4 +430,65 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_before"), col("n_merges"),
         (col("n_before") - col("n_merges")).as("n_after"))
   }
+
+  /** DSIR-style importance scores (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169 — the
+    * hashed-n-gram data-selection method behind several public
+    * pretraining corpora): score every raw document by how much its
+    * hashed-BIGRAM feature distribution resembles a TARGET slice of
+    * the corpus versus the raw corpus as a whole.
+    *
+    * Feature space: word bigrams hashed into `buckets` buckets via the
+    * repo's cross-engine hash (md5-prefix integer, the d18 pattern).
+    * Bucket models are add-one-smoothed and NORMALIZED TO PPM with
+    * integer division — tppm_b = (T_b+1)·10⁶ div (T+B), rppm_b
+    * likewise over the raw corpus — so every intermediate stays
+    * bounded by 10⁶ regardless of corpus size (no overflow cliff at
+    * 100 TB; T itself may reach ~9·10¹² before (T_b+1)·10⁶ threatens
+    * Long, guarded below). The per-bucket importance weight is the
+    * ratio-of-ppms in ten-thousandths, w_b = tppm_b·10⁴ div rppm_b
+    * (rppm ≥ 1 by smoothing), and a document's score is
+    * Σ_b c_b(doc)·w_b. This is a LINEARIZED integer proxy for the
+    * paper's Σ log-ratio — it preserves the "looks like the target"
+    * ranking intent while staying bit-exact in Spark AND DuckDB
+    * (floating log/exp do not round-trip across engines).
+    *
+    * Scale shape: one explode → (doc_id, bucket) hash-agg (partial
+    * aggregation does the heavy lifting map-side: at most
+    * docs×buckets rows survive) → a `buckets`-row weight table
+    * broadcast back onto the per-doc counts. No window over the
+    * corpus, no driver collect; the only global state is the
+    * 2-long totals row, also broadcast. Docs with <2 tokens have no
+    * bigrams and are skipped, matching the oracle.
+    */
+  def dsirScores(docs: org.apache.spark.sql.DataFrame, isTarget: Column,
+      buckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), isTarget.as("is_target"),
+      posexplode(tokens(coalesce(col("text"), lit(""))))
+        .as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bkt = tok
+      .withColumn("nxt", lead(col("t"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("is_target"),
+        pmod(conv(substring(md5(concat_ws(" ", col("t"), col("nxt"))),
+          1, 8), 16, 10).cast("long"), lit(buckets.toLong)).as("bkt"))
+    val perDoc = bkt.groupBy(col("doc_id"), col("is_target"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val perBkt = perDoc.groupBy(col("bkt"))
+      .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("tc"),
+        sum(col("c")).as("rc"))
+    val totals = perBkt.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    val weights = perBkt.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        expr(s"(tc + 1) * 1000000 div (tt + $buckets)").as("tppm"),
+        expr(s"(rc + 1) * 1000000 div (rt + $buckets)").as("rppm"))
+    require(buckets > 0, "buckets must be positive")
+    perDoc.join(broadcast(weights), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * expr("tppm * 10000 div greatest(rppm, 1)"))
+          .as("score"))
+  }
 }

@@ -121,6 +121,16 @@ object GraphQueries {
     graft.graph.GremlinParser.run(g(s, dir),
       "g.V().hasNot('mktsegment').count()")
 
+  /** range(lo, hi) pagination through the string front-end — an
+    * ordered page of customer names (name is unique, so the page is a
+    * deterministic set; Offset + GlobalLimit compose on the sorted
+    * plan, no window function involved).
+    */
+  def g36Range(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').order('name', asc)" +
+        ".range(5, 15).values('name')")
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -387,6 +397,7 @@ object GraphQueries {
     "g31_simple_path" -> (g31SimplePath _),
     "g32_parsed_sum" -> (g32ParsedSum _),
     "g33_has_not" -> (g33HasNot _),
+    "g36_range" -> (g36Range _),
     "g34_cyclic_path" -> (g34CyclicPath _),
     "g35_group" -> (g35Group _),
     "g25_event_graph" -> (g25EventGraph _),
@@ -467,6 +478,10 @@ object GraphQueries {
     "g32_parsed_sum" ->
       "SELECT CAST(SUM(p_size) AS BIGINT) AS sum_size FROM part",
     // hasNot('mktsegment') = every vertex except customers
+    // ordered range page: customers 6..15 by name
+    "g36_range" ->
+      """SELECT c_name AS name FROM customer
+        |ORDER BY c_name LIMIT 10 OFFSET 5""".stripMargin,
     "g33_has_not" ->
       """SELECT (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM part)
         |  + (SELECT COUNT(*) FROM supplier) + (SELECT COUNT(*) FROM nation)

@@ -32,6 +32,17 @@ object PipelineQueries {
     TextAnalysis.gopherFlags(Tables.documents(s, dir))
       .orderBy(col("doc_id"))
 
+  /** DSIR importance scores vs the English slice as the target
+    * distribution — hashed-bigram bucket models, integer-ppm
+    * normalization, ratio-of-ppms weights (TextAnalysis.dsirScores).
+    * The oracle replays the identical hash, smoothing, and integer
+    * divisions.
+    */
+  def d32Dsir(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirScores(Tables.documents(s, dir),
+        col("lang") === "en", buckets = 64)
+      .orderBy(col("doc_id"))
+
   /** predicted-language distribution (rows-only: heuristic argmax). */
   def d3LangidDist(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stats(Tables.documents(s, dir))
@@ -217,6 +228,16 @@ object PipelineQueries {
   def e5Quantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
       .orderBy(col("vec_id"))
+
+  /** Integer-exact Lloyd k-means over milli-quantized embeddings
+    * (Similarity.kmeansExact): k=4 seeds from the smallest vec_ids,
+    * 2 update rounds, then final assignment metrics. The oracle
+    * unrolls the identical iterations as CTEs — same quantization,
+    * integer distance/means, and (dist, cid) argmin tie order.
+    */
+  def e13Kmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansExact(Tables.embeddings(s, dir), k = 4, iters = 2)
+      .orderBy(col("centroid_id"))
 
   /** Per-dimension embedding stats (normalization precursor) — exact
     * micro-unit mean accumulation, portable min/max.
@@ -427,19 +448,21 @@ object PipelineQueries {
         Multimodal.mediaTable(Tables.documents(s, dir)), tileSize = 224)
       .orderBy(col("media_id"))
 
-  /** decode/feature-extract via mapPartitions. IMAGE rows are REAL
-    * decoding end-to-end (round 10): the ingest re-encodes them as
-    * actual P5 PGM blobs (`Multimodal.toPgm` — ASCII header + raw
-    * raster, opens in any viewer) and `Multimodal.decodePgm` parses the
-    * header and walks the PIXEL bytes for the reported width/height/
-    * mean/checksum — nothing is passed through from metadata columns.
-    * Audio/video keep the declared stub kernel (no codec libs in this
-    * container). The oracle rebuilds both branches with DuckDB byte
+  /** decode/feature-extract via mapPartitions — EVERY kind is REAL
+    * decoding end-to-end (round-10 close): the ingest re-encodes each
+    * row in its kind's actual container format (image → P5 PGM, audio
+    * → RIFF/WAVE, video → YUV4MPEG2 Cmono; every blob opens in a
+    * standard viewer/player) and the per-partition kernel dispatches
+    * the matching byte-level parser — PGM raster walk, WAV chunk walk,
+    * Y4M frame walk. Nothing is passed through from metadata columns:
+    * width/height/n_bytes/mean/checksum all come from the DECODED
+    * bytes. The oracle rebuilds all three branches with DuckDB byte
     * arithmetic over the same payloads.
     */
   def m2MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s,
-        Multimodal.toPgm(Multimodal.mediaTable(Tables.documents(s, dir))))
+        Multimodal.toY4m(Multimodal.toWav(Multimodal.toPgm(
+          Multimodal.mediaTable(Tables.documents(s, dir))))))
       .toDF()
       .select(col("media_id"), col("kind"), col("width"), col("height"),
         col("n_bytes"), col("checksum"),
@@ -457,6 +480,23 @@ object PipelineQueries {
   def m6Audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractWavFeatures(s,
         Multimodal.toWav(Multimodal.mediaTable(Tables.documents(s, dir))))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  /** REAL video decode end-to-end (round-10 close, retiring the last
+    * stubbed kind): video rows are wrapped as YUV4MPEG2 Cmono streams
+    * (`Multimodal.toY4m` — ASCII stream header + FRAME markers + raw
+    * 8×8 luma frames; ffmpeg opens them) and `Multimodal.decodeY4m`
+    * walks the container — magic/tag parse, colorspace check,
+    * per-frame marker + raster — computing per-PIXEL integer stats
+    * (min/max/Σ luma) plus the inter-frame motion proxy
+    * Σ|ΔlumaSum| between consecutive frames. Width/height/fps come
+    * from the stream header BYTES. The oracle replays the identical
+    * frame arithmetic over the payload bytes.
+    */
+  def m7Video(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractY4mFeatures(s,
+        Multimodal.toY4m(Multimodal.mediaTable(Tables.documents(s, dir))))
       .toDF()
       .orderBy(col("media_id"))
 
@@ -756,7 +796,9 @@ object PipelineQueries {
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
     "d31_gopher" -> (d31Gopher _),
+    "d32_dsir" -> (d32Dsir _),
     "m6_audio" -> (m6Audio _),
+    "m7_video" -> (m7Video _),
     "d3_langid_dist" -> (d3LangidDist _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d7_shingle_jaccard" -> (d7ShingleJaccard _),
@@ -776,6 +818,7 @@ object PipelineQueries {
     "d18_fingerprints" -> (d18Fingerprints _),
     "d28_copy_detect" -> (d28CopyDetect _),
     "e5_quantize" -> (e5Quantize _),
+    "e13_kmeans" -> (e13Kmeans _),
     "e6_dim_stats" -> (e6DimStats _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
@@ -1523,28 +1566,35 @@ object PipelineQueries {
       s"""$langIdSql
          |SELECT lang_pred, COUNT(*) AS n FROM pred
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
-    // image branch replays the PGM pixel walk: the raster is the first
-    // 16·(len div 16) payload bytes, and width/height/mean/checksum
-    // all derive from those PIXELS (text is ASCII, so ord(char) ==
-    // byte value); audio/video replay the declared stub arithmetic
+    // every branch replays a REAL container decode: image = the PGM
+    // pixel walk (raster = first 16·(len div 16) payload bytes), audio
+    // = the WAV sample walk (samples = the full payload, 10 ms frames
+    // at the fmt chunk's 16 kHz), video = the Y4M frame walk (raster =
+    // first 64·(len div 64) payload bytes, 8×8 frames). In all three
+    // the decoded content starts at payload byte 1, so checksum/mean
+    // share one expression; text is ASCII, so ord(char) == byte value
     "m2_media_features" ->
       """WITH t AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS k, text,
         |    octet_length(encode(text)) AS len FROM documents),
         |b AS (SELECT doc_id, k, text, len,
-        |    CASE WHEN k = 0 THEN 16 * (len // 16) ELSE len END AS n
+        |    CASE WHEN k = 0 THEN 16 * (len // 16)
+        |         WHEN k = 2 THEN 64 * (len // 64)
+        |         ELSE len END AS n
         |  FROM t)
         |SELECT doc_id AS media_id,
         |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS kind,
-        |  CAST(CASE WHEN k = 0 THEN 16 ELSE 0 END AS INT) AS width,
-        |  CAST(CASE WHEN k = 0 THEN len // 16 ELSE 0 END AS INT) AS height,
+        |  CAST(CASE k WHEN 0 THEN 16 WHEN 2 THEN 8 ELSE 0 END AS INT)
+        |    AS width,
+        |  CAST(CASE k WHEN 0 THEN len // 16 WHEN 2 THEN 8 ELSE 0 END
+        |    AS INT) AS height,
         |  CAST(n AS BIGINT) AS n_bytes,
         |  lower(substr(hex(substr(text, 1, n)), 1, 16)) AS checksum,
         |  round(CASE WHEN n > 0 THEN
         |      list_sum(list_transform(split(substr(text, 1, n), ''),
         |        c -> ord(c))) / CAST(n AS DOUBLE)
         |    ELSE 0.0 END, 6) AS mean_byte,
-        |  CAST(CASE k WHEN 2 THEN len // 64 WHEN 1 THEN len // 32
+        |  CAST(CASE k WHEN 2 THEN len // 64 WHEN 1 THEN len // 160
         |    ELSE 1 END AS INT) AS n_frames
         |FROM b ORDER BY media_id""".stripMargin,
     "p5_balanced_corpus" ->
@@ -1687,6 +1737,61 @@ object PipelineQueries {
         |    i -> (ord(split(text, '')[i-1]) >= 100)
         |      <> (ord(split(text, '')[i]) >= 100))) AS BIGINT) AS crossings
         |FROM a ORDER BY media_id""".stripMargin,
+    // Y4M decode replay: video rows (doc_id%3=2), fixed 8×8 mono
+    // frames the builder wrote (64·(len div 64) raster bytes), integer
+    // per-pixel stats + Σ|ΔframeSum| motion between consecutive frames
+    "m7_video" ->
+      """WITH v AS (SELECT doc_id, split(text, '') AS cs,
+        |    octet_length(encode(text)) // 64 AS nf
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |f AS (SELECT doc_id, nf,
+        |    list_transform(range(0, CAST(nf AS INT)), fr ->
+        |      list_sum(list_transform(range(CAST(fr * 64 + 1 AS INT),
+        |        CAST(fr * 64 + 65 AS INT)), i -> ord(cs[i])))) AS fsums,
+        |    CASE WHEN nf > 0 THEN list_min(list_transform(
+        |      cs[1 : CAST(64 * nf AS INT)], c -> ord(c))) ELSE 0 END AS lmin,
+        |    CASE WHEN nf > 0 THEN list_max(list_transform(
+        |      cs[1 : CAST(64 * nf AS INT)], c -> ord(c))) ELSE 0 END AS lmax
+        |  FROM v)
+        |SELECT doc_id AS media_id, CAST(8 AS INT) AS width,
+        |  CAST(8 AS INT) AS height, CAST(25 AS INT) AS fps_num,
+        |  CAST(1 AS INT) AS fps_den, CAST(nf AS INT) AS n_frames,
+        |  CAST(lmin AS INT) AS luma_min, CAST(lmax AS INT) AS luma_max,
+        |  CAST(COALESCE(list_sum(fsums), 0) AS BIGINT) AS luma_sum,
+        |  CAST(COALESCE(list_sum(list_transform(range(2, CAST(nf + 1 AS INT)),
+        |    fr -> abs(fsums[fr] - fsums[fr - 1]))), 0) AS BIGINT) AS motion
+        |FROM f ORDER BY media_id""".stripMargin,
+    // DSIR replay: same md5-prefix bucket hash, add-one smoothing,
+    // ppm normalization and integer divisions as dsirScores
+    "d32_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(text, '\s+')) AS t,
+        |    generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |    concat_ws(' ', t,
+        |      lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+        |    lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      IS NOT NULL AS keep
+        |  FROM tok),
+        |b AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 64 AS bkt
+        |  FROM bg WHERE keep),
+        |c AS (SELECT doc_id, lang, bkt, COUNT(*) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |pb AS (SELECT bkt,
+        |    SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS tc,
+        |    SUM(c) AS rc FROM c GROUP BY bkt),
+        |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM pb),
+        |w AS (SELECT bkt,
+        |    ((tc + 1) * 1000000) // (tt + 64) AS tppm,
+        |    ((rc + 1) * 1000000) // (rt + 64) AS rppm
+        |  FROM pb, tot)
+        |SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(c.c * ((w.tppm * 10000) // greatest(w.rppm, 1)))
+        |    AS BIGINT) AS score
+        |FROM c JOIN w USING (bkt) GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     // Gopher rules: same integer cross-multiplied thresholds per rule
     "d31_gopher" ->
       s"""WITH f AS (SELECT doc_id,
@@ -1796,6 +1901,46 @@ object PipelineQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 10 ORDER BY source, sample_rank""".stripMargin,
+    // k-means replay: identical milli quantization, integer distances
+    // (DuckDB `//` and Spark `div` both truncate toward zero), seeds =
+    // 4 smallest vec_ids, two unrolled update rounds + final assign
+    "e13_kmeans" -> {
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, qv, cid, dist FROM (
+           |    SELECT q.vec_id, q.qv, c.cid,
+           |      list_sum(list_transform(range(1, 65),
+           |        i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS dist,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        list_sum(list_transform(range(1, 65),
+           |          i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))),
+           |        c.cid) AS rn
+           |    FROM q, $cents c) WHERE rn = 1)"""
+      def updateCte(a: String, prev: String, next: String) =
+        s"""${next}n AS (SELECT cid, list(m ORDER BY d) AS cv FROM (
+           |    SELECT cid, d, SUM(x) // COUNT(*) AS m FROM (
+           |      SELECT cid, unnest(qv) AS x,
+           |        generate_subscripts(qv, 1) AS d FROM $a)
+           |    GROUP BY cid, d) GROUP BY cid),
+           |$next AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN ${next}n n USING (cid))"""
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |      AS BIGINT) AS cid, qv AS cv
+         |  FROM (SELECT * FROM q ORDER BY vec_id LIMIT 4)),
+         |${assignCte("a1", "c0")},
+         |${updateCte("a1", "c0", "c1")},
+         |${assignCte("a2", "c1")},
+         |${updateCte("a2", "c1", "c2")},
+         |${assignCte("af", "c2")},
+         |cs AS (SELECT cid, list_sum(cv) AS s FROM c2)
+         |SELECT af.cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(cs.s AS BIGINT) AS coord_sum,
+         |  CAST(SUM(af.dist) AS BIGINT) AS inertia
+         |FROM af JOIN cs USING (cid)
+         |GROUP BY af.cid, cs.s ORDER BY centroid_id""".stripMargin
+    },
     "e5_quantize" ->
       """WITH ex AS (SELECT vec_id,
         |    CAST(unnest(embedding) AS DOUBLE) AS x,

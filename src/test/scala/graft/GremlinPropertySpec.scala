@@ -55,6 +55,9 @@ class GremlinPropertySpec extends AnyFunSuite {
       ident.map(l => GSelect(Seq(l))),
       Gen.const(GDedup),
       Gen.chooseNum(1, 100).map(GLimit),
+      Gen.zip(Gen.chooseNum(0, 50), Gen.chooseNum(0, 50))
+        .map { case (a, b) => GRange(math.min(a, b), math.max(a, b)) },
+      Gen.chooseNum(0, 100).map(GSkip),
       Gen.zip(ident, Gen.oneOf(true, false))
         .map { case (k, a) => GOrder(k, a) },
       Gen.zip(Gen.chooseNum(2, 64), Gen.chooseNum(0, 8))

@@ -399,4 +399,27 @@ class SimilaritySpec extends AnyFunSuite {
     // zero vector: all-zero codes, no division by zero
     assert(got(1) == ((2L, 0.0, 0L, 0L, 0L)))
   }
+
+  test("kmeansExact: integer Lloyd separates blobs; hand-replayed metrics") {
+    // two tight blobs in dim 4; both seeds (vec 0, vec 1) start inside
+    // blob A, so convergence requires the update rounds to actually
+    // move centroid 1 across to blob B
+    val df = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(0.001f, 0f, 0f, 0f)),
+      (2L, Array(1f, 1f, 1f, 1f)),
+      (3L, Array(1.001f, 1f, 1f, 1f)),
+      (4L, Array(1f, 1f, 1f, 1.001f)),
+      (5L, Array(0f, 0.001f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansExact(df, k = 2, iters = 2)
+      .orderBy("centroid_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // hand replay (milli coords; div truncates): round 1 assigns
+    // {0,5}→c0, {1,2,3,4}→c1 (B-blob is 999²+3e6 < 4e6 to seed 1);
+    // round 2 means pull c1 to (750,750,750,750) → {0,1,5} vs {2,3,4};
+    // final centroids (0,0,0,0) and (1000,1000,1000,1000), each blob
+    // contributing two 1-milli offsets → inertia 2 per cluster
+    assert(got == Seq((0L, 3L, 0L, 2L), (1L, 3L, 4000L, 2L)), s"got $got")
+  }
 }

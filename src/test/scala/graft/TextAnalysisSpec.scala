@@ -148,4 +148,54 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(aa == Seq((2L, 4L, 2L, 2L), (3L, 3L, 1L, 2L)), s"got $aa")
   }
+
+  test("dsirScores: exact integer replay of the hashed-bigram importance weights") {
+    val docs = Seq(
+      (1L, "en", "the cat sat"),       // target: bigrams "the cat","cat sat"
+      (2L, "en", "the cat ran"),       // target: "the cat","cat ran"
+      (3L, "de", "der hund lief"),     // raw-only bigrams
+      (4L, "de", "the cat sat"),       // raw doc that LOOKS like the target
+      (5L, "de", "one"))               // <2 tokens → no bigrams → absent
+      .toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextAnalysis
+      .dsirScores(docs, col("lang") === "en", buckets = 64)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+
+    // independent replay: same md5-prefix bucket hash and integer
+    // arithmetic, computed with java.security directly
+    def bucket(bg: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bg.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val rows = Seq(
+      (1L, true, Seq("the cat", "cat sat")),
+      (2L, true, Seq("the cat", "cat ran")),
+      (3L, false, Seq("der hund", "hund lief")),
+      (4L, false, Seq("the cat", "cat sat")))
+    val counts = rows.flatMap { case (id, tgt, bgs) =>
+      bgs.groupBy(bucket).map { case (b, xs) => (id, tgt, b, xs.size.toLong) }
+    }
+    val perBkt = counts.groupBy(_._3).map { case (b, xs) =>
+      b -> (xs.filter(_._2).map(_._4).sum, xs.map(_._4).sum)
+    }
+    val tt = perBkt.values.map(_._1).sum
+    val rt = perBkt.values.map(_._2).sum
+    def weight(b: Long): Long = {
+      val (tc, rc) = perBkt(b)
+      val tppm = (tc + 1) * 1000000L / (tt + 64)
+      val rppm = (rc + 1) * 1000000L / (rt + 64)
+      tppm * 10000L / math.max(rppm, 1L)
+    }
+    val want = rows.map { case (id, _, bgs) =>
+      (id, bgs.size.toLong,
+        bgs.groupBy(bucket).map { case (b, xs) => xs.size * weight(b) }.sum)
+    }
+    assert(got == want, s"got $got want $want")
+    // the target-resembling raw doc outranks the disjoint raw doc
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(4L) > byId(3L))
+  }
 }

@@ -284,6 +284,24 @@ class TraversalSpec extends AnyFunSuite {
     assert(samePlan(co, cod.toDF))
   }
 
+  test("range/skip: ordered pagination, string path matches DSL plan-for-plan") {
+    val r = GremlinParser.run(triangle,
+      "g.V().order().by('score', desc).range(1, 3).values('score')")
+    val rd = triangle.V.order("score", asc = false).range(1, 3).values("score")
+    assert(samePlan(r, rd))
+    // triangle scores sorted desc, page [1,3) = 2nd and 3rd
+    val all = triangle.V.toDF.select("score")
+      .as[Double].collect().sorted(Ordering[Double].reverse).toSeq
+    assert(r.as[Double].collect().sorted(Ordering[Double].reverse).toSeq
+      == all.slice(1, 3))
+    val sk = GremlinParser.run(triangle,
+      "g.V().order().by('score', asc).skip(2).values('score')")
+    val skd = triangle.V.order("score").skip(2).values("score")
+    assert(samePlan(sk, skd))
+    assert(sk.as[Double].collect().sorted.toSeq == all.sorted.drop(2))
+    assertThrows[IllegalArgumentException](triangle.V.range(3, 1))
+  }
+
   test("parser: path() tracking and edge-step verbs") {
     val p = GremlinParser.run(triangle, "g.V(1).out('next').out('next').path()")
     val pd = triangle.V(1L).withPath.out("next").out("next").paths
