@@ -470,6 +470,26 @@ object AlgoQueries {
         minSupport = 3L)
       .orderBy(col("support").desc, col("item_a"), col("item_b"))
 
+  /** Fixed peel budget shared by the a_ktruss gate and its oracle —
+    * the co-purchase truss converges in one peel at every gate SF
+    * (3445 → 181 → stable at sf0.01); kTruss itself re-checks the
+    * fixpoint after the budget and fails loudly if rounds were short.
+    */
+  val KtrussRounds = 3
+
+  /** 3-truss of the co-purchase projection (support ≥ 2 pairs): the
+    * triangle-cohesion subgraph after iterative support peeling, each
+    * surviving edge with its within-truss triangle count. The oracle
+    * unrolls the identical peels over the same projection.
+    */
+  def aKtruss(s: SparkSession, dir: String): DataFrame =
+    Algorithms.kTruss(
+        Algorithms.bipartiteProjection(
+          g(s, dir).edges.filter(col("label") === "contains"),
+          minSupport = 2L),
+        k = 3, rounds = KtrussRounds)
+      .orderBy(col("item_a"), col("item_b"))
+
   /** SCC size histogram over the full DIRECTED graph. The tpch graph
     * is acyclic, so every SCC is a singleton and the oracle is the
     * vertex count — the gate pins the trim/color plumbing end to end;
@@ -626,6 +646,7 @@ object AlgoQueries {
     "a_dag_detector" -> (aDagDetector _),
     "a_toposort" -> (aToposort _),
     "a_copurchase" -> (aCopurchase _),
+    "a_ktruss" -> (aKtruss _),
     "a_scc" -> (aScc _),
     "a_crosspoints" -> (aCrosspoints _),
     "a_lpa" -> (aLpa _),
@@ -1562,6 +1583,31 @@ object AlgoQueries {
          |FROM e a JOIN e b ON a.bk = b.bk AND a.it < b.it
          |GROUP BY a.it, b.it HAVING COUNT(*) >= 3
          |ORDER BY support DESC, item_a, item_b""".stripMargin
+    },
+    // 3-truss replay: same minSupport-2 projection, KtrussRounds
+    // unrolled peels (support >= 1), final within-truss support
+    "a_ktruss" -> {
+      def enc(k: String) = PropertyGraph.sqlEncode("part", k)
+      def peel(i: Int, j: Int) =
+        s"""adj$i AS (SELECT a AS u, b AS v FROM e$i
+           |  UNION ALL SELECT b, a FROM e$i),
+           |sup$i AS (SELECT e.a, e.b, COUNT(n2.v) AS sup FROM e$i e
+           |  LEFT JOIN adj$i n1 ON n1.u = e.a
+           |  LEFT JOIN adj$i n2 ON n2.u = e.b AND n2.v = n1.v
+           |  GROUP BY e.a, e.b),
+           |e$j AS (SELECT a, b FROM sup$i WHERE sup >= 1)"""
+      s"""WITH base AS (SELECT DISTINCT l_orderkey AS bk,
+         |    ${enc("l_partkey")} AS it FROM lineitem),
+         |e0 AS (SELECT a.it AS a, b.it AS b
+         |  FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+         |  GROUP BY a.it, b.it HAVING COUNT(*) >= 2),
+         |${peel(0, 1)},
+         |${peel(1, 2)},
+         |${peel(2, 3)},
+         |${peel(3, 4)}
+         |SELECT a AS item_a, b AS item_b,
+         |  CAST(sup AS BIGINT) AS support
+         |FROM sup3 WHERE sup >= 1 ORDER BY item_a, item_b""".stripMargin
     },
     "a_lpa" -> lpaSql,
     "a_jaccard_sim" -> jaccardSimSql,

@@ -843,4 +843,30 @@ class AlgorithmsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Option[String])].collect().toSeq
     assert(un == Seq((1L, 10L, -1L, None)))
   }
+
+  test("kTruss: K4 survives k=4; pendant structures peel; short budget is loud") {
+    // K4 on 1..4, a pendant triangle {4,5,6}, a pendant edge (1,7)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (1L, 7L)).toDF("item_a", "item_b")
+    val t3 = Algorithms.kTruss(edges, k = 3, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    // 3-truss = every triangle edge; only the pendant edge peels
+    assert(t3.map(e => (e._1, e._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (4L, 5L), (4L, 6L), (5L, 6L)))
+    val sup3 = t3.map(e => (e._1, e._2) -> e._3).toMap
+    assert(sup3((1L, 2L)) == 2L && sup3((5L, 6L)) == 1L)
+    // 4-truss = K4 alone (the pendant triangle's edges have support 1
+    // and cascade out), every surviving edge in 2 within-truss triangles
+    val t4 = Algorithms.kTruss(edges, k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t4.map(e => (e._1, e._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(t4.forall(_._3 == 2L))
+    // a round budget too short to converge must throw, not ship
+    assertThrows[IllegalArgumentException](
+      Algorithms.kTruss(edges, k = 3, rounds = 0))
+  }
 }
