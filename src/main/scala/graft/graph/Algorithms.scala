@@ -2065,4 +2065,42 @@ object Algorithms {
       fin
     } finally rc.releaseLast()
   }
+
+  /** All-pairs resource-allocation link prediction over a bipartite
+    * edge label: for left-side vertices a < b sharing right-side
+    * neighbors, RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z), the standard
+    * Zhou–Lü–Zhang index — the all-pairs generalization of the
+    * reference's seed-anchored neighborhood-similarity APIs
+    * (hugegraph-api JaccardSimilarityAPI / the recommendation
+    * traversers that TikvTable's R4 adjacency scans serve;
+    * `a_jaccard_sim` covers the seeded form, this covers the
+    * candidate-generation form a recommender actually runs).
+    *
+    * Integer-exact: each shared neighbor z contributes
+    * floor(1e6 / deg(z)) micro-units, so the score is a BIGINT both
+    * engines agree on bit-for-bit — no float summation order.
+    *
+    * Scale shape: ONE shuffle on z (the shared-neighbor pivot), then
+    * the per-z pair expansion — the same candidate-pair shape as the
+    * LSH band join in Dedup (quadratic only within one z's bucket).
+    * Hub z's are the skew risk at 100 TB; `maxDeg` drops them BEFORE
+    * the expansion, which is not an approximation so much as the
+    * index's own semantics: a neighbor shared by everyone contributes
+    * ~0 to every pair (1/deg → 0) while costing deg² rows — the
+    * classic stop-word cut, same posture as the LSH mega-bucket
+    * guard. Dropped hubs change scores by < 1e6/maxDeg per pair.
+    */
+  def resourceAllocation(s: SparkSession, g: PropertyGraph, label: String,
+                         maxDeg: Long = 1000000L): DataFrame = {
+    val e = g.edges.filter(col("label") === label)
+      .select(col("src").as("p"), col("dst").as("z")).distinct()
+    val deg = e.groupBy(col("z")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDeg && col("d") >= 2)
+    val w = e.join(deg, "z")
+      .select(col("z"), col("p"), (lit(1000000L) / col("d")).cast("long").as("w"))
+    w.as("x").join(w.as("y"), "z")
+      .filter(col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(sum(col("x.w")).as("ra"))
+  }
 }

@@ -436,6 +436,19 @@ object AlgoQueries {
       .orderBy(col("jaccard").desc, col("id"))
       .limit(15)
 
+  /** All-pairs resource-allocation link prediction over the
+    * part→supplier `supplied_by` bipartite subgraph: for part pairs
+    * sharing suppliers, RA(a,b) = Σ_shared floor(1e6/deg(supplier)) —
+    * integer micro-units, so the score is exact in both engines. The
+    * all-pairs candidate-generation form of the seeded similarity
+    * APIs (a_jaccard_sim covers the seed-anchored form). Top 20 by
+    * (ra desc, a, b) — a total order, so LIMIT is deterministic.
+    */
+  def aLinkpred(s: SparkSession, dir: String): DataFrame =
+    Algorithms.resourceAllocation(s, g(s, dir), "supplied_by")
+      .orderBy(col("ra").desc, col("a"), col("b"))
+      .limit(20)
+
   /** Pair shortest path customer 1 → supplier 1 over the undirected
     * order graph (placed/contains/supplied_by) — the HugeGraph
     * `shortestpath` traversal API, with the min-parent-deterministic
@@ -673,6 +686,7 @@ object AlgoQueries {
     "a_mis" -> (aMis _),
     "a_simrank" -> (aSimrank _),
     "a_louvain" -> (aLouvain _),
+    "a_linkpred" -> (aLinkpred _),
     "a_assort" -> (aAssort _),
     "a_matching" -> (aMatching _),
     "a_wpagerank" -> (aWpagerank _),
@@ -1661,6 +1675,22 @@ object AlgoQueries {
     "a_wpagerank" -> wpagerankSql,
     "a_simrank" -> simrankSql,
     "a_louvain" -> louvainSql,
+    // identical integer micro-unit arithmetic: 1000000 // d is exact
+    // in both engines, so SUM is a BIGINT bit-for-bit match
+    "a_linkpred" ->
+      s"""WITH e AS (SELECT DISTINCT
+         |    ${PropertyGraph.sqlEncode("part", "l_partkey")} AS p,
+         |    ${PropertyGraph.sqlEncode("supplier", "l_suppkey")} AS z
+         |  FROM lineitem),
+         |deg AS (SELECT z, COUNT(*) AS d FROM e GROUP BY z
+         |  HAVING COUNT(*) >= 2),
+         |w AS (SELECT e.z, e.p, 1000000 // d AS w
+         |  FROM e JOIN deg USING (z))
+         |SELECT a, b, ra FROM (
+         |  SELECT x.p AS a, y.p AS b, CAST(SUM(x.w) AS BIGINT) AS ra
+         |  FROM w x JOIN w y ON x.z = y.z AND x.p < y.p
+         |  GROUP BY 1, 2)
+         |ORDER BY ra DESC, a, b LIMIT 20""".stripMargin,
     // same full-graph undirected distinct set as a_clustering's
     // oracle; identical expression SHAPE for the one double division
     // (the q_corr_moments determinism discipline)

@@ -735,6 +735,34 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((3L, 1L, 1L, 1.0))) // N(1)=N(3)={2}
   }
 
+  test("resourceAllocation: hand-computed micro-unit scores") {
+    // bipartite src→dst: parts {1,2,3} → suppliers {10,11,12}
+    // N(1)={10,11}, N(2)={10,11,12}, N(3)={11,12}
+    // deg(10)=2, deg(11)=3, deg(12)=2 (part-side degree of suppliers)
+    val g = mkGraph(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (2L, 12L), (3L, 11L), (3L, 12L)))
+    val got = Algorithms.resourceAllocation(spark, g, "link")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // RA(1,2) = 1e6/2 + 1e6/3 = 500000 + 333333
+    assert(got((1L, 2L)) == 833333L)
+    // RA(1,3) = shared {11} = 333333
+    assert(got((1L, 3L)) == 333333L)
+    // RA(2,3) = shared {11,12} = 333333 + 500000
+    assert(got((2L, 3L)) == 833333L)
+    assert(got.size == 3)
+  }
+
+  test("resourceAllocation: maxDeg hub cut drops the stop-word pivot") {
+    // supplier 99 is shared by everyone (deg 4 > maxDeg 3) — its
+    // contribution vanishes; only the deg-2 supplier 10 scores
+    val g = mkGraph(Seq((1L, 99L), (2L, 99L), (3L, 99L), (4L, 99L),
+      (1L, 10L), (2L, 10L)))
+    val got = Algorithms.resourceAllocation(spark, g, "link", maxDeg = 3L)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 500000L)))
+  }
+
   test("pairShortestPath: min-parent tie-break picks the unique path") {
     // two length-2 routes 1→{2,3}→4: parent of 4 must be min(2,3)=2
     val g = mkGraph(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
