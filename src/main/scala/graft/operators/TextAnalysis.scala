@@ -78,6 +78,45 @@ object TextAnalysis {
           col("r_bullet_lines") && col("r_alpha_words") && col("r_stopwords"))
   }
 
+  /** Model-based quality filtering: LINEAR CLASSIFIER INFERENCE over
+    * per-document text features — the model-filter stage of
+    * CCNet/RefinedWeb-style corpus pipelines (a fastText/LR quality
+    * model applied to every document), distinct from the rule battery
+    * in [[gopherFlags]] (hard thresholds) and the additive
+    * [[qualityScore]] (no trained-weight shape). The weight vector
+    * here is a fixed stand-in for a trained model — the OPERATOR is
+    * the inference plumbing: features and weights in integer
+    * milli-units, logit = b + w·x evaluated as a codegen'd map-only
+    * projection (the weights live in the plan as literals — on a
+    * cluster they broadcast with the task binary, never a shuffle),
+    * so scoring 100 TB is one scan.
+    *
+    * Features (all integer): capped token count; punctuation,
+    * stopword, and alphabetic-token PERCENTAGES via integer
+    * cross-division (x·100 div n_tok) — no float division anywhere,
+    * so the logit is a BIGINT both engines agree on bit-for-bit.
+    */
+  def qualityLrScores(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val toks = tokens(t)
+    val nTok = size(toks).cast("long")
+    val n1 = greatest(nTok, lit(1L))
+    val pctPunct = expr("punct * 100 div n1")
+    val pctStop = expr("stop * 100 div n1")
+    val pctAlpha = expr("alpha * 100 div n1")
+    docs.select(col("doc_id"), col("source"), col("lang"),
+        nTok.as("ntok"), n1.as("n1"),
+        punctCount(t).cast("long").as("punct"),
+        stopwordCount(t).cast("long").as("stop"),
+        size(filter(toks, tk => tk.rlike("[a-zA-Z]"))).cast("long")
+          .as("alpha"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        (lit(-2000L) + lit(15L) * least(col("ntok"), lit(200L))
+          - lit(30L) * pctPunct + lit(25L) * pctStop
+          + lit(10L) * pctAlpha).as("logit"))
+      .withColumn("pass", col("logit") >= 0L)
+  }
+
   /** composite quality score in [0,1]: length saturation, low
     * punctuation noise, natural-language stopword density. Per-row
     * double arithmetic — deterministic and engine-portable.

@@ -32,6 +32,16 @@ object PipelineQueries {
     TextAnalysis.gopherFlags(Tables.documents(s, dir))
       .orderBy(col("doc_id"))
 
+  /** Linear quality-classifier inference (the CCNet/RefinedWeb
+    * model-filter stage): fixed integer milli-unit weights over
+    * capped-length + integer-percentage features, logit and pass flag
+    * per document (TextAnalysis.qualityLrScores). The oracle replays
+    * the identical integer feature extraction and dot product.
+    */
+  def d33QualityLr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityLrScores(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
   /** DSIR importance scores vs the English slice as the target
     * distribution — hashed-bigram bucket models, integer-ppm
     * normalization, ratio-of-ppms weights (TextAnalysis.dsirScores).
@@ -796,6 +806,7 @@ object PipelineQueries {
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_text_stats" -> (d2TextStats _),
     "d31_gopher" -> (d31Gopher _),
+    "d33_quality_lr" -> (d33QualityLr _),
     "d32_dsir" -> (d32Dsir _),
     "m6_audio" -> (m6Audio _),
     "m7_video" -> (m7Video _),
@@ -1822,6 +1833,28 @@ object PipelineQueries {
          |    AND (n_bullet * 10 <= n_lines * 9)
          |    AND (n_alpha * 5 >= n_tok * 4) AND (n_stop >= 2) AS pass
          |FROM f ORDER BY doc_id""".stripMargin,
+    "d33_quality_lr" ->
+      s"""WITH f AS (SELECT doc_id, source, lang,
+         |    CAST(len($tokensSql) AS BIGINT) AS ntok,
+         |    CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT)
+         |      AS punct,
+         |    CAST(len(list_filter($tokensSql,
+         |      t -> list_contains($stopListSql, t))) AS BIGINT) AS stop,
+         |    CAST(len(list_filter($tokensSql,
+         |      t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS alpha
+         |  FROM documents),
+         |g AS (SELECT doc_id, source, lang, ntok,
+         |    greatest(ntok, 1) AS n1, punct, stop, alpha FROM f)
+         |SELECT doc_id, source, lang,
+         |  CAST(-2000 + 15 * least(ntok, 200)
+         |    - 30 * ((punct * 100) // n1)
+         |    + 25 * ((stop * 100) // n1)
+         |    + 10 * ((alpha * 100) // n1) AS BIGINT) AS logit,
+         |  (-2000 + 15 * least(ntok, 200)
+         |    - 30 * ((punct * 100) // n1)
+         |    + 25 * ((stop * 100) // n1)
+         |    + 10 * ((alpha * 100) // n1)) >= 0 AS pass
+         |FROM g ORDER BY doc_id""".stripMargin,
     "d2_text_stats" ->
       s"""SELECT doc_id,
          |  len($tokensSql) AS n_tokens,

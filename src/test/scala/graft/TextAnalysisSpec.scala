@@ -8,6 +8,36 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("qualityLrScores: hand-computed logits, features push the expected way") {
+    // doc 1: 10 tokens, 0 punct, 3 stops (the,a,and), 10 alpha
+    //   logit = -2000 + 15*10 - 0 + 25*((3*100)div 10) + 10*100
+    //         = -2000 + 150 + 25*30 + 1000 = -100
+    // doc 2: same + 10 punct-only tokens → n=20, punct=10, stop=3, alpha=10
+    //   pct_punct=50, pct_stop=15, pct_alpha=50
+    //   logit = -2000 + 300 - 1500 + 375 + 500 = -2325 (punct penalty)
+    // doc 3: empty text → split('','\s+')=[''] n=1, all else 0
+    //   logit = -2000 + 15 = -1985
+    val docs = Seq(
+      (1L, "the cat and a dog ran over green hills today", "en", "web"),
+      (2L, "the cat and a dog ran over green hills today . . . . . . . . . .",
+        "en", "web"),
+      (3L, "", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.qualityLrScores(docs)
+      .select(col("doc_id"), col("logit"), col("pass"))
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) == ((-100L, false)))
+    assert(got(2L) == ((-2325L, false)))
+    assert(got(3L) == ((-1985L, false)))
+    // a long clean natural doc scores positive
+    val good = Seq((9L, ("the quick brown fox jumps over a lazy dog and " * 20)
+      .trim, "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val g9 = TextAnalysis.qualityLrScores(good)
+      .select(col("pass")).as[Boolean].collect()
+    assert(g9.head, "long natural text must pass the classifier")
+  }
+
   test("gopherFlags: each rule fails on its crafted pathology, passes on clean text") {
     val good = (("the quick brown fox jumps over a lazy dog and " * 6).trim)
     val docs = Seq(
