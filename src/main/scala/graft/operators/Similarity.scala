@@ -834,6 +834,68 @@ object Similarity {
     }
   }
 
+  /** Greedy k-center coreset selection (farthest-point sampling): pick
+    * k points such that every corpus point is close to some pick —
+    * the classic 2-approximation to the k-center objective (Gonzalez
+    * 1985) and the diversity-maximizing data-selection step of
+    * embedding-curation pipelines (coreset selection for training-set
+    * pruning; the complement of [[semdedupPrune]], which REMOVES the
+    * redundant — this KEEPS a spanning skeleton).
+    *
+    * Pick 1 is the minimum vec_id (deterministic seed); pick t is the
+    * point MINIMIZING its max micro-cosine to the already-picked set
+    * (cosine similarity as proximity: the farthest point is the one
+    * least similar to its nearest center). All comparisons are
+    * integer micro-units over [[cosineMicro]]'s quantized components
+    * — bit-deterministic cross-engine; ties break to the smaller
+    * vec_id. `far_u` is the picked point's max micro-cos to the
+    * prior picks (−10⁶ sentinel for the seed pick).
+    *
+    * Scale shape: state is (vec_id, embedding, maxsim) — ONE corpus
+    * scan per round against the single newest center (a broadcast
+    * 1-row join, NOT a k-way pairwise matrix), the k-round loop rides
+    * a rolling checkpoint, and each argmin is a TakeOrdered (top-1)
+    * reduction, never a global sort or a driver collect. O(n·k) sims
+    * total — the textbook FPS cost — with nothing quadratic in n.
+    */
+  def kcenterSelect(corpus: DataFrame, k: Int = 8): DataFrame = {
+    def microCos(a: Column, b: Column): Column =
+      floor(cosineMicro(a, b) * 1000000d + 0.5d).cast("long")
+    val pts = corpus.select(col("vec_id"), col("embedding")).persist()
+    try {
+      val rc = new graft.util.Checkpoints.Rolling
+      val first = pts.orderBy(col("vec_id").asc).limit(1)
+        .localCheckpoint(true)
+      var lastVec = first.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"))
+      var selIds = first.select(col("vec_id"))
+      var out = first.select(lit(1).as("pick"), col("vec_id"),
+        lit(-1000000L).as("far_u"))
+      var state = pts.select(col("vec_id"), col("embedding"),
+        lit(-1000000L).as("maxsim"))
+      for (t <- 2 to k) {
+        state = rc.roll(state.crossJoin(broadcast(lastVec))
+          .select(col("vec_id"), col("embedding"),
+            greatest(col("maxsim"), microCos(col("embedding"), col("c_vec")))
+              .as("maxsim")))
+        // eager 1-row checkpoint: the pick must outlive the state
+        // round it was carved from (the slot rolls next iteration)
+        val pick = state
+          .join(selIds, Seq("vec_id"), "left_anti")
+          .orderBy(col("maxsim").asc, col("vec_id").asc).limit(1)
+          .localCheckpoint(true)
+        out = out.union(pick.select(lit(t).as("pick"), col("vec_id"),
+          col("maxsim").as("far_u")))
+        selIds = selIds.union(pick.select(col("vec_id")))
+        lastVec = pick.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_vec"))
+      }
+      val res = out.localCheckpoint(true)
+      rc.releaseLast()
+      res
+    } finally pts.unpersist(blocking = false)
+  }
+
   /** Integer-exact Lloyd k-means over MILLI-quantized embeddings — the
     * cluster-training step of an embedding pipeline as a first-class,
     * hash-oracle-able operator (the float path, [[trainCentroids]],

@@ -249,6 +249,16 @@ object PipelineQueries {
     Similarity.kmeansExact(Tables.embeddings(s, dir), k = 4, iters = 2)
       .orderBy(col("centroid_id"))
 
+  /** Greedy k-center coreset selection (farthest-point sampling,
+    * Similarity.kcenterSelect): 8 picks, min-vec_id seed, integer
+    * micro-cosine proximity. The oracle unrolls the identical 8
+    * greedy rounds as CTEs — same quantized cosine, same
+    * (maxsim asc, vec_id asc) argmin order.
+    */
+  def e14Kcenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kcenterSelect(Tables.embeddings(s, dir), k = 8)
+      .orderBy(col("pick"))
+
   /** Per-dimension embedding stats (normalization precursor) — exact
     * micro-unit mean accumulation, portable min/max.
     */
@@ -830,6 +840,7 @@ object PipelineQueries {
     "d28_copy_detect" -> (d28CopyDetect _),
     "e5_quantize" -> (e5Quantize _),
     "e13_kmeans" -> (e13Kmeans _),
+    "e14_kcenter" -> (e14Kcenter _),
     "e6_dim_stats" -> (e6DimStats _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
@@ -1164,6 +1175,47 @@ object PipelineQueries {
        |FROM sel$k ORDER BY query_id, pick""".stripMargin
   }
 
+  /** DuckDB replay of kcenterSelect: 8 greedy farthest-point rounds
+    * unrolled as CTEs — per round, fold the newest center's quantized
+    * micro-cosine into each point's running max, then argmin by
+    * (maxsim, vec_id) over the unpicked. One template generates both
+    * the state and pick CTEs so the two engines cannot drift.
+    */
+  private val kcenterSql: String = {
+    val k = 8
+    val sim =
+      """CAST(floor(list_dot_product(p.v, cv.v)
+        |      / sqrt(list_dot_product(p.v, p.v)
+        |             * list_dot_product(cv.v, cv.v))
+        |      * 1000000 + 0.5) AS BIGINT)""".stripMargin
+    val rounds = (2 to k).map { t =>
+      s"""st$t AS MATERIALIZED (
+         |  SELECT p.vec_id, greatest(s.ms, $sim) AS ms
+         |  FROM st${t - 1} s JOIN p ON p.vec_id = s.vec_id
+         |  CROSS JOIN (SELECT v FROM p JOIN pick${t - 1} pk
+         |    ON p.vec_id = pk.vec_id) cv),
+         |pick$t AS MATERIALIZED (
+         |  SELECT $t AS pick, vec_id, ms AS far_u FROM st$t
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  ORDER BY ms, vec_id LIMIT 1),
+         |sel$t AS (SELECT vec_id FROM sel${t - 1}
+         |  UNION ALL SELECT vec_id FROM pick$t)""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to k)
+      .map(t => s"SELECT pick, vec_id, far_u FROM pick$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> floor(x * 1000000 + 0.5)) AS v
+       |  FROM embeddings),
+       |pick1 AS (SELECT 1 AS pick, MIN(vec_id) AS vec_id,
+       |  CAST(-1000000 AS BIGINT) AS far_u FROM p),
+       |sel1 AS (SELECT vec_id FROM pick1),
+       |st1 AS (SELECT vec_id, CAST(-1000000 AS BIGINT) AS ms FROM p),
+       |$rounds
+       |SELECT * FROM ($picks) ORDER BY pick""".stripMargin
+  }
+
   private val ivfPqTopkSql: String = {
     val nSub = 8; val dsub = 8; val ksub = 16; val k = 3; val nq = 20
     val rerank = 10; val nCent = 8; val nprobe = 2
@@ -1264,6 +1316,7 @@ object PipelineQueries {
     "e9_semdedup_prune" -> semdedupSql,
     "e10_ivfpq_topk" -> ivfPqTopkSql,
     "e11_mmr" -> mmrSql,
+    "e14_kcenter" -> kcenterSql,
     // the e3 cell-assignment CTE joined onto document metadata
     "e7_cluster_profile" ->
       """WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv

@@ -20,6 +20,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2) == -1.0)
   }
 
+  test("kcenterSelect: farthest-point picks span the clusters before filling in") {
+    // three tight direction clusters; seed = min id (1, in cluster X).
+    // pick 2 must come from the cluster LEAST similar to X, and after
+    // 3 picks every cluster holds exactly one center.
+    val df = Seq(
+      (1L, Array(1f, 0.01f, 0f, 0f)), (2L, Array(1f, 0.02f, 0f, 0f)),
+      (10L, Array(0f, 1f, 0.01f, 0f)), (11L, Array(0f, 1f, 0.02f, 0f)),
+      (20L, Array(0f, 0f, 0.01f, 1f)), (21L, Array(0f, 0f, 0.02f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kcenterSelect(df, k = 3)
+      .orderBy(col("pick")).as[(Int, Long, Long)].collect()
+    assert(got.head._2 == 1L, "seed must be the min vec_id")
+    assert(got.head._3 == -1000000L, "seed far_u is the sentinel")
+    val clusters = got.map(_._2 / 10L).toSet
+    assert(clusters == Set(0L, 1L, 2L),
+      s"3 picks must span the 3 clusters, got ${got.toSeq}")
+    // picked points' far_u reads near-orthogonal, not near-duplicate
+    assert(got.tail.forall(_._3 < 100000L),
+      s"spanning picks should be far from their centers: ${got.toSeq}")
+  }
+
+  test("kcenterSelect: k >= n degenerates to picking every point once") {
+    val df = Seq((5L, Array(1f, 0f)), (6L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kcenterSelect(df, k = 2)
+      .orderBy(col("pick")).as[(Int, Long, Long)].collect()
+    assert(got.map(_._2).toSeq == Seq(5L, 6L))
+  }
+
   test("mmrSelect: redundancy is penalized, plain relevance is not") {
     // candidates: 20/21 exact duplicates (cs = 1), 22 orthogonal to
     // them but still query-relevant. Relevance-only top-2 = {20, 21}
