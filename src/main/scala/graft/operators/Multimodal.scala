@@ -483,6 +483,110 @@ object Multimodal {
     }
   }
 
+  case class AhashRow(media_id: Long, width: Int, height: Int,
+                      ahash_lo: Long, ahash_hi: Long, nbits: Int)
+
+  /** Perceptual AVERAGE HASH from REAL decoded pixels: parse the P5
+    * PGM container (same walk as [[decodePgm]] — magic, ASCII header
+    * ints, single raster separator), then bit i of the 64-bit
+    * signature is 1 iff pixel i ≥ the image's integer mean pixel
+    * (sum div n — floor, so both engines agree exactly). The hash is
+    * carried as TWO unsigned 32-bit halves in BIGINTs (bits 0–31 /
+    * 32–63) so no engine ever sees a sign bit. Rasters shorter than
+    * 64 pixels contribute 0 for the missing bits. This is the aHash
+    * of image-dedup pipelines: tolerant to small pixel perturbations,
+    * cheap enough to run on every image of a 100 TB crawl.
+    */
+  def decodePgmAhash(row: MediaRow): AhashRow = {
+    val b = row.bytes
+    require(b.length >= 2 && b(0) == 'P'.toByte && b(1) == '5'.toByte,
+      s"media ${row.media_id}: not a P5 PGM")
+    var i = 2
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def readInt(): Int = {
+      while (i < b.length && isWs(b(i))) i += 1
+      require(i < b.length && b(i) >= '0' && b(i) <= '9',
+        s"media ${row.media_id}: malformed PGM header at byte $i")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(maxval == 255, s"media ${row.media_id}: unsupported maxval $maxval")
+    require(i < b.length && isWs(b(i)),
+      s"media ${row.media_id}: missing raster separator")
+    i += 1
+    val n = w * h
+    require(b.length - i >= n,
+      s"media ${row.media_id}: raster truncated")
+    var sum = 0L
+    var j = 0
+    while (j < n) { sum += b(i + j) & 0xff; j += 1 }
+    val mean = if (n > 0) sum / n else 0L
+    var lo = 0L; var hi = 0L; var nbits = 0
+    j = 0
+    while (j < math.min(64, n)) {
+      if ((b(i + j) & 0xff) >= mean) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        nbits += 1
+      }
+      j += 1
+    }
+    AhashRow(row.media_id, w, h, lo, hi, nbits)
+  }
+
+  /** Per-image average hashes over the image rows of a PGM-wrapped
+    * media table — a typed per-partition map (real byte decode), so
+    * the 100 TB shape is a single scan with no shuffle. Zero-pixel
+    * rasters (payload under one 16-byte row) are dropped: no pixels,
+    * no hash.
+    */
+  def imageAhash(s: SparkSession, media: DataFrame): Dataset[AhashRow] = {
+    import s.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions(_.map(decodePgmAhash))
+      .filter(col("height") > 0)
+      .as[AhashRow]
+  }
+
+  /** Banded hamming near-dup join over the two-half average hashes:
+    * 4×16-bit chunks (2 per half) as LSH keys — any-chunk-equal ⇒
+    * candidate, which by pigeonhole guarantees FULL recall for
+    * hamming ≤ 3 (the d27 SimHash argument, so the oracle can replay
+    * plain all-pairs hamming instead of the bands) — then exact
+    * bit_count verification. Only (id, lo, hi) shuffles, never
+    * pixels; the per-chunk buckets carry the usual LSH skew posture.
+    */
+  def ahashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band chunking only guarantees recall for hamming <= 3")
+    val chunks = array((0 until 4).map { c =>
+      val half = if (c < 2) col("ahash_lo") else col("ahash_hi")
+      struct(lit(c).as("chunk"),
+        shiftright(half, (c % 2) * 16).bitwiseAND(0xffffL).as("key"))
+    }: _*)
+    val banded = hashes.select(col("media_id"), col("ahash_lo"),
+        col("ahash_hi"), explode(chunks).as("cb"))
+      .select(col("media_id"), col("ahash_lo"), col("ahash_hi"),
+        col("cb.chunk").as("chunk"), col("cb.key").as("key"))
+    val a = banded.select(col("chunk"), col("key"),
+      col("media_id").as("a_id"), col("ahash_lo").as("a_lo"),
+      col("ahash_hi").as("a_hi"))
+    val b = banded.select(col("chunk"), col("key"),
+      col("media_id").as("b_id"), col("ahash_lo").as("b_lo"),
+      col("ahash_hi").as("b_hi"))
+    val ham = (bit_count(col("a_lo").bitwiseXOR(col("b_lo"))) +
+      bit_count(col("a_hi").bitwiseXOR(col("b_hi"))))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** REAL audio feature extraction over WAV-wrapped rows — the
     * [[decodeWav]] kernel per partition, audio rows only.
     */

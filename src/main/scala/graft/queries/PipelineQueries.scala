@@ -489,6 +489,31 @@ object PipelineQueries {
         round(col("mean_byte"), 6).as("mean_byte"), col("n_frames"))
       .orderBy(col("media_id"))
 
+  /** Perceptual-hash image dedup over REAL decoded pixels: each image
+    * row is wrapped as a true P5 PGM, `decodePgmAhash` walks the
+    * container and computes the 64-bit average hash from actual
+    * raster bytes (bit i = pixel i ≥ integer mean, two unsigned
+    * 32-bit halves), and the banded hamming join surfaces near-dup
+    * pairs at distance ≤ 3 — the image-dedup stage of a multimodal
+    * corpus pipeline. Output: per image, its hash halves, popcount,
+    * and near-dup degree. The oracle replays pixel arithmetic over
+    * the payload and plain all-pairs hamming (band recall is lossless
+    * at ≤ 3, the d27 argument).
+    */
+  def m8Phash(s: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.imageAhash(s,
+        Multimodal.toPgm(Multimodal.mediaTable(Tables.documents(s, dir))))
+      .toDF()
+    val pairs = Multimodal.ahashNearDup(h, maxHamming = 3)
+    val cnt = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("media_id"))
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_neardup"))
+    h.join(cnt, Seq("media_id"), "left")
+      .select(col("media_id"), col("ahash_lo"), col("ahash_hi"),
+        col("nbits"), coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+      .orderBy(col("media_id"))
+  }
+
   /** REAL audio decode end-to-end (round 10): audio rows are wrapped
     * as canonical RIFF/WAVE files (`Multimodal.toWav` — 8-bit mono PCM,
     * opens in any audio tool) and `Multimodal.decodeWav` chunk-walks
@@ -820,6 +845,7 @@ object PipelineQueries {
     "d32_dsir" -> (d32Dsir _),
     "m6_audio" -> (m6Audio _),
     "m7_video" -> (m7Video _),
+    "m8_phash" -> (m8Phash _),
     "d3_langid_dist" -> (d3LangidDist _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d7_shingle_jaccard" -> (d7ShingleJaccard _),
@@ -1173,6 +1199,44 @@ object PipelineQueries {
        |SELECT query_id, pick, vec_id,
        |  CAST(score_u AS DOUBLE) / 4000000 AS score
        |FROM sel$k ORDER BY query_id, pick""".stripMargin
+  }
+
+  /** DuckDB replay of the average-hash image dedup: pixel bytes from
+    * the payload (the PGM raster = the first 16·(len div 16) text
+    * bytes), integer mean, one generated CASE term per hash bit (the
+    * 2^i literals come from the same 1L<<i the Spark kernel shifts),
+    * then plain all-pairs hamming ≤ 3 — the 4-band join is
+    * recall-lossless there, so bands need no replay.
+    */
+  private val phashSql: String = {
+    def half(off: Int): String = (0 until 32).map { i =>
+      s"CASE WHEN n > ${off + i} AND pl[${off + i + 1}] >= mean THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH t AS (SELECT doc_id AS media_id, text,
+       |    octet_length(encode(text)) AS len FROM documents
+       |  WHERE doc_id % 3 = 0),
+       |b AS (SELECT media_id, text, 16 * (len // 16) AS n FROM t
+       |  WHERE 16 * (len // 16) > 0),
+       |px AS (SELECT media_id, n,
+       |    list_transform(split(substr(text, 1, n), ''), c -> ord(c)) AS pl
+       |  FROM b),
+       |m AS (SELECT media_id, n, pl,
+       |    CAST(list_sum(pl) // n AS BIGINT) AS mean FROM px),
+       |h AS MATERIALIZED (SELECT media_id,
+       |    CAST(${half(0)} AS BIGINT) AS lo,
+       |    CAST(${half(32)} AS BIGINT) AS hi
+       |  FROM m),
+       |pr AS (SELECT a.media_id AS a_id, b.media_id AS b_id
+       |  FROM h a JOIN h b ON a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+       |cnt AS (SELECT media_id, COUNT(*) AS n FROM (
+       |    SELECT a_id AS media_id FROM pr
+       |    UNION ALL SELECT b_id FROM pr) GROUP BY 1)
+       |SELECT h.media_id, h.lo AS ahash_lo, h.hi AS ahash_hi,
+       |  CAST(bit_count(h.lo) + bit_count(h.hi) AS INT) AS nbits,
+       |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_neardup
+       |FROM h LEFT JOIN cnt USING (media_id)
+       |ORDER BY media_id""".stripMargin
   }
 
   /** DuckDB replay of kcenterSelect: 8 greedy farthest-point rounds
@@ -1783,6 +1847,7 @@ object PipelineQueries {
       s"""SELECT $fingerprintSql AS fingerprint, MIN(doc_id) AS keep_id,
          |  COUNT(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "m8_phash" -> phashSql,
     // WAV decode replay: audio rows (doc_id%3=1), rate 16000 from the
     // fmt chunk the builder wrote, per-sample integer stats over the
     // payload (text is ASCII so ord(char) == byte value)

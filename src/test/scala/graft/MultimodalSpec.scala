@@ -107,6 +107,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.feature(120 >> 5) == 32f) // full histogram mass in one bucket
   }
 
+  test("decodePgmAhash: bits follow the integer mean, halves stay unsigned") {
+    // 32×'a'(97) + 32×'z'(122): mean = (32·97+32·122) div 64 = 109 →
+    // pixels 0–31 below, 32–63 above: lo = 0, hi = 2^32 − 1
+    val d = Seq((0L, "a" * 32 + "z" * 32)).toDF("doc_id", "text")
+    val h = Multimodal.imageAhash(spark,
+      Multimodal.toPgm(Multimodal.mediaTable(d))).collect()(0)
+    assert(h.ahash_lo == 0L && h.ahash_hi == 4294967295L && h.nbits == 32)
+    // raster shorter than 64 pixels: missing bits stay 0
+    val s = Seq((0L, "a" * 16 + "z" * 16)).toDF("doc_id", "text")
+    val hs = Multimodal.imageAhash(spark,
+      Multimodal.toPgm(Multimodal.mediaTable(s))).collect()(0)
+    assert(hs.ahash_lo == 4294901760L && hs.ahash_hi == 0L && hs.nbits == 16)
+  }
+
+  test("ahashNearDup: one-pixel perturbation is hamming 1, inversions are far") {
+    // doc 3 flips exactly pixel 31 of doc 0's raster; doc 6 inverts
+    // the halves (hamming 63 from doc 3, 64 from doc 0)
+    val d = Seq((0L, "a" * 32 + "z" * 32), (3L, "a" * 31 + "z" * 33),
+      (6L, "z" * 32 + "a" * 32)).toDF("doc_id", "text")
+    val h = Multimodal.imageAhash(spark,
+      Multimodal.toPgm(Multimodal.mediaTable(d))).toDF()
+    val pairs = Multimodal.ahashNearDup(h, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((0L, 3L, 1)), s"got $pairs")
+  }
+
   test("WAV round-trip: toWav writes a real RIFF container, decodeWav reads samples") {
     // doc 1 (audio kind): "abc" → 3 samples a/b/c
     val media = Multimodal.toWav(Multimodal.mediaTable(docs))
