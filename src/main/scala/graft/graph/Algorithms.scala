@@ -2066,6 +2066,136 @@ object Algorithms {
     } finally rc.releaseLast()
   }
 
+  /** Borůvka minimum spanning forest over a weighted undirected edge
+    * list (a, b, w) with a < b — THE parallel MST algorithm (each
+    * round every component selects its lightest incident edge and the
+    * chosen edges contract; components at least halve per round, so
+    * `rounds` ≳ log₂(V) suffices and the loop early-breaks at the
+    * no-cross-edge fixpoint). Ties in edge selection break by the
+    * TOTAL order (w, a, b), under which the MSF is UNIQUE — so any
+    * engine replaying the same order computes the identical forest,
+    * which is what makes the result hash-oracle-able.
+    *
+    * Contraction is hook-and-compress: each component points at its
+    * min edge's partner; mutual pairs break to the smaller id (the
+    * root); `jumps` pointer-jump self-joins compress every chain to
+    * its root (depth ≤ 2^jumps — asserted, not assumed: a residual
+    * non-root parent after the jump budget fails LOUDLY, the cc_alt
+    * maxIter contract).
+    *
+    * Scale shape: the rolling state is the CONTRACTED cross-edge list
+    * (a, b, w, ca, cb) — original endpoints plus current component
+    * labels — which strictly shrinks every round: intra-component
+    * edges drop at relabel and parallel edges between the same
+    * component pair are pruned to their (w, a, b)-min (the pair-min
+    * dominates every per-component min, so pruning cannot change any
+    * round's selection). No vertex→component table exists at all —
+    * the big-table work per round is ONE min(struct) hash-aggregate
+    * (map-side partial combine carries hub skew) plus one relabel
+    * join against the ≤#components hook map, instead of re-joining
+    * the full immutable edge list against a component map every
+    * round. Hooking/jumping operate on ≤#components rows, halving
+    * per round. Per-round selections are eagerly checkpointed 1-pass
+    * frames unioned once at the end.
+    *
+    * Returns (a, b, w, round) — the MSF edges and the round each
+    * entered the forest.
+    */
+  def boruvkaMsf(s: SparkSession, edges: DataFrame, rounds: Int = 8,
+                 jumps: Int = 8): DataFrame = {
+    // resetStats: the jump chain SELF-joins its own rolled state, which
+    // squares the checkpoint-inherited sizeInBytes BigInt every roll —
+    // digit count doubles per jump ACROSS rounds and the driver ends up
+    // pinned in gigadigit BigInteger.multiply inside stats estimation
+    // (see Checkpoints.Rolling scaladoc; measured in tools/MstProbe).
+    val rc = new graft.util.Checkpoints.Rolling(resetStats = true)
+    var cur = rc.roll(edges.select(col("a"), col("b"), col("w"),
+      col("a").as("ca"), col("b").as("cb")))
+    val sels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var r = 0
+      var empty = cur.isEmpty
+      while (r < rounds && !empty) {
+        r += 1
+        val mn = cur.select(col("ca").as("c"),
+            struct(col("w"), col("a"), col("b"), col("cb").as("o")).as("e"))
+          .union(cur.select(col("cb").as("c"),
+            struct(col("w"), col("a"), col("b"), col("ca").as("o")).as("e")))
+          .groupBy(col("c")).agg(min(col("e")).as("e"))
+          .select(col("c"), col("e.w").as("w"), col("e.a").as("a"),
+            col("e.b").as("b"), col("e.o").as("o"))
+          .localCheckpoint(true)
+        sels += mn.select(col("a"), col("b"), col("w")).distinct()
+          .withColumn("round", lit(r)).localCheckpoint(true)
+        // hook: p(c) = min-edge partner; mutual pairs root at min id
+        val par = mn.select(col("c"), col("o"))
+          .join(mn.select(col("c").as("o"), col("o").as("oo")), "o")
+          .select(col("c"),
+            when(col("oo") === col("c") && col("c") < col("o"), col("c"))
+              .otherwise(col("o")).as("p"))
+        // each jump references the previous table TWICE (x and y
+        // sides of the self-join): without a materialization per
+        // step the lineage doubles each jump — a 2^jumps plan. The
+        // hook map is ≤ #components rows and halving, so an eager
+        // rolling checkpoint per jump is cheap and keeps the plan
+        // linear. Early-break at the jump fixpoint (depth after the
+        // hook is usually 2-3): one small count per jump buys
+        // skipping the rest of the budget; the require certifies.
+        val jc = new graft.util.Checkpoints.Rolling(resetStats = true)
+        var pj = jc.roll(par)
+        var unresolved = -1L
+        var j = 0
+        while (j < jumps && unresolved != 0L) {
+          j += 1
+          pj = jc.roll(pj.as("x").join(pj.select(col("c").as("p"),
+              col("p").as("pp")).as("y"), "p")
+            .select(col("x.c").as("c"), col("pp").as("p")))
+          unresolved = pj.as("x").join(pj.select(col("c").as("p"),
+              col("p").as("pp")).as("y"), "p")
+            .filter(col("pp") =!= col("p")).count()
+        }
+        require(unresolved == 0L,
+          s"boruvkaMsf: $unresolved hook chains deeper than 2^$jumps " +
+            "— raise the jump budget")
+        pj = pj.localCheckpoint(true)
+        jc.releaseLast()
+        // contract: relabel endpoints to roots, drop intra-component
+        // edges, prune parallel edges to the (w,a,b)-pair-min
+        val relabeled = cur
+          .join(pj.select(col("c").as("ca"), col("p").as("pa")),
+            Seq("ca"), "left")
+          .join(pj.select(col("c").as("cb"), col("p").as("pb")),
+            Seq("cb"), "left")
+          .select(col("a"), col("b"), col("w"),
+            coalesce(col("pa"), col("ca")).as("ca"),
+            coalesce(col("pb"), col("cb")).as("cb"))
+          .filter(col("ca") =!= col("cb"))
+        cur = rc.roll(relabeled
+          .select(col("a"), col("b"), col("w"),
+            least(col("ca"), col("cb")).as("ca"),
+            greatest(col("ca"), col("cb")).as("cb"))
+          .groupBy(col("ca"), col("cb"))
+          .agg(min(struct(col("w"), col("a"), col("b"))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"),
+            col("e.w").as("w"), col("ca"), col("cb")))
+        // round-local state: cur's roll was their last reader
+        graft.util.Checkpoints.release(pj)
+        graft.util.Checkpoints.release(mn)
+        empty = cur.isEmpty
+      }
+      require(empty,
+        s"boruvkaMsf did not converge in $rounds rounds: cross edges " +
+          "remain — raise the round budget (log2(V) suffices)")
+      if (sels.isEmpty)
+        edges.select(col("a"), col("b"), col("w"), lit(1).as("round")).limit(0)
+      else {
+        val out = sels.reduce(_.unionByName(_)).localCheckpoint(true)
+        sels.foreach(graft.util.Checkpoints.release) // out is their last reader
+        out
+      }
+    } finally rc.releaseLast()
+  }
+
   /** All-pairs resource-allocation link prediction over a bipartite
     * edge label: for left-side vertices a < b sharing right-side
     * neighbors, RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z), the standard

@@ -436,6 +436,37 @@ object AlgoQueries {
       .orderBy(col("jaccard").desc, col("id"))
       .limit(15)
 
+  /** Round/jump budgets shared by the a_mst gate and its oracle:
+    * log₂(V) rounds suffice (components at least halve); both sides
+    * replay the same counts, and boruvkaMsf asserts convergence and
+    * jump-fixpoint loudly, so a budget shortfall can never ship a
+    * silent partial forest.
+    */
+  private val MstRounds = 6
+  private val MstJumps = 8
+
+  /** Borůvka minimum spanning forest over the undirected supply+geo
+    * topology (supplied_by ∪ located_in ∪ part_of) with deterministic
+    * integer weights w = (a%97 + b%89)%7 + 1 on canonical a < b pairs
+    * — the same weight convention as a_wsssp. The (w, a, b) total
+    * order makes the MSF unique, so the oracle can replay the
+    * identical Borůvka rounds (min-edge ROW_NUMBER, hook with
+    * min-root 2-cycle break, pointer-jump compression) and match
+    * hash-exact on the full edge list.
+    */
+  def aMst(s: SparkSession, dir: String): DataFrame = {
+    val gr = g(s, dir)
+    val und = gr.edges
+      .filter(col("label").isin("supplied_by", "located_in", "part_of"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .select(col("a"), col("b"),
+        ((col("a") % 97 + col("b") % 89) % 7 + 1).as("w"))
+    Algorithms.boruvkaMsf(s, und, rounds = MstRounds, jumps = MstJumps)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** All-pairs resource-allocation link prediction over the
     * part→supplier `supplied_by` bipartite subgraph: for part pairs
     * sharing suppliers, RA(a,b) = Σ_shared floor(1e6/deg(supplier)) —
@@ -687,6 +718,7 @@ object AlgoQueries {
     "a_simrank" -> (aSimrank _),
     "a_louvain" -> (aLouvain _),
     "a_linkpred" -> (aLinkpred _),
+    "a_mst" -> (aMst _),
     "a_assort" -> (aAssort _),
     "a_matching" -> (aMatching _),
     "a_wpagerank" -> (aWpagerank _),
@@ -1269,6 +1301,62 @@ object AlgoQueries {
     * both declare component = min vertex id, so one relational oracle
     * covers both engines.
     */
+  /** DuckDB replay of boruvkaMsf: MstRounds Borůvka rounds unrolled
+    * as CTEs — per round, per-component min cross edge by the
+    * (w, a, b) total order (ROW_NUMBER), hook with the min-root
+    * 2-cycle break, MstJumps pointer-jump self-joins, relabel. The
+    * (w,a,b) order makes the forest unique, and both engines assert/
+    * reach the same fixpoint, so extra rounds and jumps are no-ops on
+    * both sides — identical output even when convergence is early.
+    */
+  private val mstSql: String = {
+    def enc(l: String, k: String) = PropertyGraph.sqlEncode(l, k)
+    val rounds = (1 to MstRounds).map { r =>
+      val jumpCtes = (1 to MstJumps).map { j =>
+        s"""p${r}_$j AS (SELECT x.c, y.p FROM p${r}_${j - 1} x
+           |  JOIN p${r}_${j - 1} y ON y.c = x.p)""".stripMargin
+      }.mkString(",\n")
+      s"""ec$r AS (SELECT u.a, u.b, u.w, x.c AS ca, y.c AS cb
+         |  FROM und u JOIN c${r - 1} x ON x.v = u.a
+         |  JOIN c${r - 1} y ON y.v = u.b WHERE x.c <> y.c),
+         |mn$r AS MATERIALIZED (SELECT c, w, a, b, o FROM (
+         |  SELECT c, w, a, b, o,
+         |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+         |  FROM (SELECT ca AS c, w, a, b, cb AS o FROM ec$r
+         |        UNION ALL SELECT cb, w, a, b, ca FROM ec$r))
+         |  WHERE rn = 1),
+         |sel$r AS (SELECT DISTINCT a, b, w, $r AS round FROM mn$r),
+         |p${r}_0 AS (SELECT m.c,
+         |    CASE WHEN q.o = m.c AND m.c < m.o THEN m.c ELSE m.o END AS p
+         |  FROM mn$r m JOIN mn$r q ON q.c = m.o),
+         |$jumpCtes,
+         |c$r AS MATERIALIZED (SELECT prev.v, COALESCE(p.p, prev.c) AS c
+         |  FROM c${r - 1} prev
+         |  LEFT JOIN p${r}_$MstJumps p ON p.c = prev.c)""".stripMargin
+    }.mkString(",\n")
+    val sels = (1 to MstRounds)
+      .map(r => s"SELECT a, b, w, round FROM sel$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT ${enc("part", "l_partkey")} AS src,
+       |    ${enc("supplier", "l_suppkey")} AS dst FROM lineitem
+       |  UNION ALL SELECT ${enc("customer", "c_custkey")},
+       |    ${enc("nation", "c_nationkey")} FROM customer
+       |  UNION ALL SELECT ${enc("supplier", "s_suppkey")},
+       |    ${enc("nation", "s_nationkey")} FROM supplier
+       |  UNION ALL SELECT ${enc("nation", "n_nationkey")},
+       |    ${enc("region", "n_regionkey")} FROM nation),
+       |und AS MATERIALIZED (
+       |  SELECT a, b, (a % 97 + b % 89) % 7 + 1 AS w FROM (
+       |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |    FROM e0)),
+       |c0 AS MATERIALIZED (SELECT DISTINCT v, v AS c FROM (
+       |  SELECT a AS v FROM und UNION ALL SELECT b FROM und)),
+       |$rounds
+       |SELECT a, b, CAST(w AS BIGINT) AS w, CAST(round AS INT) AS round
+       |FROM ($sels) ORDER BY a, b""".stripMargin
+  }
+
   private val componentsSql: String =
     s"""WITH iso AS (SELECT p_partkey FROM part
        |  WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)),
@@ -1675,6 +1763,7 @@ object AlgoQueries {
     "a_wpagerank" -> wpagerankSql,
     "a_simrank" -> simrankSql,
     "a_louvain" -> louvainSql,
+    "a_mst" -> mstSql,
     // identical integer micro-unit arithmetic: 1000000 // d is exact
     // in both engines, so SUM is a BIGINT bit-for-bit match
     "a_linkpred" ->

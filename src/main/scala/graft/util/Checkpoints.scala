@@ -40,14 +40,33 @@ object Checkpoints {
     * is never released here — it is the loop's result; callers that
     * materialize a derived result before returning may call
     * `releaseLast()` after doing so.
+    *
+    * `resetStats = true` additionally severs Catalyst's statistics
+    * inheritance at the checkpoint boundary: `localCheckpoint` copies
+    * the PRE-checkpoint plan's `sizeInBytes` estimate (an exact
+    * BigInt) onto the resulting `LogicalRDD`, and a loop whose round
+    * SELF-JOINS its own state (pointer jumping) then SQUARES that
+    * estimate every round — the BigInt's digit count doubles per
+    * roll, and after ~30 rolls the driver spins for hours inside
+    * BigInteger.multiply during stats estimation of the NEXT
+    * checkpoint (observed: Borůvka MSF, 6 rounds × 8 jumps ⇒
+    * gigadigit ToomCook multiplies, main thread pinned). Rebuilding
+    * the frame from the checkpointed RDD through the public
+    * createDataFrame boundary drops the inherited estimate (fresh
+    * default stats), at the cost of a narrow Row↔InternalRow map on
+    * each downstream read — linear in the (small, ≤V-row) state.
+    * Leave false for multiply-by-constant loops (PageRank et al.):
+    * their digit growth is linear per round and the conversion would
+    * be pure overhead.
     */
-  final class Rolling {
+  final class Rolling(resetStats: Boolean = false) {
     private var prev: Option[DataFrame] = None
     def roll(df: DataFrame): DataFrame = {
       val chk = df.localCheckpoint() // eager: materialized before release
       prev.foreach(release)
       prev = Some(chk)
-      chk
+      if (resetStats) chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
+      else chk
     }
     /** adopt an existing checkpointed frame as the slot's current */
     def seed(chk: DataFrame): DataFrame = { prev = Some(chk); chk }

@@ -735,6 +735,46 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((3L, 1L, 1L, 1.0))) // N(1)=N(3)={2}
   }
 
+  private def wEdges(es: Seq[(Long, Long, Long)]) = {
+    val s = spark; import s.implicits._
+    es.toDF("a", "b", "w")
+  }
+
+  test("boruvkaMsf: square with diagonal picks the Kruskal forest across rounds") {
+    val e = wEdges(Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L),
+      (1L, 4L, 3L), (1L, 3L, 5L)))
+    val got = Algorithms.boruvkaMsf(spark, e)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1L, 1), (3L, 4L, 1L, 1), (2L, 3L, 2L, 2)))
+  }
+
+  test("boruvkaMsf: disconnected input yields a forest, one tree per component") {
+    val e = wEdges(Seq((1L, 2L, 7L), (3L, 4L, 9L)))
+    val got = Algorithms.boruvkaMsf(spark, e)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 7L, 1), (3L, 4L, 9L, 1)))
+  }
+
+  test("boruvkaMsf: equal weights resolve by the (w,a,b) total order") {
+    val e = wEdges(Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L)))
+    val got = Algorithms.boruvkaMsf(spark, e)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // order (1,1,2) < (1,1,3) < (1,2,3): comps 1,2 pick (1,2); comp 3
+    // picks (1,3); the cycle edge (2,3) is never selected
+    assert(got == Set((1L, 2L, 1L, 1), (1L, 3L, 1L, 1)))
+  }
+
+  test("boruvkaMsf: insufficient round budget fails loudly") {
+    // a 16-chain with ALTERNATING weights merges strictly pairwise
+    // (every hook is mutual): needs log2(16) = 4 rounds; budget 1
+    // must throw, not ship a partial forest
+    val e = wEdges((1L to 15L).map(i => (i, i + 1, if (i % 2 == 1) 1L else 9L)))
+    val ex = intercept[IllegalArgumentException] {
+      Algorithms.boruvkaMsf(spark, e, rounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("resourceAllocation: hand-computed micro-unit scores") {
     // bipartite src→dst: parts {1,2,3} → suppliers {10,11,12}
     // N(1)={10,11}, N(2)={10,11,12}, N(3)={11,12}
