@@ -2219,11 +2219,24 @@ object Algorithms {
     * ~0 to every pair (1/deg → 0) while costing deg² rows — the
     * classic stop-word cut, same posture as the LSH mega-bucket
     * guard. Dropped hubs change scores by < 1e6/maxDeg per pair.
+    *
+    * `reversed` flips which bipartite side is paired: false pairs
+    * src-side vertices over shared dst neighbors; true pairs dst-side
+    * vertices over shared src neighbors. DIRECTION IS A COST CHOICE,
+    * not just semantics: the expansion is Σ_z deg(z)², so pivot on
+    * the side whose degrees are SMALL. On the tpch `supplied_by`
+    * relation (part→supplier) the supplier side has degree ≈ 600·SF
+    * (pairing parts over shared suppliers measured 834 s at sf0.1 —
+    * 175M candidates) while the part side holds a constant degree
+    * ≈ 30 at every decade (pairing suppliers over shared parts is 8.7M
+    * candidates, linear 10× growth measured in SCALE.md).
     */
   def resourceAllocation(s: SparkSession, g: PropertyGraph, label: String,
-                         maxDeg: Long = 1000000L): DataFrame = {
+                         maxDeg: Long = 1000000L,
+                         reversed: Boolean = false): DataFrame = {
+    val (pSide, zSide) = if (reversed) ("dst", "src") else ("src", "dst")
     val e = g.edges.filter(col("label") === label)
-      .select(col("src").as("p"), col("dst").as("z")).distinct()
+      .select(col(pSide).as("p"), col(zSide).as("z")).distinct()
     val deg = e.groupBy(col("z")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxDeg && col("d") >= 2)
     val w = e.join(deg, "z")

@@ -468,15 +468,23 @@ object AlgoQueries {
   }
 
   /** All-pairs resource-allocation link prediction over the
-    * part→supplier `supplied_by` bipartite subgraph: for part pairs
-    * sharing suppliers, RA(a,b) = Σ_shared floor(1e6/deg(supplier)) —
-    * integer micro-units, so the score is exact in both engines. The
-    * all-pairs candidate-generation form of the seeded similarity
-    * APIs (a_jaccard_sim covers the seed-anchored form). Top 20 by
-    * (ra desc, a, b) — a total order, so LIMIT is deterministic.
+    * part→supplier `supplied_by` bipartite subgraph, pivoted on the
+    * PART side (reversed = true): for supplier pairs sharing parts,
+    * RA(a,b) = Σ_shared floor(1e6/deg(part)) — integer micro-units,
+    * so the score is exact in both engines ("which suppliers are
+    * substitutes"). The all-pairs candidate-generation form of the
+    * seeded similarity APIs (a_jaccard_sim covers the seed-anchored
+    * form). The pivot side is the scale lever: part degrees hold at
+    * ≈ 30 per decade (8.7M candidates at sf0.1, linear 10×) where the
+    * supplier pivot's 600·SF degrees cost Σd² = 175M candidates and
+    * 834 s — see the resourceAllocation scaladoc. maxDeg = 10000
+    * bounds any future mega-part; the oracle replays the same cut.
+    * Top 20 by (ra desc, a, b) — a total order, so LIMIT is
+    * deterministic.
     */
   def aLinkpred(s: SparkSession, dir: String): DataFrame =
-    Algorithms.resourceAllocation(s, g(s, dir), "supplied_by")
+    Algorithms.resourceAllocation(s, g(s, dir), "supplied_by",
+        maxDeg = 10000L, reversed = true)
       .orderBy(col("ra").desc, col("a"), col("b"))
       .limit(20)
 
@@ -1768,11 +1776,11 @@ object AlgoQueries {
     // in both engines, so SUM is a BIGINT bit-for-bit match
     "a_linkpred" ->
       s"""WITH e AS (SELECT DISTINCT
-         |    ${PropertyGraph.sqlEncode("part", "l_partkey")} AS p,
-         |    ${PropertyGraph.sqlEncode("supplier", "l_suppkey")} AS z
+         |    ${PropertyGraph.sqlEncode("supplier", "l_suppkey")} AS p,
+         |    ${PropertyGraph.sqlEncode("part", "l_partkey")} AS z
          |  FROM lineitem),
          |deg AS (SELECT z, COUNT(*) AS d FROM e GROUP BY z
-         |  HAVING COUNT(*) >= 2),
+         |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 10000),
          |w AS (SELECT e.z, e.p, 1000000 // d AS w
          |  FROM e JOIN deg USING (z))
          |SELECT a, b, ra FROM (

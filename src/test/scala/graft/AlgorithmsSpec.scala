@@ -793,6 +793,23 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("resourceAllocation: reversed pairs the dst side over shared src neighbors") {
+    // same bipartite fixture as above, pivoted on parts {1,2,3}:
+    // deg(1)=2, deg(2)=3, deg(3)=2 (supplier-side degree of parts)
+    val g = mkGraph(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (2L, 12L), (3L, 11L), (3L, 12L)))
+    val got = Algorithms.resourceAllocation(spark, g, "link", reversed = true)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // RA(10,11) = shared {1,2} = 500000 + 333333
+    assert(got((10L, 11L)) == 833333L)
+    // RA(10,12) = shared {2} = 333333
+    assert(got((10L, 12L)) == 333333L)
+    // RA(11,12) = shared {2,3} = 333333 + 500000
+    assert(got((11L, 12L)) == 833333L)
+    assert(got.size == 3)
+  }
+
   test("resourceAllocation: maxDeg hub cut drops the stop-word pivot") {
     // supplier 99 is shared by everyone (deg 4 > maxDeg 3) — its
     // contribution vanishes; only the deg-2 supplier 10 scores
