@@ -2112,6 +2112,7 @@ object Algorithms {
     var cur = rc.roll(edges.select(col("a"), col("b"), col("w"),
       col("a").as("ca"), col("b").as("cb")))
     val sels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val mns = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var r = 0
       var empty = cur.isEmpty
@@ -2125,8 +2126,13 @@ object Algorithms {
           .select(col("c"), col("e.w").as("w"), col("e.a").as("a"),
             col("e.b").as("b"), col("e.o").as("o"))
           .localCheckpoint(true)
+        // selection plans stay lazy over the checkpointed mn frames —
+        // mn release is deferred to after the final union materializes
+        // (6 tiny ≤#components-row frames held vs 6 extra checkpoint
+        // jobs saved; the per-round jobs dominate this query's cost)
+        mns += mn
         sels += mn.select(col("a"), col("b"), col("w")).distinct()
-          .withColumn("round", lit(r)).localCheckpoint(true)
+          .withColumn("round", lit(r))
         // hook: p(c) = min-edge partner; mutual pairs root at min id
         val par = mn.select(col("c"), col("o"))
           .join(mn.select(col("c").as("o"), col("o").as("oo")), "o")
@@ -2138,26 +2144,28 @@ object Algorithms {
         // step the lineage doubles each jump — a 2^jumps plan. The
         // hook map is ≤ #components rows and halving, so an eager
         // rolling checkpoint per jump is cheap and keeps the plan
-        // linear. Early-break at the jump fixpoint (depth after the
-        // hook is usually 2-3): one small count per jump buys
-        // skipping the rest of the budget; the require certifies.
+        // linear. The jump fixpoint check rides the jump itself: a
+        // `moved` flag (did this jump change p?) is computed inside
+        // the same self-join and read back as a narrow scan of the
+        // just-checkpointed blocks — no second self-join job per
+        // jump. Pointer jumping is idempotent at the fixpoint, so
+        // "nothing moved" PROVES every chain is at its root.
         val jc = new graft.util.Checkpoints.Rolling(resetStats = true)
-        var pj = jc.roll(par)
+        var pj = jc.roll(par.withColumn("moved", lit(true)))
         var unresolved = -1L
         var j = 0
         while (j < jumps && unresolved != 0L) {
           j += 1
           pj = jc.roll(pj.as("x").join(pj.select(col("c").as("p"),
               col("p").as("pp")).as("y"), "p")
-            .select(col("x.c").as("c"), col("pp").as("p")))
-          unresolved = pj.as("x").join(pj.select(col("c").as("p"),
-              col("p").as("pp")).as("y"), "p")
-            .filter(col("pp") =!= col("p")).count()
+            .select(col("x.c").as("c"), col("pp").as("p"),
+              (col("pp") =!= col("x.p")).as("moved")))
+          unresolved = pj.filter(col("moved")).count()
         }
         require(unresolved == 0L,
-          s"boruvkaMsf: $unresolved hook chains deeper than 2^$jumps " +
-            "— raise the jump budget")
-        pj = pj.localCheckpoint(true)
+          s"boruvkaMsf: $unresolved hook chains still moving after " +
+            s"$jumps jumps (depth > 2^$jumps) — raise the jump budget")
+        pj = pj.select(col("c"), col("p")).localCheckpoint(true)
         jc.releaseLast()
         // contract: relabel endpoints to roots, drop intra-component
         // edges, prune parallel edges to the (w,a,b)-pair-min
@@ -2178,9 +2186,9 @@ object Algorithms {
           .agg(min(struct(col("w"), col("a"), col("b"))).as("e"))
           .select(col("e.a").as("a"), col("e.b").as("b"),
             col("e.w").as("w"), col("ca"), col("cb")))
-        // round-local state: cur's roll was their last reader
+        // round-local state: cur's roll was pj's last reader (mn is
+        // still read by the deferred selection plans — released below)
         graft.util.Checkpoints.release(pj)
-        graft.util.Checkpoints.release(mn)
         empty = cur.isEmpty
       }
       require(empty,
@@ -2190,7 +2198,7 @@ object Algorithms {
         edges.select(col("a"), col("b"), col("w"), lit(1).as("round")).limit(0)
       else {
         val out = sels.reduce(_.unionByName(_)).localCheckpoint(true)
-        sels.foreach(graft.util.Checkpoints.release) // out is their last reader
+        mns.foreach(graft.util.Checkpoints.release) // out was their last reader
         out
       }
     } finally rc.releaseLast()
