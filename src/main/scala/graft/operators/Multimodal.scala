@@ -587,6 +587,58 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Per-image near-dup counts via DISTINCT-HASH compression — the
+    * scale path the m8 gate rides (AhashProbe, round 10): group
+    * identical hashes first, run the banded join over the distinct
+    * hashes only, expand counts from group sizes. The image-level
+    * banded join's candidate volume is Σ_buckets n_b² over IMAGE
+    * counts — it grew 195× under a 10× corpus replication (155 k →
+    * 30.4 M; dup-heavy corpora collapse onto few hashes, and image
+    * dedup exists precisely because corpora are dup-heavy). Grouping
+    * first makes the join's volume scale with CONTENT DIVERSITY
+    * (measured 15.5× at the same step), and n_neardup expands
+    * exactly: an image in group g has (sz(g) − 1) zero-distance
+    * neighbors plus Σ sz(g') over groups g' ≠ g within `maxHamming`.
+    * Bit-identical to counting [[ahashNearDup]]'s pairs per side; the
+    * oracle's all-pairs replay is unchanged.
+    */
+  def ahashNearDupCounts(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band chunking only guarantees recall for hamming <= 3")
+    val g = hashes.groupBy(col("ahash_lo"), col("ahash_hi"))
+      .agg(count(lit(1)).as("sz"))
+    val chunks = array((0 until 4).map { c =>
+      val half = if (c < 2) col("ahash_lo") else col("ahash_hi")
+      struct(lit(c).as("chunk"),
+        shiftright(half, (c % 2) * 16).bitwiseAND(0xffffL).as("key"))
+    }: _*)
+    val banded = g.select(col("ahash_lo"), col("ahash_hi"), col("sz"),
+        explode(chunks).as("cb"))
+      .select(col("ahash_lo"), col("ahash_hi"), col("sz"),
+        col("cb.chunk").as("chunk"), col("cb.key").as("key"))
+    val a = banded.select(col("chunk"), col("key"),
+      col("ahash_lo").as("a_lo"), col("ahash_hi").as("a_hi"))
+    val b = banded.select(col("chunk"), col("key"),
+      col("ahash_lo").as("b_lo"), col("ahash_hi").as("b_hi"),
+      col("sz").as("b_sz"))
+    val ham = (bit_count(col("a_lo").bitwiseXOR(col("b_lo"))) +
+      bit_count(col("a_hi").bitwiseXOR(col("b_hi"))))
+    // DIRECTED distinct-group pairs (both orientations survive the
+    // dedup) so one groupBy on the a-side sums every neighbor once
+    val cross = a.join(b, Seq("chunk", "key"))
+      .filter(col("a_lo") =!= col("b_lo") || col("a_hi") =!= col("b_hi"))
+      .dropDuplicates("a_lo", "a_hi", "b_lo", "b_hi")
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("a_lo").as("ahash_lo"), col("a_hi").as("ahash_hi"))
+      .agg(sum(col("b_sz")).as("cross_n"))
+    val neigh = g.join(cross, Seq("ahash_lo", "ahash_hi"), "left")
+      .select(col("ahash_lo"), col("ahash_hi"),
+        (col("sz") - 1 + coalesce(col("cross_n"), lit(0L))).as("n_neardup"))
+    hashes.join(neigh, Seq("ahash_lo", "ahash_hi"))
+      .select(col("media_id"), col("n_neardup"))
+  }
+
   /** REAL audio feature extraction over WAV-wrapped rows — the
     * [[decodeWav]] kernel per partition, audio rows only.
     */

@@ -967,4 +967,50 @@ object Similarity {
       .select(col("cid").as("centroid_id"), col("n_members"),
         col("coord_sum"), col("inertia"))
   }
+
+  /** The ±1 Johnson–Lindenstrauss sign matrix (Achlioptas 2003,
+    * "Database-friendly random projections"): sign(i, j) = +1 iff the
+    * engine-portable md5-prefix hash of "i:j" is even — the exact
+    * expression DuckDB replays as
+    * `CAST(concat('0x', substr(md5(i || ':' || j), 1, 8)) AS BIGINT) % 2`.
+    */
+  def rprojSign(i: Int, j: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  /** Sparse-free JL random projection of the embedding column to
+    * `k` output dimensions — the dimensionality-reduction stage that
+    * sits in front of ANN / clustering in an embedding pipeline
+    * (project 1024-dim vectors to 16-64 dims, THEN bucket/index;
+    * distances are preserved within 1±ε by the JL lemma).
+    *
+    * Integer-exact: components quantize to micro-units
+    * (floor(x·10⁶ + 0.5), the e5/e6 bridge) and each output dim is a
+    * BIGINT Σ ±q_i under the deterministic [[rprojSign]] matrix, so
+    * both engines agree bit-for-bit. The sign matrix is materialized
+    * ONCE as d×k plan literals (a bounded probe of one row supplies
+    * d) — per-row work is k zip_with/aggregate folds over the array,
+    * entirely map-side: NO shuffle, no join, no per-row hashing. A
+    * 100 TB embeddings table streams through at scan speed; the only
+    * exchange in the gate is its final orderBy.
+    *
+    * |q| ≤ 10⁶·|x|; a Σ of d terms stays under Long for any real
+    * embedding scale (d·|x| < 9·10¹² — embeddings are unit-ish).
+    */
+  def rproj(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, "rproj: k must be >= 1")
+    val dim = embeddings.select(size(col("embedding")).as("d"))
+      .head().getInt(0)
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
+    val projCols = (0 until k).map { j =>
+      val signs = array((0 until dim).map(i => lit(rprojSign(i, j))): _*)
+      aggregate(zip_with(q, signs, (qi, s) => qi * s),
+        lit(0L), (acc, x) => acc + x).as(s"p$j")
+    }
+    embeddings.select(col("vec_id") +: projCols: _*)
+  }
 }

@@ -530,4 +530,93 @@ object TextAnalysis {
         sum(col("c") * expr("tppm * 10000 div greatest(rppm, 1)"))
           .as("score"))
   }
+
+  /** BPE merge-rule TRAINING (Sennrich et al. 2016): learn the top
+    * `rounds` merge rules from the corpus — the induction loop that
+    * [[mergePairCounts]] is one counting pass of and
+    * [[applyMergeStep]] is one application step of.
+    *
+    * The 100 TB lever is the classic one: BPE training operates
+    * WITHIN words (symbols never cross a word boundary), so the
+    * corpus compresses to the DISTINCT-WORD frequency table in ONE
+    * shuffle, and every training round runs over vocab-sized state —
+    * (word, freq, pos, sym) with pos renumbered per round — not the
+    * corpus. Vocabulary size is sub-linear in corpus size (bounded in
+    * practice), so rounds cost the same at 100 TB as at 100 GB; only
+    * the initial word count touches the data.
+    *
+    * Per round: (a) adjacent-pair frequencies, WEIGHTED by word
+    * frequency, via one lead() over the word-partitioned state and a
+    * hash-agg; (b) the argmax pair under the (n desc, lft, rgt) total
+    * order — a 1-row frame joined back by BROADCAST, never collected;
+    * (c) greedy leftmost non-overlapping merge of that pair in every
+    * word — the [[applyMergeStep]] gaps-and-islands formulation:
+    * matches at even offsets from their run start merge (sym becomes
+    * lft||rgt), the following position is consumed, survivors
+    * renumber by row_number for the next round's lead(). State rolls
+    * through [[graft.util.Checkpoints.Rolling]] (round k−1's blocks
+    * release deterministically once round k materializes).
+    *
+    * Ties everywhere break by total order, so the learned rule
+    * sequence is unique and an engine replaying the same rounds
+    * (the unrolled-CTE oracle) matches hash-exact.
+    *
+    * Returns (merge_round, lft, rgt, n) — one learned rule per round,
+    * n = the weighted pair count that made it the argmax.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int = 6): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "bpeTrain: rounds must be >= 1")
+    val vocab = docs
+      .select(explode(tokens(coalesce(col("text"), lit("")))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val rc = new graft.util.Checkpoints.Rolling
+    var state = rc.roll(vocab
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("freq"), col("pos"),
+        col("word").substr(col("pos"), lit(1)).as("sym")))
+    val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val rules = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    try {
+      for (r <- 1 to rounds) {
+        val lk = state.withColumn("nxt", lead(col("sym"), 1).over(w))
+        val top1 = lk.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("lft"), col("nxt").as("rgt"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("lft"), col("rgt"))
+          .limit(1)
+          .localCheckpoint(true)
+        rules += top1.select(lit(r).as("merge_round"),
+          col("lft"), col("rgt"), col("n"))
+        // flag matches of THE rule, pick even-offset positions per run,
+        // rewrite flagged syms to the merged symbol, drop consumed rows
+        val fl = lk.crossJoin(broadcast(top1))
+          .withColumn("hit", col("sym") === col("lft") &&
+            col("nxt") === col("rgt"))
+        val runs = fl.filter(col("hit"))
+          .withColumn("grp", col("pos") - row_number().over(w))
+        val wg = Window.partitionBy(col("word"), col("grp"))
+        val mg = runs
+          .withColumn("run_start", min(col("pos")).over(wg))
+          .filter(((col("pos") - col("run_start")) % 2) === 0)
+          .select(col("word"), col("pos"), lit(true).as("do_merge"))
+        state = rc.roll(fl
+          .join(mg, Seq("word", "pos"), "left")
+          .join(mg.select(col("word"), (col("pos") + 1).as("pos"),
+            col("do_merge").as("consumed")), Seq("word", "pos"), "left")
+          .filter(col("consumed").isNull)
+          .select(col("word"), col("freq"), col("pos"),
+            when(col("do_merge"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .withColumn("pos", row_number().over(w)))
+      }
+      val out = rules.reduce(_.unionByName(_))
+        .orderBy(col("merge_round")).localCheckpoint(true)
+      rules.foreach(graft.util.Checkpoints.release)
+      out
+    } finally rc.releaseLast()
+  }
 }

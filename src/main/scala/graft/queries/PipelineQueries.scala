@@ -42,6 +42,19 @@ object PipelineQueries {
     TextAnalysis.qualityLrScores(Tables.documents(s, dir))
       .orderBy(col("doc_id"))
 
+  /** BPE merge-rule training (Sennrich et al. 2016) — learn the top 6
+    * merge rules from the corpus over the frequency-compressed
+    * distinct-word vocabulary (TextAnalysis.bpeTrain): char-level
+    * symbols within words, weighted pair counts, argmax under the
+    * (n desc, lft, rgt) total order, greedy leftmost non-overlapping
+    * merge per round. The oracle replays every round as an unrolled
+    * CTE chain generated from the same loop.
+    */
+  def d34BpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = BpeTrainRounds)
+
+  private val BpeTrainRounds = 6
+
   /** DSIR importance scores vs the English slice as the target
     * distribution — hashed-bigram bucket models, integer-ppm
     * normalization, ratio-of-ppms weights (TextAnalysis.dsirScores).
@@ -258,6 +271,18 @@ object PipelineQueries {
   def e14Kcenter(s: SparkSession, dir: String): DataFrame =
     Similarity.kcenterSelect(Tables.embeddings(s, dir), k = 8)
       .orderBy(col("pick"))
+
+  /** JL ±1 sign random projection to 8 dims (Similarity.rproj) — the
+    * dimensionality-reduction stage ahead of ANN/clustering. Micro-
+    * quantized integer sums under the md5-parity sign matrix; the
+    * oracle inlines the same hash per (i, j) and replays each output
+    * dim as a conditional Σ.
+    */
+  def e15Rproj(s: SparkSession, dir: String): DataFrame =
+    Similarity.rproj(Tables.embeddings(s, dir), k = RprojK)
+      .orderBy(col("vec_id"))
+
+  private val RprojK = 8
 
   /** Per-dimension embedding stats (normalization precursor) — exact
     * micro-unit mean accumulation, portable min/max.
@@ -504,13 +529,14 @@ object PipelineQueries {
     val h = Multimodal.imageAhash(s,
         Multimodal.toPgm(Multimodal.mediaTable(Tables.documents(s, dir))))
       .toDF()
-    val pairs = Multimodal.ahashNearDup(h, maxHamming = 3)
-    val cnt = pairs
-      .select(explode(array(col("a_id"), col("b_id"))).as("media_id"))
-      .groupBy(col("media_id")).agg(count(lit(1)).as("n_neardup"))
-    h.join(cnt, Seq("media_id"), "left")
+    // distinct-hash-compressed counting (Multimodal.ahashNearDupCounts)
+    // — the banded join runs over distinct hashes, so candidate volume
+    // scales with content diversity, not corpus size (AhashProbe:
+    // 195× vs 15.5× volume growth under 10× replication)
+    val cnt = Multimodal.ahashNearDupCounts(h, maxHamming = 3)
+    h.join(cnt, Seq("media_id"))
       .select(col("media_id"), col("ahash_lo"), col("ahash_hi"),
-        col("nbits"), coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+        col("nbits"), col("n_neardup"))
       .orderBy(col("media_id"))
   }
 
@@ -842,6 +868,7 @@ object PipelineQueries {
     "d2_text_stats" -> (d2TextStats _),
     "d31_gopher" -> (d31Gopher _),
     "d33_quality_lr" -> (d33QualityLr _),
+    "d34_bpe_train" -> (d34BpeTrain _),
     "d32_dsir" -> (d32Dsir _),
     "m6_audio" -> (m6Audio _),
     "m7_video" -> (m7Video _),
@@ -867,6 +894,7 @@ object PipelineQueries {
     "e5_quantize" -> (e5Quantize _),
     "e13_kmeans" -> (e13Kmeans _),
     "e14_kcenter" -> (e14Kcenter _),
+    "e15_rproj" -> (e15Rproj _),
     "e6_dim_stats" -> (e6DimStats _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
@@ -1973,6 +2001,54 @@ object PipelineQueries {
          |    + 25 * ((stop * 100) // n1)
          |    + 10 * ((alpha * 100) // n1)) >= 0 AS pass
          |FROM g ORDER BY doc_id""".stripMargin,
+    // BPE training replay, unrolled round-by-round from the SAME loop
+    // shape as TextAnalysis.bpeTrain: vocab → char state → per round
+    // (lead pairs → weighted argmax under the (n desc,lft,rgt) total
+    // order → gaps-and-islands greedy merge → renumber). SUM(freq) is
+    // cast back to BIGINT (DuckDB HUGEINT vs Spark LONG, the d12 trap).
+    "d34_bpe_train" -> {
+      val roundCtes = (1 to BpeTrainRounds).map { r =>
+        s"""lk$r AS (SELECT word, freq, pos, sym,
+           |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           |  FROM s${r - 1}),
+           |top$r AS (SELECT sym AS lft, nxt AS rgt,
+           |    CAST(SUM(freq) AS BIGINT) AS n
+           |  FROM lk$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
+           |  ORDER BY n DESC, lft, rgt LIMIT 1),
+           |mg$r AS (SELECT word, pos FROM (
+           |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp)
+           |      AS run_start
+           |    FROM (SELECT lk.word, lk.pos, lk.pos - row_number()
+           |        OVER (PARTITION BY lk.word ORDER BY lk.pos) AS grp
+           |      FROM lk$r lk, top$r t
+           |      WHERE lk.sym = t.lft AND lk.nxt = t.rgt))
+           |  WHERE (pos - run_start) % 2 = 0),
+           |s$r AS (SELECT word, freq,
+           |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           |    sym FROM (
+           |    SELECT lk.word, lk.freq, lk.pos,
+           |      CASE WHEN m.word IS NOT NULL THEN lk.sym || lk.nxt
+           |           ELSE lk.sym END AS sym
+           |    FROM lk$r lk
+           |    LEFT JOIN mg$r m ON m.word = lk.word AND m.pos = lk.pos
+           |    LEFT JOIN mg$r d ON d.word = lk.word AND d.pos = lk.pos - 1
+           |    WHERE d.word IS NULL))""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to BpeTrainRounds).map { r =>
+        s"SELECT CAST($r AS INTEGER) AS merge_round, lft, rgt, n FROM top$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH v AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split_regex(coalesce(text, ''),
+         |      '\\s+')) AS t FROM documents)
+         |  WHERE t <> '' GROUP BY t),
+         |s0 AS (SELECT word, freq, pos, substr(word, CAST(pos AS INT), 1)
+         |    AS sym FROM (
+         |  SELECT word, freq, unnest(range(1, len(word) + 1)) AS pos
+         |  FROM v)),
+         |$roundCtes
+         |$unions
+         |ORDER BY merge_round""".stripMargin
+    },
     "d2_text_stats" ->
       s"""SELECT doc_id,
          |  len($tokensSql) AS n_tokens,
@@ -2055,6 +2131,28 @@ object PipelineQueries {
     // k-means replay: identical milli quantization, integer distances
     // (DuckDB `//` and Spark `div` both truncate toward zero), seeds =
     // 4 smallest vec_ids, two unrolled update rounds + final assign
+    // JL projection replay: per output dim j, Σ over components of
+    // ±micro(x_i) with the sign from the SAME md5-prefix parity Spark
+    // bakes into rprojSign's literal matrix (i is 0-based on both
+    // sides; generate_subscripts is 1-based, hence i-1).
+    "e15_rproj" -> {
+      val dims = (0 until RprojK).map { j =>
+        s"""  CAST(SUM(CASE WHEN CAST(concat('0x',
+           |    substr(md5(CAST(i - 1 AS VARCHAR) || ':$j'), 1, 8))
+           |    AS BIGINT) % 2 = 0 THEN qc ELSE -qc END) AS BIGINT)
+           |    AS p$j""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS qv
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, unnest(qv) AS qc,
+         |    generate_subscripts(qv, 1) AS i FROM q)
+         |SELECT vec_id,
+         |$dims
+         |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     "e13_kmeans" -> {
       def assignCte(name: String, cents: String) =
         s"""$name AS (SELECT vec_id, qv, cid, dist FROM (

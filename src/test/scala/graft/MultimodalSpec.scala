@@ -133,6 +133,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Seq((0L, 3L, 1)), s"got $pairs")
   }
 
+  test("ahashNearDupCounts: distinct-hash compression matches pair counting") {
+    // docs 0/10/20 share one raster (one hash group of 3), doc 3 is
+    // hamming-1 from it, doc 6 is far: group members count each other
+    // (sz-1 = 2) plus the near group (1) = 3; doc 3 counts the 3-group
+    val d = Seq((0L, "a" * 32 + "z" * 32), (9L, "a" * 32 + "z" * 32),
+      (12L, "a" * 32 + "z" * 32), (3L, "a" * 31 + "z" * 33),
+      (6L, "z" * 32 + "a" * 32)).toDF("doc_id", "text")
+    val h = Multimodal.imageAhash(spark,
+      Multimodal.toPgm(Multimodal.mediaTable(d))).toDF()
+    val got = Multimodal.ahashNearDupCounts(h, maxHamming = 3)
+      .as[(Long, Long)].collect().toMap
+    // media_id = doc_id-derived; counts: the 3-group members 2+1=3,
+    // the perturbed one 0+3=3, the inverted one 0
+    val grp = h.select(col("media_id")).as[Long].collect().toSet
+    assert(grp.size == 5)
+    val byPairPath = {
+      val pairs2 = Multimodal.ahashNearDup(h, maxHamming = 3)
+      pairs2.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+        .groupBy(col("id")).count().as[(Long, Long)].collect().toMap
+    }
+    got.foreach { case (id, n) =>
+      assert(n == byPairPath.getOrElse(id, 0L),
+        s"id $id: compressed $n vs pairs ${byPairPath.getOrElse(id, 0L)}")
+    }
+    assert(got.values.count(_ == 3L) == 4 && got.values.count(_ == 0L) == 1)
+  }
+
   test("WAV round-trip: toWav writes a real RIFF container, decodeWav reads samples") {
     // doc 1 (audio kind): "abc" → 3 samples a/b/c
     val media = Multimodal.toWav(Multimodal.mediaTable(docs))

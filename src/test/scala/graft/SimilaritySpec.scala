@@ -429,6 +429,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1) == ((2L, 0.0, 0L, 0L, 0L)))
   }
 
+  test("rproj: Scala-replayed integer sums, sign determinism, negation") {
+    import org.apache.spark.sql.Row
+    // values avoid the exact-.5 micro boundary so q(-x) == -q(x)
+    val vecs = Seq(
+      (1L, Array(0.25f, -0.125f, 0.75f, 0.0625f)),
+      (2L, Array(-0.25f, 0.125f, -0.75f, -0.0625f)),
+      (3L, Array(0.25f, -0.125f, 0.75f, 0.0625f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.rproj(vecs, k = 4).orderBy(col("vec_id"))
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq)
+      .toMap
+    def q(x: Double): Long = math.floor(x * 1000000d + 0.5d).toLong
+    val xs = Seq(0.25, -0.125, 0.75, 0.0625)
+    val want = (0 until 4).map { j =>
+      xs.zipWithIndex.map { case (x, i) =>
+        q(x) * Similarity.rprojSign(i, j)
+      }.sum
+    }
+    assert(got(1L) == want, s"got ${got(1L)} want $want")
+    assert(got(2L) == want.map(-_)) // linearity under negation
+    assert(got(3L) == got(1L)) // identical inputs project identically
+    // the sign matrix is genuinely mixed (not all +1 / all -1)
+    val signs = for (i <- 0 until 4; j <- 0 until 4)
+      yield Similarity.rprojSign(i, j)
+    assert(signs.contains(1L) && signs.contains(-1L))
+  }
+
   test("kmeansExact: integer Lloyd separates blobs; hand-replayed metrics") {
     // two tight blobs in dim 4; both seeds (vec 0, vec 1) start inside
     // blob A, so convergence requires the update rounds to actually

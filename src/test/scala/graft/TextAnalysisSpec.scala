@@ -228,4 +228,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     val byId = got.map(r => r._1 -> r._3).toMap
     assert(byId(4L) > byId(3L))
   }
+
+  test("bpeTrain: hand-traced merge sequence, freq weighting, exhaustion") {
+    // vocab: aaab×2, ab×1 (corpus "aaab aaab ab")
+    // r1: pairs (a,a)=2·2=4 > (a,b)=2+1=3 → merge (a,a); greedy
+    //     leftmost in aaab merges pos1-2 only → [aa,a,b]
+    // r2: (aa,a)=2, (a,b)=2+1=3 → merge (a,b): aaab→[aa,ab], ab→[ab]
+    // r3: (aa,ab)=2 → merge: aaab→[aaab]
+    // r4-6: no pairs remain → no rules emitted
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, rounds = 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 4L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 2L)))
+  }
+
+  test("bpeTrain: count ties break by the (lft, rgt) lexicographic order") {
+    val docs = Seq((1L, "xy yx")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, rounds = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "x", "y", 1L)))
+  }
+
+  test("bpeTrain: identical-symbol runs merge ceil(r/2) times per word") {
+    // "aaaa"×1: r1 pairs (a,a)=3; run {1,2,3} merges at pos1,pos3 →
+    // [aa,aa]; r2 (aa,aa)=1 → [aaaa]
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, rounds = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
 }
