@@ -566,6 +566,47 @@ object TextAnalysis {
     */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame,
       rounds: Int = 6): org.apache.spark.sql.DataFrame = {
+    val (rules, finalState) = bpeTrainLoop(docs, rounds)
+    graft.util.Checkpoints.release(finalState) // rules only
+    rules
+  }
+
+  /** Tokenize the corpus under the `rounds` merge rules [[bpeTrain]]
+    * learns from it — the application half of the tokenizer loop, at
+    * the same vocab-compressed scale shape: merges apply to the
+    * DISTINCT-WORD symbol state (training's own final state, free),
+    * and per-document counts expand through one token join. Output
+    * per document: token (word) count, symbol count before any merge
+    * (= characters), and symbol count under the learned vocabulary —
+    * the corpus-compression readout a tokenizer-training run reports.
+    */
+  def bpeTokenize(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int = 6): org.apache.spark.sql.DataFrame = {
+    val (rules, finalState) = bpeTrainLoop(docs, rounds)
+    graft.util.Checkpoints.release(rules) // only the state is read here
+    val perWord = finalState.groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("n_sym"))
+    val tok = docs
+      .select(col("doc_id"),
+        explode(tokens(coalesce(col("text"), lit("")))).as("word"))
+      .filter(col("word") =!= "")
+    val out = tok.join(perWord, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_sym")).as("n_tokens"))
+    // materialize before releasing the state the plan still reads
+    val res = out.localCheckpoint(true)
+    graft.util.Checkpoints.release(finalState)
+    res
+  }
+
+  /** Shared training loop: returns (rules, final symbol state), both
+    * checkpoint-backed — callers release what they don't keep.
+    */
+  private def bpeTrainLoop(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, "bpeTrain: rounds must be >= 1")
     val vocab = docs
@@ -580,15 +621,26 @@ object TextAnalysis {
         col("word").substr(col("pos"), lit(1)).as("sym")))
     val w = Window.partitionBy(col("word")).orderBy(col("pos"))
     val rules = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    try {
-      for (r <- 1 to rounds) {
-        val lk = state.withColumn("nxt", lead(col("sym"), 1).over(w))
-        val top1 = lk.filter(col("nxt").isNotNull)
-          .groupBy(col("sym").as("lft"), col("nxt").as("rgt"))
-          .agg(sum(col("freq")).as("n"))
-          .orderBy(col("n").desc, col("lft"), col("rgt"))
-          .limit(1)
-          .localCheckpoint(true)
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
+      val lk = state.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val top1 = lk.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("lft"), col("nxt").as("rgt"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("lft"), col("rgt"))
+        .limit(1)
+        .localCheckpoint(true)
+      if (top1.isEmpty) {
+        // no adjacent pairs remain: every later round is a no-op, and
+        // "merging" against the EMPTY rule frame would wipe the state
+        // (crossJoin with nothing) — stop, keep the state as-is. The
+        // oracle's remaining top CTEs are empty selects, so the rule
+        // list stays hash-identical.
+        graft.util.Checkpoints.release(top1)
+        exhausted = true
+      } else {
         rules += top1.select(lit(r).as("merge_round"),
           col("lft"), col("rgt"), col("n"))
         // flag matches of THE rule, pick even-offset positions per run,
@@ -613,10 +665,16 @@ object TextAnalysis {
               .otherwise(col("sym")).as("sym"))
           .withColumn("pos", row_number().over(w)))
       }
-      val out = rules.reduce(_.unionByName(_))
-        .orderBy(col("merge_round")).localCheckpoint(true)
-      rules.foreach(graft.util.Checkpoints.release)
-      out
-    } finally rc.releaseLast()
+    }
+    val out = (if (rules.isEmpty)
+        state.select(lit(1).as("merge_round"), col("sym").as("lft"),
+          col("sym").as("rgt"), col("freq").as("n")).limit(0)
+      else rules.reduce(_.unionByName(_)).orderBy(col("merge_round")))
+      .localCheckpoint(true)
+    rules.foreach(graft.util.Checkpoints.release)
+    // the LAST state stays checkpointed for the caller (rc slot
+    // ownership transfers: bpeTrain releases it, bpeTokenize reads
+    // it first)
+    (out, state)
   }
 }

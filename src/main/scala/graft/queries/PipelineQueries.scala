@@ -53,7 +53,69 @@ object PipelineQueries {
   def d34BpeTrain(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrain(Tables.documents(s, dir), rounds = BpeTrainRounds)
 
+  /** Tokenize the corpus under the d34-trained merge rules
+    * (TextAnalysis.bpeTokenize): the merges apply to training's own
+    * final distinct-word symbol state and per-doc counts expand
+    * through one token join — the corpus-compression readout. The
+    * oracle extends the d34 CTE chain with the per-word symbol
+    * count and the doc-token join.
+    */
+  def d35BpeTokenize(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenize(Tables.documents(s, dir),
+        rounds = BpeTrainRounds)
+      .orderBy(col("doc_id"))
+
   private val BpeTrainRounds = 6
+
+  /** Shared WITH-body for the BPE oracles: vocab -> char state ->
+    * BpeTrainRounds unrolled training rounds (the d34 comment explains
+    * the shape). Ends at s{rounds}; callers append their readout.
+    *
+    * Every per-round CTE is `AS MATERIALIZED`: lk/top/mg are each read
+    * 2-3 times per round, so DuckDB's default inlining expands the
+    * plan tree ~3^rounds deep — d34's readout (top$r only) survived
+    * it, but d35's (the DEEPEST state s{rounds}) ran >20 min at
+    * sf0.01 before the hint and ~seconds after.
+    */
+  private def bpeChainSql: String = {
+    val roundCtes = (1 to BpeTrainRounds).map { r =>
+      s"""lk$r AS MATERIALIZED (SELECT word, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM s${r - 1}),
+         |top$r AS MATERIALIZED (SELECT sym AS lft, nxt AS rgt,
+         |    CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM lk$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         |  ORDER BY n DESC, lft, rgt LIMIT 1),
+         |mg$r AS MATERIALIZED (SELECT word, pos FROM (
+         |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp)
+         |      AS run_start
+         |    FROM (SELECT lk.word, lk.pos, lk.pos - row_number()
+         |        OVER (PARTITION BY lk.word ORDER BY lk.pos) AS grp
+         |      FROM lk$r lk, top$r t
+         |      WHERE lk.sym = t.lft AND lk.nxt = t.rgt))
+         |  WHERE (pos - run_start) % 2 = 0),
+         |s$r AS MATERIALIZED (SELECT word, freq,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |    sym FROM (
+         |    SELECT lk.word, lk.freq, lk.pos,
+         |      CASE WHEN m.word IS NOT NULL THEN lk.sym || lk.nxt
+         |           ELSE lk.sym END AS sym
+         |    FROM lk$r lk
+         |    LEFT JOIN mg$r m ON m.word = lk.word AND m.pos = lk.pos
+         |    LEFT JOIN mg$r d ON d.word = lk.word AND d.pos = lk.pos - 1
+         |    WHERE d.word IS NULL))""".stripMargin
+    }.mkString(",\n")
+    s"""v AS MATERIALIZED (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split_regex(coalesce(text, ''),
+       |      '\\s+')) AS t FROM documents)
+       |  WHERE t <> '' GROUP BY t),
+       |s0 AS MATERIALIZED (SELECT word, freq, pos,
+       |    substr(word, CAST(pos AS INT), 1) AS sym FROM (
+       |  SELECT word, freq, unnest(range(1, len(word) + 1)) AS pos
+       |  FROM v)),
+       |$roundCtes""".stripMargin
+  }
+
 
   /** DSIR importance scores vs the English slice as the target
     * distribution — hashed-bigram bucket models, integer-ppm
@@ -869,6 +931,7 @@ object PipelineQueries {
     "d31_gopher" -> (d31Gopher _),
     "d33_quality_lr" -> (d33QualityLr _),
     "d34_bpe_train" -> (d34BpeTrain _),
+    "d35_bpe_tokenize" -> (d35BpeTokenize _),
     "d32_dsir" -> (d32Dsir _),
     "m6_audio" -> (m6Audio _),
     "m7_video" -> (m7Video _),
@@ -2007,48 +2070,28 @@ object PipelineQueries {
     // order → gaps-and-islands greedy merge → renumber). SUM(freq) is
     // cast back to BIGINT (DuckDB HUGEINT vs Spark LONG, the d12 trap).
     "d34_bpe_train" -> {
-      val roundCtes = (1 to BpeTrainRounds).map { r =>
-        s"""lk$r AS (SELECT word, freq, pos, sym,
-           |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-           |  FROM s${r - 1}),
-           |top$r AS (SELECT sym AS lft, nxt AS rgt,
-           |    CAST(SUM(freq) AS BIGINT) AS n
-           |  FROM lk$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
-           |  ORDER BY n DESC, lft, rgt LIMIT 1),
-           |mg$r AS (SELECT word, pos FROM (
-           |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp)
-           |      AS run_start
-           |    FROM (SELECT lk.word, lk.pos, lk.pos - row_number()
-           |        OVER (PARTITION BY lk.word ORDER BY lk.pos) AS grp
-           |      FROM lk$r lk, top$r t
-           |      WHERE lk.sym = t.lft AND lk.nxt = t.rgt))
-           |  WHERE (pos - run_start) % 2 = 0),
-           |s$r AS (SELECT word, freq,
-           |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
-           |    sym FROM (
-           |    SELECT lk.word, lk.freq, lk.pos,
-           |      CASE WHEN m.word IS NOT NULL THEN lk.sym || lk.nxt
-           |           ELSE lk.sym END AS sym
-           |    FROM lk$r lk
-           |    LEFT JOIN mg$r m ON m.word = lk.word AND m.pos = lk.pos
-           |    LEFT JOIN mg$r d ON d.word = lk.word AND d.pos = lk.pos - 1
-           |    WHERE d.word IS NULL))""".stripMargin
-      }.mkString(",\n")
       val unions = (1 to BpeTrainRounds).map { r =>
         s"SELECT CAST($r AS INTEGER) AS merge_round, lft, rgt, n FROM top$r"
       }.mkString("\nUNION ALL ")
-      s"""WITH v AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(string_split_regex(coalesce(text, ''),
-         |      '\\s+')) AS t FROM documents)
-         |  WHERE t <> '' GROUP BY t),
-         |s0 AS (SELECT word, freq, pos, substr(word, CAST(pos AS INT), 1)
-         |    AS sym FROM (
-         |  SELECT word, freq, unnest(range(1, len(word) + 1)) AS pos
-         |  FROM v)),
-         |$roundCtes
+      s"""WITH $bpeChainSql
          |$unions
          |ORDER BY merge_round""".stripMargin
     },
+    // the d34 chain's FINAL state s{rounds}, read out as per-word
+    // symbol counts and expanded through the doc-token join
+    "d35_bpe_tokenize" ->
+      s"""WITH $bpeChainSql,
+         |pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+         |  FROM s$BpeTrainRounds GROUP BY word),
+         |dt AS (SELECT doc_id, t AS word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(coalesce(text, ''),
+         |      '\\s+')) AS t FROM documents)
+         |  WHERE t <> '')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+         |FROM dt JOIN pw USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d2_text_stats" ->
       s"""SELECT doc_id,
          |  len($tokensSql) AS n_tokens,

@@ -250,6 +250,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq((1, "x", "y", 1L)))
   }
 
+  test("bpeTokenize: counts under the learned merges match the hand trace") {
+    // corpus "aaab aaab ab": after 3 effective merges (see the trace
+    // test) aaab -> [aaab] (1 sym), ab -> [ab] (1 sym); rounds 4-6
+    // are no-ops. doc: 3 words, 10 chars, 3 tokens.
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenize(docs, rounds = 6)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 10L, 3L), (2L, 1L, 2L, 1L)), s"got $got")
+  }
+
   test("bpeTrain: identical-symbol runs merge ceil(r/2) times per word") {
     // "aaaa"×1: r1 pairs (a,a)=3; run {1,2,3} merges at pos1,pos3 →
     // [aa,aa]; r2 (aa,aa)=1 → [aaaa]
