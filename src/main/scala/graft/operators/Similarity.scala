@@ -1013,4 +1013,77 @@ object Similarity {
     }
     embeddings.select(col("vec_id") +: projCols: _*)
   }
+
+  /** Top principal direction of the (uncentered) second-moment matrix
+    * by power iteration — the PCA-whitening / dominant-direction
+    * readout an embedding pipeline runs before indexing (e.g. to drop
+    * the common "mean direction" a contrastive encoder leaves in every
+    * vector). Uncentered by design: on unit-ish embedding corpora the
+    * first moment IS the dominant structure, and skipping the centering
+    * keeps every quantity a pure Σ-of-products (hash-oracle-able).
+    *
+    * Integer-exact throughout, so DuckDB replays every bit:
+    *  - coordinates quantize to milli-units (the e13 bridge);
+    *  - the Gram matrix G[j,k] = Σ_rows q_j·q_k is exact BIGINT — the
+    *    ONE corpus-sized pass (per-row d² products, map-side partial
+    *    agg onto d² keys; at 100 TB this is the scan, everything after
+    *    it is O(d²) = constant);
+    *  - G rescales once to |g| ≤ 10⁶ via sign·(abs div (max div 10⁶+1))
+    *    — all-positive integer division, identical in both engines —
+    *    so Σ_k g·x over d terms is ≤ d·10⁹ regardless of corpus size
+    *    (no overflow cliff at any row count);
+    *  - each iteration renormalizes x to milli-units by the max-abs
+    *    component (again sign·positive-div), ties and signs pinned by
+    *    the all-ones start vector.
+    *
+    * Scale shape: the Gram pass dominates and is a single shuffle onto
+    * d² keys; iterations run on d²-row frames (4096 at d = 64) with
+    * the d-row state broadcast — driver never sees data. The rolling
+    * checkpoint keeps the per-round lineage flat (y is read twice:
+    * by its own max and by the renormalize).
+    *
+    * Output: one row per dimension — (dim, weight) with weight in
+    * milli-units of the unit-∞-norm eigenvector estimate.
+    *
+    * Contract: the all-ones start vector pins signs and ties but is
+    * orthogonal to the top eigenvector on perfectly antisymmetric
+    * corpora (Σ over rows of every component = 0 exactly) — there the
+    * iteration collapses to the zero vector, deterministically on both
+    * engines. Real embedding corpora are never exactly antisymmetric.
+    */
+  def pcaTopComponent(corpus: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 16, "pcaTopComponent: 1 <= iters <= 16")
+    val comps = corpus.select(col("vec_id"),
+      posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")))
+        .as(Seq("dim", "q")))
+    val gramRaw = comps.as("a")
+      .join(comps.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.dim").as("j"), col("b.dim").as("k"))
+      .agg(sum(col("a.q") * col("b.q")).as("g0"))
+    val mg = gramRaw.agg(greatest(max(abs(col("g0"))), lit(1L)).as("mg"))
+    val rc = new graft.util.Checkpoints.Rolling
+    val gram = gramRaw.crossJoin(broadcast(mg))
+      .select(col("j"), col("k"),
+        (when(col("g0") < 0, lit(-1L)).otherwise(lit(1L))
+          * expr("abs(g0) div (mg div 1000000 + 1)")).as("g"))
+      .localCheckpoint(true)
+    var x = rc.seed(gram.select(col("j")).distinct()
+      .withColumn("v", lit(1000L)).localCheckpoint(true))
+    for (_ <- 1 to iters) {
+      val y = gram
+        .join(x.select(col("j").as("k"), col("v").as("xv")), Seq("k"))
+        .groupBy(col("j")).agg(sum(col("g") * col("xv")).as("y"))
+      val m = y.agg(greatest(max(abs(col("y"))), lit(1L)).as("m"))
+      x = rc.roll(y.crossJoin(broadcast(m))
+        .select(col("j"),
+          (when(col("y") < 0, lit(-1L)).otherwise(lit(1L))
+            * expr("(abs(y) * 1000) div m")).as("v")))
+    }
+    val out = x.select(col("j").as("dim"), col("v").as("weight"))
+      .localCheckpoint(true)
+    rc.releaseLast()
+    graft.util.Checkpoints.release(gram)
+    out
+  }
 }

@@ -65,6 +65,21 @@ object PipelineQueries {
         rounds = BpeTrainRounds)
       .orderBy(col("doc_id"))
 
+  /** Tokenizer-aware packing composite: the d35 per-document counts
+    * under the LEARNED vocabulary feed d12's distributed prefix-sum
+    * packer — the end-to-end "tokenize the corpus, cut it into
+    * training contexts" layout. Token counts come from real merges,
+    * not the whitespace proxy, so pack boundaries are the ones an
+    * actual training run would see.
+    */
+  def p6PackedTokens(s: SparkSession, dir: String): DataFrame = {
+    val counts = TextAnalysis.bpeTokenize(Tables.documents(s, dir),
+      rounds = BpeTrainRounds)
+    Packing.packSequences(counts, col("doc_id"), col("n_tokens"),
+        budget = 192L, bucketWidth = 64L)
+      .orderBy(col("doc_id"))
+  }
+
   private val BpeTrainRounds = 6
 
   /** Shared WITH-body for the BPE oracles: vocab -> char state ->
@@ -345,6 +360,19 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
 
   private val RprojK = 8
+
+  /** Dominant embedding direction by integer power iteration
+    * (Similarity.pcaTopComponent): one Gram pass over the corpus, then
+    * PcaIters constant-size iterations. The oracle unrolls the same
+    * iterations as MATERIALIZED CTEs (the d35 lesson: the chain's
+    * frames are each read twice per round).
+    */
+  def e16Pca(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaTopComponent(Tables.embeddings(s, dir), iters = PcaIters)
+      .select(col("dim").cast("long").as("dim"), col("weight"))
+      .orderBy(col("dim"))
+
+  private val PcaIters = 8
 
   /** Per-dimension embedding stats (normalization precursor) — exact
     * micro-unit mean accumulation, portable min/max.
@@ -932,6 +960,7 @@ object PipelineQueries {
     "d33_quality_lr" -> (d33QualityLr _),
     "d34_bpe_train" -> (d34BpeTrain _),
     "d35_bpe_tokenize" -> (d35BpeTokenize _),
+    "p6_packed_tokens" -> (p6PackedTokens _),
     "d32_dsir" -> (d32Dsir _),
     "m6_audio" -> (m6Audio _),
     "m7_video" -> (m7Video _),
@@ -958,6 +987,7 @@ object PipelineQueries {
     "e13_kmeans" -> (e13Kmeans _),
     "e14_kcenter" -> (e14Kcenter _),
     "e15_rproj" -> (e15Rproj _),
+    "e16_pca" -> (e16Pca _),
     "e6_dim_stats" -> (e6DimStats _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
@@ -2092,6 +2122,28 @@ object PipelineQueries {
          |  CAST(SUM(n_sym) AS BIGINT) AS n_tokens
          |FROM dt JOIN pw USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the d35 learned-vocab token counts run through the d12 packer:
+    // prefix sum in doc order, 192-token packs
+    "p6_packed_tokens" ->
+      s"""WITH $bpeChainSql,
+         |pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+         |  FROM s$BpeTrainRounds GROUP BY word),
+         |dt AS (SELECT doc_id, t AS word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(coalesce(text, ''),
+         |      '\\s+')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |tc AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+         |  FROM dt JOIN pw USING (word) GROUP BY doc_id),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start
+         |  FROM tc)
+         |SELECT doc_id, n_tokens,
+         |  start // 192 AS pack_first,
+         |  start % 192 AS pack_offset,
+         |  (start + n_tokens - 1) // 192 - start // 192 + 1 AS n_packs
+         |FROM c ORDER BY doc_id""".stripMargin,
     "d2_text_stats" ->
       s"""SELECT doc_id,
          |  len($tokensSql) AS n_tokens,
@@ -2232,6 +2284,39 @@ object PipelineQueries {
          |  CAST(SUM(af.dist) AS BIGINT) AS inertia
          |FROM af JOIN cs USING (cid)
          |GROUP BY af.cid, cs.s ORDER BY centroid_id""".stripMargin
+    },
+    // replays the integer power iteration literally: milli-quantized
+    // Gram, one rescale to |g| <= 1e6, PcaIters max-abs-normalized
+    // rounds — every CTE materialized (each is read twice per round)
+    "e16_pca" -> {
+      val roundCtes = (1 to PcaIters).map { r =>
+        s"""y$r AS MATERIALIZED (SELECT g.j, CAST(SUM(g.g * x.v) AS BIGINT) AS y
+           |  FROM gram g JOIN x${r - 1} x ON g.k = x.j GROUP BY g.j),
+           |m$r AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y)), 1) AS m FROM y$r),
+           |x$r AS MATERIALIZED (SELECT j,
+           |    CAST((CASE WHEN y < 0 THEN -1 ELSE 1 END)
+           |      * ((ABS(y) * 1000) // (SELECT m FROM m$r)) AS BIGINT) AS v
+           |  FROM y$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH comps AS MATERIALIZED (SELECT vec_id,
+         |    generate_subscripts(embedding, 1) - 1 AS dim,
+         |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+         |      AS q
+         |  FROM embeddings),
+         |g0 AS MATERIALIZED (SELECT a.dim AS j, b.dim AS k,
+         |    CAST(SUM(a.q * b.q) AS BIGINT) AS g0
+         |  FROM comps a JOIN comps b USING (vec_id) GROUP BY a.dim, b.dim),
+         |mg AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g0)), 1) AS mg FROM g0),
+         |gram AS MATERIALIZED (SELECT j, k,
+         |    CAST((CASE WHEN g0 < 0 THEN -1 ELSE 1 END)
+         |      * (ABS(g0) // ((SELECT mg FROM mg) // 1000000 + 1))
+         |      AS BIGINT) AS g
+         |  FROM g0),
+         |x0 AS MATERIALIZED (SELECT DISTINCT j, CAST(1000 AS BIGINT) AS v
+         |  FROM gram),
+         |$roundCtes
+         |SELECT CAST(j AS BIGINT) AS dim, v AS weight FROM x$PcaIters
+         |ORDER BY dim""".stripMargin
     },
     "e5_quantize" ->
       """WITH ex AS (SELECT vec_id,

@@ -478,4 +478,41 @@ class SimilaritySpec extends AnyFunSuite {
     // contributing two 1-milli offsets → inertia 2 per cluster
     assert(got == Seq((0L, 3L, 0L, 2L), (1L, 3L, 4000L, 2L)), s"got $got")
   }
+
+  test("pcaTopComponent: axis-aligned corpus recovers the axis") {
+    // all mass on dim 0: G = diag(3e6, 0); one iteration fixes
+    // x = (1000, 0) and every later round is a fixpoint
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcaTopComponent(df, iters = 3)
+      .orderBy("dim").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((0, 1000L), (1, 0L)), s"got $got")
+  }
+
+  test("pcaTopComponent: diagonal corpus converges to the (1,1) direction") {
+    // q rows (500,500) and (1000,1000): G is the constant 1.25e6
+    // matrix; rescale halves it; the all-ones start is already the
+    // eigenvector -> (1000, 1000) every round
+    val df = Seq((0L, Array(0.5f, 0.5f)), (1L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcaTopComponent(df, iters = 2)
+      .orderBy("dim").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((0, 1000L), (1, 1000L)), s"got $got")
+  }
+
+  test("pcaTopComponent: dominant direction wins from a mixed start") {
+    // 4 rows on dim 1, 1 row on dim 0 -> top eigenvector is dim 1;
+    // the all-ones start has overlap with it, so iteration drives
+    // dim 0's weight toward 0 and dim 1's to the 1000 cap
+    val df = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0f, 1f)), (2L, Array(0f, 1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcaTopComponent(df, iters = 8)
+      .orderBy("dim").as[(Int, Long)].collect().toMap
+    assert(got(1) == 1000L, s"got $got")
+    assert(got(0) < 10L, s"got $got") // (1/4)^8 of the start overlap
+  }
 }
