@@ -2254,4 +2254,132 @@ object Algorithms {
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
       .agg(sum(col("x.w")).as("ra"))
   }
+
+  /** Per-vertex butterfly (bipartite 4-cycle) counting — the bipartite
+    * dual of triangle counting and the standard cohesion metric for
+    * two-mode graphs (Sanei-Mehri, Sariyüce, Tirthapura, "Butterfly
+    * Counting in Bipartite Networks", KDD 2018). For each pair of
+    * same-side vertices sharing `c` neighbors, the pair closes
+    * C(c, 2) = c·(c−1)/2 butterflies; a vertex's count is the Σ over
+    * its pairs, and a vertex's wedge count is Σ c — both exact BIGINTs.
+    *
+    * Scale posture is [[resourceAllocation]]'s: the pair expansion is
+    * Σ_z deg(z)² over the PIVOT side, so pivot on the small-degree
+    * side (`reversed`), and `maxDeg` drops hub pivots up front (the
+    * stop-word cut); dropped hubs remove their wedges from every
+    * count, a documented bounded contract, not silent truncation. One
+    * self-join + two hash-aggs; nothing touches the driver.
+    */
+  def butterflyCounts(s: SparkSession, g: PropertyGraph, label: String,
+                      maxDeg: Long = 1000000L,
+                      reversed: Boolean = false): DataFrame = {
+    val (pSide, zSide) = if (reversed) ("dst", "src") else ("src", "dst")
+    val e = g.edges.filter(col("label") === label)
+      .select(col(pSide).as("p"), col(zSide).as("z")).distinct()
+    val deg = e.groupBy(col("z")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDeg && col("d") >= 2)
+    val ez = e.join(deg.select(col("z")), "z")
+    val pairs = ez.as("x").join(ez.as("y"), "z")
+      .filter(col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("a"), col("b"), col("c"),
+        expr("c * (c - 1) div 2").as("bf"))
+    pairs.select(explode(array(
+        struct(col("a").as("id"), col("c"), col("bf")),
+        struct(col("b").as("id"), col("c"), col("bf")))).as("s"))
+      .select(col("s.id").as("id"), col("s.c").as("c"), col("s.bf").as("bf"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("wedges"), sum(col("bf")).as("butterflies"))
+  }
+
+  /** SCAN structural clustering (Xu, Yuruk, Feng, Schweiger, "SCAN: a
+    * Structural Clustering Algorithm for Networks", KDD 2007) over an
+    * undirected canonical (a < b) edge frame: edges are ε-similar when
+    * σ(u,v) = |Γ[u]∩Γ[v]| / √(|Γ[u]|·|Γ[v]|) ≥ ε over CLOSED
+    * neighborhoods; a vertex is a core when its closed ε-neighborhood
+    * has ≥ μ members (itself included — σ(v,v) = 1); clusters are the
+    * connected components of core-core similar edges; a non-core
+    * ε-similar to a core joins as a border; the rest split hub
+    * (neighbors in ≥ 2 clusters) vs outlier — the full role taxonomy
+    * of the paper.
+    *
+    * Integer-exact: ε = epsNum/epsDen rational, and the σ ≥ ε test is
+    * cross-multiplied — epsDen²·(c+2)² ≥ epsNum²·d(u)·d(v) with c the
+    * OPEN common-neighbor count (the +2 adds u,v themselves, present
+    * in both closed neighborhoods exactly when uv is an edge) — no
+    * floats anywhere, so DuckDB replays every role bit-for-bit.
+    *
+    * Scale shape: the σ pass is the triangle-support join (the kTruss
+    * kernel — one shuffle triple-join over the EAGERLY checkpointed
+    * edge frame, never a re-derivation of an expensive upstream
+    * projection); roles are narrow hash-aggs and semi/anti joins; the
+    * component step rides [[graft.operators.Dedup.dupClusters]]'
+    * min-label loop on the (small) core-core similar edge set.
+    *
+    * Output: (id, cluster, role) for every vertex of the input graph —
+    * cluster is the min core id of its component, −1 for hub/outlier.
+    */
+  def scanCluster(edges: DataFrame, epsNum: Long = 3, epsDen: Long = 5,
+                  mu: Int = 2): DataFrame = {
+    require(epsNum > 0 && epsDen > 0 && epsNum <= epsDen && mu >= 2,
+      "scanCluster: need 0 < eps <= 1 and mu >= 2")
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    def sym(p: DataFrame, x: String, y: String) =
+      p.select(explode(array(
+          struct(col(x).as("u"), col(y).as("v")),
+          struct(col(y).as("u"), col(x).as("v")))).as("s"))
+        .select(col("s.u").as("u"), col("s.v").as("v"))
+    val adj = sym(e, "a", "b").localCheckpoint(true)
+    val deg = adj.groupBy(col("u")).agg((count(lit(1)) + 1).as("d"))
+    val cmnInner = e.join(adj.as("n1"), col("a") === col("n1.u"))
+      .join(adj.as("n2"),
+        col("b") === col("n2.u") && col("n1.v") === col("n2.v"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c0"))
+    val cmn = e.join(cmnInner, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("c0"), lit(0L)).as("c"))
+    val sim = cmn
+      .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+      .filter(lit(epsDen * epsDen) * (col("c") + 2) * (col("c") + 2)
+        >= lit(epsNum * epsNum) * col("da") * col("db"))
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val simadj = sym(sim, "a", "b")
+    val core = simadj.groupBy(col("u")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") + 1 >= mu).select(col("u"))
+      .localCheckpoint(true)
+    val ce = sim
+      .join(core.select(col("u").as("a")), Seq("a"), "left_semi")
+      .join(core.select(col("u").as("b")), Seq("b"), "left_semi")
+    val comp = graft.operators.Dedup.dupClusters(
+      ce.select(col("a").as("a_id"), col("b").as("b_id")))
+    val coreclust = comp.select(col("id"), col("comp").as("cluster"))
+      .unionByName(core.join(comp.select(col("id").as("u")), Seq("u"), "left_anti")
+        .select(col("u").as("id"), col("u").as("cluster")))
+      .localCheckpoint(true)
+    val border = simadj
+      .join(coreclust.select(col("id").as("u"), col("cluster")), "u")
+      .join(core.select(col("u").as("v")), Seq("v"), "left_anti")
+      .groupBy(col("v").as("id")).agg(min(col("cluster")).as("cluster"))
+    val assigned = coreclust.withColumn("role", lit("core"))
+      .unionByName(border.withColumn("role", lit("border")))
+      .localCheckpoint(true)
+    val unass = adj.select(col("u").as("id")).distinct()
+      .join(assigned.select(col("id")), Seq("id"), "left_anti")
+    val nbc = adj
+      .join(assigned.select(col("id").as("v"), col("cluster").as("nc")), "v")
+      .join(unass.select(col("id").as("u")), Seq("u"), "left_semi")
+      .groupBy(col("u").as("id"))
+      .agg(countDistinct(col("nc")).as("n_clusters"))
+    val out = assigned.unionByName(
+      unass.join(nbc, Seq("id"), "left")
+        .select(col("id"), lit(-1L).as("cluster"),
+          when(coalesce(col("n_clusters"), lit(0L)) >= 2, lit("hub"))
+            .otherwise(lit("outlier")).as("role")))
+      .localCheckpoint(true)
+    Seq(e, adj, sim, core, comp, coreclust, assigned)
+      .foreach(graft.util.Checkpoints.release)
+    out
+  }
 }

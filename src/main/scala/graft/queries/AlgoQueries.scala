@@ -542,6 +542,29 @@ object AlgoQueries {
         k = 3, rounds = KtrussRounds)
       .orderBy(col("item_a"), col("item_b"))
 
+  /** SCAN structural clustering roles over the co-purchase projection
+    * (the a_ktruss edge source): ε = 3/5, μ = 3 — at gate scale that
+    * yields all four roles (cores, borders, one hub, outliers), so the
+    * oracle pins the full taxonomy.
+    */
+  def aScan(s: SparkSession, dir: String): DataFrame =
+    Algorithms.scanCluster(
+        Algorithms.bipartiteProjection(
+          g(s, dir).edges.filter(col("label") === "contains"),
+          minSupport = 2L)
+          .select(col("item_a").as("a"), col("item_b").as("b")),
+        epsNum = 3, epsDen = 5, mu = 3)
+      .orderBy(col("id"))
+
+  /** Per-supplier butterfly counts over the part–supplier bipartite
+    * relation, pivoted on the constant-degree part side (the
+    * a_linkpred cost lesson) with the same hub cut.
+    */
+  def aButterfly(s: SparkSession, dir: String): DataFrame =
+    Algorithms.butterflyCounts(s, g(s, dir), "supplied_by",
+        maxDeg = 10000L, reversed = true)
+      .orderBy(col("id"))
+
   /** SCC size histogram over the full DIRECTED graph. The tpch graph
     * is acyclic, so every SCC is a singleton and the oracle is the
     * vertex count — the gate pins the trim/color plumbing end to end;
@@ -699,6 +722,8 @@ object AlgoQueries {
     "a_toposort" -> (aToposort _),
     "a_copurchase" -> (aCopurchase _),
     "a_ktruss" -> (aKtruss _),
+    "a_scan" -> (aScan _),
+    "a_butterfly" -> (aButterfly _),
     "a_scc" -> (aScc _),
     "a_crosspoints" -> (aCrosspoints _),
     "a_lpa" -> (aLpa _),
@@ -1719,6 +1744,84 @@ object AlgoQueries {
          |  CAST(sup AS BIGINT) AS support
          |FROM sup3 WHERE sup >= 1 ORDER BY item_a, item_b""".stripMargin
     },
+    // replays scanCluster over the same co-purchase projection: the
+    // cross-multiplied sigma test, closed-degree core rule, recursive
+    // min-label components over core-core similar edges, border
+    // attach, hub-vs-outlier split — all integer/string exact
+    "a_scan" -> {
+      def enc(k: String) = PropertyGraph.sqlEncode("part", k)
+      s"""WITH RECURSIVE base AS (SELECT DISTINCT l_orderkey AS bk,
+         |    ${enc("l_partkey")} AS it FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.it AS a, b.it AS b
+         |  FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |deg AS MATERIALIZED (SELECT u, COUNT(*) + 1 AS d
+         |  FROM adj GROUP BY u),
+         |cmn AS MATERIALIZED (SELECT e.a, e.b, COUNT(n2.v) AS c FROM e
+         |  LEFT JOIN adj n1 ON n1.u = e.a
+         |  LEFT JOIN adj n2 ON n2.u = e.b AND n2.v = n1.v
+         |  GROUP BY e.a, e.b),
+         |sim AS MATERIALIZED (SELECT c.a, c.b FROM cmn c
+         |  JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b
+         |  WHERE 25 * (c.c + 2) * (c.c + 2) >= 9 * da.d * db.d),
+         |simadj AS MATERIALIZED (SELECT a AS u, b AS v FROM sim
+         |  UNION ALL SELECT b, a FROM sim),
+         |core AS MATERIALIZED (SELECT u FROM simadj GROUP BY u
+         |  HAVING COUNT(*) + 1 >= 3),
+         |ce AS MATERIALIZED (SELECT s.a, s.b FROM sim s
+         |  JOIN core x ON x.u = s.a JOIN core y ON y.u = s.b),
+         |ce2 AS (SELECT a AS src, b AS dst FROM ce
+         |  UNION ALL SELECT b, a FROM ce),
+         |r(id, cl) AS (SELECT src, src FROM ce2
+         |  UNION SELECT e2.dst, r.cl FROM r JOIN ce2 e2 ON e2.src = r.id),
+         |comp AS MATERIALIZED (SELECT id, MIN(cl) AS cluster
+         |  FROM r GROUP BY id),
+         |coreclust AS MATERIALIZED (
+         |  SELECT id, cluster FROM comp
+         |  UNION ALL SELECT u, u FROM core
+         |  WHERE u NOT IN (SELECT id FROM comp)),
+         |border AS MATERIALIZED (
+         |  SELECT sa.v AS id, MIN(cc.cluster) AS cluster
+         |  FROM simadj sa JOIN coreclust cc ON cc.id = sa.u
+         |  WHERE sa.v NOT IN (SELECT u FROM core) GROUP BY sa.v),
+         |assigned AS MATERIALIZED (
+         |  SELECT id, cluster, 'core' AS role FROM coreclust
+         |  UNION ALL SELECT id, cluster, 'border' FROM border),
+         |unass AS MATERIALIZED (SELECT DISTINCT u AS id FROM adj
+         |  WHERE u NOT IN (SELECT id FROM assigned)),
+         |nbc AS MATERIALIZED (SELECT adj.u AS id,
+         |    COUNT(DISTINCT a2.cluster) AS nc
+         |  FROM adj JOIN assigned a2 ON a2.id = adj.v
+         |  WHERE adj.u IN (SELECT id FROM unass) GROUP BY adj.u)
+         |SELECT CAST(id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster,
+         |  role FROM (
+         |  SELECT id, cluster, role FROM assigned
+         |  UNION ALL
+         |  SELECT un.id, -1,
+         |    CASE WHEN COALESCE(nbc.nc, 0) >= 2 THEN 'hub' ELSE 'outlier' END
+         |  FROM unass un LEFT JOIN nbc ON nbc.id = un.id)
+         |ORDER BY id""".stripMargin
+    },
+    // same bipartite pivot + hub cut as a_linkpred; per-pair C(c,2)
+    // butterflies folded onto both endpoints
+    "a_butterfly" ->
+      s"""WITH e AS (SELECT DISTINCT
+         |    ${PropertyGraph.sqlEncode("supplier", "l_suppkey")} AS p,
+         |    ${PropertyGraph.sqlEncode("part", "l_partkey")} AS z
+         |  FROM lineitem),
+         |dz AS (SELECT z FROM e GROUP BY z
+         |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 10000),
+         |ez AS MATERIALIZED (SELECT e.p, e.z FROM e JOIN dz USING (z)),
+         |pr AS MATERIALIZED (SELECT x.p AS a, y.p AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ez x JOIN ez y ON x.z = y.z AND x.p < y.p GROUP BY 1, 2)
+         |SELECT id, CAST(SUM(c) AS BIGINT) AS wedges,
+         |  CAST(SUM(bf) AS BIGINT) AS butterflies
+         |FROM (SELECT a AS id, c, c * (c - 1) // 2 AS bf FROM pr
+         |      UNION ALL SELECT b, c, c * (c - 1) // 2 FROM pr)
+         |GROUP BY id ORDER BY id""".stripMargin,
     "a_lpa" -> lpaSql,
     "a_jaccard_sim" -> jaccardSimSql,
     "a_pair_path" -> pairPathSql,

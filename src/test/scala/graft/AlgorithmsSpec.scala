@@ -954,4 +954,58 @@ class AlgorithmsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Algorithms.kTruss(edges, k = 3, rounds = 0))
   }
+
+  test("scanCluster: two K4s, a hub between them, and a pendant outlier") {
+    // closed degrees: d(1)=6 (K4 + hub 9 + pendant 10), d(5)=5 (K4 +
+    // hub), others 4. Every K4-internal edge passes the eps=3/5 test
+    // (25·(c+2)^2 >= 9·d·d with c=2); the hub and pendant edges fail
+    // (c=0). mu=3 makes all K4 members cores; 9 sees clusters 1 AND 5
+    // -> hub; 10 sees only cluster 1 -> outlier.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (1L, 9L), (5L, 9L), (1L, 10L)).toDF("a", "b")
+    val got = Algorithms.scanCluster(edges, epsNum = 3, epsDen = 5, mu = 3)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    (1L to 4L).foreach(i => assert(got(i) == ((1L, "core")), s"node $i: $got"))
+    (5L to 8L).foreach(i => assert(got(i) == ((5L, "core")), s"node $i: $got"))
+    assert(got(9L) == ((-1L, "hub")), s"got $got")
+    assert(got(10L) == ((-1L, "outlier")), s"got $got")
+    assert(got.size == 10)
+  }
+
+  test("scanCluster: a non-core similar to cores joins as a border") {
+    // K4 {1..4} + node 5 on 1 and 2. All K4 edges and both 5-edges are
+    // eps=3/5 similar (edge (1,5): 25·9=225 >= 9·5·3=135), but 5 has
+    // only 2 similar neighbors — below mu=4 — while 1..4 clear it.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L)).toDF("a", "b")
+    val got = Algorithms.scanCluster(edges, epsNum = 3, epsDen = 5, mu = 4)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    (1L to 4L).foreach(i => assert(got(i) == ((1L, "core")), s"node $i: $got"))
+    assert(got(5L) == ((1L, "border")), s"got $got")
+  }
+
+  test("butterflyCounts: hand-traced wedges and butterflies; hub cut") {
+    // parts {1,2,3} -> suppliers {10,11,12}; pair (1,2) shares {10,11}
+    // (1 butterfly), (2,3) shares {11,12} (1 butterfly), (1,3) shares
+    // {11} (wedge only)
+    val g = mkGraph(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (2L, 12L), (3L, 11L), (3L, 12L)))
+    val got = Algorithms.butterflyCounts(spark, g, "link")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((3L, 1L)), 2L -> ((4L, 2L)), 3L -> ((3L, 1L))),
+      s"got $got")
+    // dropping supplier 11 (deg 3 > maxDeg 2) removes its wedges:
+    // only (1,2) via 10 and (2,3) via 12 remain, no butterflies
+    val cut = Algorithms.butterflyCounts(spark, g, "link", maxDeg = 2L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cut == Map(1L -> ((1L, 0L)), 2L -> ((2L, 0L)), 3L -> ((1L, 0L))),
+      s"got $cut")
+  }
 }
