@@ -2382,4 +2382,50 @@ object Algorithms {
       .foreach(graft.util.Checkpoints.release)
     out
   }
+
+  /** Rich-club coefficient ladder (Colizza, Flammini, Serrano,
+    * Vespignani, "Detecting rich-club ordering in complex networks",
+    * Nature Physics 2006) over an undirected canonical (a < b) edge
+    * frame: for each degree threshold k, φ(k) = 2·E_k / (N_k·(N_k−1))
+    * where N_k counts vertices of degree > k and E_k the edges between
+    * them — does the high-degree "club" wire to itself more than
+    * chance. Reported in exact ppm (integer 2·10⁶·E_k div N_k(N_k−1),
+    * NULL when the club has < 2 members) so both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: one degree agg + two narrow degree joins onto the
+    * edge list + a broadcast ladder crossJoin (|ks| constant rows);
+    * every stage is a hash-agg over data partitioned by vertex/edge —
+    * nothing quadratic, nothing driver-side.
+    */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty, "richClub: need at least one threshold")
+    val e = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val kdf = ks.toDF("k")
+    val n = deg.crossJoin(broadcast(kdf)).filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_rich"))
+    val ed = e
+      .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+      .crossJoin(broadcast(kdf))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_rich"))
+    val out = kdf.join(n, Seq("k"), "left").join(ed, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_rich"), lit(0L)).as("n_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"))
+      .withColumn("phi_ppm",
+        when(col("n_rich") >= 2,
+          expr("2000000 * e_rich div (n_rich * (n_rich - 1))"))
+          .otherwise(lit(null).cast("long")))
+      .localCheckpoint(true) // |ks| rows; materialize before releasing e
+    graft.util.Checkpoints.release(e)
+    out
+  }
 }

@@ -555,4 +555,26 @@ object Dedup {
     segs.join(docFreq, Seq("seg_key"))
       .withColumn("keep", col("n_docs") <= maxDocFreq)
   }
+
+  /** Document-stitch detection — find (a, b) pairs where a's LAST k
+    * tokens equal b's FIRST k tokens, the boundary signature of a
+    * document split across crawl records (or a shingle-overlap chunker
+    * re-ingested as separate docs); a curation pipeline joins such
+    * pairs back together before training. Only md5 boundary digests
+    * shuffle (never text), so the join is as narrow as exact dedup's;
+    * docs shorter than k tokens have no full boundary and are skipped.
+    */
+  def stitchPairs(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "stitchPairs: k must be >= 1")
+    val toks = TextAnalysis.tokens(coalesce(col("text"), lit("")))
+    val f = docs.select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= k)
+    val sfx = f.select(col("doc_id").as("a_id"),
+      md5(concat_ws(" ", slice(col("tk"), -k, k))).as("h"))
+    val pfx = f.select(col("doc_id").as("b_id"),
+      md5(concat_ws(" ", slice(col("tk"), 1, k))).as("h"))
+    sfx.join(pfx, "h")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+  }
 }

@@ -1086,4 +1086,49 @@ object Similarity {
     graft.util.Checkpoints.release(gram)
     out
   }
+
+  /** All-but-the-top embedding post-processing (Mu & Viswanath, ICLR
+    * 2018): project out the dominant direction [[pcaTopComponent]]
+    * finds — contrastive/word encoders leave a large common component
+    * in every vector that swamps cosine similarity; removing it is the
+    * standard cheap whitening step before indexing.
+    *
+    * Integer-exact residual readout per vector: with q the micro-unit
+    * components and w the milli-unit direction, the projection
+    * coefficient is c = sign(q·w)·(1000·|q·w| div Σw²) — the extra
+    * 1000 makes c·w_i land on the same 10⁹-per-unit scale as
+    * 1000·q_i, so the residual r_i = 1000·q_i − c·w_i genuinely
+    * cancels the component (an axis-aligned vector's residual is 0) —
+    * every step a Σ-of-products or an all-positive integer division,
+    * replayed bit-for-bit by the oracle.
+    *
+    * Scale shape: the direction is d broadcast rows (plus the one Gram
+    * pass inside pcaTopComponent); the residual pass is a single
+    * map-side join-free fold per row via zip_with against the
+    * broadcast direction — here expressed as a d-key hash join on the
+    * exploded components, which partial-aggs back to one row per
+    * vector. Output: (vec_id, c, l1_r, checksum).
+    */
+  def removeTopComponent(corpus: DataFrame, iters: Int = 8): DataFrame = {
+    val w = pcaTopComponent(corpus, iters)
+    val xx = w.agg(greatest(sum(col("weight") * col("weight")), lit(1L))
+      .as("xx"))
+    val q = corpus.select(col("vec_id"),
+      posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000d + 0.5d).cast("long")))
+        .as(Seq("dim", "q")))
+      .join(broadcast(w), "dim")
+    val dot = q.groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("weight")).as("dot"))
+      .crossJoin(broadcast(xx))
+      .select(col("vec_id"),
+        (when(col("dot") < 0, lit(-1L)).otherwise(lit(1L))
+          * expr("(abs(dot) * 1000) div xx")).as("c"))
+    q.join(dot, "vec_id")
+      .select(col("vec_id"), col("c"), col("dim"),
+        (lit(1000L) * col("q") - col("c") * col("weight")).as("r"))
+      .groupBy(col("vec_id"), col("c"))
+      .agg(sum(abs(col("r"))).as("l1_r"),
+        sum(col("r") * (col("dim") + 1)).as("checksum"))
+  }
 }

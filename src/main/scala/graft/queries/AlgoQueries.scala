@@ -556,6 +556,18 @@ object AlgoQueries {
         epsNum = 3, epsDen = 5, mu = 3)
       .orderBy(col("id"))
 
+  /** Rich-club coefficient ladder over the co-purchase projection —
+    * φ(k) in exact ppm at degree thresholds 1,2,4,8,16.
+    */
+  def aRichclub(s: SparkSession, dir: String): DataFrame =
+    Algorithms.richClub(
+        Algorithms.bipartiteProjection(
+          g(s, dir).edges.filter(col("label") === "contains"),
+          minSupport = 2L)
+          .select(col("item_a").as("a"), col("item_b").as("b")),
+        ks = Seq(1L, 2L, 4L, 8L, 16L))
+      .orderBy(col("k"))
+
   /** Per-supplier butterfly counts over the part–supplier bipartite
     * relation, pivoted on the constant-degree part side (the
     * a_linkpred cost lesson) with the same hub cut.
@@ -724,6 +736,7 @@ object AlgoQueries {
     "a_ktruss" -> (aKtruss _),
     "a_scan" -> (aScan _),
     "a_butterfly" -> (aButterfly _),
+    "a_richclub" -> (aRichclub _),
     "a_scc" -> (aScc _),
     "a_crosspoints" -> (aCrosspoints _),
     "a_lpa" -> (aLpa _),
@@ -1803,6 +1816,33 @@ object AlgoQueries {
          |    CASE WHEN COALESCE(nbc.nc, 0) >= 2 THEN 'hub' ELSE 'outlier' END
          |  FROM unass un LEFT JOIN nbc ON nbc.id = un.id)
          |ORDER BY id""".stripMargin
+    },
+    // rich-club over the co-purchase projection: degree agg, two
+    // narrow degree joins, ladder VALUES; phi in exact ppm, NULL below
+    // a 2-member club
+    "a_richclub" -> {
+      def enc(k: String) = PropertyGraph.sqlEncode("part", k)
+      s"""WITH base AS (SELECT DISTINCT l_orderkey AS bk,
+         |    ${enc("l_partkey")} AS it FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.it AS a, b.it AS b
+         |  FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM
+         |  (SELECT a AS u FROM e UNION ALL SELECT b FROM e) GROUP BY u),
+         |lv AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) t(k)),
+         |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich
+         |  FROM deg, lv WHERE d > k GROUP BY k),
+         |ed AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS e_rich
+         |  FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b, lv
+         |  WHERE da.d > k AND db.d > k GROUP BY k)
+         |SELECT CAST(lv.k AS BIGINT) AS k,
+         |  CAST(COALESCE(n_rich, 0) AS BIGINT) AS n_rich,
+         |  CAST(COALESCE(e_rich, 0) AS BIGINT) AS e_rich,
+         |  CAST(CASE WHEN COALESCE(n_rich, 0) >= 2
+         |    THEN 2000000 * COALESCE(e_rich, 0) // (n_rich * (n_rich - 1))
+         |    ELSE NULL END AS BIGINT) AS phi_ppm
+         |FROM lv LEFT JOIN n USING (k) LEFT JOIN ed USING (k)
+         |ORDER BY k""".stripMargin
     },
     // same bipartite pivot + hub cut as a_linkpred; per-pair C(c,2)
     // butterflies folded onto both endpoints

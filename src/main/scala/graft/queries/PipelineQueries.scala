@@ -131,6 +131,38 @@ object PipelineQueries {
        |$roundCtes""".stripMargin
   }
 
+  /** Shared WITH-body for the e16/e17 oracles: milli-quantized Gram →
+    * one |g| ≤ 1e6 rescale → PcaIters unrolled power-iteration rounds.
+    * Ends at x{PcaIters}; callers append their readout.
+    */
+  private def pcaChainSql: String = {
+    val roundCtes = (1 to PcaIters).map { r =>
+      s"""y$r AS MATERIALIZED (SELECT g.j, CAST(SUM(g.g * x.v) AS BIGINT) AS y
+         |  FROM gram g JOIN x${r - 1} x ON g.k = x.j GROUP BY g.j),
+         |m$r AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y)), 1) AS m FROM y$r),
+         |x$r AS MATERIALIZED (SELECT j,
+         |    CAST((CASE WHEN y < 0 THEN -1 ELSE 1 END)
+         |      * ((ABS(y) * 1000) // (SELECT m FROM m$r)) AS BIGINT) AS v
+         |  FROM y$r)""".stripMargin
+    }.mkString(",\n")
+    s"""comps AS MATERIALIZED (SELECT vec_id,
+       |    generate_subscripts(embedding, 1) - 1 AS dim,
+       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+       |      AS q
+       |  FROM embeddings),
+       |g0 AS MATERIALIZED (SELECT a.dim AS j, b.dim AS k,
+       |    CAST(SUM(a.q * b.q) AS BIGINT) AS g0
+       |  FROM comps a JOIN comps b USING (vec_id) GROUP BY a.dim, b.dim),
+       |mg AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g0)), 1) AS mg FROM g0),
+       |gram AS MATERIALIZED (SELECT j, k,
+       |    CAST((CASE WHEN g0 < 0 THEN -1 ELSE 1 END)
+       |      * (ABS(g0) // ((SELECT mg FROM mg) // 1000000 + 1))
+       |      AS BIGINT) AS g
+       |  FROM g0),
+       |x0 AS MATERIALIZED (SELECT DISTINCT j, CAST(1000 AS BIGINT) AS v
+       |  FROM gram),
+       |$roundCtes""".stripMargin
+  }
 
   /** DSIR importance scores vs the English slice as the target
     * distribution — hashed-bigram bucket models, integer-ppm
@@ -373,6 +405,23 @@ object PipelineQueries {
       .orderBy(col("dim"))
 
   private val PcaIters = 8
+
+  /** All-but-the-top whitening readout (Similarity.removeTopComponent):
+    * per-vector projection coefficient onto the e16 direction and the
+    * integer residual L1/checksum after removing it.
+    */
+  def e17Abtt(s: SparkSession, dir: String): DataFrame =
+    Similarity.removeTopComponent(Tables.embeddings(s, dir),
+        iters = PcaIters)
+      .orderBy(col("vec_id"))
+
+  /** Document-stitch boundary pairs (Dedup.stitchPairs): a's last 3
+    * tokens = b's first 3 tokens — k picked so the gate corpus yields
+    * real pairs (k >= 5 is empty at sf0.01).
+    */
+  def d36StitchPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.stitchPairs(Tables.documents(s, dir), k = 3)
+      .orderBy(col("a_id"), col("b_id"))
 
   /** Per-dimension embedding stats (normalization precursor) — exact
     * micro-unit mean accumulation, portable min/max.
@@ -988,6 +1037,8 @@ object PipelineQueries {
     "e14_kcenter" -> (e14Kcenter _),
     "e15_rproj" -> (e15Rproj _),
     "e16_pca" -> (e16Pca _),
+    "e17_abtt" -> (e17Abtt _),
+    "d36_stitch_pairs" -> (d36StitchPairs _),
     "e6_dim_stats" -> (e6DimStats _),
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
@@ -2288,36 +2339,47 @@ object PipelineQueries {
     // replays the integer power iteration literally: milli-quantized
     // Gram, one rescale to |g| <= 1e6, PcaIters max-abs-normalized
     // rounds — every CTE materialized (each is read twice per round)
-    "e16_pca" -> {
-      val roundCtes = (1 to PcaIters).map { r =>
-        s"""y$r AS MATERIALIZED (SELECT g.j, CAST(SUM(g.g * x.v) AS BIGINT) AS y
-           |  FROM gram g JOIN x${r - 1} x ON g.k = x.j GROUP BY g.j),
-           |m$r AS MATERIALIZED (SELECT GREATEST(MAX(ABS(y)), 1) AS m FROM y$r),
-           |x$r AS MATERIALIZED (SELECT j,
-           |    CAST((CASE WHEN y < 0 THEN -1 ELSE 1 END)
-           |      * ((ABS(y) * 1000) // (SELECT m FROM m$r)) AS BIGINT) AS v
-           |  FROM y$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH comps AS MATERIALIZED (SELECT vec_id,
-         |    generate_subscripts(embedding, 1) - 1 AS dim,
-         |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
-         |      AS q
-         |  FROM embeddings),
-         |g0 AS MATERIALIZED (SELECT a.dim AS j, b.dim AS k,
-         |    CAST(SUM(a.q * b.q) AS BIGINT) AS g0
-         |  FROM comps a JOIN comps b USING (vec_id) GROUP BY a.dim, b.dim),
-         |mg AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g0)), 1) AS mg FROM g0),
-         |gram AS MATERIALIZED (SELECT j, k,
-         |    CAST((CASE WHEN g0 < 0 THEN -1 ELSE 1 END)
-         |      * (ABS(g0) // ((SELECT mg FROM mg) // 1000000 + 1))
-         |      AS BIGINT) AS g
-         |  FROM g0),
-         |x0 AS MATERIALIZED (SELECT DISTINCT j, CAST(1000 AS BIGINT) AS v
-         |  FROM gram),
-         |$roundCtes
+    "e16_pca" ->
+      s"""WITH $pcaChainSql
          |SELECT CAST(j AS BIGINT) AS dim, v AS weight FROM x$PcaIters
-         |ORDER BY dim""".stripMargin
-    },
+         |ORDER BY dim""".stripMargin,
+    // the e16 chain's final direction projected OUT of each vector:
+    // c = sign(q·w)·(1000·|q·w| // Σw²), residual r_i = 1000·q_i − c·w_i
+    "e17_abtt" ->
+      s"""WITH $pcaChainSql,
+         |xx AS MATERIALIZED (SELECT GREATEST(SUM(v * v), 1) AS xx
+         |  FROM x$PcaIters),
+         |qv AS MATERIALIZED (SELECT vec_id,
+         |    generate_subscripts(embedding, 1) - 1 AS dim,
+         |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+         |      AS BIGINT) AS q
+         |  FROM embeddings),
+         |dt AS MATERIALIZED (SELECT vec_id,
+         |    CAST(SUM(qv.q * x.v) AS BIGINT) AS dot
+         |  FROM qv JOIN x$PcaIters x ON x.j = qv.dim GROUP BY vec_id),
+         |cc AS MATERIALIZED (SELECT vec_id,
+         |    CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+         |      * ((ABS(dot) * 1000) // (SELECT xx FROM xx)) AS BIGINT) AS c
+         |  FROM dt)
+         |SELECT qv.vec_id, cc.c,
+         |  CAST(SUM(ABS(1000 * qv.q - cc.c * x.v)) AS BIGINT) AS l1_r,
+         |  CAST(SUM((1000 * qv.q - cc.c * x.v) * (qv.dim + 1)) AS BIGINT)
+         |    AS checksum
+         |FROM qv JOIN cc USING (vec_id) JOIN x$PcaIters x ON x.j = qv.dim
+         |GROUP BY qv.vec_id, cc.c ORDER BY qv.vec_id""".stripMargin,
+    // suffix(k)=prefix(k) boundary digests joined; only md5 digests
+    // shuffle, text never does
+    "d36_stitch_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(coalesce(text, ''), '\s+') AS tk
+        |  FROM documents),
+        |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+        |sfx AS (SELECT doc_id AS a_id,
+        |  md5(array_to_string(tk[-3:], ' ')) AS h FROM f),
+        |pfx AS (SELECT doc_id AS b_id,
+        |  md5(array_to_string(tk[1:3], ' ')) AS h FROM f)
+        |SELECT a_id, b_id FROM sfx JOIN pfx USING (h)
+        |WHERE a_id <> b_id ORDER BY a_id, b_id""".stripMargin,
     "e5_quantize" ->
       """WITH ex AS (SELECT vec_id,
         |    CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -989,6 +989,21 @@ class AlgorithmsSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, "border")), s"got $got")
   }
 
+  test("richClub: K4 plus a pendant — exact ppm ladder, NULL below 2 members") {
+    // degrees: 1 has 4 (K4 + pendant 5), 2-4 have 3, 5 has 1
+    // k=1: club {1,2,3,4}, 6 edges -> phi = 2e6·6/(4·3) = 1_000_000
+    // k=3: club {1} -> NULL; k=4: empty club -> NULL
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L)).toDF("a", "b")
+    val got = Algorithms.richClub(edges, ks = Seq(1L, 3L, 4L))
+      .orderBy("k").as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 6L, Some(1000000L)),
+      (3L, 1L, 0L, None),
+      (4L, 0L, 0L, None)), s"got $got")
+  }
+
   test("butterflyCounts: hand-traced wedges and butterflies; hub cut") {
     // parts {1,2,3} -> suppliers {10,11,12}; pair (1,2) shares {10,11}
     // (1 butterfly), (2,3) shares {11,12} (1 butterfly), (1,3) shares

@@ -201,4 +201,17 @@ class DedupSpec extends AnyFunSuite {
       assert(exact.get(pair).contains(j), s"LSH invented pair $pair j=$j")
     }
   }
+
+  test("stitchPairs: suffix=prefix boundaries; self and short docs excluded") {
+    val docs = Seq(
+      (1L, "x y z a b c"), // suffix "a b c"
+      (2L, "a b c q"),     // prefix "a b c"
+      (3L, "q"),           // < k tokens: skipped
+      (4L, "a b c"))       // both suffix and prefix "a b c"
+      .toDF("doc_id", "text")
+    val got = Dedup.stitchPairs(docs, k = 3)
+      .orderBy("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    // (4,4) is filtered as a self-pair; (2,*) has suffix "b c q"
+    assert(got == Seq((1L, 2L), (1L, 4L), (4L, 2L)), s"got $got")
+  }
 }

@@ -515,4 +515,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1) == 1000L, s"got $got")
     assert(got(0) < 10L, s"got $got") // (1/4)^8 of the start overlap
   }
+
+  test("removeTopComponent: axis-aligned vectors leave a zero residual") {
+    // direction w = (1000, 0); for (2, 0): q = (2e6, 0), dot = 2e9,
+    // xx = 1e6, c = 2e12 div 1e6 = 2e6, r = (1000·2e6 − 2e6·1000, 0)
+    // = 0. The off-axis (0, 0.5) vector is untouched: dot = 0, c = 0,
+    // r = (0, 5e8) -> l1 5e8, checksum 5e8·2
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),
+      (3L, Array(0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.removeTopComponent(df, iters = 3)
+      .orderBy("vec_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1000000L, 0L, 0L), (1L, 1000000L, 0L, 0L),
+      (2L, 2000000L, 0L, 0L), (3L, 0L, 500000000L, 1000000000L)),
+      s"got $got")
+  }
 }
