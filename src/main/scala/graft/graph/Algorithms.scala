@@ -2247,8 +2247,11 @@ object Algorithms {
       .select(col(pSide).as("p"), col(zSide).as("z")).distinct()
     val deg = e.groupBy(col("z")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxDeg && col("d") >= 2)
+    // integer floor division by construction (ADVICE r10: double
+    // division + cast matched the oracle's 1000000 // d only as long
+    // as rounding never crossed an integer boundary)
     val w = e.join(deg, "z")
-      .select(col("z"), col("p"), (lit(1000000L) / col("d")).cast("long").as("w"))
+      .select(col("z"), col("p"), expr("1000000L div d").as("w"))
     w.as("x").join(w.as("y"), "z")
       .filter(col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))

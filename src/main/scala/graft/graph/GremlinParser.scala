@@ -35,8 +35,8 @@ import org.apache.spark.sql.DataFrame
   * values(k).sum()/mean()/min()/max(), valueMap(ks),
   * groupCount(k)/groupCount().by(k). Predicates: eq/neq/gt/gte/lt/
   * lte/between/inside/outside/within/without/textContains/containing/
-  * startingWith/contains/containsKey/textContainsAny. [[render]] is
-  * parse's inverse (property-tested round trip).
+  * startingWith/endingWith/contains/containsKey/textContainsAny.
+  * [[render]] is parse's inverse (property-tested round trip).
   */
 object GremlinParser {
 
@@ -371,6 +371,7 @@ object GremlinParser {
       case "without" => P.Without(lits())
       case "textContains" | "containing" => P.TextContains(str())
       case "startingWith" => P.StartsWith(str())
+      case "endingWith" => P.EndsWith(str())
       case "contains" => P.Contains(one())
       case "containsKey" => P.ContainsKey(str())
       case "textContainsAny" => P.TextContainsAny(lits().map {
@@ -516,6 +517,7 @@ object GremlinParser {
       case P.Without(vs) => s"without(${vs.map(lit).mkString(", ")})"
       case P.TextContains(s) => s"textContains(${lit(s)})"
       case P.StartsWith(s) => s"startingWith(${lit(s)})"
+      case P.EndsWith(s) => s"endingWith(${lit(s)})"
       case P.Contains(v) => s"contains(${lit(v)})"
       case P.ContainsKey(k) => s"containsKey(${lit(k)})"
       case P.TextContainsAny(ws) => s"textContainsAny(${ws.map(lit).mkString(", ")})"

@@ -43,6 +43,15 @@ object P {
   final case class StartsWith(s: String) extends P {
     def toColumn(c: Column) = c.startsWith(s)
   }
+  /** suffix match — TinkerPop `TextP.endingWith`; completes the text
+    * predicate battery the SEARCH_INDEX surface accepts
+    * (TikvTables.java:203-210). Compiles to codegen'd EndsWith, which
+    * Catalyst can't push to Parquet stats (unlike StartsWith) but
+    * evaluates in the scan's residual filter — still one pass.
+    */
+  final case class EndsWith(s: String) extends P {
+    def toColumn(c: Column) = c.endsWith(s)
+  }
   /** membership in a collection-valued (LIST/SET-cardinality) property —
     * the `supportsQueryWithContains=false` engine-side obligation
     * (TikvFeatures.java:71-74): the store can't evaluate it, so the

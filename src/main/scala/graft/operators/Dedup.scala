@@ -323,6 +323,49 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** Embedding cosine near-dup pairs, PRODUCTION face: sign-LSH banding
+    * (L tables of nBits hyperplane bits — [[Similarity.lshSignature]]'s
+    * deterministic planes, so the DuckDB oracle replays every bucket
+    * bit-for-bit) generates candidates, exact round-6 cosine verifies.
+    * Semantics are therefore "banded near-dup": a pair above threshold
+    * that never collides in any band is NOT reported — recall is the
+    * standard 1−(1−p^nBits)^L curve (p = 1 − θ/π), floored in
+    * DedupSpec against [[embeddingNearDup]] on the same corpus.
+    *
+    * Scale shape (the reason this face exists — VERDICT r10 #5: the
+    * all-pairs form above is the bounded oracle face only): the band
+    * join carries (table, sig, vec_id) rows — 24 bytes, never the
+    * vector — so shuffle volume is O(n·L); candidate ids dedup on a
+    * 16-byte key, and only then do TWO narrow hash joins fetch the
+    * vectors for the verify kernel. Candidate volume per table is
+    * Σ_bucket |b|²/2 with 2^nBits buckets — nBits is the scale knob:
+    * grow it with the corpus so the mean bucket stays O(1); collisions
+    * then track true similarity, not corpus size (the same posture as
+    * the aHash/minhash families).
+    */
+  def embeddingNearDupBanded(emb: DataFrame, threshold: Double,
+      nBits: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val sigs = array((0 until tables).map { t =>
+      Similarity.lshSignature(col("embedding"),
+        Similarity.hyperplanes(nBits, dim, seed = 42L + t))
+    }: _*)
+    val banded = base
+      .select(col("vec_id"), posexplode(sigs).as(Seq("tbl", "sig")))
+    val cands = banded.select(col("tbl"), col("sig"), col("vec_id").as("a_id"))
+      .join(banded.select(col("tbl"), col("sig"), col("vec_id").as("b_id")),
+        Seq("tbl", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"))
+    cands
+      .join(base.select(col("vec_id").as("a_id"), col("embedding").as("a_v")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("embedding").as("b_v")), "b_id")
+      .withColumn("cosine", round(Similarity.cosine(col("a_v"), col("b_v")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   // --------------------------------------------------- near-dup clusters
 
   /** Connected components over a near-dup pair list — the step a real

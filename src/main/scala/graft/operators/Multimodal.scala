@@ -152,9 +152,12 @@ object Multimodal {
     require(i < b.length && isWs(b(i)),
       s"media ${row.media_id}: missing raster separator")
     i += 1 // exactly ONE whitespace byte before the raster (PGM spec)
-    val n = w * h
-    require(b.length - i >= n,
-      s"media ${row.media_id}: raster truncated (${b.length - i} of $n bytes)")
+    // Long product: w·h > 2³¹ would overflow to a negative Int that
+    // passes the truncation check (same fix as decodePgmAhash)
+    val nL = w.toLong * h.toLong
+    require(nL >= 0 && nL <= (b.length - i).toLong,
+      s"media ${row.media_id}: raster truncated (${b.length - i} of $nL bytes)")
+    val n = nL.toInt
     var sum = 0L
     var mn = 255; var mx = 0
     val hist = new Array[Float](8)
@@ -383,7 +386,12 @@ object Multimodal {
     require(w > 0 && h > 0, s"media ${row.media_id}: missing W/H header tags")
     require(cs == "mono",
       s"media ${row.media_id}: unsupported colorspace C$cs (mono only)")
-    val fsz = w * h
+    // Long product guard as in decodePgm: a w·h Int overflow would
+    // pass the per-frame truncation check with a negative frame size
+    val fszL = w.toLong * h.toLong
+    require(fszL >= 0 && fszL <= Int.MaxValue.toLong,
+      s"media ${row.media_id}: frame size $fszL out of range")
+    val fsz = fszL.toInt
     var nFrames = 0
     var mn = 255; var mx = 0; var sum = 0L; var motion = 0L
     var prevSum = -1L
@@ -518,9 +526,14 @@ object Multimodal {
     require(i < b.length && isWs(b(i)),
       s"media ${row.media_id}: missing raster separator")
     i += 1
-    val n = w * h
-    require(b.length - i >= n,
+    // Long arithmetic: adversarial header values (w·h > 2³¹) overflow
+    // an Int to a NEGATIVE n that passes a `length - i >= n` check and
+    // silently hashes zero pixels — and this hash feeds dedup
+    // decisions (ADVICE r10). After the bound check n fits an Int.
+    val nL = w.toLong * h.toLong
+    require(nL >= 0 && nL <= (b.length - i).toLong,
       s"media ${row.media_id}: raster truncated")
+    val n = nL.toInt
     var sum = 0L
     var j = 0
     while (j < n) { sum += b(i + j) & 0xff; j += 1 }

@@ -864,8 +864,15 @@ object Similarity {
     val pts = corpus.select(col("vec_id"), col("embedding")).persist()
     try {
       val rc = new graft.util.Checkpoints.Rolling
+      // the seed + per-round picks are eager 1-row checkpoints that
+      // must outlive the state slot they were carved from; they are
+      // collected here and released deterministically once the result
+      // materializes (ADVICE r10: leaking k cached 1-row RDDs per call
+      // broke the repo's deterministic-release discipline)
+      val picksTaken = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val first = pts.orderBy(col("vec_id").asc).limit(1)
         .localCheckpoint(true)
+      picksTaken += first
       var lastVec = first.select(col("vec_id").as("c_id"),
         col("embedding").as("c_vec"))
       var selIds = first.select(col("vec_id"))
@@ -884,6 +891,7 @@ object Similarity {
           .join(selIds, Seq("vec_id"), "left_anti")
           .orderBy(col("maxsim").asc, col("vec_id").asc).limit(1)
           .localCheckpoint(true)
+        picksTaken += pick
         out = out.union(pick.select(lit(t).as("pick"), col("vec_id"),
           col("maxsim").as("far_u")))
         selIds = selIds.union(pick.select(col("vec_id")))
@@ -892,6 +900,7 @@ object Similarity {
       }
       val res = out.localCheckpoint(true)
       rc.releaseLast()
+      picksTaken.foreach(graft.util.Checkpoints.release)
       res
     } finally pts.unpersist(blocking = false)
   }
@@ -999,11 +1008,21 @@ object Similarity {
     *
     * |q| ≤ 10⁶·|x|; a Σ of d terms stays under Long for any real
     * embedding scale (d·|x| < 9·10¹² — embeddings are unit-ish).
+    *
+    * Contract: UNIFORM embedding dimension — d is probed from one row
+    * and the d×k sign matrix is a plan literal, so a ragged corpus
+    * (some row longer/shorter than d) yields NULL projections for
+    * those rows (zip_with pads with null), never a partial sum. An
+    * empty corpus returns an empty frame with the output schema
+    * (ADVICE r10: .head() threw NoSuchElementException).
     */
   def rproj(embeddings: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1, "rproj: k must be >= 1")
-    val dim = embeddings.select(size(col("embedding")).as("d"))
-      .head().getInt(0)
+    val dimRow = embeddings.select(size(col("embedding")).as("d")).head(1)
+    if (dimRow.isEmpty)
+      return embeddings.limit(0).select(
+        col("vec_id") +: (0 until k).map(j => lit(0L).as(s"p$j")): _*)
+    val dim = dimRow.head.getInt(0)
     val q = transform(col("embedding"),
       x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
     val projCols = (0 until k).map { j =>

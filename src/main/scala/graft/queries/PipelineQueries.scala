@@ -589,10 +589,15 @@ object PipelineQueries {
         k = 5)
       .orderBy(col("query_id"), col("pick"))
 
-  /** embedding cosine near-dup pairs over a bounded set — exact oracle. */
+  /** embedding cosine near-dup pairs through the PRODUCTION face
+    * (VERDICT r10 #5): sign-LSH banding over the FULL embeddings table
+    * — no vec_id bound — then exact-cosine verify; the oracle replays
+    * the deterministic banding in SQL (the e2 pattern). The bounded
+    * all-pairs form ([[Dedup.embeddingNearDup]]) remains as the
+    * recall-floor reference in DedupSpec.
+    */
   def e4EmbNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDup(Tables.embeddings(s, dir), threshold = 0.2,
-        maxVecId = 80)
+    Dedup.embeddingNearDupBanded(Tables.embeddings(s, dir), threshold = 0.4)
       .orderBy(col("a_id"), col("b_id"))
 
   // -------------------------------------------------------- multimodal
@@ -1201,6 +1206,38 @@ object PipelineQueries {
     * ~1e-3 on this corpus vs ~1e-13 accumulation noise), and on the
     * rounded cosine (the proven e1 bridge).
     */
+  /** DuckDB replay of e4's banded near-dup: the same 8×6-bit sign-LSH
+    * tables (plane literals from the identical seeds), DISTINCT
+    * candidate pairs from in-bucket collisions, exact round-6 cosine
+    * verify at the gate threshold.
+    */
+  private val embNearDupBandedSql: String = {
+    val nBits = 6; val tables = 8; val dim = 64; val threshold = 0.4
+    def planeLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val sigSelects = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(nBits, dim, seed = 42L + t)
+      val bits = (0 until nBits).map { b =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(planes(b))}) >= 0" +
+          s" THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, CAST($bits AS BIGINT) AS sig FROM base"
+    }.mkString("\nUNION ALL ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |sig AS ($sigSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+       |  WHERE a.vec_id < b.vec_id),
+       |scored AS (SELECT c.a_id, c.b_id,
+       |    round(list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+       |                                 CAST(be.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ae ON ae.vec_id = c.a_id
+       |  JOIN embeddings be ON be.vec_id = c.b_id)
+       |SELECT a_id, b_id, cosine FROM scored
+       |WHERE cosine >= $threshold ORDER BY a_id, b_id""".stripMargin
+  }
+
   private val lshTopkSql: String = {
     val nBits = 8; val tables = 8; val dim = 64; val k = 3; val nq = 20
     def planeLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
@@ -2495,14 +2532,7 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT) AS kept_id_sum
         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
-    "e4_emb_near_dup" ->
-      """SELECT a_id, b_id, cosine FROM (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE a.vec_id < 80 AND b.vec_id < 80
-        |) WHERE cosine >= 0.2 ORDER BY a_id, b_id""".stripMargin,
+    "e4_emb_near_dup" -> embNearDupBandedSql,
     "m4_media_dedup" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies

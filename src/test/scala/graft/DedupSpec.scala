@@ -214,4 +214,28 @@ class DedupSpec extends AnyFunSuite {
     // (4,4) is filtered as a self-pair; (2,*) has suffix "b c q"
     assert(got == Seq((1L, 2L), (1L, 4L), (4L, 2L)), s"got $got")
   }
+
+  test("banded embedding near-dup (e4 production face): subset of exact, " +
+       "verified cosines, quantified recall") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sfDir)
+    val n = emb.count()
+    val exact = Dedup.embeddingNearDup(emb, threshold = 0.4, maxVecId = n)
+      .select("a_id", "b_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = Dedup.embeddingNearDupBanded(emb, threshold = 0.4)
+      .select("a_id", "b_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // soundness: every banded pair is a true pair with the exact cosine
+    assert(banded.subsetOf(exact),
+      s"banded face reported pairs the exact face rejects: ${banded -- exact}")
+    assert(banded.forall(_._3 >= 0.4))
+    // recall floor: 8 tables × 6 bits at cos ≥ 0.4 (per-bit agreement
+    // p = 1 − θ/π ≥ 0.63) gives expected recall ~0.4 on the flat tail
+    // and higher on the near-dup head; assert a conservative floor so
+    // a banding regression (dead tables, wrong seeds) surfaces
+    val recall = if (exact.isEmpty) 1.0 else banded.size.toDouble / exact.size
+    info(f"banded near-dup recall at 0.4: ${banded.size}/${exact.size} = $recall%.2f")
+    assert(exact.isEmpty || recall >= 0.25,
+      s"banding recall collapsed: ${banded.size}/${exact.size}")
+  }
 }

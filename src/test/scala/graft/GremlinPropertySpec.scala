@@ -34,6 +34,7 @@ class GremlinPropertySpec extends AnyFunSuite {
     Gen.nonEmptyListOf(scalar).map(P.Within(_)),
     Gen.nonEmptyListOf(scalar).map(P.Without(_)),
     ident.map(P.TextContains), ident.map(P.StartsWith),
+    ident.map(P.EndsWith),
     scalar.map(P.Contains), ident.map(P.ContainsKey),
     Gen.nonEmptyListOf(ident).map(P.TextContainsAny(_)))
 

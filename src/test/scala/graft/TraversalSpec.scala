@@ -154,6 +154,17 @@ class TraversalSpec extends AnyFunSuite {
     assert(substrHits == Set(1L, 2L)) // substring matches mid-word
   }
 
+  test("EndsWith is a suffix match, through both the DSL and the parser") {
+    val v = Seq((1L, "doc", "steel bolt"), (2L, "doc", "bolted flange"),
+      (3L, "doc", "carbon bolt")).toDF("id", "label", "name")
+    val g = PropertyGraph(v, triangle.edges.limit(0))
+    val dsl = g.V.has("name", P.EndsWith("bolt")).toDF.select("id")
+    assert(dsl.as[Long].collect().toSet == Set(1L, 3L)) // not mid-string
+    val parsed = graft.graph.GremlinParser.run(g,
+      "g.V().has('name', endingWith('bolt')).count()")
+    assert(parsed.as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("repeatUntil reaches the fixed point and excludes the start") {
     // chain with a cycle at the end: 10→11→12→10, plus isolated 13
     val v = Seq((10L, "n", 0), (11L, "n", 0), (12L, "n", 0), (13L, "n", 0))
