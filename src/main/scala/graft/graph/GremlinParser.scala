@@ -30,8 +30,10 @@ import org.apache.spark.sql.DataFrame
   * projection terminal), out/in/both, outE/inE/bothE, inV/outV/otherV,
   * repeat(sub)[.emit()].times(n), simplePath (auto-enables path
   * tracking), where(sub), not(sub), union(subs), coalesce(subs),
-  * optional(sub), dedup, limit, order([k,asc|desc])/order().by(k[,
-  * order]), sample(d[,b]), path, count, values(k),
+  * choose(cond, onTrue[, onFalse]), optional(sub),
+  * project(ls).by('k'|__.steps.count())…, dedup, limit,
+  * order([k,asc|desc])/order().by(k[, order]), sample(d[,b]), path,
+  * count, values(k),
   * values(k).sum()/mean()/min()/max(), valueMap(ks),
   * groupCount(k)/groupCount().by(k). Predicates: eq/neq/gt/gte/lt/
   * lte/between/inside/outside/within/without/textContains/containing/
@@ -73,6 +75,19 @@ object GremlinParser {
   /** group().by(key).by(__.values(valKey).op()) — grouped aggregate */
   final case class GGroup(key: String, valKey: String, op: String) extends GStep
   case object GPath extends GStep
+  /** choose(cond, onTrue[, onFalse]) — per-traverser branch; empty
+    * onFalse = the 2-arg pass-through form
+    */
+  final case class GChoose(cond: Seq[GStep], onTrue: Seq[GStep],
+                           onFalse: Seq[GStep]) extends GStep
+  /** a project() by-clause */
+  sealed trait GBy
+  final case class GByKey(k: String) extends GBy
+  final case class GBySubCount(sub: Seq[GStep]) extends GBy
+  /** project('a','b',…).by(…)… — tuple-projection terminal; bys fill
+    * from the trailing by() modulators (must end up 1:1 with labels)
+    */
+  final case class GProject(labels: Seq[String], bys: Seq[GBy]) extends GStep
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
 
@@ -190,6 +205,16 @@ object GremlinParser {
       case "not" => GWhere(parseSubArg(cur), neg = true)
       case "union" => GUnion(parseSubArgs(cur))
       case "coalesce" => GCoalesce(parseSubArgs(cur))
+      case "choose" => parseSubArgs(cur) match {
+        case Seq(c, t) => GChoose(c, t, Nil)
+        case Seq(c, t, f) => GChoose(c, t, f)
+        case _ => throw ParseException(
+          "choose() takes 2 or 3 sub-traversals: choose(cond, onTrue[, onFalse])")
+      }
+      case "project" =>
+        val ls = parseStrArgs(cur)
+        if (ls.isEmpty) throw ParseException("project() needs at least one label")
+        GProject(ls, Nil)
       case "optional" => GOptional(parseSubArg(cur))
       case "as" => GAs(parseStrArgs(cur) match {
         case Seq(l) => l
@@ -241,8 +266,10 @@ object GremlinParser {
       cur.expectPunct(')')
       return sub match {
         case Seq(GAgg(op, k)) if k.nonEmpty => ByAggModulator(op, k)
+        case steps :+ GCount if steps.nonEmpty => BySubCountModulator(steps)
         case _ => throw ParseException(
-          "by(sub) supports exactly __.values('k').sum()/mean()/min()/max()")
+          "by(sub) supports __.values('k').sum()/mean()/min()/max() " +
+            "or __.<steps>.count()")
       }
     }
     val k = cur.next() match {
@@ -263,6 +290,7 @@ object GremlinParser {
   }
   private final case class ByModulator(k: String, asc: Boolean) extends GStep
   private final case class ByAggModulator(op: String, k: String) extends GStep
+  private final case class BySubCountModulator(sub: Seq[GStep]) extends GStep
 
   private def parseAsc(o: String): Boolean = o match {
     case "asc" | "incr" => true
@@ -464,14 +492,22 @@ object GremlinParser {
         case Some(GOrder("", _)) => prev = Some(GOrder(k, asc))
         case Some(GGroupCount("")) => prev = Some(GGroupCount(k))
         case Some(GGroup("", "", "")) => prev = Some(GGroup(k, "", ""))
+        case Some(GProject(ls, bys)) if bys.length < ls.length =>
+          prev = Some(GProject(ls, bys :+ GByKey(k)))
         case _ => throw ParseException(
-          ".by() must follow order(), group() or groupCount()")
+          ".by() must follow order(), group(), groupCount() or project()")
       }
       case ByAggModulator(op, vk) => prev match {
         case Some(GGroup(key, "", "")) if key.nonEmpty =>
           prev = Some(GGroup(key, vk, op))
         case _ => throw ParseException(
           ".by(__.values...) must follow group().by('key')")
+      }
+      case BySubCountModulator(sub) => prev match {
+        case Some(GProject(ls, bys)) if bys.length < ls.length =>
+          prev = Some(GProject(ls, bys :+ GBySubCount(sub)))
+        case _ => throw ParseException(
+          ".by(__.<steps>.count()) must follow project()")
       }
       case s =>
         prev.foreach(out += _)
@@ -486,6 +522,10 @@ object GremlinParser {
       case GGroup(k, v, op) if k.isEmpty || v.isEmpty || op.isEmpty =>
         throw ParseException(
           "group() needs .by('key').by(__.values('k').sum()/mean()/min()/max())")
+      case GProject(ls, bys) if bys.length != ls.length =>
+        throw ParseException(
+          s"project(${ls.mkString(", ")}) needs one .by() per label " +
+            s"(got ${bys.length} of ${ls.length})")
       case s => s
     }
   }
@@ -542,6 +582,13 @@ object GremlinParser {
       case GWhere(sub, true) => s"not(${anon(sub)})"
       case GUnion(subs) => s"union(${subs.map(anon).mkString(", ")})"
       case GCoalesce(subs) => s"coalesce(${subs.map(anon).mkString(", ")})"
+      case GChoose(c, t, Nil) => s"choose(${anon(c)}, ${anon(t)})"
+      case GChoose(c, t, f) => s"choose(${anon(c)}, ${anon(t)}, ${anon(f)})"
+      case GProject(ls, bys) =>
+        s"project(${strs(ls)})" + bys.map {
+          case GByKey(k) => s".by('$k')"
+          case GBySubCount(sub) => s".by(${anon(sub)}.count())"
+        }.mkString
       case GOptional(sub) => s"optional(${anon(sub)})"
       case GAs(l) => s"as('$l')"
       case GSelect(ls) => s"select(${strs(ls)})"
@@ -598,6 +645,11 @@ object GremlinParser {
         case GValues(k) => result = Some(t.values(k))
         case GValueMap(ks) => result = Some(t.valueMap(ks: _*))
         case GGroupCount(k) => result = Some(t.groupCount(k))
+        case GProject(ls, bys) =>
+          result = Some(t.project(ls.zip(bys.map {
+            case GByKey(k) => Traversal.ByKey(k)
+            case GBySubCount(sub) => Traversal.BySubCount(subFn(sub))
+          }): _*))
         case other => t = applyStep(t, other)
       }
     }
@@ -628,6 +680,8 @@ object GremlinParser {
     case GWhere(sub, true) => t.not(subFn(sub))
     case GUnion(subs) => t.union(subs.map(subFn): _*)
     case GCoalesce(subs) => t.coalesce(subs.map(subFn): _*)
+    case GChoose(c, tr, Nil) => t.choose(subFn(c), subFn(tr))
+    case GChoose(c, tr, f) => t.choose(subFn(c), subFn(tr), subFn(f))
     case GOptional(sub) => t.optional(subFn(sub))
     case GAs(l) => t.as(l)
     case GHasKey(k, false) => t.hasKey(k)

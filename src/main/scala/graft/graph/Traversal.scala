@@ -353,6 +353,59 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   def optional(sub: Traversal => Traversal): Traversal =
     coalesce(sub, identity)
 
+  /** Gremlin choose(cond, onTrue, onFalse) — the per-traverser
+    * conditional branch (TinkerPop's traversal-predicate form: a
+    * frontier row routes to `onTrue` when `cond` yields ANY result
+    * from it, to `onFalse` otherwise). Compiles to the where()/not()
+    * semi/anti-join pair — ONE distributed evaluation of `cond` feeds
+    * both sides' origin sets — and a plan-level Union of the branch
+    * subtrees; no per-row dispatch anywhere. The 2-arg Gremlin form is
+    * `onFalse = identity` (non-matching travellers pass through).
+    */
+  def choose(cond: Traversal => Traversal,
+             onTrue: Traversal => Traversal,
+             onFalse: Traversal => Traversal = identity): Traversal = {
+    requireV()
+    val tb = onTrue(where(cond))
+    val fb = onFalse(not(cond))
+    require(!tb.isEdge && !fb.isEdge,
+      "choose branches must end on a vertex frontier")
+    copy(df = tb.df.unionByName(fb.df))
+  }
+
+  /** Gremlin project('a','b',…).by(…) terminal: one output row per
+    * frontier row, one column per label. A by-clause is either a
+    * property key (a plain column rename) or a per-traverser
+    * sub-traversal COUNT (`__.out(…).count()` — the high-traffic form:
+    * name-plus-degree readouts). Each count clause is one
+    * origin-grouped aggregate over the sub-traversal's distributed
+    * run, left-joined back on the frontier id (0 where the sub reaches
+    * nothing) — per-traverser semantics without per-row execution.
+    * Like [[coalesce]], sub-clauses key on the frontier id: distinct
+    * frontier origins only.
+    */
+  def project(fields: (String, Traversal.ProjectBy)*): DataFrame = {
+    requireV()
+    require(fields.nonEmpty, "project needs at least one field")
+    var cur = df
+    fields.foreach {
+      case (l, Traversal.BySubCount(sub)) =>
+        val origin = copy(df = df.withColumn(PATH, array(col("id"))))
+        val pid = s"__pid_$l"
+        val cnt = sub(origin).df
+          .groupBy(element_at(col(PATH), 1).as(pid))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as(s"__cnt_$l"))
+        cur = cur.join(cnt, col("id") === col(pid), "left").drop(pid)
+          .withColumn(s"__cnt_$l", org.apache.spark.sql.functions
+            .coalesce(col(s"__cnt_$l"), lit(0L)))
+      case _ => ()
+    }
+    cur.select(fields.map {
+      case (l, Traversal.ByKey(k)) => col(k).as(l)
+      case (l, Traversal.BySubCount(_)) => col(s"__cnt_$l").as(l)
+    }: _*)
+  }
+
   /** filter frontier by vertex/edge ids. */
   def hasId(ids: Long*): Traversal = {
     requireV()
@@ -515,6 +568,13 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
 }
 
 object Traversal {
+  /** a project() by-clause: a property key, or a per-traverser
+    * sub-traversal count (`__....count()`).
+    */
+  sealed trait ProjectBy
+  final case class ByKey(k: String) extends ProjectBy
+  final case class BySubCount(sub: Traversal => Traversal) extends ProjectBy
+
   private[graph] val FRONT = "__frontier_id"
   private[graph] val TAG = "__as_"
   private[graph] val OTHER = "__other"

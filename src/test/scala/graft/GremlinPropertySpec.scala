@@ -78,6 +78,9 @@ class GremlinPropertySpec extends AnyFunSuite {
           .flatMap(n => Gen.listOfN(n, subChain(depth - 1))).map(GUnion(_)),
         Gen.chooseNum(1, 3)
           .flatMap(n => Gen.listOfN(n, subChain(depth - 1))).map(GCoalesce(_)),
+        Gen.zip(subChain(depth - 1), subChain(depth - 1),
+            Gen.option(subChain(depth - 1)))
+          .map { case (c, t, f) => GChoose(c, t, f.getOrElse(Nil)) },
         subChain(depth - 1).map(GOptional))
     Gen.oneOf((flat ++ nested).head, (flat ++ nested)(1),
       (flat ++ nested).drop(2): _*)
@@ -94,7 +97,14 @@ class GremlinPropertySpec extends AnyFunSuite {
       .map { case (k, v, op) => GGroup(k, v, op) },
     Gen.nonEmptyListOf(ident).map(GValueMap(_)),
     ident.map(GGroupCount), Gen.const(GPath),
-    Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, ident)).map(GSelect(_)))
+    Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, ident)).map(GSelect(_)),
+    {
+      val by: Gen[GBy] = Gen.oneOf(
+        ident.map(GByKey), subChain(1).map(GBySubCount))
+      Gen.chooseNum(1, 3)
+        .flatMap(n => Gen.listOfN(n, Gen.zip(ident, by)))
+        .map(ps => GProject(ps.map(_._1), ps.map(_._2)))
+    })
 
   private val source: Gen[GStep] = Gen.oneOf(
     Gen.const(GSource(edge = false, Nil)),

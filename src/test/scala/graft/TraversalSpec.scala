@@ -154,6 +154,38 @@ class TraversalSpec extends AnyFunSuite {
     assert(substrHits == Set(1L, 2L)) // substring matches mid-word
   }
 
+  test("choose routes per traverser: cond-matching to onTrue, rest to onFalse") {
+    // triangle scores: 1→10, 2→20, 3→30; cond = score > 15
+    val got = triangle.V
+      .choose(_.has("score", P.Gt(15L)), _.out("next"), identity)
+      .toDF.select("id").as[Long].collect().sorted.toSeq
+    // 2 (score 20) → 3, 3 (score 30) → 1; 1 stays put
+    assert(got == Seq(1L, 1L, 3L))
+    // parser form produces the same bag
+    val parsed = graft.graph.GremlinParser.run(triangle,
+      "g.V().choose(__.has('score', gt(15)), __.out('next')).count()")
+    assert(parsed.as[Long].collect().toSeq == Seq(3L))
+    // 3-arg form: non-matching vertices hop too
+    val both = triangle.V
+      .choose(_.has("score", P.Gt(15L)), _.out("next"), _.in("next"))
+      .toDF.select("id").as[Long].collect().sorted.toSeq
+    assert(both == Seq(1L, 3L, 3L)) // 1 → in = 3
+  }
+
+  test("project emits one row per traverser: key and sub-count by-clauses") {
+    val got = graft.graph.GremlinParser.run(triangle,
+      "g.V().project('s', 'outdeg', 'self')" +
+        ".by('score').by(__.out('next').count()).by('id')")
+      .orderBy("self")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((10, 1L, 1L), (20, 1L, 2L), (30, 1L, 3L)))
+    // a sub that reaches nothing projects 0, not a dropped row
+    val none = graft.graph.GremlinParser.run(triangle,
+      "g.V().project('n', 'd').by('id').by(__.out('missing').count())")
+      .orderBy("n").as[(Long, Long)].collect().toSeq
+    assert(none == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
   test("EndsWith is a suffix match, through both the DSL and the parser") {
     val v = Seq((1L, "doc", "steel bolt"), (2L, "doc", "bolted flange"),
       (3L, "doc", "carbon bolt")).toDF("id", "label", "name")
