@@ -235,6 +235,51 @@ object WriteQueries {
       .withColumn("n_cols", lit(truncated.columns.length).cast("int"))
   }
 
+  /** ACID upsert end-to-end (the W9/W10 upgrade past the reference's
+    * supportsTransaction=false): a TxTable is seeded from nation, a
+    * WRITER CRASH is simulated by writing the next version directory
+    * WITHOUT the pointer swap (TxTable.writeVersion — the exact window
+    * a killed Spark job leaves), and the mid-crash read must still see
+    * the untouched base. The upsert then commits properly (+100 to
+    * n_regionkey for keys < 5), a STALE second commit computed from
+    * the superseded version must be refused (version-level CAS), and
+    * vacuum clears the orphan. Every surviving number is derivable
+    * from the nation table, so DuckDB replays the whole story.
+    */
+  def w16TxUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"${sys.props("java.io.tmpdir")}/graft_w16_tx"
+    graft.sources.TxTable.drop(root) // leftovers from prior JVMs
+    val nation = Tables.nation(s, dir)
+    graft.sources.TxTable.init(s, root, nation)
+    val staleBase = graft.sources.TxTable.currentVersion(root)
+
+    // crash window: version written, pointer NOT swapped
+    val updates = nation.filter(col("n_nationkey") < 5)
+      .withColumn("n_regionkey", col("n_regionkey") + 100L)
+    graft.sources.TxTable.writeVersion(s, root,
+      Writer.upsert(nation, updates, Seq("n_nationkey")))
+    val mid = graft.sources.TxTable.read(s, root)
+      .agg(count(lit(1)).as("n"), sum(col("n_regionkey")).as("rsum"))
+      .head()
+
+    // real commit (recomputes from the still-current base; overwrite
+    // mode reclaims the orphan directory)
+    graft.sources.TxTable.upsert(s, root, updates, Seq("n_nationkey"))
+    val after = graft.sources.TxTable.read(s, root)
+      .agg(count(lit(1)).as("n"), sum(col("n_regionkey")).as("rsum"))
+      .head()
+
+    // stale-commit refusal (version-level CAS) is pinned in
+    // StorageSpec, where the interleaving is controlled; here the
+    // superseded v1 plus any orphan must vacuum away
+    val vacuumed = graft.sources.TxTable.vacuum(root)
+    graft.sources.TxTable.drop(root)
+    Seq((mid.getLong(0), mid.getLong(1), after.getLong(0), after.getLong(1),
+      vacuumed > 0))
+      .toDF("n_mid", "rsum_mid", "n_after", "rsum_after", "vacuumed_orphans")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w11_cdc_apply" -> (w11CdcApply _),
     "w9_ttl_vacuum" -> (w9TtlVacuum _),
@@ -251,6 +296,7 @@ object WriteQueries {
     "w12_ddl" -> (w12Ddl _),
     "w13_unique_reject" -> (w13UniqueReject _),
     "w14_delete_absent" -> (w14DeleteAbsent _),
+    "w16_tx_upsert" -> (w16TxUpsert _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -346,5 +392,16 @@ object WriteQueries {
     "w14_delete_absent" ->
       """SELECT CAST(0 AS BIGINT) AS n_readback,
         |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 0) AS n_live""".stripMargin,
+    // mid-crash read sees untouched nation; the committed upsert adds
+    // 100 to n_regionkey for the 5 keys < 5; vacuum finds orphans
+    "w16_tx_upsert" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_mid,
+        |  CAST(SUM(n_regionkey) AS BIGINT) AS rsum_mid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_after,
+        |  CAST(SUM(n_regionkey)
+        |    + 100 * SUM(CASE WHEN n_nationkey < 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rsum_after,
+        |  TRUE AS vacuumed_orphans
+        |FROM nation""".stripMargin,
   )
 }

@@ -172,4 +172,67 @@ class StorageSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"))
     assert(back.count() == 1)
   }
+
+  // ---- TxTable: the W9/W10 ACID story (versioned parquet behind an
+  // atomically-swapped pointer) ----
+
+  private def freshTx(name: String): String = {
+    val root = s"target/test-output/tx_$name"
+    graft.sources.TxTable.drop(root)
+    root
+  }
+
+  test("TxTable: a crashed write (version without swap) is invisible " +
+       "to readers; the retried commit lands") {
+    val root = freshTx("crash")
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    graft.sources.TxTable.init(spark, root, base)
+    val upd = Seq((2L, 99L), (4L, 40L)).toDF("k", "v")
+    // crash window: next version fully written, pointer untouched
+    graft.sources.TxTable.writeVersion(spark, root,
+      graft.operators.Writer.upsert(base, upd, Seq("k")))
+    val mid = graft.sources.TxTable.read(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(mid == Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"reader saw an uncommitted version: $mid")
+    // retry commits; overwrite reclaims the orphan directory
+    graft.sources.TxTable.upsert(spark, root, upd, Seq("k"))
+    val after = graft.sources.TxTable.read(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(after == Set((1L, 10L), (2L, 99L), (3L, 30L), (4L, 40L)))
+    graft.sources.TxTable.drop(root)
+  }
+
+  test("TxTable: a commit computed from a superseded version is refused " +
+       "(version-level CAS), not silently applied over the winner") {
+    val root = freshTx("cas")
+    graft.sources.TxTable.init(spark, root, Seq((1L, 1L)).toDF("k", "v"))
+    intercept[java.util.ConcurrentModificationException] {
+      graft.sources.TxTable.commit(spark, root, stale => {
+        // a concurrent writer wins the race inside our read-write window
+        graft.sources.TxTable.commit(spark, root,
+          df => df.withColumn("v", col("v") + 100L))
+        stale.withColumn("v", col("v") + 1L)
+      })
+    }
+    // the winner's commit survives
+    val v = graft.sources.TxTable.read(spark, root)
+      .as[(Long, Long)].collect().toSeq
+    assert(v == Seq((1L, 101L)))
+    graft.sources.TxTable.drop(root)
+  }
+
+  test("TxTable: vacuum removes superseded versions and orphans, " +
+       "never the committed one") {
+    val root = freshTx("vac")
+    val base = Seq((1L, 1L)).toDF("k", "v")
+    graft.sources.TxTable.init(spark, root, base)          // v1
+    graft.sources.TxTable.commit(spark, root, identity)    // v2 (current)
+    graft.sources.TxTable.writeVersion(spark, root, base)  // v3 orphan
+    val removed = graft.sources.TxTable.vacuum(root)
+    assert(removed == 2, s"expected v1 + orphan v3 removed, got $removed")
+    assert(graft.sources.TxTable.read(spark, root).count() == 1)
+    assert(graft.sources.TxTable.vacuum(root) == 0) // idempotent
+    graft.sources.TxTable.drop(root)
+  }
 }
