@@ -171,8 +171,13 @@ object Bench {
       // minute keeps the cleaner roughly current between windows.
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
+      // GraphX Pregel lineage truncation every 10 supersteps — no-op
+      // for the shallow gate graphs, safety for deep-diameter CC
+      .config("spark.graphx.pregel.checkpointInterval", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      s"${sys.props("java.io.tmpdir")}/graft_bench_ckpt")
 
     def materialize(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)

@@ -13,8 +13,13 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // GraphX Pregel lineage truncation every 10 supersteps — no-op
+      // for the shallow gate graphs, safety for deep-diameter CC
+      .config("spark.graphx.pregel.checkpointInterval", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      s"${sys.props("java.io.tmpdir")}/graft_verify_ckpt")
     new java.io.File(outDir).mkdirs()
     // Dev aid: SPARK_GRAFT_ONLY=a,b,c restricts the dump (and the oracle
     // json) to the named queries for fast single-query iteration.

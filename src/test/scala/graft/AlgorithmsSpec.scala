@@ -36,6 +36,31 @@ class AlgorithmsSpec extends AnyFunSuite {
       s"iterative loop pinned ${during - before} RDDs — rolling release broken")
   }
 
+  test("pregel checkpointing: a >25-superstep GraphX CC neither grows " +
+       "lineage unbounded nor leaks pinned RDDs (SCALE.md open item)") {
+    // 60-vertex path graph: GraphX ConnectedComponents converges in
+    // ~diameter supersteps, crossing the 10-superstep checkpoint
+    // cadence several times (TestSpark sets
+    // spark.graphx.pregel.checkpointInterval=10 + a checkpoint dir —
+    // without them Pregel's per-round graph lineage deepens without
+    // bound and >20-superstep runs eventually OOM the planner)
+    val chain = mkGraph((1L until 60L).map(i => (i, i + 1)))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cc = Algorithms.connectedComponents(spark, chain)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 60 && cc.forall(_._2 == 1L),
+      "deep-chain CC converged wrong")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 4,
+      s"deep Pregel run leaked ${after - before} pinned RDDs")
+    // the DataFrame fixpoints hold the same O(1) pin at 25 rounds
+    val pr = Algorithms.pageRankExact(spark, chain, iters = 25)
+    assert(pr.count() == 60)
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 - before <= 4,
+      s"25-round DataFrame loop pinned ${after2 - before} RDDs")
+  }
+
   test("louvainLevel1: two triangles with a bridge split into two communities") {
     val g1 = mkGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L),
       (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)))

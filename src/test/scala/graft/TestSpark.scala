@@ -12,8 +12,14 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // GraphX Pregel lineage safety for >20-superstep runs (deep-
+      // diameter CC): truncate every 10 supersteps via Spark's
+      // PeriodicGraphCheckpointer (needs the checkpoint dir below)
+      .config("spark.graphx.pregel.checkpointInterval", "10")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setCheckpointDir(
+      s"${sys.props("java.io.tmpdir")}/graft_test_ckpt")
     s
   }
   val sfDir = "/root/testdata/sf0.001"
