@@ -31,7 +31,8 @@ import org.apache.spark.sql.DataFrame
   * repeat(sub)[.emit()].times(n), simplePath (auto-enables path
   * tracking), where(sub), not(sub), union(subs), coalesce(subs),
   * choose(cond, onTrue[, onFalse]), optional(sub),
-  * project(ls).by('k'|__.steps.count())…, dedup, limit,
+  * project(ls).by('k'|__.steps.count())…, aggregate(k)/cap(k),
+  * local(__.steps[.order(k[,dir])].limit(n)), dedup, limit,
   * order([k,asc|desc])/order().by(k[, order]), sample(d[,b]), path,
   * count, values(k),
   * values(k).sum()/mean()/min()/max(), valueMap(ks),
@@ -88,6 +89,17 @@ object GremlinParser {
     * from the trailing by() modulators (must end up 1:1 with labels)
     */
   final case class GProject(labels: Seq[String], bys: Seq[GBy]) extends GStep
+  /** aggregate('x') — snapshot the current frontier id bag into a
+    * named side effect (run() keeps the store while folding steps)
+    */
+  final case class GAggregate(key: String) extends GStep
+  /** cap('x') — terminal emitting a stored side-effect bag */
+  final case class GCap(key: String) extends GStep
+  /** local(__.steps[.order(k[,dir])].limit(n)) — per-origin scoped
+    * limit (the trailing order/limit are folded out of the sub)
+    */
+  final case class GLocal(sub: Seq[GStep], key: String, asc: Boolean,
+                          n: Int) extends GStep
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
 
@@ -215,6 +227,22 @@ object GremlinParser {
         val ls = parseStrArgs(cur)
         if (ls.isEmpty) throw ParseException("project() needs at least one label")
         GProject(ls, Nil)
+      case "aggregate" => GAggregate(parseStrArgs(cur) match {
+        case Seq(k) => k
+        case _ => throw ParseException("aggregate() takes exactly one key")
+      })
+      case "cap" => GCap(parseStrArgs(cur) match {
+        case Seq(k) => k
+        case _ => throw ParseException("cap() takes exactly one key")
+      })
+      case "local" => parseSubArg(cur) match {
+        case steps :+ GOrder(k, asc) :+ GLimit(n) if steps.nonEmpty =>
+          GLocal(steps, k, asc, n)
+        case steps :+ GLimit(n) if steps.nonEmpty =>
+          GLocal(steps, "", asc = true, n)
+        case _ => throw ParseException(
+          "local() supports __.<steps>[.order('k'[, dir])].limit(n)")
+      }
       case "optional" => GOptional(parseSubArg(cur))
       case "as" => GAs(parseStrArgs(cur) match {
         case Seq(l) => l
@@ -589,6 +617,12 @@ object GremlinParser {
           case GByKey(k) => s".by('$k')"
           case GBySubCount(sub) => s".by(${anon(sub)}.count())"
         }.mkString
+      case GAggregate(k) => s"aggregate('$k')"
+      case GCap(k) => s"cap('$k')"
+      case GLocal(sub, "", _, n) => s"local(${anon(sub)}.limit($n))"
+      case GLocal(sub, k, asc, n) =>
+        s"local(${anon(sub)}.order('$k', ${if (asc) "asc" else "desc"})" +
+          s".limit($n))"
       case GOptional(sub) => s"optional(${anon(sub)})"
       case GAs(l) => s"as('$l')"
       case GSelect(ls) => s"select(${strs(ls)})"
@@ -630,10 +664,24 @@ object GremlinParser {
     if (rest.contains(GPath) || rest.contains(GSimplePath) ||
         rest.contains(GCyclicPath)) t = t.withPath
     var result: Option[DataFrame] = None
+    // aggregate('x') side-effect store: a snapshot is the frontier's
+    // id-bag PLAN at that point in the chain (lazy, immutable — the
+    // traversal value `t` never mutates, so the captured frame is
+    // exactly the aggregate-time frontier)
+    val sideEffects = scala.collection.mutable.Map.empty[String, DataFrame]
     rest.foreach { s =>
       if (result.nonEmpty)
         throw ParseException(s"step after terminal: $s")
       s match {
+        case GAggregate(k) =>
+          sideEffects(k) = t.toDF.select(
+            org.apache.spark.sql.functions.col("id"))
+        case GCap(k) =>
+          // a query-shape error, not a parse error: the text parsed
+          // fine, the chain just never aggregated under this key
+          result = Some(sideEffects.getOrElse(k,
+            throw new IllegalArgumentException(
+              s"cap('$k') has no aggregate('$k') before it")))
         case GAgg("sum", k) => result = Some(t.sumOf(k))
         case GAgg("mean", k) => result = Some(t.meanOf(k))
         case GAgg("min", k) => result = Some(t.minOf(k))
@@ -682,6 +730,7 @@ object GremlinParser {
     case GCoalesce(subs) => t.coalesce(subs.map(subFn): _*)
     case GChoose(c, tr, Nil) => t.choose(subFn(c), subFn(tr))
     case GChoose(c, tr, f) => t.choose(subFn(c), subFn(tr), subFn(f))
+    case GLocal(sub, k, asc, n) => t.localLimit(subFn(sub), n, k, asc)
     case GOptional(sub) => t.optional(subFn(sub))
     case GAs(l) => t.as(l)
     case GHasKey(k, false) => t.hasKey(k)
@@ -693,6 +742,9 @@ object GremlinParser {
     case GSkip(n) => t.skip(n)
     case GOrder(k, asc) => t.order(k, asc)
     case GSample(d, b) => t.sample(d, b)
-    case other => throw ParseException(s"cannot apply step $other here")
+    // a placement error, not a parse error: terminals/side-effect
+    // steps inside a sub-traversal parse fine but cannot compile there
+    case other => throw new IllegalArgumentException(
+      s"cannot apply step $other here")
   }
 }

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Property predicates — the HugeGraph/TinkerPop `P`/`Text` surface the
@@ -352,6 +353,38 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     */
   def optional(sub: Traversal => Traversal): Traversal =
     coalesce(sub, identity)
+
+  /** Gremlin local(sub-with-limit) — LOCAL-scope top-k: the trailing
+    * limit (optionally preceded by order(k[, dir])) applies PER
+    * ORIGIN TRAVERSER, not globally (TinkerPop's per-vertex
+    * top-k-neighbors idiom). The origin rides the frontier as one
+    * 8-byte tag column through the sub's hops; the scoped limit is a
+    * single row_number window partitioned by origin — ONE shuffle on
+    * origin ids, the canonical distributed per-group top-k (no
+    * per-traverser execution). Ties (and the unordered form) break by
+    * frontier id, keeping the result a pure function of the data —
+    * Gremlin's unordered contract made deterministic, same stance as
+    * [[sample]]. Nested local() is rejected (the origin tag is one
+    * reserved slot).
+    */
+  def localLimit(sub: Traversal => Traversal, n: Int,
+                 orderKey: String = "", asc: Boolean = true): Traversal = {
+    requireV()
+    require(n >= 1, "local limit must be >= 1")
+    val lk = "__local_origin"
+    require(!df.columns.contains(TAG + lk), "nested local() not supported")
+    val r = sub(as(lk))
+    require(!r.isEdge, "local sub must end on a vertex frontier")
+    val ord: Seq[Column] =
+      (if (orderKey.isEmpty) Nil
+       else Seq(if (asc) col(orderKey).asc else col(orderKey).desc)) :+
+        col("id").asc
+    val w = Window.partitionBy(col(TAG + lk)).orderBy(ord: _*)
+    copy(df = r.df
+      .withColumn("__lrn", row_number().over(w))
+      .filter(col("__lrn") <= n)
+      .drop("__lrn", TAG + lk))
+  }
 
   /** Gremlin choose(cond, onTrue, onFalse) — the per-traverser
     * conditional branch (TinkerPop's traversal-predicate form: a

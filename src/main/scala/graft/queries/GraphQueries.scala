@@ -161,6 +161,32 @@ object GraphQueries {
         ".groupCount('label')")
       .orderBy("label")
 
+  /** Gremlin aggregate('x')/cap('x') — the named side-effect pair
+    * (TinkerPop's collect-then-emit idiom): suppliers' nations are
+    * snapshotted mid-chain into 'ns' and emitted by cap. The snapshot
+    * is the frontier's id-bag PLAN at aggregate-time (the traversal
+    * value is immutable, so no materialization happens until the
+    * terminal) — bag semantics preserved, one row per supplier.
+    */
+  def g41AggregateCap(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('supplier').out('located_in')" +
+        ".aggregate('ns').cap('ns')")
+      .orderBy("id")
+
+  /** Gremlin local(__.out(...).order(...).limit(n)) — LOCAL-scope
+    * top-k: each BUILDING customer keeps only its 2 highest-priced
+    * orders (ties break by order id). One row_number window
+    * partitioned by origin — the canonical distributed per-group
+    * top-k, not a per-traverser loop.
+    */
+  def g42LocalTopk(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').has('mktsegment', eq('BUILDING'))" +
+        ".local(__.out('placed').order('totalprice', desc).limit(2))" +
+        ".values('totalprice')")
+      .orderBy("totalprice")
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -467,6 +493,8 @@ object GraphQueries {
     "g38_text_ending" -> (g38TextEnding _),
     "g39_project" -> (g39Project _),
     "g40_choose" -> (g40Choose _),
+    "g41_aggregate_cap" -> (g41AggregateCap _),
+    "g42_local_topk" -> (g42LocalTopk _),
     "g22_within" -> (g22Within _),
     "g18_reach_until" -> (g18ReachUntil _),
     "g13_not_step" -> (g13NotStep _),
@@ -660,6 +688,20 @@ object GraphQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  WHERE c_mktsegment <> 'BUILDING'
         |) GROUP BY label ORDER BY label""".stripMargin,
+    "g41_aggregate_cap" ->
+      s"""SELECT ${PropertyGraph.sqlEncode("nation", "s_nationkey")} AS id
+         |FROM supplier ORDER BY id""".stripMargin,
+    // per-customer top-2 orders by (price desc, orderkey asc): the
+    // encoded vertex id is monotone in o_orderkey within the label,
+    // so the engine's id tie-break replays as the key tie-break
+    "g42_local_topk" ->
+      """SELECT o_totalprice AS totalprice FROM (
+        |  SELECT o_totalprice, ROW_NUMBER() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |) WHERE rn <= 2 ORDER BY totalprice""".stripMargin,
     "g22_within" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS cnt
         |FROM customer

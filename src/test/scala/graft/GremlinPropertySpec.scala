@@ -65,6 +65,7 @@ class GremlinPropertySpec extends AnyFunSuite {
         .map { case (d, b) => GSample(d, b) },
       ident.map(k => GHasKey(k, neg = false)),
       ident.map(k => GHasKey(k, neg = true)),
+      ident.map(GAggregate),
       Gen.const(GSimplePath))
     val nested: Seq[Gen[GStep]] =
       if (depth <= 0) Nil
@@ -81,6 +82,19 @@ class GremlinPropertySpec extends AnyFunSuite {
         Gen.zip(subChain(depth - 1), subChain(depth - 1),
             Gen.option(subChain(depth - 1)))
           .map { case (c, t, f) => GChoose(c, t, f.getOrElse(Nil)) },
+        Gen.zip(subChain(depth - 1),
+            Gen.option(Gen.zip(ident, Gen.oneOf(true, false))),
+            Gen.chooseNum(1, 20))
+          .map {
+            // unordered form whose sub ends with order() parses back
+            // as the ordered form — generate the normalized AST the
+            // parser produces (same fold the parser applies)
+            case (s, None, n) => s.lastOption match {
+              case Some(GOrder(k2, a2)) => GLocal(s.init, k2, a2, n)
+              case _ => GLocal(s, "", asc = true, n)
+            }
+            case (s, Some((k, a)), n) => GLocal(s, k, a, n)
+          },
         subChain(depth - 1).map(GOptional))
     Gen.oneOf((flat ++ nested).head, (flat ++ nested)(1),
       (flat ++ nested).drop(2): _*)
@@ -97,6 +111,7 @@ class GremlinPropertySpec extends AnyFunSuite {
       .map { case (k, v, op) => GGroup(k, v, op) },
     Gen.nonEmptyListOf(ident).map(GValueMap(_)),
     ident.map(GGroupCount), Gen.const(GPath),
+    ident.map(GCap),
     Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, ident)).map(GSelect(_)),
     {
       val by: Gen[GBy] = Gen.oneOf(

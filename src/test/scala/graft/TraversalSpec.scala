@@ -186,6 +186,38 @@ class TraversalSpec extends AnyFunSuite {
     assert(none == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
   }
 
+  test("local(order.limit) scopes the limit per origin, not globally") {
+    // triangle: every vertex has out-degree 1 and in-degree 1 via
+    // both(); per-vertex top-1 neighbor by score desc
+    val got = graft.graph.GremlinParser.run(triangle,
+      "g.V().local(__.both('next').order('score', desc).limit(1))" +
+        ".values('score')")
+      .as[Int].collect().sorted.toSeq
+    // 1's neighbors {2,3} → 30; 2's {1,3} → 30; 3's {1,2} → 20
+    assert(got == Seq(20, 30, 30))
+    // a GLOBAL limit(1) would return one row total — pin the contrast
+    val global = graft.graph.GremlinParser.run(triangle,
+      "g.V().both('next').order('score', desc).limit(1).values('score')")
+      .as[Int].collect().toSeq
+    assert(global.length == 1)
+    // unordered form breaks ties by id: top-1 of {2,3} is 2, etc.
+    val byId = graft.graph.GremlinParser.run(triangle,
+      "g.V().local(__.both('next').limit(1)).values('id')")
+      .as[Long].collect().sorted.toSeq
+    assert(byId == Seq(1L, 1L, 2L))
+  }
+
+  test("aggregate/cap snapshots the frontier at aggregate-time (bag)") {
+    val got = graft.graph.GremlinParser.run(triangle,
+      "g.V().out('next').aggregate('mid').out('next').cap('mid')")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L)) // the 1-hop frontier, not the 2-hop
+    val err = intercept[IllegalArgumentException] {
+      graft.graph.GremlinParser.run(triangle, "g.V().cap('nope')")
+    }
+    assert(err.getMessage.contains("no aggregate"))
+  }
+
   test("EndsWith is a suffix match, through both the DSL and the parser") {
     val v = Seq((1L, "doc", "steel bolt"), (2L, "doc", "bolted flange"),
       (3L, "doc", "carbon bolt")).toDF("id", "label", "name")
