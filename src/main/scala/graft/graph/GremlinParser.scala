@@ -32,7 +32,7 @@ import org.apache.spark.sql.DataFrame
   * tracking), where(sub), not(sub), union(subs), coalesce(subs),
   * choose(cond, onTrue[, onFalse]), optional(sub),
   * project(ls).by('k'|__.steps.count())…, aggregate(k)/cap(k),
-  * local(__.steps[.order(k[,dir])].limit(n)), dedup, limit,
+  * local(__.steps[.order(k[,dir])].limit(n)), tree(), dedup, limit,
   * order([k,asc|desc])/order().by(k[, order]), sample(d[,b]), path,
   * count, values(k),
   * values(k).sum()/mean()/min()/max(), valueMap(ks),
@@ -76,6 +76,10 @@ object GremlinParser {
   /** group().by(key).by(__.values(valKey).op()) — grouped aggregate */
   final case class GGroup(key: String, valKey: String, op: String) extends GStep
   case object GPath extends GStep
+  /** tree() — the traversal tree as a flat (depth, parent, child)
+    * edge relation (auto-enables path tracking, like path())
+    */
+  case object GTree extends GStep
   /** choose(cond, onTrue[, onFalse]) — per-traverser branch; empty
     * onFalse = the 2-arg pass-through form
     */
@@ -263,6 +267,7 @@ object GremlinParser {
         val a = parseIntArgs(cur, 1, 2)
         GSample(a.head, if (a.length > 1) a(1) else 0)
       case "path" => emptyArgs(cur); GPath
+      case "tree" => emptyArgs(cur); GTree
       case "simplePath" => emptyArgs(cur); GSimplePath
       case "cyclicPath" => emptyArgs(cur); GCyclicPath
       case "count" => emptyArgs(cur); GCount
@@ -640,6 +645,7 @@ object GremlinParser {
       case GGroupCount(k) => s"groupCount('$k')"
       case GGroup(k, v, op) => s"group().by('$k').by(__.values('$v').$op())"
       case GPath => "path()"
+      case GTree => "tree()"
       case GCyclicPath => "cyclicPath()"
       case other => // ByModulator never survives fuseModulators
         throw ParseException(s"unrenderable step $other")
@@ -661,7 +667,8 @@ object GremlinParser {
       case GSource(false, Seq()) => g.V
       case GSource(false, ids) => g.V(ids: _*)
     }
-    if (rest.contains(GPath) || rest.contains(GSimplePath) ||
+    if (rest.contains(GPath) || rest.contains(GTree) ||
+        rest.contains(GSimplePath) ||
         rest.contains(GCyclicPath)) t = t.withPath
     var result: Option[DataFrame] = None
     // aggregate('x') side-effect store: a snapshot is the frontier's
@@ -689,6 +696,7 @@ object GremlinParser {
         case GGroup(k, v, op) => result = Some(t.group(k, v, op))
         case GSelect(ls) if ls.length > 1 => result = Some(t.select(ls: _*))
         case GPath => result = Some(t.paths)
+        case GTree => result = Some(t.treeEdges())
         case GCount => result = Some(t.count())
         case GValues(k) => result = Some(t.values(k))
         case GValueMap(ks) => result = Some(t.valueMap(ks: _*))

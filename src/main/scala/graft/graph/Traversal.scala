@@ -123,6 +123,26 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     df.select(col(PATH).as("path"))
   }
 
+  /** terminal: Gremlin tree() — the traversal tree as a FLAT relation.
+    * TinkerPop materializes a nested map on the driver; the
+    * distributed rendering is its edge list: every (parent, child)
+    * link that appears at depth d in ANY tracked path, deduped — the
+    * exact information content of the nested form, join-able and
+    * unbounded-scale (a nested driver map dies at the first 100M-leaf
+    * tree). One explode over the path arrays (map-side) + one
+    * distinct shuffle on (depth, parent, child).
+    */
+  def treeEdges(): DataFrame = {
+    require(hasPath, "call withPath before traversing to build tree()")
+    df.select(posexplode(slice(col(PATH), 2, Int.MaxValue))
+        .as(Seq("__i", "child")),
+        col(PATH))
+      .select((col("__i") + 1).cast("int").as("depth"),
+        element_at(col(PATH), col("__i") + 1).as("parent"),
+        col("child"))
+      .distinct()
+  }
+
   def hasLabel(ls: String*): Traversal =
     copy(df = df.filter(col("label").isin(ls: _*)))
 

@@ -187,6 +187,21 @@ object GraphQueries {
         ".values('totalprice')")
       .orderBy("totalprice")
 
+  /** Gremlin tree() — the traversal tree rendered as its FLAT
+    * (depth, parent, child) edge relation (TinkerPop's nested driver
+    * map is a scale dead-end; the edge list carries the identical
+    * information, distributed): region 0's reverse 2-hop tree —
+    * nations at depth 1, their customers + suppliers at depth 2.
+    * Depth-1 links appear only where a depth-2 continuation exists
+    * (tree() reads the FINAL frontier's tracked paths; a leaf nation
+    * would prune — the oracle replays the same EXISTS).
+    */
+  def g43Tree(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      s"g.V(${PropertyGraph.encodeId("region", 0L)})" +
+        ".repeat(__.in()).times(2).tree()")
+      .orderBy("depth", "parent", "child")
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -495,6 +510,7 @@ object GraphQueries {
     "g40_choose" -> (g40Choose _),
     "g41_aggregate_cap" -> (g41AggregateCap _),
     "g42_local_topk" -> (g42LocalTopk _),
+    "g43_tree" -> (g43Tree _),
     "g22_within" -> (g22Within _),
     "g18_reach_until" -> (g18ReachUntil _),
     "g13_not_step" -> (g13NotStep _),
@@ -702,6 +718,25 @@ object GraphQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  WHERE c_mktsegment = 'BUILDING'
         |) WHERE rn <= 2 ORDER BY totalprice""".stripMargin,
+    "g43_tree" ->
+      s"""WITH n0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
+         |d2 AS (
+         |  SELECT ${PropertyGraph.sqlEncode("nation", "n_nationkey")} AS parent,
+         |    ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS child
+         |  FROM customer JOIN n0 ON c_nationkey = n_nationkey
+         |  UNION ALL
+         |  SELECT ${PropertyGraph.sqlEncode("nation", "n_nationkey")},
+         |    ${PropertyGraph.sqlEncode("supplier", "s_suppkey")}
+         |  FROM supplier JOIN n0 ON s_nationkey = n_nationkey)
+         |SELECT depth, parent, child FROM (
+         |  SELECT 1 AS depth, ${PropertyGraph.sqlEncode("region", "0")} AS parent,
+         |    ${PropertyGraph.sqlEncode("nation", "n_nationkey")} AS child
+         |  FROM n0
+         |  WHERE EXISTS (SELECT 1 FROM d2
+         |    WHERE d2.parent = ${PropertyGraph.sqlEncode("nation", "n_nationkey")})
+         |  UNION ALL
+         |  SELECT 2, parent, child FROM d2
+         |) ORDER BY depth, parent, child""".stripMargin,
     "g22_within" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS cnt
         |FROM customer

@@ -110,7 +110,7 @@ class GremlinPropertySpec extends AnyFunSuite {
     Gen.zip(ident, ident, Gen.oneOf("sum", "mean", "min", "max"))
       .map { case (k, v, op) => GGroup(k, v, op) },
     Gen.nonEmptyListOf(ident).map(GValueMap(_)),
-    ident.map(GGroupCount), Gen.const(GPath),
+    ident.map(GGroupCount), Gen.const(GPath), Gen.const(GTree),
     ident.map(GCap),
     Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, ident)).map(GSelect(_)),
     {

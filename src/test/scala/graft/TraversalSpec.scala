@@ -207,6 +207,18 @@ class TraversalSpec extends AnyFunSuite {
     assert(byId == Seq(1L, 1L, 2L))
   }
 
+  test("tree() flattens the traversal tree to distinct (depth,parent,child)") {
+    val got = graft.graph.GremlinParser.run(triangle,
+      "g.V(1).out('next').out('next').tree()")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == Set((1, 1L, 2L), (2, 2L, 3L)))
+    // shared prefixes dedup: all three 2-walks cover each edge twice
+    // (once at each depth) — 6 distinct (depth, parent, child) rows
+    val all = graft.graph.GremlinParser.run(triangle,
+      "g.V().out('next').out('next').tree()")
+    assert(all.count() == 6)
+  }
+
   test("aggregate/cap snapshots the frontier at aggregate-time (bag)") {
     val got = graft.graph.GremlinParser.run(triangle,
       "g.V().out('next').aggregate('mid').out('next').cap('mid')")
