@@ -32,7 +32,8 @@ import org.apache.spark.sql.DataFrame
   * tracking), where(sub), not(sub), union(subs), coalesce(subs),
   * choose(cond, onTrue[, onFalse]), optional(sub),
   * project(ls).by('k'|__.steps.count())…, aggregate(k)/cap(k),
-  * local(__.steps[.order(k[,dir])].limit(n)), tree(), dedup, limit,
+  * local(__.steps[.order(k[,dir])].limit(n)), tree(),
+  * match(__.as(a).steps.as(b), …), dedup, limit,
   * order([k,asc|desc])/order().by(k[, order]), sample(d[,b]), path,
   * count, values(k),
   * values(k).sum()/mean()/min()/max(), valueMap(ks),
@@ -93,6 +94,11 @@ object GremlinParser {
     * from the trailing by() modulators (must end up 1:1 with labels)
     */
   final case class GProject(labels: Seq[String], bys: Seq[GBy]) extends GStep
+  /** match(__.as('a').steps.as('b'), …) — conjunctive pattern join
+    * terminal; bindings = one column per variable (vertex ids)
+    */
+  final case class GMatch(
+      patterns: Seq[(String, Seq[GStep], String)]) extends GStep
   /** aggregate('x') — snapshot the current frontier id bag into a
     * named side effect (run() keeps the store while folding steps)
     */
@@ -239,6 +245,14 @@ object GremlinParser {
         case Seq(k) => k
         case _ => throw ParseException("cap() takes exactly one key")
       })
+      case "match" =>
+        val subs = parseSubArgs(cur)
+        if (subs.isEmpty) throw ParseException("match() needs patterns")
+        GMatch(subs.map {
+          case GAs(a) +: mid :+ GAs(b) => (a, mid, b)
+          case _ => throw ParseException(
+            "each match() pattern must be __.as('a').<steps>.as('b')")
+        })
       case "local" => parseSubArg(cur) match {
         case steps :+ GOrder(k, asc) :+ GLimit(n) if steps.nonEmpty =>
           GLocal(steps, k, asc, n)
@@ -622,6 +636,9 @@ object GremlinParser {
           case GByKey(k) => s".by('$k')"
           case GBySubCount(sub) => s".by(${anon(sub)}.count())"
         }.mkString
+      case GMatch(ps) => "match(" + ps.map { case (a, mid, b) =>
+        anon((GAs(a) +: mid) :+ GAs(b))
+      }.mkString(", ") + ")"
       case GAggregate(k) => s"aggregate('$k')"
       case GCap(k) => s"cap('$k')"
       case GLocal(sub, "", _, n) => s"local(${anon(sub)}.limit($n))"
@@ -701,6 +718,9 @@ object GremlinParser {
         case GValues(k) => result = Some(t.values(k))
         case GValueMap(ks) => result = Some(t.valueMap(ks: _*))
         case GGroupCount(k) => result = Some(t.groupCount(k))
+        case GMatch(ps) =>
+          result = Some(t.matchPatterns(ps.head._1,
+            ps.map { case (a, mid, b) => (a, subFn(mid), b) }: _*))
         case GProject(ls, bys) =>
           result = Some(t.project(ls.zip(bys.map {
             case GByKey(k) => Traversal.ByKey(k)

@@ -406,6 +406,42 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
       .drop("__lrn", TAG + lk))
   }
 
+  /** Gremlin match(patterns…) — conjunctive pattern matching as a
+    * RELATIONAL JOIN, the semantics TinkerPop's MatchStep approximates
+    * with per-traverser backtracking. Each pattern
+    * `__.as('a').steps.as('b')` compiles to one binary relation
+    * R(a, b): the steps run ONCE, distributed, from the full vertex
+    * set with the start variable riding as a tag; the match is then
+    * the natural join of all pattern relations (shared variable names
+    * are the join keys — Catalyst reorders the join tree, which IS the
+    * query planning TinkerPop does by hand), semi-joined with the
+    * incoming frontier on `first`. Bindings are DISTINCT (set
+    * semantics — the relational reading of a conjunctive query);
+    * output has one column per variable, holding vertex ids.
+    *
+    * Every pattern must share at least one variable with the bindings
+    * accumulated so far (left-to-right), so a typo'd variable can't
+    * silently turn the match into a cross product.
+    */
+  def matchPatterns(first: String,
+      patterns: (String, Traversal => Traversal, String)*): DataFrame = {
+    requireV()
+    require(patterns.nonEmpty, "match needs at least one pattern")
+    val mk = "__match_start"
+    var bound = df.select(col("id").as(first)).distinct()
+    patterns.foreach { case (sv, sub, ev) =>
+      require(sv != ev, s"pattern binds '$sv' to itself")
+      val r = sub(Traversal(g, g.vertices, isEdge = false).as(mk))
+      require(!r.isEdge, "match patterns must end on a vertex frontier")
+      val rel = r.df.select(col(TAG + mk).as(sv), col("id").as(ev)).distinct()
+      val shared = bound.columns.toSet.intersect(Set(sv, ev)).toSeq.sorted
+      require(shared.nonEmpty,
+        s"pattern ($sv)->($ev) shares no variable with ${bound.columns.mkString(",")}")
+      bound = bound.join(rel, shared)
+    }
+    bound.select(bound.columns.sorted.map(col): _*)
+  }
+
   /** Gremlin choose(cond, onTrue, onFalse) — the per-traverser
     * conditional branch (TinkerPop's traversal-predicate form: a
     * frontier row routes to `onTrue` when `cond` yields ANY result

@@ -202,6 +202,23 @@ object GraphQueries {
         ".repeat(__.in()).times(2).tree()")
       .orderBy("depth", "parent", "child")
 
+  /** Gremlin match() — conjunctive pattern join (the TinkerPop verb
+    * behind multi-variable graph queries): BUILDING customers c with
+    * their orders o and parts p, as the natural join of the two
+    * pattern relations semi-joined with the filtered frontier on c.
+    * Summarized to binding/arity counts so the gate pins the full
+    * binding table without dumping it.
+    */
+  def g44Match(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').has('mktsegment', eq('BUILDING'))" +
+        ".match(__.as('c').out('placed').as('o')," +
+        " __.as('o').out('contains').as('p'))")
+      .agg(count(lit(1)).as("n_bindings"),
+        countDistinct(col("c")).as("n_c"),
+        countDistinct(col("o")).as("n_o"),
+        countDistinct(col("p")).as("n_p"))
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -511,6 +528,7 @@ object GraphQueries {
     "g41_aggregate_cap" -> (g41AggregateCap _),
     "g42_local_topk" -> (g42LocalTopk _),
     "g43_tree" -> (g43Tree _),
+    "g44_match" -> (g44Match _),
     "g22_within" -> (g22Within _),
     "g18_reach_until" -> (g18ReachUntil _),
     "g13_not_step" -> (g13NotStep _),
@@ -718,6 +736,20 @@ object GraphQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  WHERE c_mktsegment = 'BUILDING'
         |) WHERE rn <= 2 ORDER BY totalprice""".stripMargin,
+    "g44_match" ->
+      s"""WITH b AS (SELECT DISTINCT
+         |    ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS c,
+         |    ${PropertyGraph.sqlEncode("order", "o_orderkey")} AS o,
+         |    ${PropertyGraph.sqlEncode("part", "l_partkey")} AS p
+         |  FROM customer
+         |  JOIN orders ON o_custkey = c_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE c_mktsegment = 'BUILDING')
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_bindings,
+         |  CAST(COUNT(DISTINCT c) AS BIGINT) AS n_c,
+         |  CAST(COUNT(DISTINCT o) AS BIGINT) AS n_o,
+         |  CAST(COUNT(DISTINCT p) AS BIGINT) AS n_p
+         |FROM b""".stripMargin,
     "g43_tree" ->
       s"""WITH n0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
          |d2 AS (

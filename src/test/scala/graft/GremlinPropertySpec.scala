@@ -112,6 +112,8 @@ class GremlinPropertySpec extends AnyFunSuite {
     Gen.nonEmptyListOf(ident).map(GValueMap(_)),
     ident.map(GGroupCount), Gen.const(GPath), Gen.const(GTree),
     ident.map(GCap),
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n,
+      Gen.zip(ident, subChain(1), ident))).map(GMatch(_)),
     Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, ident)).map(GSelect(_)),
     {
       val by: Gen[GBy] = Gen.oneOf(

@@ -219,6 +219,28 @@ class TraversalSpec extends AnyFunSuite {
     assert(all.count() == 6)
   }
 
+  test("match() is a conjunctive pattern join with frontier-bound first var") {
+    // triangle: (a)-next->(b)-next->(c) has exactly 3 bindings
+    val all = graft.graph.GremlinParser.run(triangle,
+      "g.V().match(__.as('a').out('next').as('b')," +
+        " __.as('b').out('next').as('c'))")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all == Set((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L)))
+    // the incoming frontier constrains the first variable
+    val one = graft.graph.GremlinParser.run(triangle,
+      "g.V(1).match(__.as('a').out('next').as('b')," +
+        " __.as('b').out('next').as('c'))")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 2L, 3L)))
+    // a pattern sharing no variable must refuse, not cross-join
+    val err = intercept[IllegalArgumentException] {
+      graft.graph.GremlinParser.run(triangle,
+        "g.V().match(__.as('a').out('next').as('b')," +
+          " __.as('x').out('next').as('y'))")
+    }
+    assert(err.getMessage.contains("shares no variable"))
+  }
+
   test("aggregate/cap snapshots the frontier at aggregate-time (bag)") {
     val got = graft.graph.GremlinParser.run(triangle,
       "g.V().out('next').aggregate('mid').out('next').cap('mid')")
