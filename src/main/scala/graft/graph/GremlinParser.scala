@@ -39,7 +39,8 @@ import org.apache.spark.sql.DataFrame
   * values(k).sum()/mean()/min()/max(), valueMap(ks),
   * groupCount(k)/groupCount().by(k). Predicates: eq/neq/gt/gte/lt/
   * lte/between/inside/outside/within/without/textContains/containing/
-  * startingWith/endingWith/contains/containsKey/textContainsAny.
+  * startingWith/endingWith/notStartingWith/notEndingWith/
+  * notContaining/contains/containsKey/textContainsAny.
   * [[render]] is parse's inverse (property-tested round trip).
   */
 object GremlinParser {
@@ -447,6 +448,9 @@ object GremlinParser {
       case "textContains" | "containing" => P.TextContains(str())
       case "startingWith" => P.StartsWith(str())
       case "endingWith" => P.EndsWith(str())
+      case "notStartingWith" => P.NotStartsWith(str())
+      case "notEndingWith" => P.NotEndsWith(str())
+      case "notContaining" => P.NotTextContains(str())
       case "contains" => P.Contains(one())
       case "containsKey" => P.ContainsKey(str())
       case "textContainsAny" => P.TextContainsAny(lits().map {
@@ -605,6 +609,9 @@ object GremlinParser {
       case P.TextContains(s) => s"textContains(${lit(s)})"
       case P.StartsWith(s) => s"startingWith(${lit(s)})"
       case P.EndsWith(s) => s"endingWith(${lit(s)})"
+      case P.NotStartsWith(s) => s"notStartingWith(${lit(s)})"
+      case P.NotEndsWith(s) => s"notEndingWith(${lit(s)})"
+      case P.NotTextContains(s) => s"notContaining(${lit(s)})"
       case P.Contains(v) => s"contains(${lit(v)})"
       case P.ContainsKey(k) => s"containsKey(${lit(k)})"
       case P.TextContainsAny(ws) => s"textContainsAny(${ws.map(lit).mkString(", ")})"

@@ -53,6 +53,21 @@ object P {
   final case class EndsWith(s: String) extends P {
     def toColumn(c: Column) = c.endsWith(s)
   }
+  /** TinkerPop TextP negations — notStartingWith / notEndingWith /
+    * notContaining complete the text battery (SQL-null semantics
+    * deliberately NOT replicated: a NULL property row is simply not a
+    * match either way, same as the positive forms under Catalyst's
+    * three-valued logic feeding a filter).
+    */
+  final case class NotStartsWith(s: String) extends P {
+    def toColumn(c: Column) = !c.startsWith(s)
+  }
+  final case class NotEndsWith(s: String) extends P {
+    def toColumn(c: Column) = !c.endsWith(s)
+  }
+  final case class NotTextContains(s: String) extends P {
+    def toColumn(c: Column) = !c.contains(s)
+  }
   /** membership in a collection-valued (LIST/SET-cardinality) property —
     * the `supportsQueryWithContains=false` engine-side obligation
     * (TikvFeatures.java:71-74): the store can't evaluate it, so the

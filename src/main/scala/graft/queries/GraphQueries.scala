@@ -219,6 +219,20 @@ object GraphQueries {
         countDistinct(col("o")).as("n_o"),
         countDistinct(col("p")).as("n_p"))
 
+  /** TinkerPop TextP NEGATIONS through the string front-end —
+    * notContaining / notEndingWith / notStartingWith complete the
+    * SEARCH_INDEX predicate battery in both entry points (the positive
+    * forms are g10/g37/g38). All three compile to codegen'd scan
+    * residuals in ONE filter, a single pass.
+    */
+  def g45TextNegations(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('part')" +
+        ".has('name', notContaining('bolt'))" +
+        ".has('name', notEndingWith('anvil'))" +
+        ".has('name', notStartingWith('small'))" +
+        ".count()")
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -529,6 +543,7 @@ object GraphQueries {
     "g42_local_topk" -> (g42LocalTopk _),
     "g43_tree" -> (g43Tree _),
     "g44_match" -> (g44Match _),
+    "g45_text_negations" -> (g45TextNegations _),
     "g22_within" -> (g22Within _),
     "g18_reach_until" -> (g18ReachUntil _),
     "g13_not_step" -> (g13NotStep _),
@@ -736,6 +751,11 @@ object GraphQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  WHERE c_mktsegment = 'BUILDING'
         |) WHERE rn <= 2 ORDER BY totalprice""".stripMargin,
+    "g45_text_negations" ->
+      """SELECT COUNT(*) AS cnt FROM part
+        |WHERE p_name NOT LIKE '%bolt%'
+        |  AND p_name NOT LIKE '%anvil'
+        |  AND p_name NOT LIKE 'small%'""".stripMargin,
     "g44_match" ->
       s"""WITH b AS (SELECT DISTINCT
          |    ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS c,

@@ -34,7 +34,8 @@ class GremlinPropertySpec extends AnyFunSuite {
     Gen.nonEmptyListOf(scalar).map(P.Within(_)),
     Gen.nonEmptyListOf(scalar).map(P.Without(_)),
     ident.map(P.TextContains), ident.map(P.StartsWith),
-    ident.map(P.EndsWith),
+    ident.map(P.EndsWith), ident.map(P.NotStartsWith),
+    ident.map(P.NotEndsWith), ident.map(P.NotTextContains),
     scalar.map(P.Contains), ident.map(P.ContainsKey),
     Gen.nonEmptyListOf(ident).map(P.TextContainsAny(_)))
 
