@@ -371,4 +371,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"late accounting must not join:\n$p")
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"plan:\n$p")
   }
+
+  test("e4 banded near-dup: no cartesian product — candidates only from " +
+       "band-bucket equi-joins") {
+    val p = plan("e4_emb_near_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the production face must never plan all-pairs:\n$p")
+    // band self-join + candidate dedup + two vector fetches: all
+    // hash/merge equi-joins
+    assert(p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("g42 local top-k: ONE origin-partitioned window, with the " +
+       "WindowGroupLimit top-k pushdown") {
+    val p = plan("g42_local_topk")
+    assert("Window \\[".r.findAllIn(p).length == 1, s"plan:\n$p")
+    // Catalyst plants partial+final WindowGroupLimit around the
+    // row_number ≤ n filter — each task keeps only its local top-k
+    // BEFORE the origin shuffle, so the exchange volume is
+    // min(k·origins, rows), not rows. Exactly the 100 TB shape.
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+  }
+
+  test("g39 project sub-counts: per-clause origin aggregates, left joins, " +
+       "no cartesian") {
+    val p = plan("g39_project")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // two count by-clauses → at least two aggregate pairs
+    assert("HashAggregate".r.findAllIn(p).length >= 4, s"plan:\n$p")
+  }
+
+  test("g44 match: conjunctive join plan — equi-joins only") {
+    val p = plan("g44_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pattern join must stay an equi-join tree:\n$p")
+  }
 }
