@@ -116,7 +116,11 @@ object Bench {
   // BENCH_DETAIL.json ("repass") for audit.
   private val StealMaxRetryBatches = 3
   private val RepassMinSec = 3.0
-  private val RepassMaxQueries = 16
+  // heavy queries ship a single timed run since the r11 trim, so the
+  // re-pass is their only second sample — the cap covers the whole
+  // ≥3 s family (37 queries ≈ 200 s of re-pass on a clean window,
+  // inside the budget ladder's 70%→85% slot)
+  private val RepassMaxQueries = 40
   // a priming run at the target SF this slow marks the query HEAVY:
   // ship a single timed run (the re-pass provides the second
   // independent sample for the top of the tail)
