@@ -42,6 +42,30 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** NEAR-DUP-AWARE split: assign train/val/test by the near-duplicate
+    * CLUSTER representative, not the document id — the leakage guard a
+    * training pipeline actually needs (a near-copy of a training
+    * document landing in the eval split inflates every benchmark it
+    * touches). `pairs` is a near-dup pair list (the LSH-banded source
+    * at scale); [[Dedup.dupClusters]] closes it transitively, each doc
+    * takes its cluster's min-id representative (itself when unpaired),
+    * and [[assignSplit]] buckets the REP — so an entire cluster lands
+    * in exactly one split by construction. Adds one left join against
+    * the (pair-touched-ids-only, narrow) cluster table on top of the
+    * plain split; output keeps the `rep` column so callers can audit
+    * zero-leakage relationally.
+    */
+  def clusterSplit(docs: DataFrame, pairs: DataFrame,
+                   weights: Seq[(String, Double)],
+                   idCol: String = "doc_id"): DataFrame = {
+    val comps = Dedup.dupClusters(pairs) // (id, comp), pair-touched only
+    val withRep = docs
+      .join(comps, docs(idCol) === comps("id"), "left")
+      .withColumn("rep", coalesce(col("comp"), col(idCol)))
+      .drop("id", "comp")
+    assignSplit(withRep, col("rep"), weights)
+  }
+
   /** Keep a stable `fraction` of rows by key — deterministic sampling
     * (same rows every run), unlike df.sample's seed-and-partition-
     * dependent draw.

@@ -216,6 +216,30 @@ object PipelineQueries {
       .orderBy(col("split"))
   }
 
+  /** Near-dup-aware train/val/test split (p7): split membership keyed
+    * by the near-dup CLUSTER representative so no cluster straddles
+    * splits — the eval-leakage guard. Per split: docs, distinct
+    * clusters, char volume; plus the leakage witness (clusters seen in
+    * >1 split — ZERO by construction, and the oracle replays the same
+    * closure + bucket arithmetic so a drift on either side breaks the
+    * hash).
+    */
+  def p7ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = Tables.documents(s, dir)
+    val pairs = lshDupPairs(s, dir).select(col("a_id"), col("b_id"))
+    val split = Sampling.clusterSplit(docs, pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val per = split.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    val leak = split.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(count(when(col("ns") > 1, 1)).as("leaked_clusters"))
+    per.crossJoin(broadcast(leak)).orderBy(col("split"))
+  }
+
   /** The pair source both cluster gates (d9, d24) feed from: banded
     * MinHash-LSH candidates verified by exact Jaccard — the
     * 100 TB-safe path (bucketed candidate space + skew guard), NOT the
@@ -1024,6 +1048,7 @@ object PipelineQueries {
     "d7_shingle_jaccard" -> (d7ShingleJaccard _),
     "d8_split_budget" -> (d8SplitBudget _),
     "d9_dup_clusters" -> (d9DupClusters _),
+    "p7_cluster_split" -> (p7ClusterSplit _),
     "d24_dedup_survivors" -> (d24DedupSurvivors _),
     "d25_vocab_coverage" -> (d25VocabCoverage _),
     "d26_lm_surprise" -> (d26LmSurprise _),
@@ -2456,6 +2481,29 @@ object PipelineQueries {
     // replays d7's exact 3-gram Jaccard pairs over the full corpus,
     // then the transitive closure as a recursive CTE: component label =
     // min reachable doc_id (exactly dupClusters' min-label fixpoint)
+    "p7_cluster_split" ->
+      s"""$dupCompCte,
+        |rp AS (SELECT d.doc_id, d.n_chars,
+        |    COALESCE(c.comp, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |b AS (SELECT *,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(rep AS VARCHAR)), 4, 1)) - 1) AS bk
+        |  FROM rp),
+        |sp AS (SELECT doc_id, n_chars, rep,
+        |    CASE WHEN bk < 52429 THEN 'train'
+        |         WHEN bk < 58983 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b),
+        |leak AS (SELECT CAST(COUNT(*) FILTER (ns > 1) AS BIGINT) AS leaked_clusters
+        |  FROM (SELECT rep, COUNT(DISTINCT split) AS ns FROM sp GROUP BY rep))
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT leaked_clusters FROM leak) AS leaked_clusters
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "d9_dup_clusters" ->
       s"""$dupCompCte
         |SELECT comp AS cluster_rep, COUNT(*) AS n_members,

@@ -76,4 +76,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.count() == 3)
     assert(got.agg(max("sample_rank")).first().getInt(0) <= 2)
   }
+
+  test("clusterSplit: a near-dup cluster never straddles splits") {
+    // find two ids whose PLAIN hash-splits differ at 50/50, then pair
+    // them: the cluster split must put both where the REP (min id) goes
+    val w = Seq("a" -> 0.5, "b" -> 0.5)
+    val ids = (0L until 64L)
+    val solo = Sampling.assignSplit(
+      ids.toDF("doc_id"), col("doc_id"), w)
+      .as[(Long, String)].collect().toMap
+    val (x, y) = ids.flatMap(i => ids.filter(j => j > i &&
+      solo(i) != solo(j)).map(j => (i, j))).head
+    val docs = Seq(x, y, 63L).toDF("doc_id")
+    val pairs = Seq((x, y)).toDF("a_id", "b_id")
+    val got = Sampling.clusterSplit(docs, pairs, w)
+      .select(col("doc_id"), col("rep"), col("split"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(x)._2 == got(y)._2, s"cluster straddled: $got")
+    assert(got(x)._1 == x && got(y)._1 == x) // rep = min id
+    assert(got(x)._2 == solo(x)) // the rep's own bucket decides
+  }
 }
