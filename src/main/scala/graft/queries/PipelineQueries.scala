@@ -240,6 +240,25 @@ object PipelineQueries {
     per.crossJoin(broadcast(leak)).orderBy(col("split"))
   }
 
+  /** Embedding near-dup CLUSTERS (e18): the d9 step for the embedding
+    * modality — transitively close the BANDED near-dup pairs (e4's
+    * production face) and emit per-cluster rosters with the min-id
+    * representative. Same scale shape as d9: the closure's per-round
+    * state is (id, comp) longs, text/vectors never enter the loop.
+    * The oracle replays banding + exact verify + a recursive-CTE
+    * closure end-to-end.
+    */
+  def e18EmbDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingNearDupBanded(
+      Tables.embeddings(s, dir), threshold = 0.4)
+    Dedup.dupClusters(pairs.select(col("a_id"), col("b_id")))
+      .groupBy(col("comp").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** The pair source both cluster gates (d9, d24) feed from: banded
     * MinHash-LSH candidates verified by exact Jaccard — the
     * 100 TB-safe path (bucketed candidate space + skew guard), NOT the
@@ -1049,6 +1068,7 @@ object PipelineQueries {
     "d8_split_budget" -> (d8SplitBudget _),
     "d9_dup_clusters" -> (d9DupClusters _),
     "p7_cluster_split" -> (p7ClusterSplit _),
+    "e18_emb_dup_clusters" -> (e18EmbDupClusters _),
     "d24_dedup_survivors" -> (d24DedupSurvivors _),
     "d25_vocab_coverage" -> (d25VocabCoverage _),
     "d26_lm_surprise" -> (d26LmSurprise _),
@@ -1236,6 +1256,47 @@ object PipelineQueries {
     * candidate pairs from in-bucket collisions, exact round-6 cosine
     * verify at the gate threshold.
     */
+  /** DuckDB replay of e18: the e4 banding + verify feeding a
+    * recursive-CTE transitive closure and per-cluster rosters (the
+    * d9 oracle shape over the embedding modality).
+    */
+  private val embDupClustersSql: String = {
+    val nBits = 6; val tables = 8; val dim = 64; val threshold = 0.4
+    def planeLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val sigSelects = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(nBits, dim, seed = 42L + t)
+      val bits = (0 until nBits).map { b =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(planes(b))}) >= 0" +
+          s" THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, CAST($bits AS BIGINT) AS sig FROM base"
+    }.mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |sig AS ($sigSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+       |  WHERE a.vec_id < b.vec_id),
+       |pairs AS (SELECT a_id, b_id FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    round(list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+       |                                 CAST(be.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ae ON ae.vec_id = c.a_id
+       |  JOIN embeddings be ON be.vec_id = c.b_id
+       |) WHERE cosine >= $threshold),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |r(id, c) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.c FROM r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, MIN(c) AS comp FROM r GROUP BY id)
+       |SELECT comp AS cluster_rep, COUNT(*) AS n_members,
+       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+       |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin
+  }
+
   private val embNearDupBandedSql: String = {
     val nBits = 6; val tables = 8; val dim = 64; val threshold = 0.4
     def planeLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
@@ -2581,6 +2642,7 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT) AS kept_id_sum
         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
     "e4_emb_near_dup" -> embNearDupBandedSql,
+    "e18_emb_dup_clusters" -> embDupClustersSql,
     "m4_media_dedup" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
