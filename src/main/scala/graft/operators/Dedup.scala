@@ -343,6 +343,17 @@ object Dedup {
     * then track true similarity, not corpus size (the same posture as
     * the aHash/minhash families).
     */
+  /** The nBits contract as code: bits so the MEAN band bucket holds
+    * ~`targetBucket` vectors (E4Probe's measured sweet spot is tens —
+    * thinner buckets pay table bookkeeping, fatter ones go quadratic).
+    * ceil(log2(n / target)), clamped to [4, 30].
+    */
+  def nBitsForCorpus(n: Long, targetBucket: Int = 32): Int = {
+    require(n >= 0 && targetBucket >= 1)
+    val ratio = math.max(n.toDouble / targetBucket, 1.0)
+    math.min(math.max(math.ceil(math.log(ratio) / math.log(2)).toInt, 4), 30)
+  }
+
   def embeddingNearDupBanded(emb: DataFrame, threshold: Double,
       nBits: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))

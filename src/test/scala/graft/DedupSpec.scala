@@ -238,4 +238,18 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.isEmpty || recall >= 0.25,
       s"banding recall collapsed: ${banded.size}/${exact.size}")
   }
+
+  test("nBitsForCorpus keeps the mean band bucket near the target") {
+    // E4Probe's measured contract: 20k vectors wanted ~9 bits
+    assert(Dedup.nBitsForCorpus(20000L) == 10) // ceil(log2(625))
+    assert(Dedup.nBitsForCorpus(2000L) == 6)
+    assert(Dedup.nBitsForCorpus(0L) == 4) // clamp floor
+    assert(Dedup.nBitsForCorpus(Long.MaxValue / 2) == 30) // clamp ceil
+    // the implied mean bucket stays within 2x of target for real sizes
+    Seq(1000L, 100000L, 10000000L, 1000000000L).foreach { n =>
+      val b = Dedup.nBitsForCorpus(n)
+      val mean = n.toDouble / (1L << b)
+      assert(mean <= 32.0 && mean >= 8.0, s"n=$n bits=$b mean=$mean")
+    }
+  }
 }
