@@ -263,8 +263,9 @@ object WriteQueries {
       .agg(count(lit(1)).as("n"), sum(col("n_regionkey")).as("rsum"))
       .head()
 
-    // real commit (recomputes from the still-current base; overwrite
-    // mode reclaims the orphan directory)
+    // real commit (recomputes from the still-current base; the crashed
+    // attempt's uniquely-named directory stays behind as a vacuum-able
+    // orphan — never a collision for the retry)
     graft.sources.TxTable.upsert(s, root, updates, Seq("n_nationkey"))
     val after = graft.sources.TxTable.read(s, root)
       .agg(count(lit(1)).as("n"), sum(col("n_regionkey")).as("rsum"))
@@ -272,8 +273,9 @@ object WriteQueries {
 
     // stale-commit refusal (version-level CAS) is pinned in
     // StorageSpec, where the interleaving is controlled; here the
-    // superseded v1 plus any orphan must vacuum away
-    val vacuumed = graft.sources.TxTable.vacuum(root)
+    // superseded v1 plus any orphan must vacuum away (grace 0: the
+    // gate owns this table exclusively)
+    val vacuumed = graft.sources.TxTable.vacuum(root, graceMs = 0L)
     graft.sources.TxTable.drop(root)
     Seq((mid.getLong(0), mid.getLong(1), after.getLong(0), after.getLong(1),
       vacuumed > 0))

@@ -3,6 +3,71 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** The pointer-swap seam of [[TxTable]]: resolve the committed version
+  * and advance it with a compare-and-swap. The default implementation
+  * ([[AtomicRenamePointer]]) is an atomic marker-file rename — correct
+  * on POSIX and HDFS. Object stores without atomic rename plug a
+  * conditional-put service (DynamoDB lock table, S3 If-None-Match,
+  * GCS generation preconditions) in here; nothing else in TxTable
+  * touches the pointer.
+  */
+trait VersionPointer {
+  /** the committed version name, if any */
+  def current(root: String): Option[String]
+
+  /** Atomically advance the pointer to `v` iff it still reads
+    * `expected`; throw ConcurrentModificationException otherwise.
+    */
+  def compareAndSwap(root: String, v: String, expected: Option[String]): Unit
+}
+
+/** Marker-file pointer: one line in `<root>/_CURRENT`, swapped with an
+  * `ATOMIC_MOVE` rename — the primitive every pointer-table format
+  * (Hive-style, Iceberg's metadata pointer) reduces to on POSIX/HDFS.
+  *
+  * The check+rename pair is serialized under a per-root JVM monitor
+  * plus an advisory `FileLock` on `<root>/_CURRENT.lock`, so two
+  * same-base committers cannot both pass the check and silently
+  * overwrite each other's marker — the second is guaranteed to observe
+  * the first's swap and refuse. The marker rename stays ATOMIC_MOVE so
+  * readers (who take no lock) never observe a partially-written
+  * pointer.
+  */
+object AtomicRenamePointer extends VersionPointer {
+  private def marker(root: String): Path = Paths.get(root, "_CURRENT")
+
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def current(root: String): Option[String] =
+    if (Files.exists(marker(root)))
+      Some(Files.readString(marker(root)).trim).filter(_.nonEmpty)
+    else None
+
+  def compareAndSwap(root: String, v: String, expected: Option[String]): Unit = {
+    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+    val mon = monitors.computeIfAbsent(root, _ => new Object)
+    mon.synchronized { // same-JVM serialization (FileLock is per-process)
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, "_CURRENT.lock"), CREATE, WRITE)
+      try {
+        val flock = ch.lock() // cross-process serialization
+        try {
+          val now = current(root)
+          if (now != expected)
+            throw new java.util.ConcurrentModificationException(
+              s"TxTable $root advanced to ${now.orNull} since this commit " +
+                s"read ${expected.orNull} — refusing to drop the concurrent " +
+                "commit")
+          val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
+          Files.writeString(tmp, v)
+          Files.move(tmp, marker(root), StandardCopyOption.ATOMIC_MOVE)
+        } finally flock.release()
+      } finally ch.close()
+    }
+  }
+}
+
 /** Minimal transactional table: versioned parquet directories behind an
   * atomically-swapped pointer file — the W9/W10 ACID upgrade the
   * SURVEY promised over the reference's `supportsTransaction = false`
@@ -12,131 +77,143 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   * {{{
-  *   <root>/v_000001/…parquet…   committed or in-flight version data
-  *   <root>/v_000002/…
-  *   <root>/_CURRENT             one line: the committed version name
+  *   <root>/v_000001-9f3ac2d1/…parquet…   committed or in-flight version
+  *   <root>/v_000002-41be77c0/…
+  *   <root>/_CURRENT                      one line: the committed name
   * }}}
   *
   * Invariants:
-  *  - readers resolve `_CURRENT` once and scan only that directory, so
+  *  - readers resolve the pointer once and scan only that directory, so
   *    every read sees exactly one fully-written version;
+  *  - version directory names are UNIQUE per attempt (sequence number
+  *    for lineage readability + random nonce): no two commits — however
+  *    they race — ever write the same directory, so a CAS loser cannot
+  *    clobber the winner's already-committed files. The pointer CAS is
+  *    the sole arbiter of who wins, which is exactly the Iceberg/Delta
+  *    snapshot model;
   *  - a commit writes its FULL new version directory first and swaps
-  *    the pointer only after the write job succeeds — the swap is a
-  *    single `ATOMIC_MOVE` rename, the primitive every pointer-table
-  *    format (Hive-style, Iceberg's metadata pointer) reduces to. A
-  *    kill anywhere before the swap leaves `_CURRENT` — and therefore
-  *    every reader — on the old version, with only an orphan directory
-  *    to vacuum;
+  *    the pointer only after the write job succeeds. A kill anywhere
+  *    before the swap leaves the pointer — and therefore every reader —
+  *    on the old version, with only an orphan directory to vacuum;
   *  - commits are optimistic-CAS on the version they were computed
   *    from: a concurrent commit that advanced the pointer first makes
   *    the second swap refuse loudly (ConcurrentModificationException)
   *    instead of silently dropping its predecessor's rows — the
-  *    version-level form of the w15 CAS batch-refusal contract.
+  *    version-level form of the w15 CAS batch-refusal contract;
+  *  - vacuum only removes non-current version directories older than a
+  *    grace period, so it cannot delete a concurrent committer's
+  *    in-flight attempt out from under it.
   *
   * Scale note: data volume is untouched by the mechanism — versions
   * are plain parquet directories written by ordinary distributed jobs;
   * the transactional surface area is one tiny marker file. Copy-on-
   * write (a full new version per commit) is the right trade for batch
   * curation pipelines (the reference's workload): commits are rare and
-  * bulk-sized, readers are many. The atomic-rename contract holds on
-  * POSIX and HDFS; object stores without atomic rename need a pointer
-  * service in front (the standard Iceberg/Delta caveat).
+  * bulk-sized, readers are many. The pointer itself is pluggable
+  * ([[VersionPointer]]): atomic rename on POSIX/HDFS, a conditional-put
+  * service on S3-class stores — and because version names are unique,
+  * the pointer CAS is the ONLY primitive a store has to provide.
   */
 object TxTable {
 
-  private def marker(root: String): Path = Paths.get(root, "_CURRENT")
-
   /** the committed version name, if any */
-  def currentVersion(root: String): Option[String] =
-    if (Files.exists(marker(root)))
-      Some(Files.readString(marker(root)).trim).filter(_.nonEmpty)
-    else None
+  def currentVersion(root: String,
+                     pointer: VersionPointer = AtomicRenamePointer): Option[String] =
+    pointer.current(root)
 
   /** read the committed version — never an in-flight one */
-  def read(spark: SparkSession, root: String): DataFrame =
-    currentVersion(root) match {
+  def read(spark: SparkSession, root: String,
+           pointer: VersionPointer = AtomicRenamePointer): DataFrame =
+    pointer.current(root) match {
       case Some(v) => spark.read.parquet(s"$root/$v")
       case None => throw new IllegalStateException(
         s"TxTable at $root has no committed version")
     }
 
-  /** Write `df` as the NEXT version directory WITHOUT committing it —
-    * the crash window made explicit (StorageSpec kills a simulated
-    * writer exactly here). mode=overwrite so a retry of a crashed
-    * attempt reclaims the orphan directory instead of failing on it.
+  /** Write `df` as a new UNIQUELY-NAMED version directory WITHOUT
+    * committing it — the crash window made explicit (StorageSpec kills
+    * a simulated writer exactly here). The nonce guarantees no racing
+    * commit ever targets the same directory; a crashed attempt leaves
+    * an orphan for vacuum, never a collision for the retry.
     */
   private[graft] def writeVersion(spark: SparkSession, root: String,
-                                  df: DataFrame): String = {
-    val n = currentVersion(root)
-      .map(_.stripPrefix("v_").toLong).getOrElse(0L) + 1
-    val v = f"v_$n%06d"
-    df.write.mode("overwrite").parquet(s"$root/$v")
+                                  df: DataFrame,
+                                  base: Option[String] = None): String = {
+    val n = base.orElse(currentVersion(root))
+      .map(versionSeq).getOrElse(0L) + 1
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val v = f"v_$n%06d-$nonce"
+    df.write.mode("error").parquet(s"$root/$v")
     v
   }
 
-  /** Atomic pointer swap, CAS-guarded on the version the commit was
-    * computed from.
-    */
-  private def swap(root: String, v: String, expected: Option[String]): Unit = {
-    val now = currentVersion(root)
-    if (now != expected)
-      throw new java.util.ConcurrentModificationException(
-        s"TxTable $root advanced to ${now.orNull} since this commit read " +
-          s"${expected.orNull} — refusing to drop the concurrent commit")
-    val tmp = Paths.get(root, s"_CURRENT.tmp.$v")
-    Files.writeString(tmp, v)
-    Files.move(tmp, marker(root), StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def versionSeq(name: String): Long =
+    name.stripPrefix("v_").takeWhile(_.isDigit).toLong
 
   /** create the table with an initial committed version */
-  def init(spark: SparkSession, root: String, df: DataFrame): String = {
+  def init(spark: SparkSession, root: String, df: DataFrame,
+           pointer: VersionPointer = AtomicRenamePointer): String = {
     Files.createDirectories(Paths.get(root))
-    require(currentVersion(root).isEmpty,
+    require(pointer.current(root).isEmpty,
       s"TxTable $root already initialized")
     val v = writeVersion(spark, root, df)
-    swap(root, v, None)
+    pointer.compareAndSwap(root, v, None)
     v
   }
 
   /** transform-and-commit: read the current version, apply `f`, write
-    * the result as a new version, swap the pointer. Returns the new
-    * version name. A kill before the swap leaves readers on the old
-    * version; a concurrent commit in the window makes the swap refuse.
+    * the result as a new uniquely-named version, CAS the pointer.
+    * Returns the new version name. A kill before the swap leaves
+    * readers on the old version; a concurrent commit in the window
+    * makes the swap refuse — and because the loser wrote its OWN
+    * directory, the winner's committed data is untouched either way.
     */
   def commit(spark: SparkSession, root: String,
-             f: DataFrame => DataFrame): String = {
-    val base = currentVersion(root)
-    val v = writeVersion(spark, root, f(read(spark, root)))
-    swap(root, v, base)
+             f: DataFrame => DataFrame,
+             pointer: VersionPointer = AtomicRenamePointer): String = {
+    val base = pointer.current(root)
+    val v = writeVersion(spark, root, f(read(spark, root, pointer)), base)
+    pointer.compareAndSwap(root, v, base)
     v
   }
 
   /** transactional MERGE — Writer.upsert under commit() */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
-             keys: Seq[String]): String =
-    commit(spark, root, base => graft.operators.Writer.upsert(base, updates, keys))
+             keys: Seq[String],
+             pointer: VersionPointer = AtomicRenamePointer): String =
+    commit(spark, root,
+      base => graft.operators.Writer.upsert(base, updates, keys), pointer)
 
   /** transactional CDC apply — Writer.applyCdc under commit() */
   def applyCdc(spark: SparkSession, root: String, changes: DataFrame,
-               keys: Seq[String], ordCol: String): String =
+               keys: Seq[String], ordCol: String,
+               pointer: VersionPointer = AtomicRenamePointer): String =
     commit(spark, root,
-      base => graft.operators.Writer.applyCdc(base, changes, keys, ordCol))
+      base => graft.operators.Writer.applyCdc(base, changes, keys, ordCol),
+      pointer)
 
-  /** drop every version directory except the committed one (orphans
+  /** Drop every version directory except the committed one (orphans
     * from crashed commits, superseded versions) and stale tmp markers;
-    * returns how many directories were removed.
+    * returns how many directories were removed. Directories younger
+    * than `graceMs` are skipped so vacuum cannot delete a concurrent
+    * committer's still-in-flight attempt (the standard retention-window
+    * guard; callers that own the table exclusively — gates, tests —
+    * pass 0).
     */
-  def vacuum(root: String): Int = {
-    val cur = currentVersion(root)
+  def vacuum(root: String, graceMs: Long = 15 * 60 * 1000L,
+             pointer: VersionPointer = AtomicRenamePointer): Int = {
+    val cur = pointer.current(root)
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
     val entries = Files.list(dir)
     try entries.forEach { p =>
       val name = p.getFileName.toString
       val isOldVersion = name.startsWith("v_") && !cur.contains(name)
       val isTmp = name.startsWith("_CURRENT.tmp.")
-      if (isOldVersion || isTmp) {
+      val oldEnough = Files.getLastModifiedTime(p).toMillis <= cutoff
+      if ((isOldVersion || isTmp) && oldEnough) {
         deleteRecursively(p)
         removed += 1
       }

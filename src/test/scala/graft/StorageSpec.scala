@@ -195,7 +195,7 @@ class StorageSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(mid == Set((1L, 10L), (2L, 20L), (3L, 30L)),
       s"reader saw an uncommitted version: $mid")
-    // retry commits; overwrite reclaims the orphan directory
+    // retry commits; the crashed attempt stays an orphan (unique name)
     graft.sources.TxTable.upsert(spark, root, upd, Seq("k"))
     val after = graft.sources.TxTable.read(spark, root)
       .as[(Long, Long)].collect().toSet
@@ -229,10 +229,86 @@ class StorageSpec extends AnyFunSuite {
     graft.sources.TxTable.init(spark, root, base)          // v1
     graft.sources.TxTable.commit(spark, root, identity)    // v2 (current)
     graft.sources.TxTable.writeVersion(spark, root, base)  // v3 orphan
-    val removed = graft.sources.TxTable.vacuum(root)
+    // grace window first: a just-written directory must NOT be vacuumed
+    // (it could be a concurrent committer's in-flight attempt)
+    assert(graft.sources.TxTable.vacuum(root) == 0,
+      "vacuum removed a directory younger than the grace period")
+    val removed = graft.sources.TxTable.vacuum(root, graceMs = 0L)
     assert(removed == 2, s"expected v1 + orphan v3 removed, got $removed")
     assert(graft.sources.TxTable.read(spark, root).count() == 1)
-    assert(graft.sources.TxTable.vacuum(root) == 0) // idempotent
+    assert(graft.sources.TxTable.vacuum(root, graceMs = 0L) == 0) // idempotent
+    graft.sources.TxTable.drop(root)
+  }
+
+  test("TxTable: two commits racing from the SAME base — the loser's " +
+       "refusal must leave the winner's committed files untouched " +
+       "(unique version directories, no lost update)") {
+    val root = freshTx("race")
+    graft.sources.TxTable.init(spark, root, Seq((1L, 0L)).toDF("k", "v"))
+    val base = graft.sources.TxTable.currentVersion(root)
+    // both attempts are computed from the same base version; stage both
+    // BEFORE either swaps — the old sequential-naming scheme made these
+    // target the same directory (the loser clobbering the winner's
+    // parquet before its CAS refused)
+    val vA = graft.sources.TxTable.writeVersion(spark, root,
+      Seq((1L, 111L)).toDF("k", "v"), base)
+    val vB = graft.sources.TxTable.writeVersion(spark, root,
+      Seq((1L, 222L)).toDF("k", "v"), base)
+    assert(vA != vB, "racing attempts must never share a directory")
+    // A wins the pointer
+    graft.sources.AtomicRenamePointer.compareAndSwap(root, vA, base)
+    // B must refuse...
+    intercept[java.util.ConcurrentModificationException] {
+      graft.sources.AtomicRenamePointer.compareAndSwap(root, vB, base)
+    }
+    // ...and A's committed DATA must still read back intact
+    val v = graft.sources.TxTable.read(spark, root)
+      .as[(Long, Long)].collect().toSeq
+    assert(v == Seq((1L, 111L)), s"winner's committed rows corrupted: $v")
+    graft.sources.TxTable.drop(root)
+  }
+
+  test("TxTable: the CAS-refusal matrix holds through a conditional-put " +
+       "VersionPointer (the object-store seam), not just atomic rename") {
+    // test double: an in-memory conditional-put pointer — what a
+    // DynamoDB/GCS-generation-backed pointer service provides on stores
+    // without atomic rename (TxTable class doc caveat)
+    val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val condPut = new graft.sources.VersionPointer {
+      def current(root: String): Option[String] = Option(store.get(root))
+      def compareAndSwap(root: String, v: String,
+                         expected: Option[String]): Unit = {
+        val ok = expected match {
+          case None       => store.putIfAbsent(root, v) == null
+          case Some(base) => store.replace(root, base, v)
+        }
+        if (!ok) throw new java.util.ConcurrentModificationException(
+          s"pointer for $root moved past ${expected.orNull}")
+      }
+    }
+    val root = freshTx("condput")
+    graft.sources.TxTable.init(spark, root,
+      Seq((1L, 1L)).toDF("k", "v"), condPut)
+    // happy path advances through the trait
+    graft.sources.TxTable.commit(spark, root,
+      df => df.withColumn("v", col("v") + 1L), condPut)
+    assert(graft.sources.TxTable.read(spark, root, condPut)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+    // stale-base commit refused through the trait
+    intercept[java.util.ConcurrentModificationException] {
+      graft.sources.TxTable.commit(spark, root, stale => {
+        graft.sources.TxTable.commit(spark, root,
+          df => df.withColumn("v", col("v") + 100L), condPut)
+        stale
+      }, condPut)
+    }
+    assert(graft.sources.TxTable.read(spark, root, condPut)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 102L)))
+    // double-init refused through the trait
+    intercept[IllegalArgumentException] {
+      graft.sources.TxTable.init(spark, root,
+        Seq((9L, 9L)).toDF("k", "v"), condPut)
+    }
     graft.sources.TxTable.drop(root)
   }
 }
