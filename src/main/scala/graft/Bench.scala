@@ -73,10 +73,17 @@ import org.apache.spark.sql.SparkSession
   *     2700 s) bounds the whole run. Degradation ladder as elapsed
   *     crosses fractions of the budget: warmup stops at 15%; at 50%
   *     remaining queries drop to a single timed run with no spread
-  *     reruns or steal retries; at 70% the end-of-bench re-pass is
-  *     skipped; at 80% the per-query priming run is skipped; at 92%
-  *     remaining queries are skipped outright (recorded in "skipped",
-  *     excluded from the total). A JVM shutdown hook emits the final
+  *     reruns or steal retries; at 70% the end-of-bench re-pass
+  *     narrows to a BOUNDED top-OutlierRepassMax outlier pass
+  *     (suspects first, then largest medians — never zero, because
+  *     the re-pass is the only machinery that corrects a steal spike
+  *     already shipped into a window value; round-11's degraded
+  *     artifact carried a 44.8 s a_cc_alt against a 4.4-7.6 s
+  *     certified envelope for exactly this reason); at 80% the
+  *     per-query priming run is skipped; at 92% remaining queries are
+  *     skipped outright (recorded in "skipped", excluded from the
+  *     total); the bounded outlier pass stays alive until 95% and
+  *     only past that is the re-pass dropped entirely. A JVM shutdown hook emits the final
   *     JSON line with whatever was measured ("aborted":true) even if
   *     an external SIGTERM lands mid-query — a partial artifact a
   *     reader can audit always beats a stack-trace tail. Everything
@@ -121,6 +128,11 @@ object Bench {
   // ≥3 s family (37 queries ≈ 200 s of re-pass on a clean window,
   // inside the budget ladder's 70%→85% slot)
   private val RepassMaxQueries = 40
+  // budget-tight tiers keep a BOUNDED re-pass alive (top window values,
+  // suspects first) instead of shedding the re-pass entirely — a steal
+  // spike on one heavy query can add 40 s to the shipped total, and the
+  // re-pass is the only machinery that corrects it (round-11 lesson)
+  private val OutlierRepassMax = 5
   // a priming run at the target SF this slow marks the query HEAVY:
   // ship a single timed run (the re-pass provides the second
   // independent sample for the top of the tail)
@@ -226,30 +238,39 @@ object Bench {
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emitFinal(aborted: Boolean): Unit = {
       if (!emitted.compareAndSet(false, true)) return
-      val (results, susp, fld, skip, reruns, tiers) = medians.synchronized {
+      // ONE snapshot of every hook-visible structure under the lock: a
+      // SIGTERM can land mid-mutation, and an iteration over a live
+      // buffer here would throw and degrade the emergency artifact to
+      // the minimal fallback line — the exact rc=124-corpse scenario
+      // the hook exists to avoid
+      val (results, susp, fld, skip, reruns, tiers,
+           canarySnap, iterSnap, windowsSnap, repassSnap,
+           stolenSnap, canaryRefSnap, iterRefSnap) = medians.synchronized {
         (names.flatMap(n => medians.get(n).map(n -> _)),
           suspect.toSeq, failed.toSeq, skipped.toSeq,
-          rerunsTaken.toSeq, degradedTiers.toSeq)
+          rerunsTaken.toSeq, degradedTiers.toSeq,
+          canaryChecks.toSeq, iterChecks.toSeq, windowsRerun.toSeq,
+          repassLog.toSeq, stolenRuns, canaryRef, iterRef)
       }
       val total = results.map(_._2).sum
       val loadAfter = loadAvg()
       val degraded = aborted || tiers.nonEmpty || skip.nonEmpty
 
       val rerunJson = reruns.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val canaryJson = canaryChecks
+      val canaryJson = canarySnap
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val iterJson = iterChecks
+      val iterJson = iterSnap
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val windowsJson = windowsRerun.mkString("[", ",", "]")
+      val windowsJson = windowsSnap.mkString("[", ",", "]")
       val suspectJson = susp.map("\"" + _ + "\"").mkString("[", ",", "]")
       val failedJson = fld.map("\"" + _ + "\"").mkString("[", ",", "]")
       val skippedJson = skip.map("\"" + _ + "\"").mkString("[", ",", "]")
       val tiersJson = tiers.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val repassJson = repassLog
+      val repassJson = repassSnap
         .map { case (k, (a, b)) => "\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]" }
         .mkString("{", ",", "}")
       val detail =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"nexpected":${names.length},"contended":$contended,"degraded":$degraded,"aborted":$aborted,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"degraded_tiers":$tiersJson,"skipped":$skippedJson,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRef)},"canary_checks":$canaryJson,"iter_canary":"nation-lpa-${IterCanaryRounds}r","iter_canary_ref":${fmt(iterRef)},"iter_canary_checks":$iterJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenRuns,"suspect":$suspectJson,"failed":$failedJson,"repass":$repassJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"nexpected":${names.length},"contended":$contended,"degraded":$degraded,"aborted":$aborted,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"degraded_tiers":$tiersJson,"skipped":$skippedJson,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRefSnap)},"canary_checks":$canaryJson,"iter_canary":"nation-lpa-${IterCanaryRounds}r","iter_canary_ref":${fmt(iterRefSnap)},"iter_canary_checks":$iterJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenSnap,"suspect":$suspectJson,"failed":$failedJson,"repass":$repassJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
       val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
       try {
         java.nio.file.Files.write(
@@ -286,7 +307,7 @@ object Bench {
         val entries = if (kept.length < results.length)
           qJson(kept).dropRight(1) + s""","other":${fmt(rest)}}"""
         else qJson(kept)
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"degraded":$degraded,"aborted":$aborted,"stolen_runs":$stolenRuns,"suspect":$suspectStdout,"failed":$failedJson,"skipped":$skippedStdout,"queries":$entries,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"degraded":$degraded,"aborted":$aborted,"stolen_runs":$stolenSnap,"suspect":$suspectStdout,"failed":$failedJson,"skipped":$skippedStdout,"queries":$entries,"sf":"$sfDir"}"""
       }
       val line = (results.length to 1 by -1).view.map(compact).find(_.length <= budget)
         .getOrElse(compact(1))
@@ -325,7 +346,7 @@ object Bench {
       } else warmupsSkipped += 1
     }
     if (warmupsSkipped > 0) {
-      degradedTiers += "warmup_capped"
+      medians.synchronized { degradedTiers += "warmup_capped" }
       System.err.println(s"[bench] budget: skipped $warmupsSkipped warmups " +
         f"(elapsed ${elapsedS}%.0f s of ${budgetS}%.0f)")
     }
@@ -350,7 +371,7 @@ object Bench {
         val el = (System.nanoTime() - t0) / 1e9
         val stolen = stealJiffies() - s0 > StealMaxJiffies
         if (stolen) {
-          stolenRuns += 1
+          medians.synchronized { stolenRuns += 1 }
           System.err.println(f"[bench] $name run $el%.2f s lost >" +
             f"${StealMaxJiffies / 100.0}%.1f core-s to hypervisor steal")
         }
@@ -390,9 +411,9 @@ object Bench {
     // nine iterative queries).
     def measure(name: String): (Double, Boolean, Boolean) = {
       val tight = budgetFrac > 0.5
-      if (tight) degradedTiers += "single_run"
+      if (tight) medians.synchronized { degradedTiers += "single_run" }
       val skipPrime = budgetFrac > 0.8
-      if (skipPrime) degradedTiers += "no_prime"
+      if (skipPrime) medians.synchronized { degradedTiers += "no_prime" }
       var heavy = false
       if (!skipPrime) {
         val t0 = System.nanoTime()
@@ -404,7 +425,7 @@ object Bench {
       val g0 = timed.filter(_._2).map(_._1)
       if (!tight && g0.length >= 2 && g0.max / g0.min.max(1e-9) > SpreadMaxRatio
           && g0.max - g0.min > SpreadMinAbs) {
-        rerunsTaken += name
+        medians.synchronized { rerunsTaken += name }
         System.err.println(
           f"[bench] $name spread ${g0.min}%.2f..${g0.max}%.2f s — rerunning")
         timed = timed ++ timedRuns(name, math.max(nRuns - 1, 2))
@@ -491,10 +512,12 @@ object Bench {
     val haveCanary = names.contains(CanaryName)
     if (haveCanary) {
       try materialize(CanaryName, sfDir) catch { case _: Throwable => }
-      canaryObs += canaryTime()
+      val c0 = canaryTime()
+      medians.synchronized { canaryObs += c0 }
     }
     iterCanaryJob() // warm the loop's codegen before the seed observation
-    iterObs += iterCanaryTime()
+    val i0 = iterCanaryTime()
+    medians.synchronized { iterObs += i0 }
 
     // measure in windows; after each, the canary decides whether the
     // window's numbers were taken on the same machine every other
@@ -510,8 +533,10 @@ object Bench {
           // outright — the shutdown hook may fire any moment, and a
           // flagged hole beats a half-timed value
           if (budgetFrac > 0.92) {
-            medians.synchronized { if (!medians.contains(n)) skipped += n }
-            degradedTiers += "skipped_tail"
+            medians.synchronized {
+              if (!medians.contains(n)) skipped += n
+              degradedTiers += "skipped_tail"
+            }
           } else {
             val (med, cleanOnly, anyOk) = measure(n)
             medians.synchronized {
@@ -529,14 +554,17 @@ object Bench {
         else {
           val ref = canaryRef
           val c = canaryTime()
-          canaryChecks += (s"w$wi/a$attempt" -> c)
+          medians.synchronized { canaryChecks += (s"w$wi/a$attempt" -> c) }
           val iRef = iterRef
           val ic = iterCanaryTime()
-          iterChecks += (s"w$wi/a$attempt" -> ic)
+          medians.synchronized { iterChecks += (s"w$wi/a$attempt" -> ic) }
           val scanDrift = c > ref * CanaryMaxDrift && c - ref > CanaryMinAbs
           val iterDrift = ic > iRef * CanaryMaxDrift && ic - iRef > IterCanaryMinAbs
           val drifted = scanDrift || iterDrift
-          if (!drifted) { canaryObs += c; iterObs += ic; clean = true }
+          if (!drifted) {
+            medians.synchronized { canaryObs += c; iterObs += ic }
+            clean = true
+          }
           else if (attempt > MaxWindowReruns) {
             System.err.println(
               f"[bench] canary still scan=${c}%.2f/iter=${ic}%.2f s vs refs " +
@@ -544,7 +572,7 @@ object Bench {
                 s"$MaxWindowReruns reruns — keeping window $wi as measured")
             clean = true
           } else {
-            windowsRerun += wi
+            medians.synchronized { windowsRerun += wi }
             val which =
               if (scanDrift && iterDrift) "scan+iter"
               else if (scanDrift) "scan" else "iter"
@@ -565,36 +593,68 @@ object Bench {
     // original window may have sat inside a steal storm the guards
     // could only flag, not dodge. Ship min(window, repass): each value
     // is itself a steal-clean-preferred median, and noise on this VM
-    // is one-sided (contention adds time, nothing subtracts). Budget:
-    // the re-pass starts only below 70% and stops crossing 85%.
+    // is one-sided (contention adds time, nothing subtracts).
+    //
+    // Budget ladder (round-11 lesson: the r11 driver artifact shipped
+    // a_cc_alt at 44.8 s against a 4.4-7.6 s certified envelope and
+    // landed the headline at 2.01× — because `repass_skipped` shed
+    // exactly the machinery that corrects one-off steal inflation):
+    //   < 70% of budget → full re-pass over the whole ≥RepassMinSec +
+    //     suspect family (up to RepassMaxQueries);
+    //   70%..95%        → NEVER zero: a bounded outlier-only re-pass of
+    //     the top OutlierRepassMax window values (suspect-flagged
+    //     first, then largest medians) — the handful of entries where
+    //     a steal spike does the most damage to the total; each query
+    //     re-checks the budget before running so a persisting storm
+    //     cannot push the bench into the driver's external timeout
+    //     (entry up to 95% because the skipped-tail tier itself ends
+    //     the window loop just past 92% — a 92% entry cut made the
+    //     outlier pass unreachable exactly when it matters);
+    //   > 95%           → emit with what we have (the shutdown hook
+    //     may fire any moment).
+    def repassOver(set: Seq[String], stopFrac: Double): Unit =
+      set.foreach { n =>
+        if (budgetFrac < stopFrac) {
+          val (med2, cleanOnly2, anyOk2) = measure(n)
+          val shipped = medians.synchronized {
+            repassLog(n) = (medians(n), med2)
+            // an all-failed re-pass (e.g. the context was torn down
+            // under us) must never displace the real window measurement
+            if (anyOk2 && med2 < medians(n)) {
+              medians(n) = med2
+              if (cleanOnly2) suspect -= n
+            }
+            medians(n)
+          }
+          System.err.println(
+            f"[bench] re-pass $n: window ${repassLog(n)._1}%.2f s vs ${med2}%.2f s" +
+              (if (anyOk2) "" else " (ALL RUNS FAILED — discarded)") +
+              f" → shipped $shipped%.2f s")
+        }
+      }
     if (budgetFrac < 0.7) {
-      val repassSet = names
-        .filter(n => medians.get(n).exists(_ >= RepassMinSec) || suspect(n))
-        .sortBy(n => -medians.getOrElse(n, 0.0)).take(RepassMaxQueries)
+      val repassSet = medians.synchronized {
+        names.filter(n => medians.get(n).exists(_ >= RepassMinSec) || suspect(n))
+          .sortBy(n => -medians.getOrElse(n, 0.0)).take(RepassMaxQueries)
+      }
       if (repassSet.nonEmpty) {
         System.err.println(s"[bench] re-pass over ${repassSet.length} heavy/suspect " +
           s"queries: ${repassSet.mkString(", ")}")
-        repassSet.foreach { n =>
-          if (budgetFrac < 0.85) {
-            val (med2, cleanOnly2, anyOk2) = measure(n)
-            medians.synchronized {
-              repassLog(n) = (medians(n), med2)
-              // an all-failed re-pass (e.g. the context was torn down
-              // under us) must never displace the real window measurement
-              if (anyOk2 && med2 < medians(n)) {
-                medians(n) = med2
-                if (cleanOnly2) suspect -= n
-              }
-            }
-            System.err.println(
-              f"[bench] re-pass $n: window ${repassLog(n)._1}%.2f s vs ${med2}%.2f s" +
-                (if (anyOk2) "" else " (ALL RUNS FAILED — discarded)") +
-                f" → shipped ${medians(n)}%.2f s")
-          }
-        }
+        repassOver(repassSet, stopFrac = 0.85)
       }
+    } else if (budgetFrac < 0.95) {
+      medians.synchronized { degradedTiers += "repass_outliers_only" }
+      val outliers = medians.synchronized {
+        names.filter(n => medians.get(n).exists(_ >= RepassMinSec))
+          .sortBy(n => (if (suspect(n)) 0 else 1, -medians(n)))
+          .take(OutlierRepassMax)
+      }
+      System.err.println(s"[bench] budget tight (elapsed " +
+        f"${elapsedS}%.0f s of ${budgetS}%.0f) — bounded outlier re-pass " +
+        s"over ${outliers.mkString(", ")}")
+      repassOver(outliers, stopFrac = 0.97)
     } else {
-      degradedTiers += "repass_skipped"
+      medians.synchronized { degradedTiers += "repass_skipped" }
       System.err.println(f"[bench] budget: skipping re-pass (elapsed " +
         f"${elapsedS}%.0f s of ${budgetS}%.0f)")
     }

@@ -28,14 +28,16 @@ import org.apache.spark.sql.DataFrame
   * Supported verbs: hasLabel, has(k,lit|pred), has(k)/hasNot(k)
   * existence, hasId, as/select (one label = jump back, several =
   * projection terminal), out/in/both, outE/inE/bothE, inV/outV/otherV,
-  * repeat(sub)[.emit()].times(n), simplePath (auto-enables path
-  * tracking), where(sub), not(sub), union(subs), coalesce(subs),
-  * choose(cond, onTrue[, onFalse]), optional(sub),
+  * repeat(sub)[.emit()].times(n),
+  * repeat(sub).until(__.count().is(0) | loops().is(n)) (fixed-point
+  * reachability via repeatUntil / times-sugar), simplePath
+  * (auto-enables path tracking), where(sub), not(sub), union(subs),
+  * coalesce(subs), choose(cond, onTrue[, onFalse]), optional(sub),
   * project(ls).by('k'|__.steps.count())…, aggregate(k)/cap(k),
   * local(__.steps[.order(k[,dir])].limit(n)), tree(),
   * match(__.as(a).steps.as(b), …), dedup, limit,
-  * order([k,asc|desc])/order().by(k[, order]), sample(d[,b]), path,
-  * count, values(k),
+  * order([k,asc|desc])/order().by(k[, order]), sample(d[,b]),
+  * path()[.by(k)], id, label, fold/unfold, count, values(k),
   * values(k).sum()/mean()/min()/max(), valueMap(ks),
   * groupCount(k)/groupCount().by(k). Predicates: eq/neq/gt/gte/lt/
   * lte/between/inside/outside/within/without/textContains/containing/
@@ -55,6 +57,25 @@ object GremlinParser {
   final case class GToV(kind: String) extends GStep
   final case class GRepeat(sub: Seq[GStep], times: Int,
                            emit: Boolean = false) extends GStep
+  /** repeat(sub).until(__.count().is(0)) — variable-depth fixed-point
+    * expansion (the unbounded-repeat loop the reference engine drives
+    * over per-hop store scans, TikvTable.java:30-58); lowers onto
+    * [[Traversal.repeatUntil]]: every vertex reached at depth ≥ 1,
+    * dedup'd. The other accepted stop, until(loops().is(n)), is sugar
+    * for times(n) (TinkerPop checks until AFTER each round when it
+    * follows repeat, so loops()==n stops after exactly n rounds).
+    */
+  final case class GRepeatUntil(sub: Seq[GStep]) extends GStep
+  /** id() terminal — the frontier's vertex ids */
+  case object GId extends GStep
+  /** label() terminal — element labels (vertex or edge frontier) */
+  case object GLabel extends GStep
+  /** fold() — barrier: the frontier id bag as one list traverser */
+  case object GFold extends GStep
+  /** unfold() — explode a folded list back to element traversers */
+  case object GUnfold extends GStep
+  /** path().by('k') — tracked paths rendered by property k */
+  final case class GPathBy(k: String) extends GStep
   case object GSimplePath extends GStep
   case object GCyclicPath extends GStep
   final case class GWhere(sub: Seq[GStep], neg: Boolean) extends GStep
@@ -282,6 +303,10 @@ object GremlinParser {
         val a = parseIntArgs(cur, 1, 2)
         GSample(a.head, if (a.length > 1) a(1) else 0)
       case "path" => emptyArgs(cur); GPath
+      case "id" => emptyArgs(cur); GId
+      case "label" => emptyArgs(cur); GLabel
+      case "fold" => emptyArgs(cur); GFold
+      case "unfold" => emptyArgs(cur); GUnfold
       case "tree" => emptyArgs(cur); GTree
       case "simplePath" => emptyArgs(cur); GSimplePath
       case "cyclicPath" => emptyArgs(cur); GCyclicPath
@@ -296,8 +321,8 @@ object GremlinParser {
         val ks = parseStrArgs(cur)
         if (ks.length > 1) throw ParseException("groupCount() takes at most one key")
         GGroupCount(ks.headOption.getOrElse(""))
-      case "times" =>
-        throw ParseException("times() must directly follow repeat(...)")
+      case "times" | "until" =>
+        throw ParseException(s"$name() must directly follow repeat(...)")
       case other => throw ParseException(s"unknown step $other")
     }
   }
@@ -370,7 +395,7 @@ object GremlinParser {
 
   private def parseRepeat(cur: Cursor): GStep = {
     val sub = parseSubArg(cur)
-    // require .times(n) immediately, optionally via .emit()
+    // require .times(n) or .until(stop) immediately, optionally via .emit()
     cur.expectPunct('.')
     var emit = false
     var nxt = cur.expectIdent()
@@ -379,9 +404,47 @@ object GremlinParser {
       cur.expectPunct('.')
       nxt = cur.expectIdent()
     }
-    if (nxt != "times")
-      throw ParseException("repeat(...) must be followed by [.emit()].times(n)")
-    GRepeat(sub, parseIntArgs(cur, 1).head, emit)
+    nxt match {
+      case "times" => GRepeat(sub, parseIntArgs(cur, 1).head, emit)
+      case "until" => parseUntil(cur, sub, emit)
+      case _ => throw ParseException(
+        "repeat(...) must be followed by [.emit()].times(n) or .until(...)")
+    }
+  }
+
+  /** the two until() stop conditions with a distributable meaning:
+    *  - __.count().is(0): "no traversers survived another round" — the
+    *    no-new-vertices fixed point, lowered onto repeatUntil (every
+    *    vertex reached at depth ≥ 1, dedup'd; emit() is implied by
+    *    that contract, so with or without emit() the result is the
+    *    same and both spellings are accepted);
+    *  - loops().is(n): stop after exactly n rounds = times(n).
+    */
+  private def parseUntil(cur: Cursor, sub: Seq[GStep], emit: Boolean): GStep = {
+    cur.expectPunct('(')
+    if (cur.peek.contains(TIdent("__"))) { cur.next(); cur.expectPunct('.') }
+    val head = cur.expectIdent()
+    val step = head match {
+      case "count" =>
+        emptyArgs(cur); cur.expectPunct('.')
+        if (cur.expectIdent() != "is")
+          throw ParseException("until(count()...) must be count().is(0)")
+        val n = parseIntArgs(cur, 1).head
+        if (n != 0) throw ParseException(
+          s"until(count().is($n)) is not distributable; only is(0) — the " +
+            "no-new-vertices fixed point — is supported")
+        GRepeatUntil(sub)
+      case "loops" =>
+        emptyArgs(cur); cur.expectPunct('.')
+        if (cur.expectIdent() != "is")
+          throw ParseException("until(loops()...) must be loops().is(n)")
+        GRepeat(sub, parseIntArgs(cur, 1).head, emit)
+      case other => throw ParseException(
+        s"until() supports __.count().is(0) (fixed point) or " +
+          s"loops().is(n) (= times(n)), got $other")
+    }
+    cur.expectPunct(')')
+    step
   }
 
   private def parseHas(cur: Cursor): GStep = {
@@ -543,10 +606,11 @@ object GremlinParser {
         case Some(GOrder("", _)) => prev = Some(GOrder(k, asc))
         case Some(GGroupCount("")) => prev = Some(GGroupCount(k))
         case Some(GGroup("", "", "")) => prev = Some(GGroup(k, "", ""))
+        case Some(GPath) => prev = Some(GPathBy(k))
         case Some(GProject(ls, bys)) if bys.length < ls.length =>
           prev = Some(GProject(ls, bys :+ GByKey(k)))
         case _ => throw ParseException(
-          ".by() must follow order(), group(), groupCount() or project()")
+          ".by() must follow order(), group(), groupCount(), path() or project()")
       }
       case ByAggModulator(op, vk) => prev match {
         case Some(GGroup(key, "", "")) if key.nonEmpty =>
@@ -632,6 +696,13 @@ object GremlinParser {
       case GToV(kind) => s"$kind()"
       case GRepeat(sub, n, emit) =>
         s"repeat(${anon(sub)})" + (if (emit) ".emit()" else "") + s".times($n)"
+      case GRepeatUntil(sub) =>
+        s"repeat(${anon(sub)}).until(__.count().is(0))"
+      case GId => "id()"
+      case GLabel => "label()"
+      case GFold => "fold()"
+      case GUnfold => "unfold()"
+      case GPathBy(k) => s"path().by('$k')"
       case GWhere(sub, false) => s"where(${anon(sub)})"
       case GWhere(sub, true) => s"not(${anon(sub)})"
       case GUnion(subs) => s"union(${subs.map(anon).mkString(", ")})"
@@ -692,9 +763,12 @@ object GremlinParser {
       case GSource(false, ids) => g.V(ids: _*)
     }
     if (rest.contains(GPath) || rest.contains(GTree) ||
-        rest.contains(GSimplePath) ||
-        rest.contains(GCyclicPath)) t = t.withPath
+        rest.contains(GSimplePath) || rest.contains(GCyclicPath) ||
+        rest.exists(_.isInstanceOf[GPathBy])) t = t.withPath
     var result: Option[DataFrame] = None
+    // fold() barrier state: the frontier id bag as one list row; only
+    // unfold() may follow (or the chain ends with the list itself)
+    var folded: Option[DataFrame] = None
     // aggregate('x') side-effect store: a snapshot is the frontier's
     // id-bag PLAN at that point in the chain (lazy, immutable — the
     // traversal value `t` never mutates, so the captured frame is
@@ -703,8 +777,27 @@ object GremlinParser {
     rest.foreach { s =>
       if (result.nonEmpty)
         throw ParseException(s"step after terminal: $s")
+      if (folded.nonEmpty && s != GUnfold)
+        throw new IllegalArgumentException(
+          s"only unfold() may follow fold(), got $s")
       s match {
+        case GFold => folded = Some(t.foldIds())
+        case GUnfold =>
+          val f = folded.getOrElse(throw new IllegalArgumentException(
+            "unfold() has no fold() before it"))
+          t = Traversal.unfoldIds(g, f)
+          folded = None
+        case GId => result = Some(t.idsDF())
+        case GLabel => result = Some(t.labelsDF())
+        case GPathBy(k) => result = Some(t.pathsBy(k))
         case GAggregate(k) =>
+          // query-shape guard (mirrors cap()'s style): an edge frontier
+          // has no id column — (src, label, sort_key, dst) identify an
+          // edge — so a raw select("id") would surface as an opaque
+          // AnalysisException instead of a clean error
+          if (t.isEdge) throw new IllegalArgumentException(
+            s"aggregate('$k') needs a vertex frontier; move it after " +
+              "inV()/outV()/otherV()")
           sideEffects(k) = t.toDF.select(
             org.apache.spark.sql.functions.col("id"))
         case GCap(k) =>
@@ -736,7 +829,7 @@ object GremlinParser {
         case other => t = applyStep(t, other)
       }
     }
-    result.getOrElse(t.toDF)
+    result.orElse(folded).getOrElse(t.toDF)
   }
 
   private def subFn(sub: Seq[GStep]): Traversal => Traversal =
@@ -757,6 +850,7 @@ object GremlinParser {
     case GToV("otherV") => t.otherV
     case GRepeat(sub, n, false) => t.repeat(n)(subFn(sub))
     case GRepeat(sub, n, true) => t.repeatEmit(n)(subFn(sub))
+    case GRepeatUntil(sub) => t.repeatUntil(subFn(sub))
     case GSimplePath => t.simplePath()
     case GCyclicPath => t.cyclicPath()
     case GWhere(sub, false) => t.where(subFn(sub))

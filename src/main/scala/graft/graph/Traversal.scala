@@ -138,6 +138,27 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     df.select(col(PATH).as("path"))
   }
 
+  /** terminal: Gremlin path().by(key) — each tracked path element
+    * rendered by property `key` instead of id. One posexplode of the
+    * id path (map-side), ONE join against the vertex table's (id, key)
+    * projection, re-assembled in position order per walk. Missing
+    * properties render as null, like TinkerPop's by() on an absent
+    * key-less element would fail — here the relational NULL is the
+    * honest distributed answer.
+    */
+  def pathsBy(key: String): DataFrame = {
+    require(hasPath, "call withPath before traversing to track paths")
+    val lk = g.vertices.select(col("id").as("__pid"), col(key).as("__pv"))
+    df.select(monotonically_increasing_id().as("__walk"), col(PATH))
+      .select(col("__walk"), posexplode(col(PATH)).as(Seq("__pos", "__pid")))
+      .join(lk, Seq("__pid"), "left")
+      .groupBy(col("__walk"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__pv")))),
+        e => e("__pv")).as("path"))
+      .select(col("path"))
+  }
+
   /** terminal: Gremlin tree() — the traversal tree as a FLAT relation.
     * TinkerPop materializes a nested map on the driver; the
     * distributed rendering is its edge list: every (parent, child)
@@ -460,18 +481,27 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   /** Gremlin choose(cond, onTrue, onFalse) — the per-traverser
     * conditional branch (TinkerPop's traversal-predicate form: a
     * frontier row routes to `onTrue` when `cond` yields ANY result
-    * from it, to `onFalse` otherwise). Compiles to the where()/not()
-    * semi/anti-join pair — ONE distributed evaluation of `cond` feeds
-    * both sides' origin sets — and a plan-level Union of the branch
-    * subtrees; no per-row dispatch anywhere. The 2-arg Gremlin form is
-    * `onFalse = identity` (non-matching travellers pass through).
+    * from it, to `onFalse` otherwise). The cond sub-traversal's
+    * origin-id set is computed ONCE and pinned (localCheckpoint), then
+    * feeds both a semi and an anti join; the result is a plan-level
+    * Union of the branch subtrees — no per-row dispatch anywhere, and
+    * an expensive cond executes once, not once per side. The 2-arg
+    * Gremlin form is `onFalse = identity` (non-matching travellers
+    * pass through).
     */
   def choose(cond: Traversal => Traversal,
              onTrue: Traversal => Traversal,
              onFalse: Traversal => Traversal = identity): Traversal = {
     requireV()
-    val tb = onTrue(where(cond))
-    val fb = onFalse(not(cond))
+    val origin = copy(df = df.withColumn(PATH, array(col("id"))))
+    val reached = cond(origin).df
+      .select(element_at(col(PATH), 1).as("__origin"))
+      .distinct()
+      .localCheckpoint() // origin ids only — 8-byte rows, scale-bounded
+    val tb = onTrue(copy(df =
+      df.join(reached, col("id") === col("__origin"), "left_semi")))
+    val fb = onFalse(copy(df =
+      df.join(reached, col("id") === col("__origin"), "left_anti")))
     require(!tb.isEdge && !fb.isEdge,
       "choose branches must end on a vertex frontier")
     copy(df = tb.df.unionByName(fb.df))
@@ -529,6 +559,37 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   def valueMap(keys: String*): DataFrame = {
     requireV()
     df.select((Seq(col("id")) ++ keys.map(col)): _*)
+  }
+
+  /** terminal: Gremlin id() — the frontier's vertex ids (bag). Edge
+    * frontiers have no surrogate id in this store (edges are identified
+    * by (src, label, sort_key, dst), like the reference's binary edge
+    * ids); a clean shape error beats a missing-column crash.
+    */
+  def idsDF(): DataFrame = {
+    require(!isEdge,
+      "id() needs a vertex frontier; edges are identified by " +
+        "(src, label, sort_key, dst) — select those explicitly")
+    df.select(col("id"))
+  }
+
+  /** terminal: Gremlin label() — element labels (bag); both frontier
+    * kinds carry a label column.
+    */
+  def labelsDF(): DataFrame = df.select(col("label"))
+
+  /** Gremlin fold(): the frontier's id bag as ONE sorted-list row.
+    * A global barrier by definition (TinkerPop folds all traversers
+    * into a single list traverser); sorting replaces TinkerPop's
+    * arrival order — unspecified under parallel iteration — with a
+    * deterministic one. Scale note: the list is O(frontier) driver-less
+    * but single-reducer, exactly as costly as the semantics demand;
+    * fold of an unbounded frontier is the same user error here as in
+    * TinkerPop.
+    */
+  def foldIds(): DataFrame = {
+    requireV()
+    df.agg(sort_array(collect_list(col("id"))).as("ids"))
   }
 
   /** terminal: Gremlin groupCount().by(key). */
@@ -697,4 +758,14 @@ object Traversal {
     Traversal(g, g.vertices.filter(col("id").isin(ids: _*)), isEdge = false)
 
   def edges(g: PropertyGraph): Traversal = Traversal(g, g.edges, isEdge = true)
+
+  /** Gremlin unfold() over a [[Traversal.foldIds]] list: explode the id
+    * bag back to one traverser per element and re-hydrate full vertex
+    * rows with one join (bag multiplicity preserved — each id row
+    * matches exactly its vertex).
+    */
+  def unfoldIds(g: PropertyGraph, folded: DataFrame): Traversal =
+    Traversal(g,
+      folded.select(explode(col("ids")).as("id")).join(g.vertices, Seq("id")),
+      isEdge = false)
 }

@@ -345,13 +345,18 @@ object Dedup {
     */
   /** The nBits contract as code: bits so the MEAN band bucket holds
     * ~`targetBucket` vectors (E4Probe's measured sweet spot is tens —
-    * thinner buckets pay table bookkeeping, fatter ones go quadratic).
-    * ceil(log2(n / target)), clamped to [4, 30].
+    * thinner buckets pay table bookkeeping, fatter ones go quadratic):
+    * the smallest b with targetBucket·2^b ≥ n, clamped to [4, 30] —
+    * i.e. ceil(log2(n / target)), but computed in INTEGER arithmetic
+    * so a SQL oracle can replay the choice bit-for-bit (a float
+    * log(n)/log(2) lands on 10.000000000000002 at exact powers of two
+    * and ceils one bucket-doubling away from another engine's log2).
     */
   def nBitsForCorpus(n: Long, targetBucket: Int = 32): Int = {
     require(n >= 0 && targetBucket >= 1)
-    val ratio = math.max(n.toDouble / targetBucket, 1.0)
-    math.min(math.max(math.ceil(math.log(ratio) / math.log(2)).toInt, 4), 30)
+    var b = 4
+    while (b < 30 && (targetBucket.toLong << b) < n) b += 1
+    b
   }
 
   def embeddingNearDupBanded(emb: DataFrame, threshold: Double,

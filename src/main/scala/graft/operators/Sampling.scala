@@ -54,15 +54,24 @@ object Sampling {
     * the (pair-touched-ids-only, narrow) cluster table on top of the
     * plain split; output keeps the `rep` column so callers can audit
     * zero-leakage relationally.
+    *
+    * The cluster frame's columns are aliased to reserved names before
+    * the join, so a docs frame that happens to carry its own `id` or
+    * `comp` column is neither dropped nor made ambiguous; only `rep`
+    * is claimed in the output (refused loudly if present — silently
+    * overwriting the caller's column would corrupt their audit trail).
     */
   def clusterSplit(docs: DataFrame, pairs: DataFrame,
                    weights: Seq[(String, Double)],
                    idCol: String = "doc_id"): DataFrame = {
+    require(!docs.columns.contains("rep"),
+      "clusterSplit writes a 'rep' column; rename the existing one first")
     val comps = Dedup.dupClusters(pairs) // (id, comp), pair-touched only
+      .select(col("id").as("__cs_id"), col("comp").as("__cs_comp"))
     val withRep = docs
-      .join(comps, docs(idCol) === comps("id"), "left")
-      .withColumn("rep", coalesce(col("comp"), col(idCol)))
-      .drop("id", "comp")
+      .join(comps, docs(idCol) === col("__cs_id"), "left")
+      .withColumn("rep", coalesce(col("__cs_comp"), col(idCol)))
+      .drop("__cs_id", "__cs_comp")
     assignSplit(withRep, col("rep"), weights)
   }
 

@@ -233,6 +233,62 @@ object GraphQueries {
         ".has('name', notStartingWith('small'))" +
         ".count()")
 
+  /** Parsed repeat().until() — the unbounded-traversal Gremlin a real
+    * corpus hits first (the engine-side loop behind the reference's
+    * per-hop store scans, TikvTable.java:30-58 query IR). The string
+    * `repeat(__.in()).until(__.count().is(0))` lowers onto
+    * [[graft.graph.Traversal.repeatUntil]] — the same fixed-point BFS
+    * the DSL gate g18 runs — so this gate is the string-front-end twin
+    * of g18, sharing its oracle (TraversalSpec pins sameResult).
+    */
+  def g46UntilParsed(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      s"g.V(${PropertyGraph.encodeId("region", 0L)})" +
+        ".repeat(__.in()).until(__.count().is(0))")
+      .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("label"))
+
+  /** Parsed fold()/unfold() — the TinkerPop barrier pair: the supplier
+    * frontier folds to ONE list traverser and unfolds back to element
+    * traversers (bag preserved, full rows re-hydrated by one join),
+    * then groupCount pins that the round trip lost nothing.
+    */
+  def g47FoldUnfold(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('supplier').fold().unfold().groupCount('nationkey')")
+      .select(col("nationkey").cast("long").as("nationkey"), col("cnt"))
+      .orderBy(col("nationkey"))
+
+  /** Parsed id() terminal — frontier ids under the label-namespaced
+    * encoding ((labelCode << 40) | naturalKey, mirroring the
+    * reference's label-prefixed binary ids, TikvTable.java:113); the
+    * oracle replays the encoding arithmetic over the base table.
+    */
+  def g48IdParsed(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('region').id()")
+      .orderBy(col("id"))
+
+  /** Parsed label() terminal on an EDGE frontier — per-label edge
+    * counts of the whole graph; the oracle recomputes each edge
+    * relation's cardinality from its source table.
+    */
+  def g49LabelParsed(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir), "g.E().label()")
+      .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("label"))
+
+  /** Parsed path().by('name') — tracked walks rendered by property
+    * instead of id (posexplode + one join + positional re-assembly,
+    * all distributed); rendered to a scalar string for the oracle.
+    */
+  def g50PathBy(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('supplier').has('nationkey', eq(3))" +
+        ".out('located_in').path().by('name')")
+      .select(concat_ws(",", col("path")).as("path"))
+      .orderBy(col("path"))
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -544,6 +600,11 @@ object GraphQueries {
     "g43_tree" -> (g43Tree _),
     "g44_match" -> (g44Match _),
     "g45_text_negations" -> (g45TextNegations _),
+    "g46_until_parsed" -> (g46UntilParsed _),
+    "g47_fold_unfold" -> (g47FoldUnfold _),
+    "g48_id_parsed" -> (g48IdParsed _),
+    "g49_label_parsed" -> (g49LabelParsed _),
+    "g50_path_by" -> (g50PathBy _),
     "g22_within" -> (g22Within _),
     "g18_reach_until" -> (g18ReachUntil _),
     "g13_not_step" -> (g13NotStep _),
@@ -756,6 +817,48 @@ object GraphQueries {
         |WHERE p_name NOT LIKE '%bolt%'
         |  AND p_name NOT LIKE '%anvil'
         |  AND p_name NOT LIKE 'small%'""".stripMargin,
+    // string-front-end twin of g18 (same fixed-point closure, same oracle)
+    "g46_until_parsed" ->
+      """WITH n0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
+        |s0 AS (SELECT s_suppkey FROM supplier
+        |       WHERE s_nationkey IN (SELECT n_nationkey FROM n0)),
+        |p0 AS (SELECT DISTINCT l_partkey FROM lineitem
+        |       WHERE l_suppkey IN (SELECT s_suppkey FROM s0)),
+        |o0 AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |       WHERE l_partkey IN (SELECT l_partkey FROM p0)),
+        |c0 AS (SELECT c_custkey FROM customer
+        |       WHERE c_nationkey IN (SELECT n_nationkey FROM n0)
+        |       UNION
+        |       SELECT o_custkey FROM orders
+        |       WHERE o_orderkey IN (SELECT l_orderkey FROM o0))
+        |SELECT label, cnt FROM (
+        |  SELECT 'customer' AS label, COUNT(*) AS cnt FROM c0
+        |  UNION ALL SELECT 'nation', COUNT(*) FROM n0
+        |  UNION ALL SELECT 'order', COUNT(*) FROM o0
+        |  UNION ALL SELECT 'part', COUNT(*) FROM p0
+        |  UNION ALL SELECT 'supplier', COUNT(*) FROM s0)
+        |ORDER BY label""".stripMargin,
+    // fold()→unfold() must be a lossless round trip of the supplier bag
+    "g47_fold_unfold" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS cnt
+        |FROM supplier GROUP BY 1 ORDER BY nationkey""".stripMargin,
+    "g48_id_parsed" ->
+      s"""SELECT ${PropertyGraph.sqlEncode("region", "r_regionkey")} AS id
+         |FROM region ORDER BY id""".stripMargin,
+    "g49_label_parsed" ->
+      """SELECT label, cnt FROM (
+        |  SELECT 'placed' AS label, COUNT(*) AS cnt FROM orders
+        |  UNION ALL SELECT 'contains', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'supplied_by', COUNT(*) FROM
+        |    (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |  UNION ALL SELECT 'located_in',
+        |    (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+        |  UNION ALL SELECT 'part_of', COUNT(*) FROM nation)
+        |ORDER BY label""".stripMargin,
+    "g50_path_by" ->
+      """SELECT s_name || ',' || n_name AS path
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_nationkey = 3 ORDER BY path""".stripMargin,
     "g44_match" ->
       s"""WITH b AS (SELECT DISTINCT
          |    ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS c,

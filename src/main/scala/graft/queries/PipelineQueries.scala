@@ -259,6 +259,42 @@ object PipelineQueries {
       .orderBy(col("cluster_rep"))
   }
 
+  /** Embedding near-dup clusters through the SIZED banding path
+    * (e19): identical pipeline to e18, but nBits comes from
+    * [[Dedup.nBitsForCorpus]] on the ACTUAL corpus count instead of a
+    * fixed knob — the production sizing contract (mean band bucket
+    * O(1), so in-bucket pair volume stays linear per decade; E4Probe
+    * measured 83.7→22.4 s at 10× when the knob tracks the corpus vs
+    * 22.5× quadratic at fixed 64 buckets). The oracle replays the
+    * SAME integer sizing rule in SQL (smallest b ≥ 4 with 32·2^b ≥
+    * count) over a max-width hyperplane literal table, selecting
+    * bit < nbits — so a data-scale change re-sizes BOTH engines
+    * identically and the hash gate stays closed. The e18 face keeps
+    * the fixed knob as the oracle-literal regression pin; this gate
+    * is the one that certifies the 100 TB path end-to-end.
+    */
+  def e19EmbDupSized(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val nBits = Dedup.nBitsForCorpus(emb.count())
+    require(nBits <= SizedMaxBits,
+      s"corpus outgrew the oracle's $SizedMaxBits-bit hyperplane table " +
+        "— widen SizedMaxBits in both faces together")
+    val pairs = Dedup.embeddingNearDupBanded(
+      emb, threshold = 0.4, nBits = nBits)
+    Dedup.dupClusters(pairs.select(col("a_id"), col("b_id")))
+      .groupBy(col("comp").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** widest nBits the e19 oracle's literal hyperplane table carries:
+    * 32·2^16 = 2M vectors before the gate refuses loudly (production
+    * code has no such bound — only the SQL-replay face does)
+    */
+  private val SizedMaxBits = 16
+
   /** The pair source both cluster gates (d9, d24) feed from: banded
     * MinHash-LSH candidates verified by exact Jaccard — the
     * 100 TB-safe path (bucketed candidate space + skew guard), NOT the
@@ -1069,6 +1105,7 @@ object PipelineQueries {
     "d9_dup_clusters" -> (d9DupClusters _),
     "p7_cluster_split" -> (p7ClusterSplit _),
     "e18_emb_dup_clusters" -> (e18EmbDupClusters _),
+    "e19_emb_dup_sized" -> (e19EmbDupSized _),
     "d24_dedup_survivors" -> (d24DedupSurvivors _),
     "d25_vocab_coverage" -> (d25VocabCoverage _),
     "d26_lm_surprise" -> (d26LmSurprise _),
@@ -1286,6 +1323,60 @@ object PipelineQueries {
        |  JOIN embeddings be ON be.vec_id = c.b_id
        |) WHERE cosine >= $threshold),
        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |r(id, c) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.c FROM r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, MIN(c) AS comp FROM r GROUP BY id)
+       |SELECT comp AS cluster_rep, COUNT(*) AS n_members,
+       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+       |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin
+  }
+
+  /** e19 oracle: the SIZED banding path replayed end-to-end. nbits is
+    * derived from the corpus count with the same INTEGER rule as
+    * [[graft.operators.Dedup.nBitsForCorpus]] (smallest b ≥ 4 with
+    * 32·2^b ≥ n — exact in both engines, no float log2), hyperplanes
+    * are embedded as a (tbl, bit, plane) literal relation at the max
+    * width (Similarity.hyperplanes draws rows sequentially, so the
+    * first nbits rows of the 16-bit table ARE the nbits-bit table),
+    * and the signature aggregation keeps only bit < nbits.
+    */
+  private val embDupSizedSql: String = {
+    val maxBits = 16; val tables = 8; val threshold = 0.4
+    def planeLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val planeRows = (0 until tables).flatMap { t =>
+      val planes = Similarity.hyperplanes(maxBits, dim = 64, seed = 42L + t)
+      (0 until maxBits).map(b => s"($t, $b, ${planeLit(planes(b))})")
+    }.mkString(",\n")
+    s"""WITH RECURSIVE nb AS MATERIALIZED (
+       |  SELECT COALESCE(MIN(b), 30) AS nbits
+       |  FROM generate_series(4, 30) s(b)
+       |  WHERE (32::BIGINT << b) >= (SELECT COUNT(*) FROM embeddings)),
+       |base AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes(tbl, bit, p) AS (VALUES ${planeRows}),
+       |sig AS MATERIALIZED (
+       |  SELECT b.vec_id, pl.tbl,
+       |    SUM(CASE WHEN list_dot_product(b.v, pl.p) >= 0
+       |        THEN (1::BIGINT << pl.bit) ELSE 0 END) AS sig
+       |  FROM base b CROSS JOIN planes pl
+       |  WHERE pl.bit < (SELECT nbits FROM nb)
+       |  GROUP BY b.vec_id, pl.tbl),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig
+       |  WHERE a.vec_id < b.vec_id),
+       |pairs AS MATERIALIZED (SELECT a_id, b_id FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    round(list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+       |                                 CAST(be.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ae ON ae.vec_id = c.a_id
+       |  JOIN embeddings be ON be.vec_id = c.b_id
+       |) WHERE cosine >= $threshold),
+       |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
        |          UNION ALL SELECT b_id, a_id FROM pairs),
        |r(id, c) AS (
        |  SELECT src, src FROM edges
@@ -2643,6 +2734,7 @@ object PipelineQueries {
         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
     "e4_emb_near_dup" -> embNearDupBandedSql,
     "e18_emb_dup_clusters" -> embDupClustersSql,
+    "e19_emb_dup_sized" -> embDupSizedSql,
     "m4_media_dedup" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies

@@ -96,7 +96,8 @@ class GremlinPropertySpec extends AnyFunSuite {
             }
             case (s, Some((k, a)), n) => GLocal(s, k, a, n)
           },
-        subChain(depth - 1).map(GOptional))
+        subChain(depth - 1).map(GOptional),
+        subChain(depth - 1).map(GRepeatUntil))
     Gen.oneOf((flat ++ nested).head, (flat ++ nested)(1),
       (flat ++ nested).drop(2): _*)
   }
@@ -112,6 +113,8 @@ class GremlinPropertySpec extends AnyFunSuite {
       .map { case (k, v, op) => GGroup(k, v, op) },
     Gen.nonEmptyListOf(ident).map(GValueMap(_)),
     ident.map(GGroupCount), Gen.const(GPath), Gen.const(GTree),
+    Gen.const(GId), Gen.const(GLabel), Gen.const(GFold),
+    ident.map(GPathBy),
     ident.map(GCap),
     Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n,
       Gen.zip(ident, subChain(1), ident))).map(GMatch(_)),

@@ -375,6 +375,71 @@ class TraversalSpec extends AnyFunSuite {
     assert(samePlan(n, nd))
   }
 
+  test("parser: repeat().until() — fixed point lowers onto repeatUntil, " +
+       "loops().is(n) is times(n) sugar") {
+    // fixed point from 1 over the cycle: reaches 2 then 3; the third
+    // hop lands back on 1, which the visited set (seeded with the
+    // START) excludes — repeatUntil's "new vertices only" contract
+    val parsed = GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).until(__.count().is(0))")
+    val dsl = triangle.V(1L).repeatUntil(_.out("next")).toDF
+    assert(parsed.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+    assert(parsed.select("id").as[Long].collect().sorted.toSeq ==
+      dsl.select("id").as[Long].collect().sorted.toSeq)
+    // the __-less spelling parses too
+    val bare = GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).until(count().is(0)).count()")
+    assert(bare.as[Long].collect().toSeq == Seq(2L))
+    // loops().is(n) ≡ times(n), plan-for-plan
+    val lp = GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).until(loops().is(3)).count()")
+    val lt = GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).times(3).count()")
+    assert(samePlan(lp, lt))
+  }
+
+  test("parser: id(), label(), fold()/unfold(), path().by()") {
+    // id() ≡ DSL idsDF, plan-for-plan
+    val ids = GremlinParser.run(triangle, "g.V().id()")
+    assert(samePlan(ids, triangle.V.idsDF()))
+    assert(ids.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // label() works on both frontier kinds
+    val vl = GremlinParser.run(triangle, "g.V().label()")
+    assert(vl.as[String].collect().toSeq == Seq("node", "node", "node"))
+    val el = GremlinParser.run(triangle, "g.E().label()")
+    assert(el.as[String].collect().toSeq == Seq("next", "next", "next"))
+    // fold() terminal: ONE sorted list row
+    val f = GremlinParser.run(triangle, "g.V().fold()")
+    assert(f.as[Seq[Long]].collect().toSeq == Seq(Seq(1L, 2L, 3L)))
+    // fold().unfold() is a lossless round trip (full rows re-hydrated)
+    val fu = GremlinParser.run(triangle,
+      "g.V().fold().unfold().values('score')")
+    assert(fu.as[Int].collect().sorted.toSeq == Seq(10, 20, 30))
+    // path().by('score'): each walk rendered by property
+    val pb = GremlinParser.run(triangle,
+      "g.V(1).out('next').path().by('score')")
+    assert(pb.as[Seq[Int]].collect().toSeq == Seq(Seq(10, 20)))
+    val pb2 = triangle.V(1L).withPath.out("next").pathsBy("score")
+    assert(samePlan(pb, pb2))
+  }
+
+  test("parser: until/fold/id shape errors are clean, never raw " +
+       "AnalysisExceptions") {
+    def badParse(q: String): Unit =
+      assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle, q))
+    def badShape(q: String): Unit =
+      assertThrows[IllegalArgumentException](GremlinParser.run(triangle, q))
+    badParse("g.V(1).repeat(__.out('next')).until(__.count().is(2))")
+    badParse("g.V(1).repeat(__.out('next')).until(__.has('score'))")
+    badParse("g.V(1).until(__.count().is(0))") // until without repeat
+    badShape("g.V().unfold().count()")          // unfold without fold
+    badShape("g.V().fold().out('next')")        // only unfold after fold
+    badShape("g.E().aggregate('x').cap('x')")   // edge-frontier aggregate
+    // id() on an edge frontier: clean query-shape error
+    assertThrows[IllegalArgumentException](triangle.E.idsDF())
+  }
+
   test("parser: union, coalesce, order().by, groupCount().by, limit") {
     val u = GremlinParser.run(triangle,
       "g.V(1).union(__.out('next'), __.in('next')).values('id')")
