@@ -211,10 +211,14 @@ object Similarity {
 
   /** Deterministic Lloyd k-means for the IVF coarse quantizer.
     *
-    * Seeding is farthest-point (k-center greedy): start from the
-    * min-hash row, then repeatedly take the corpus row least similar
-    * to every seed so far — one map pass + TakeOrdered(1) per seed,
-    * deterministic (vec_id tie-break), and immune to the
+    * Seeding is k-means‖-shaped (Bahmani et al. VLDB'12, made
+    * deterministic): start from the min-hash row, ONE oversampling
+    * pass stratifies the corpus into hash buckets and keeps each
+    * bucket's farthest point from it, then a driver-side greedy
+    * farthest-point reduction over that ≤4096-row pool picks the
+    * remaining seeds — 2 corpus scans total instead of one full
+    * argmin scan per seed, same min-max-cosine criterion and
+    * (sim, vec_id) tiebreak, and still immune to the
     * all-seeds-in-one-cluster failure of random/lowest-id sampling.
     * Each Lloyd iteration is one map-only assignCells pass fused with
     * a posexplode of the vector, then a per-(centroid, dim) mean —
@@ -231,9 +235,9 @@ object Similarity {
     */
   def trainCentroids(corpus: DataFrame, vec: String = "embedding",
                      nCentroids: Int = 8, iters: Int = 3): Array[(Long, Array[Float])] = {
-    // the training loop scans this projection once per seed + once per
-    // iteration — cache it for the loop (released in the finally, so a
-    // failing iteration cannot leak the cache)
+    // scanned by the seed pass, the oversample pass, and once per
+    // Lloyd iteration — cache it for the loop (released in the
+    // finally, so a failing iteration cannot leak the cache)
     val base = corpus.select(col("vec_id"), col(vec))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -242,14 +246,57 @@ object Similarity {
       val first = base.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
         .limit(1).collect()
       require(first.nonEmpty, "trainCentroids: corpus is empty")
-      val seeds = scala.collection.mutable.ArrayBuffer(rowVec(first(0)))
-      while (seeds.length < nCentroids) {
-        val sims = seeds.toSeq.map { s =>
-          cosine(col(vec), array(s.map(x => lit(x)): _*))
+      // ---- k-means‖-style seeding: ONE oversampling pass + a local
+      // farthest-point reduction — 2 corpus scans total, vs the k
+      // sequential full-corpus argmin scans the first version ran
+      // (k passes at 100 TB; the oversample pass is the k-means‖
+      // collapse of exactly that loop, Bahmani et al. VLDB'12).
+      // Deterministic in place of sampled: the corpus is stratified
+      // into `oversample` xxhash64 buckets and each bucket's farthest
+      // point from the first seed survives — random-strata diversity
+      // with a farness bias, no RNG, no run-to-run drift. The pool
+      // (≤ oversample rows × dim) is the only collect, scale-bounded
+      // like the centroid table itself; the greedy min-max-cosine
+      // selection then runs driver-side over the pool with the same
+      // criterion and (sim, vec_id) tiebreak the distributed loop used.
+      val s0 = rowVec(first(0))
+      val seeds = scala.collection.mutable.ArrayBuffer(s0)
+      if (nCentroids > 1) {
+        val oversample = math.min(math.max(8L * nCentroids, 64L), 4096L)
+        val simTo0 = cosine(col(vec), array(s0.map(x => lit(x)): _*))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__b"))
+          .orderBy(col("__sim").asc, col("vec_id").asc)
+        val pool = base
+          .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(oversample)))
+          .withColumn("__sim", simTo0)
+          .withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") === 1)
+          .select(col("vec_id"), col(vec))
+          .collect()
+          .map(r => (r.getLong(0), rowVec(r)))
+          .sortBy(_._1)
+        def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
         }
-        val nearest = if (sims.length == 1) sims.head else greatest(sims: _*)
-        seeds += rowVec(base.withColumn("__near", nearest)
-          .orderBy(col("__near").asc, col("vec_id").asc).limit(1).collect()(0))
+        val taken = scala.collection.mutable.Set.empty[Long]
+        while (seeds.length < nCentroids) {
+          val next = pool.iterator.filterNot(p => taken(p._1))
+            .map { case (id, v) =>
+              (seeds.iterator.map(sd => cosLocal(v, sd)).max, id, v)
+            }
+            .minByOption { case (nearSim, id, _) => (nearSim, id) }
+          next match {
+            case Some((_, id, v)) => taken += id; seeds += v
+            case None => seeds += s0 // pool exhausted (corpus < k):
+              // duplicate, as the distributed argmin loop used to
+          }
+        }
       }
       var centroids: Array[(Long, Array[Float])] =
         seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
