@@ -1428,6 +1428,14 @@ object Algorithms {
         // vertices) collapse to a re-union of the cached frame. The
         // re-aggregation of the two aggregated halves is exact integer
         // Σ re-association — bit-identical to the fused aggregate.
+        // MEASURED AND REJECTED (round 12): re-using mDiagNS for the
+        // FINAL round too, by quadrant (NS×NS cached ⊎ S×S expand ⊎
+        // one canonicalized NS×S cross join), is bit-identical but
+        // ~3 s SLOWER at sf0.1 (clean 19.3-20.2 vs 15.1-16.6 on the
+        // same window): the sink-target expansion is the dominant
+        // diag volume on a DAG corpus, so the split saves only the
+        // cheap co-riding fanout while adding two joins, an extra
+        // aggregate, and the anti-join that builds the sink edge set.
         val mDiagNS = expandAgg(diag, eNonSinkDeg).persist(MEMORY_AND_DISK)
         def roundScores(mParts: DataFrame): DataFrame = mParts
           .groupBy(col("a"), col("b"), col("da"), col("db"))

@@ -14,9 +14,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").explain("formatted")
+      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
     }
     spark.stop()
   }
