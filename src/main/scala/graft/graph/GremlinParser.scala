@@ -438,7 +438,15 @@ object GremlinParser {
         emptyArgs(cur); cur.expectPunct('.')
         if (cur.expectIdent() != "is")
           throw ParseException("until(loops()...) must be loops().is(n)")
-        GRepeat(sub, parseIntArgs(cur, 1).head, emit)
+        val n = parseIntArgs(cur, 1).head
+        // TinkerPop's post-repeat until checks loops AFTER round 1, so
+        // loops().is(0) never yields the depth-0 frontier there —
+        // lowering it to repeat-0-times (the identity) would silently
+        // diverge, and with emit() it trips repeatEmit's n>=1 guard
+        if (n < 1) throw ParseException(
+          s"until(loops().is($n)) never terminates at n<1 in TinkerPop " +
+            "semantics (loops is already 1 at the first check); use n >= 1")
+        GRepeat(sub, n, emit)
       case other => throw ParseException(
         s"until() supports __.count().is(0) (fixed point) or " +
           s"loops().is(n) (= times(n)), got $other")

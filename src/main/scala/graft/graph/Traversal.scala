@@ -307,6 +307,18 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     */
   def repeatUntil(step: Traversal => Traversal, maxDepth: Int = 50): Traversal = {
     requireV()
+    // query-shape guard: the fixed point dedups by VERTEX — per-
+    // traverser path history and as() tags are undefined for a vertex
+    // reachable along many walks, and the ID-only BFS state (the whole
+    // point of the design) cannot carry them. Without this check the
+    // rider columns silently vanish and the enclosing construct
+    // (path()/select()/where()/choose()) dies later with an opaque
+    // unresolved-column AnalysisException or a misleading "call
+    // withPath" message.
+    require(!hasPath && !df.columns.exists(_.startsWith(TAG)),
+      "repeat().until() is a whole-frontier fixed point that dedups by " +
+        "vertex — it cannot carry path()/as() history or run inside " +
+        "where()/not()/choose() sub-traversals; use repeat().times(n) there")
     // BFS state is ID-ONLY: frontiers, the visited set, and the reached
     // accumulator are narrow long columns, so every per-round shuffle,
     // dedup, and checkpoint moves 8-byte keys, not full property rows
@@ -482,8 +494,9 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     * conditional branch (TinkerPop's traversal-predicate form: a
     * frontier row routes to `onTrue` when `cond` yields ANY result
     * from it, to `onFalse` otherwise). The cond sub-traversal's
-    * origin-id set is computed ONCE and pinned (localCheckpoint), then
-    * feeds both a semi and an anti join; the result is a plan-level
+    * origin-id set is pinned ONCE (a lazily persisted frame both sides
+    * share — computed at first action, so plan construction stays
+    * job-free), then feeds both a semi and an anti join; the result is a plan-level
     * Union of the branch subtrees — no per-row dispatch anywhere, and
     * an expensive cond executes once, not once per side. The 2-arg
     * Gremlin form is `onFalse = identity` (non-matching travellers
@@ -497,7 +510,15 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     val reached = cond(origin).df
       .select(element_at(col(PATH), 1).as("__origin"))
       .distinct()
-      .localCheckpoint() // origin ids only — 8-byte rows, scale-bounded
+      // LAZY pin: both joins share this one InMemoryRelation, so an
+      // expensive cond computes once at first materialization, never
+      // per side — and building the query launches NO Spark job
+      // (localCheckpoint, even eager=false, materializes AQE shuffle
+      // stages at toRdd; plan-only paths like explain paid real jobs).
+      // The cached frame is origin ids only — 8-byte rows, bounded —
+      // and MEMORY_AND_DISK evicts under pressure; there is no later
+      // hook to unpersist a frame embedded in a returned lazy plan.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tb = onTrue(copy(df =
       df.join(reached, col("id") === col("__origin"), "left_semi")))
     val fb = onFalse(copy(df =
@@ -589,6 +610,16 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     */
   def foldIds(): DataFrame = {
     requireV()
+    // query-shape guard: fold() collapses the frontier to ONE id-list
+    // traverser — path history and as() tags cannot survive the
+    // barrier, and unfold() rebuilds fresh vertex rows without them.
+    // Refuse here with the real reason instead of letting a later
+    // path()/select() fail with "call withPath" (wrong diagnosis: the
+    // caller DID enable path tracking; the fold discarded it).
+    require(!hasPath && !df.columns.exists(_.startsWith(TAG)),
+      "fold() is a global barrier that collapses traversers to one id " +
+        "list — path()/as() history does not survive fold().unfold(); " +
+        "remove the path/as steps or the fold")
     df.agg(sort_array(collect_list(col("id"))).as("ids"))
   }
 

@@ -267,12 +267,28 @@ object Similarity {
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy(col("__b"))
           .orderBy(col("__sim").asc, col("vec_id").asc)
-        val pool = base
+        // bucket representatives (diversity) UNIONED with the global
+        // farthest-nCentroids rows (a floor): hash-bucket collisions
+        // can leave fewer than nCentroids non-empty buckets even when
+        // n >= k (expected non-empty ≈ B(1-(1-1/B)^n)), and padding
+        // duplicate seeds where distinct corpus vectors exist degrades
+        // the trained codebook silently. The floor guarantees the pool
+        // holds >= min(n, nCentroids) DISTINCT vectors, so the
+        // duplicate-pad branch below fires only when the corpus is
+        // genuinely smaller than k. One extra distributed top-k
+        // (TakeOrdered) — still 2 corpus passes total.
+        val reps = base
           .withColumn("__b", pmod(xxhash64(col("vec_id")), lit(oversample)))
           .withColumn("__sim", simTo0)
           .withColumn("__rn", row_number().over(win))
           .filter(col("__rn") === 1)
           .select(col("vec_id"), col(vec))
+        val floor = base
+          .withColumn("__sim", simTo0)
+          .orderBy(col("__sim").asc, col("vec_id").asc)
+          .limit(nCentroids)
+          .select(col("vec_id"), col(vec))
+        val pool = reps.unionByName(floor).dropDuplicates("vec_id")
           .collect()
           .map(r => (r.getLong(0), rowVec(r)))
           .sortBy(_._1)

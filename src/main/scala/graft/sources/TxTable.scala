@@ -36,8 +36,15 @@ trait VersionPointer {
 object AtomicRenamePointer extends VersionPointer {
   private def marker(root: String): Path = Paths.get(root, "_CURRENT")
 
+  // keyed by the NORMALIZED path, not the raw string: two threads
+  // spelling the same table "/data/tbl" and "/data/tbl/" must share
+  // one monitor, or the second FileChannel.lock on the same underlying
+  // lock file throws OverlappingFileLockException instead of waiting
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def monitorKey(root: String): String =
+    Paths.get(root).toAbsolutePath.normalize.toString
 
   def current(root: String): Option[String] =
     if (Files.exists(marker(root)))
@@ -46,7 +53,7 @@ object AtomicRenamePointer extends VersionPointer {
 
   def compareAndSwap(root: String, v: String, expected: Option[String]): Unit = {
     import java.nio.file.StandardOpenOption.{CREATE, WRITE}
-    val mon = monitors.computeIfAbsent(root, _ => new Object)
+    val mon = monitors.computeIfAbsent(monitorKey(root), _ => new Object)
     mon.synchronized { // same-JVM serialization (FileLock is per-process)
       val ch = java.nio.channels.FileChannel.open(
         Paths.get(root, "_CURRENT.lock"), CREATE, WRITE)
@@ -138,8 +145,13 @@ object TxTable {
     */
   private[graft] def writeVersion(spark: SparkSession, root: String,
                                   df: DataFrame,
-                                  base: Option[String] = None): String = {
-    val n = base.orElse(currentVersion(root))
+                                  base: Option[String] = None,
+                                  pointer: VersionPointer = AtomicRenamePointer): String = {
+    // the fallback read goes through the CALLER's pointer: a custom
+    // (conditional-put) pointer must never have its numbering driven
+    // by a stale _CURRENT marker a previous rename-pointer table left
+    // in the same directory
+    val n = base.orElse(pointer.current(root))
       .map(versionSeq).getOrElse(0L) + 1
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val v = f"v_$n%06d-$nonce"
@@ -156,7 +168,7 @@ object TxTable {
     Files.createDirectories(Paths.get(root))
     require(pointer.current(root).isEmpty,
       s"TxTable $root already initialized")
-    val v = writeVersion(spark, root, df)
+    val v = writeVersion(spark, root, df, base = None, pointer = pointer)
     pointer.compareAndSwap(root, v, None)
     v
   }
@@ -172,7 +184,8 @@ object TxTable {
              f: DataFrame => DataFrame,
              pointer: VersionPointer = AtomicRenamePointer): String = {
     val base = pointer.current(root)
-    val v = writeVersion(spark, root, f(read(spark, root, pointer)), base)
+    val v = writeVersion(spark, root, f(read(spark, root, pointer)), base,
+      pointer)
     pointer.compareAndSwap(root, v, base)
     v
   }

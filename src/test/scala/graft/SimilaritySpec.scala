@@ -201,6 +201,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents.map(_._2.toSeq).toSeq == again.map(_._2.toSeq).toSeq)
   }
 
+  test("seeding yields k DISTINCT seeds whenever the corpus has k " +
+       "distinct vectors, despite hash-bucket collisions") {
+    // n == k is the worst case for the stratified oversample: expected
+    // non-empty buckets B(1-(1-1/B)^n) < k, so without the global
+    // farthest-k floor the pool runs short and seeds get padded with
+    // duplicates of seed 0 even though unpicked distinct vectors exist
+    val k = 64
+    val corpus = (0 until k).map { i =>
+      val v = new Array[Float](8)
+      v(i % 8) = 1f; v((i + 3) % 8) = 0.1f * (i / 8 + 1)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val seeds = Similarity.trainCentroids(corpus, nCentroids = k, iters = 0)
+    assert(seeds.length == k)
+    assert(seeds.map(_._2.toSeq).distinct.length == k,
+      "duplicate seeds padded while distinct corpus vectors remained")
+  }
+
   test("ivf top-k returns k ranked candidates per query") {
     val corpus = (0 until 64).map { i =>
       val v = Array.tabulate(8)(j => math.cos(i * (j + 1)).toFloat)

@@ -309,6 +309,53 @@ class StorageSpec extends AnyFunSuite {
       graft.sources.TxTable.init(spark, root,
         Seq((9L, 9L)).toDF("k", "v"), condPut)
     }
+    // version NUMBERING follows the caller's pointer, not a stale
+    // _CURRENT marker a previous rename-pointer table left in the same
+    // directory: init on a dirty dir must start its lineage at 1
+    val dirty = freshTx("condput_dirty")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirty))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dirty, "_CURRENT"), "v_000005-deadbeef")
+    val v1 = graft.sources.TxTable.init(spark, dirty,
+      Seq((1L, 1L)).toDF("k", "v"), condPut)
+    assert(v1.startsWith("v_000001-"),
+      s"init numbered from a stale marker of a replaced pointer: $v1")
+    graft.sources.TxTable.drop(dirty)
+    graft.sources.TxTable.drop(root)
+  }
+
+  test("TxTable: same table via different path spellings shares one " +
+       "commit monitor — serialized CAS, never OverlappingFileLockException") {
+    val root = freshTx("spellings")
+    graft.sources.TxTable.init(spark, root, Seq((1L, 0L)).toDF("k", "v"))
+    val spellings = Seq(root, root + "/", root + "/./")
+    // overlap the commits deliberately: each thread's transform blocks
+    // on a shared latch so all three enter commit() concurrently; the
+    // per-root monitor (keyed by NORMALIZED path) must serialize them
+    // into one winner + CME refusals — an OverlappingFileLockException
+    // would mean two spellings got two monitors for one lock file
+    val gate = new java.util.concurrent.CountDownLatch(spellings.length)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = spellings.map { sp =>
+      new Thread(() =>
+        try {
+          graft.sources.TxTable.commit(spark, sp, { df =>
+            gate.countDown(); gate.await()
+            df.withColumn("v", col("v") + 1L)
+          })
+          outcomes.add("ok")
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            outcomes.add("cme")
+          case e: Throwable => outcomes.add(e.getClass.getSimpleName)
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val got = outcomes.toArray(Array.empty[String]).toSeq.sorted
+    assert(got.count(_ == "ok") == 1 && got.count(_ == "cme") == 2,
+      s"expected 1 winner + 2 CAS refusals, got $got")
+    assert(graft.sources.TxTable.read(spark, root)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
     graft.sources.TxTable.drop(root)
   }
 }

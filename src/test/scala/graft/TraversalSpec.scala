@@ -440,6 +440,72 @@ class TraversalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](triangle.E.idsDF())
   }
 
+  test("rider-column guards: until()/fold() refuse path/as/filter " +
+       "contexts with the real reason, never unresolved-column errors") {
+    def shapeMsg(q: String): String =
+      intercept[IllegalArgumentException](
+        GremlinParser.run(triangle, q).collect()).getMessage
+    // repeatUntil inside where()/not()/choose(): the fixed point drops
+    // the __path origin rider the semi-filter needs
+    assert(shapeMsg("g.V().where(__.repeat(__.out('next'))" +
+      ".until(__.count().is(0))).count()").contains("fixed point"))
+    assert(shapeMsg("g.V().not(__.repeat(__.out('next'))" +
+      ".until(__.count().is(0))).count()").contains("fixed point"))
+    // repeatUntil under path tracking / as() tags
+    assert(shapeMsg("g.V(1).repeat(__.out('next'))" +
+      ".until(__.count().is(0)).path()").contains("fixed point"))
+    assert(shapeMsg("g.V().as('a').repeat(__.out('next'))" +
+      ".until(__.count().is(0)).select('a')").contains("fixed point"))
+    // fold() barrier under path tracking / as() tags
+    assert(shapeMsg("g.V().fold().unfold().path()").contains("barrier"))
+    assert(shapeMsg("g.V().as('a').fold().unfold().select('a')")
+      .contains("barrier"))
+    // until(loops().is(0)): TinkerPop never yields the depth-0
+    // frontier there — reject, don't lower to the identity repeat(0)
+    assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).until(loops().is(0))"))
+    // the legitimate forms still run (the cycle origin is visited-
+    // excluded, so the fixed point from V(1) reaches {2, 3})
+    assert(GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).until(loops().is(2))").count() == 1)
+    assert(GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).until(__.count().is(0))").count() == 2)
+  }
+
+  test("choose() builds lazily: query construction launches no Spark job") {
+    // with an EAGER pinned origin set, merely building a choose() query
+    // ran a distributed job (checkpoint materialization) — plan-only
+    // paths (explain, dry compilation) paid it. A job started during
+    // construction completes synchronously before construction returns,
+    // so a short post-construction drain makes the zero-job assertion
+    // reliable; the result check then proves the lazy pin still works.
+    // suites share one session and may run in parallel — count only
+    // jobs carrying THIS thread's job group (an eager construction
+    // job would run synchronously on this thread and inherit it)
+    val gid = "choose-lazy-probe"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (gid == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(gid, "construction probe")
+    try {
+      val q = triangle.V.choose(_.out("next"), _.out("next"), t => t)
+      Thread.sleep(1500) // listener bus drain
+      assert(jobs.get() == 0,
+        s"building choose() launched ${jobs.get()} Spark job(s)")
+      assert(q.toDF.count() == 3) // every vertex has an out-neighbor
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
   test("parser: union, coalesce, order().by, groupCount().by, limit") {
     val u = GremlinParser.run(triangle,
       "g.V(1).union(__.out('next'), __.in('next')).values('id')")
