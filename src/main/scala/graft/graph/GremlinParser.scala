@@ -125,6 +125,18 @@ object GremlinParser {
     * named side effect (run() keeps the store while folding steps)
     */
   final case class GAggregate(key: String) extends GStep
+  /** store('x') — TinkerPop's pre-3.6 LAZY aggregate spelling; this
+    * engine's aggregate() snapshots are already lazy plans, so the two
+    * coincide (a distinct node so parse ∘ render = identity holds)
+    */
+  final case class GStore(key: String) extends GStep
+  /** barrier([maxSize]) — a no-op here: every step already executes as
+    * a full distributed barrier; the optional size hint is accepted
+    * and irrelevant (there is no traverser queue to cap)
+    */
+  case object GBarrier extends GStep
+  /** identity() — the explicit pass-through step */
+  case object GIdentity extends GStep
   /** cap('x') — terminal emitting a stored side-effect bag */
   final case class GCap(key: String) extends GStep
   /** local(__.steps[.order(k[,dir])].limit(n)) — per-origin scoped
@@ -263,6 +275,12 @@ object GremlinParser {
         case Seq(k) => k
         case _ => throw ParseException("aggregate() takes exactly one key")
       })
+      case "store" => GStore(parseStrArgs(cur) match {
+        case Seq(k) => k
+        case _ => throw ParseException("store() takes exactly one key")
+      })
+      case "barrier" => parseIntArgs(cur, 0, 1); GBarrier
+      case "identity" => emptyArgs(cur); GIdentity
       case "cap" => GCap(parseStrArgs(cur) match {
         case Seq(k) => k
         case _ => throw ParseException("cap() takes exactly one key")
@@ -276,7 +294,11 @@ object GremlinParser {
             "each match() pattern must be __.as('a').<steps>.as('b')")
         })
       case "local" => parseSubArg(cur) match {
-        case steps :+ GOrder(k, asc) :+ GLimit(n) if steps.nonEmpty =>
+        // no nonEmpty guard on the order-fold: local(__.order(k).limit(n))
+        // is the degenerate per-origin form (sub = identity) and must
+        // normalize to the SAME folded AST render() emits for it, or
+        // parse ∘ render = identity breaks on exactly that shape
+        case steps :+ GOrder(k, asc) :+ GLimit(n) =>
           GLocal(steps, k, asc, n)
         case steps :+ GLimit(n) if steps.nonEmpty =>
           GLocal(steps, "", asc = true, n)
@@ -726,6 +748,9 @@ object GremlinParser {
         anon((GAs(a) +: mid) :+ GAs(b))
       }.mkString(", ") + ")"
       case GAggregate(k) => s"aggregate('$k')"
+      case GStore(k) => s"store('$k')"
+      case GBarrier => "barrier()"
+      case GIdentity => "identity()"
       case GCap(k) => s"cap('$k')"
       case GLocal(sub, "", _, n) => s"local(${anon(sub)}.limit($n))"
       case GLocal(sub, k, asc, n) =>
@@ -808,6 +833,12 @@ object GremlinParser {
               "inV()/outV()/otherV()")
           sideEffects(k) = t.toDF.select(
             org.apache.spark.sql.functions.col("id"))
+        case GStore(k) => // the legacy lazy-aggregate spelling
+          if (t.isEdge) throw new IllegalArgumentException(
+            s"store('$k') needs a vertex frontier; move it after " +
+              "inV()/outV()/otherV()")
+          sideEffects(k) = t.toDF.select(
+            org.apache.spark.sql.functions.col("id"))
         case GCap(k) =>
           // a query-shape error, not a parse error: the text parsed
           // fine, the chain just never aggregated under this key
@@ -870,6 +901,7 @@ object GremlinParser {
     case GLocal(sub, k, asc, n) => t.localLimit(subFn(sub), n, k, asc)
     case GOptional(sub) => t.optional(subFn(sub))
     case GAs(l) => t.as(l)
+    case GBarrier | GIdentity => t // full-barrier engine: pass-through
     case GHasKey(k, false) => t.hasKey(k)
     case GHasKey(k, true) => t.hasNot(k)
     case GSelect(Seq(l)) => t.selectStep(l)

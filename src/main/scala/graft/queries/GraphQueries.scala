@@ -289,6 +289,20 @@ object GraphQueries {
       .select(concat_ws(",", col("path")).as("path"))
       .orderBy(col("path"))
 
+  /** Parsed legacy TinkerPop spellings — store() (the pre-3.6 lazy
+    * aggregate), barrier() and identity() (no-ops here: every step is
+    * already a full distributed barrier): customers snapshot via
+    * store(), the frontier hops on to orders, cap() recalls the
+    * snapshot untouched by the hop. Oracle: count + mod-prime checksum
+    * of the encoded customer ids.
+    */
+  def g51StoreLegacy(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().identity().hasLabel('customer').store('c').barrier()" +
+        ".out('placed').cap('c')")
+      .agg(count(lit(1)).as("n_stored"),
+        sum(col("id") % 1000000007L).as("id_checksum"))
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -605,6 +619,7 @@ object GraphQueries {
     "g48_id_parsed" -> (g48IdParsed _),
     "g49_label_parsed" -> (g49LabelParsed _),
     "g50_path_by" -> (g50PathBy _),
+    "g51_store_legacy" -> (g51StoreLegacy _),
     "g22_within" -> (g22Within _),
     "g18_reach_until" -> (g18ReachUntil _),
     "g13_not_step" -> (g13NotStep _),
@@ -859,6 +874,11 @@ object GraphQueries {
       """SELECT s_name || ',' || n_name AS path
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_nationkey = 3 ORDER BY path""".stripMargin,
+    "g51_store_legacy" ->
+      s"""SELECT COUNT(*) AS n_stored,
+         |  CAST(SUM(${PropertyGraph.sqlEncode("customer", "c_custkey")}
+         |    % 1000000007) AS BIGINT) AS id_checksum
+         |FROM customer""".stripMargin,
     "g44_match" ->
       s"""WITH b AS (SELECT DISTINCT
          |    ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS c,

@@ -67,6 +67,9 @@ class GremlinPropertySpec extends AnyFunSuite {
       ident.map(k => GHasKey(k, neg = false)),
       ident.map(k => GHasKey(k, neg = true)),
       ident.map(GAggregate),
+      ident.map(GStore),
+      Gen.const(GBarrier),
+      Gen.const(GIdentity),
       Gen.const(GSimplePath))
     val nested: Seq[Gen[GStep]] =
       if (depth <= 0) Nil

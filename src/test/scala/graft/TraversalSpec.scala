@@ -652,6 +652,23 @@ class TraversalSpec extends AnyFunSuite {
       GremlinParser.run(triangle, "g.V().group()"))
   }
 
+  test("parser: store()/barrier()/identity() legacy spellings") {
+    // store == aggregate (both snapshot the frontier id bag as a lazy
+    // plan); barrier/identity are pass-throughs in a full-barrier engine
+    val a = GremlinParser.run(triangle,
+      "g.V().aggregate('x').out('next').cap('x')")
+    val b = GremlinParser.run(triangle,
+      "g.V().identity().store('x').barrier().out('next').cap('x')")
+    assert(a.collect().map(_.getLong(0)).sorted.toSeq ==
+      b.collect().map(_.getLong(0)).sorted.toSeq)
+    // the optional barrier(maxSize) hint parses and is irrelevant
+    assert(GremlinParser.run(triangle, "g.V().barrier(100).count()")
+      .head().getLong(0) == 3)
+    // edge-frontier store refuses with a clean shape error
+    assertThrows[IllegalArgumentException](
+      GremlinParser.run(triangle, "g.E().store('x').cap('x')"))
+  }
+
   test("parser: malformed queries fail loudly, never silently") {
     def bad(q: String): Unit =
       assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle, q))
