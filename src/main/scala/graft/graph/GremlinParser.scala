@@ -271,20 +271,11 @@ object GremlinParser {
         val ls = parseStrArgs(cur)
         if (ls.isEmpty) throw ParseException("project() needs at least one label")
         GProject(ls, Nil)
-      case "aggregate" => GAggregate(parseStrArgs(cur) match {
-        case Seq(k) => k
-        case _ => throw ParseException("aggregate() takes exactly one key")
-      })
-      case "store" => GStore(parseStrArgs(cur) match {
-        case Seq(k) => k
-        case _ => throw ParseException("store() takes exactly one key")
-      })
+      case "aggregate" => GAggregate(oneKey(cur, "aggregate"))
+      case "store" => GStore(oneKey(cur, "store"))
       case "barrier" => parseIntArgs(cur, 0, 1); GBarrier
       case "identity" => emptyArgs(cur); GIdentity
-      case "cap" => GCap(parseStrArgs(cur) match {
-        case Seq(k) => k
-        case _ => throw ParseException("cap() takes exactly one key")
-      })
+      case "cap" => GCap(oneKey(cur, "cap"))
       case "match" =>
         val subs = parseSubArgs(cur)
         if (subs.isEmpty) throw ParseException("match() needs patterns")
@@ -568,6 +559,12 @@ object GremlinParser {
     out.result()
   }
 
+  private def oneKey(cur: Cursor, name: String): String =
+    parseStrArgs(cur) match {
+      case Seq(k) => k
+      case _ => throw ParseException(s"$name() takes exactly one key")
+    }
+
   private def parseIntArgs(cur: Cursor, min: Int, max: Int = 1): Seq[Int] = {
     cur.expectPunct('(')
     val out = Vector.newBuilder[Int]
@@ -807,13 +804,41 @@ object GremlinParser {
     // traversal value `t` never mutates, so the captured frame is
     // exactly the aggregate-time frontier)
     val sideEffects = scala.collection.mutable.Map.empty[String, DataFrame]
+    // rider bookkeeping: fold() and repeat().until() are whole-frontier
+    // barriers that consume path history and as() tags (they dedup or
+    // collapse by vertex). A path step CONSUMED before the barrier is
+    // fine; a consumer AFTER it gets a clean positional error here
+    // instead of the opaque downstream failure the lost column causes.
+    var pathBroken: Option[String] = None
+    var liveTags = Set.empty[String]
+    var lostTags = Set.empty[String]
     rest.foreach { s =>
       if (result.nonEmpty)
         throw ParseException(s"step after terminal: $s")
-      if (folded.nonEmpty && s != GUnfold)
+      if (folded.nonEmpty && s != GUnfold && s != GBarrier && s != GIdentity)
         throw new IllegalArgumentException(
           s"only unfold() may follow fold(), got $s")
-      s match {
+      s match { // positional rider checks (never consumes the step)
+        case GAs(l) => liveTags += l; lostTags -= l
+        case GFold | GRepeatUntil(_) =>
+          pathBroken = Some(if (s == GFold) "fold()" else "repeat().until()")
+          lostTags ++= liveTags; liveTags = Set.empty
+        case GPath | GTree | GSimplePath | GCyclicPath | GPathBy(_)
+            if pathBroken.nonEmpty =>
+          throw new IllegalArgumentException(
+            s"path history does not survive ${pathBroken.get} (a " +
+              "whole-frontier barrier); move the path step before it, " +
+              "or use repeat().times(n)")
+        case GSelect(ls) =>
+          val dead = ls.filterNot(liveTags).filter(lostTags)
+          if (dead.nonEmpty) throw new IllegalArgumentException(
+            s"as(${dead.map(l => s"'$l'").mkString(", ")}) does not " +
+              s"survive ${pathBroken.get} (a whole-frontier barrier); " +
+              "re-tag after it or move the select before it")
+        case _ => ()
+      }
+      if (folded.nonEmpty && (s == GBarrier || s == GIdentity)) ()
+      else s match {
         case GFold => folded = Some(t.foldIds())
         case GUnfold =>
           val f = folded.getOrElse(throw new IllegalArgumentException(
@@ -823,19 +848,17 @@ object GremlinParser {
         case GId => result = Some(t.idsDF())
         case GLabel => result = Some(t.labelsDF())
         case GPathBy(k) => result = Some(t.pathsBy(k))
-        case GAggregate(k) =>
+        case GAggregate(_) | GStore(_) => // store = the legacy spelling
+          val (k, name) = s match {
+            case GAggregate(k0) => (k0, "aggregate")
+            case _ => (s.asInstanceOf[GStore].key, "store")
+          }
           // query-shape guard (mirrors cap()'s style): an edge frontier
           // has no id column — (src, label, sort_key, dst) identify an
           // edge — so a raw select("id") would surface as an opaque
           // AnalysisException instead of a clean error
           if (t.isEdge) throw new IllegalArgumentException(
-            s"aggregate('$k') needs a vertex frontier; move it after " +
-              "inV()/outV()/otherV()")
-          sideEffects(k) = t.toDF.select(
-            org.apache.spark.sql.functions.col("id"))
-        case GStore(k) => // the legacy lazy-aggregate spelling
-          if (t.isEdge) throw new IllegalArgumentException(
-            s"store('$k') needs a vertex frontier; move it after " +
+            s"$name('$k') needs a vertex frontier; move it after " +
               "inV()/outV()/otherV()")
           sideEffects(k) = t.toDF.select(
             org.apache.spark.sql.functions.col("id"))

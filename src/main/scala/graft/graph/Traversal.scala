@@ -307,18 +307,20 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     */
   def repeatUntil(step: Traversal => Traversal, maxDepth: Int = 50): Traversal = {
     requireV()
-    // query-shape guard: the fixed point dedups by VERTEX — per-
-    // traverser path history and as() tags are undefined for a vertex
-    // reachable along many walks, and the ID-only BFS state (the whole
-    // point of the design) cannot carry them. Without this check the
-    // rider columns silently vanish and the enclosing construct
-    // (path()/select()/where()/choose()) dies later with an opaque
-    // unresolved-column AnalysisException or a misleading "call
-    // withPath" message.
-    require(!hasPath && !df.columns.exists(_.startsWith(TAG)),
+    // query-shape guard: the fixed point dedups by VERTEX, so it
+    // cannot carry a per-origin marker — running inside a filter
+    // context (where/not/choose, detected by the internal SFO rider)
+    // would silently route EVERY origin to the same verdict; refuse
+    // with the real reason instead of the opaque unresolved-column
+    // error the enclosing semi-join would throw. USER riders
+    // (path()/as() tags) are simply consumed — the barrier ends
+    // per-traverser history, exactly as fold() does — and the parser
+    // front-end gives clean positional errors when a LATER step would
+    // have needed them.
+    require(!df.columns.contains(SFO),
       "repeat().until() is a whole-frontier fixed point that dedups by " +
-        "vertex — it cannot carry path()/as() history or run inside " +
-        "where()/not()/choose() sub-traversals; use repeat().times(n) there")
+        "vertex — it cannot run inside where()/not()/choose() " +
+        "sub-traversals; use repeat().times(n) there")
     // BFS state is ID-ONLY: frontiers, the visited set, and the reached
     // accumulator are narrow long columns, so every per-round shuffle,
     // dedup, and checkpoint moves 8-byte keys, not full property rows
@@ -481,6 +483,9 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
       require(sv != ev, s"pattern binds '$sv' to itself")
       val r = sub(Traversal(g, g.vertices, isEdge = false).as(mk))
       require(!r.isEdge, "match patterns must end on a vertex frontier")
+      require(r.df.columns.contains(TAG + mk),
+        s"pattern ($sv)->($ev) lost its binding tag — a whole-frontier " +
+          "barrier (fold/repeat().until()) cannot appear inside match()")
       val rel = r.df.select(col(TAG + mk).as(sv), col("id").as(ev)).distinct()
       val shared = bound.columns.toSet.intersect(Set(sv, ev)).toSeq.sorted
       require(shared.nonEmpty,
@@ -494,9 +499,9 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     * conditional branch (TinkerPop's traversal-predicate form: a
     * frontier row routes to `onTrue` when `cond` yields ANY result
     * from it, to `onFalse` otherwise). The cond sub-traversal's
-    * origin-id set is pinned ONCE (a lazily persisted frame both sides
-    * share — computed at first action, so plan construction stays
-    * job-free), then feeds both a semi and an anti join; the result is a plan-level
+    * origin-id set is ONE shared subplan (exchange reuse executes it
+    * once per action; construction stays job-free and nothing is
+    * cached), feeding both a semi and an anti join; the result is a plan-level
     * Union of the branch subtrees — no per-row dispatch anywhere, and
     * an expensive cond executes once, not once per side. The 2-arg
     * Gremlin form is `onFalse = identity` (non-matching travellers
@@ -506,19 +511,23 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
              onTrue: Traversal => Traversal,
              onFalse: Traversal => Traversal = identity): Traversal = {
     requireV()
-    val origin = copy(df = df.withColumn(PATH, array(col("id"))))
+    val origin = copy(df = df
+      .withColumn(PATH, array(col("id")))
+      .withColumn(SFO, col("id")))
+    // SHARED, UNCACHED: the semi and anti join reference the identical
+    // distinct subplan, whose boundary is an exchange (shuffle for the
+    // aggregate, or a broadcast of the small reached set) — Spark's
+    // exchange reuse executes it ONCE per action, so an expensive cond
+    // does not run per side, with no cache entry to leak and no job at
+    // construction (an eager pin cost a distributed job just to BUILD
+    // the query; a persist leaked a CacheManager entry per choose()
+    // for the life of the session). Callers needing a HARD pin across
+    // partition loss for a nondeterministic cond (e.g. unordered
+    // limit) should checkpoint the cond input upstream — the same
+    // contract every uncached Spark plan carries.
     val reached = cond(origin).df
-      .select(element_at(col(PATH), 1).as("__origin"))
+      .select(col(SFO).as("__origin"))
       .distinct()
-      // LAZY pin: both joins share this one InMemoryRelation, so an
-      // expensive cond computes once at first materialization, never
-      // per side — and building the query launches NO Spark job
-      // (localCheckpoint, even eager=false, materializes AQE shuffle
-      // stages at toRdd; plan-only paths like explain paid real jobs).
-      // The cached frame is origin ids only — 8-byte rows, bounded —
-      // and MEMORY_AND_DISK evicts under pressure; there is no later
-      // hook to unpersist a frame embedded in a returned lazy plan.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tb = onTrue(copy(df =
       df.join(reached, col("id") === col("__origin"), "left_semi")))
     val fb = onFalse(copy(df =
@@ -610,16 +619,12 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     */
   def foldIds(): DataFrame = {
     requireV()
-    // query-shape guard: fold() collapses the frontier to ONE id-list
-    // traverser — path history and as() tags cannot survive the
-    // barrier, and unfold() rebuilds fresh vertex rows without them.
-    // Refuse here with the real reason instead of letting a later
-    // path()/select() fail with "call withPath" (wrong diagnosis: the
-    // caller DID enable path tracking; the fold discarded it).
-    require(!hasPath && !df.columns.exists(_.startsWith(TAG)),
-      "fold() is a global barrier that collapses traversers to one id " +
-        "list — path()/as() history does not survive fold().unfold(); " +
-        "remove the path/as steps or the fold")
+    // fold() collapses the frontier to ONE id-list traverser: user
+    // path()/as() riders are consumed here (the barrier ends
+    // per-traverser history — a path filter applied BEFORE the fold
+    // has already done its work and folds fine); the parser gives a
+    // clean positional error when a step AFTER the barrier would have
+    // needed the lost history.
     df.agg(sort_array(collect_list(col("id"))).as("ids"))
   }
 
@@ -642,10 +647,15 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
 
   private def semiFilter(sub: Traversal => Traversal, anti: Boolean): Traversal = {
     requireV()
-    // run the sub-traversal from the full frontier, tracking origins
-    val origin = copy(df = df.withColumn(PATH, array(col("id"))))
+    // run the sub-traversal from the full frontier: the SFO tag rider
+    // marks each row's origin (it survives every hop projection); the
+    // PATH array still rides so path-dependent sub-steps
+    // (simplePath/cyclicPath INSIDE the filter) keep working
+    val origin = copy(df = df
+      .withColumn(PATH, array(col("id")))
+      .withColumn(SFO, col("id")))
     val reached = sub(origin).df
-      .select(element_at(col(PATH), 1).as("__origin"))
+      .select(col(SFO).as("__origin"))
       .distinct()
     val joined = df.join(reached, col("id") === col("__origin"),
       if (anti) "left_anti" else "left_semi")
@@ -773,6 +783,16 @@ object Traversal {
 
   private[graph] val FRONT = "__frontier_id"
   private[graph] val TAG = "__as_"
+
+  /** internal origin rider for filter contexts (where/not/choose):
+    * a TAG-namespaced column so it survives every hop projection; its
+    * PRESENCE is how a whole-frontier barrier (repeatUntil) knows it
+    * is running inside a per-origin filter and must refuse — user
+    * path()/as() riders, by contrast, are silently consumed by
+    * barriers (the parser gives clean positional errors when a later
+    * step would have needed them)
+    */
+  private[graph] val SFO = TAG + "__origin__"
   private[graph] val OTHER = "__other"
   private[graph] val HOP = "__hop_id"
   private[graph] val PATH = "__path"

@@ -43,8 +43,16 @@ object AtomicRenamePointer extends VersionPointer {
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def monitorKey(root: String): String =
-    Paths.get(root).toAbsolutePath.normalize.toString
+  private def monitorKey(root: String): String = {
+    val p = Paths.get(root).toAbsolutePath.normalize
+    // resolve symlinks / case aliases when the directory exists, so
+    // '/data/link/tbl' and '/data/real/tbl' share one monitor too;
+    // textual normalization is only the fallback for not-yet-created
+    // roots (which no concurrent committer can be racing on anyway —
+    // there is no _CURRENT.lock to collide over until init)
+    try p.toRealPath().toString
+    catch { case _: java.io.IOException => p.toString }
+  }
 
   def current(root: String): Option[String] =
     if (Files.exists(marker(root)))

@@ -440,26 +440,42 @@ class TraversalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](triangle.E.idsDF())
   }
 
-  test("rider-column guards: until()/fold() refuse path/as/filter " +
-       "contexts with the real reason, never unresolved-column errors") {
+  test("rider-column guards: until()/fold() refuse filter contexts and " +
+       "post-barrier consumers with the real reason; consumed-before " +
+       "riders still work") {
     def shapeMsg(q: String): String =
       intercept[IllegalArgumentException](
         GremlinParser.run(triangle, q).collect()).getMessage
-    // repeatUntil inside where()/not()/choose(): the fixed point drops
-    // the __path origin rider the semi-filter needs
+    // repeatUntil inside where()/not(): the fixed point cannot carry
+    // the per-origin marker the semi-filter needs
     assert(shapeMsg("g.V().where(__.repeat(__.out('next'))" +
       ".until(__.count().is(0))).count()").contains("fixed point"))
     assert(shapeMsg("g.V().not(__.repeat(__.out('next'))" +
       ".until(__.count().is(0))).count()").contains("fixed point"))
-    // repeatUntil under path tracking / as() tags
+    // consumers AFTER the barrier: clean positional errors
     assert(shapeMsg("g.V(1).repeat(__.out('next'))" +
-      ".until(__.count().is(0)).path()").contains("fixed point"))
+      ".until(__.count().is(0)).path()").contains("does not survive"))
     assert(shapeMsg("g.V().as('a').repeat(__.out('next'))" +
-      ".until(__.count().is(0)).select('a')").contains("fixed point"))
-    // fold() barrier under path tracking / as() tags
-    assert(shapeMsg("g.V().fold().unfold().path()").contains("barrier"))
+      ".until(__.count().is(0)).select('a')").contains("does not survive"))
+    assert(shapeMsg("g.V().fold().unfold().path()")
+      .contains("does not survive"))
     assert(shapeMsg("g.V().as('a').fold().unfold().select('a')")
-      .contains("barrier"))
+      .contains("does not survive"))
+    // riders CONSUMED before the barrier are fine (these worked before
+    // the guards existed and must keep working)
+    assert(GremlinParser.run(triangle,
+      "g.V(1).out('next').simplePath().fold().unfold().count()")
+      .head().getLong(0) == 1)
+    assert(GremlinParser.run(triangle,
+      "g.V().as('a').out('next').fold().unfold().count()")
+      .head().getLong(0) == 3)
+    // re-tagging after the barrier makes select legal again
+    assert(GremlinParser.run(triangle,
+      "g.V().as('a').fold().unfold().as('a').select('a')").count() == 3)
+    // barrier()/identity() are pass-throughs even inside a fold chain
+    assert(GremlinParser.run(triangle,
+      "g.V().fold().barrier().identity().unfold().count()")
+      .head().getLong(0) == 3)
     // until(loops().is(0)): TinkerPop never yields the depth-0
     // frontier there — reject, don't lower to the identity repeat(0)
     assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle,
