@@ -74,8 +74,10 @@ import org.apache.spark.sql.SparkSession
   *     crosses fractions of the budget: warmup stops at 15%; at 50%
   *     remaining queries drop to a single timed run with no spread
   *     reruns or steal retries; at 70% the end-of-bench re-pass
-  *     narrows to a BOUNDED top-OutlierRepassMax outlier pass
-  *     (suspects first, then largest medians — never zero, because
+  *     narrows to a BOUNDED outlier pass picked by RATIO against the
+  *     committed BENCH_DETAIL.json medians — every entry ≥ 2× its
+  *     certified close value gets a slot, then suspects/largest top
+  *     up to OutlierRepassMax (never zero, because
   *     the re-pass is the only machinery that corrects a steal spike
   *     already shipped into a window value; round-11's degraded
   *     artifact carried a 44.8 s a_cc_alt against a 4.4-7.6 s
@@ -128,11 +130,22 @@ object Bench {
   // ≥3 s family (37 queries ≈ 200 s of re-pass on a clean window,
   // inside the budget ladder's 70%→85% slot)
   private val RepassMaxQueries = 40
-  // budget-tight tiers keep a BOUNDED re-pass alive (top window values,
-  // suspects first) instead of shedding the re-pass entirely — a steal
-  // spike on one heavy query can add 40 s to the shipped total, and the
-  // re-pass is the only machinery that corrects it (round-11 lesson)
+  // budget-tight tiers keep a BOUNDED re-pass alive instead of
+  // shedding the re-pass entirely — a steal spike on one heavy query
+  // can add 40 s to the shipped total, and the re-pass is the only
+  // machinery that corrects it (round-11 lesson). Round-12 lesson
+  // (a_hits shipped 16.4 s vs its committed-close 8.3 s because the 5
+  // slots were absolute-sorted, suspects first): candidates are now
+  // picked by RATIO against the committed BENCH_DETAIL.json medians —
+  // the reference envelope the repo ships — so a clean-window steal
+  // spike outranks a merely-large certified median. Every entry ≥
+  // OutlierRatioMin× its committed value gets a slot (up to
+  // OutlierOverCap; repassOver re-checks the budget per query so a
+  // long list self-truncates), then the list tops up to
+  // OutlierRepassMax by suspect-first / ratio / size.
   private val OutlierRepassMax = 5
+  private val OutlierRatioMin = 2.0
+  private val OutlierOverCap = 12
   // a priming run at the target SF this slow marks the query HEAVY:
   // ship a single timed run (the re-pass provides the second
   // independent sample for the top of the tail)
@@ -200,6 +213,30 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // the committed reference envelope: per-query medians from the last
+    // clean-close BENCH_DETAIL.json (read BEFORE this run overwrites
+    // it). Used by the bounded outlier re-pass to pick candidates by
+    // ratio-vs-certified instead of absolute size. Empty map (no file,
+    // no parse) degrades to the old absolute ordering.
+    val refMedians: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_REF_DETAIL",
+        sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json"))
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        val tag = "\"queries\":{"
+        val i = txt.indexOf(tag)
+        val j = if (i < 0) -1 else txt.indexOf('}', i)
+        if (i < 0 || j < 0) Map.empty
+        else "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+          .findAllMatchIn(txt.substring(i + tag.length, j))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    if (refMedians.nonEmpty)
+      System.err.println(s"[bench] reference envelope: ${refMedians.size} " +
+        "committed medians loaded for the outlier re-pass")
 
     // ---- shared result state (also read by the shutdown hook; all
     // mutations and the hook's snapshot synchronize on `medians`) ----
@@ -645,13 +682,26 @@ object Bench {
     } else if (budgetFrac < 0.95) {
       medians.synchronized { degradedTiers += "repass_outliers_only" }
       val outliers = medians.synchronized {
-        names.filter(n => medians.get(n).exists(_ >= RepassMinSec))
-          .sortBy(n => (if (suspect(n)) 0 else 1, -medians(n)))
-          .take(OutlierRepassMax)
+        val scored = names.flatMap { q =>
+          medians.get(q).filter(_ >= RepassMinSec).map { med =>
+            (q, med, refMedians.get(q).filter(_ > 0).map(med / _))
+          }
+        }
+        // tier 1: everything ≥ OutlierRatioMin× its committed-close
+        // value — the entries a steal spike actually damaged (r12's
+        // a_hits case) — worst ratio first, capped
+        val over = scored.filter(_._3.exists(_ >= OutlierRatioMin))
+          .sortBy(-_._3.get).map(_._1).take(OutlierOverCap)
+        // tier 2: top-up to the old bound by suspect-first, then
+        // ratio, then absolute size (covers no-envelope queries)
+        val rest = scored.filterNot(s => over.contains(s._1))
+          .sortBy(s => (if (suspect(s._1)) 0 else 1,
+            -s._3.getOrElse(1.0), -s._2)).map(_._1)
+        (over ++ rest).take(math.max(OutlierRepassMax, over.length))
       }
       System.err.println(s"[bench] budget tight (elapsed " +
         f"${elapsedS}%.0f s of ${budgetS}%.0f) — bounded outlier re-pass " +
-        s"over ${outliers.mkString(", ")}")
+        s"(ratio-vs-envelope) over ${outliers.mkString(", ")}")
       repassOver(outliers, stopFrac = 0.97)
     } else {
       medians.synchronized { degradedTiers += "repass_skipped" }

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Textual Gremlin front-end for the implemented verb subset.
   *
@@ -29,17 +30,24 @@ import org.apache.spark.sql.DataFrame
   * existence, hasId, as/select (one label = jump back, several =
   * projection terminal), out/in/both, outE/inE/bothE, inV/outV/otherV,
   * repeat(sub)[.emit()].times(n),
-  * repeat(sub).until(__.count().is(0) | loops().is(n)) (fixed-point
-  * reachability via repeatUntil / times-sugar), simplePath
+  * repeat(sub).until(__.count().is(0) | loops().is(n) |
+  * hasId/has/hasLabel/hasNot chain) (fixed-point reachability via
+  * repeatUntil / times-sugar / target-reached stop via
+  * repeatUntilReached), simplePath
   * (auto-enables path tracking), where(sub), not(sub), union(subs),
   * coalesce(subs), choose(cond, onTrue[, onFalse]), optional(sub),
   * project(ls).by('k'|__.steps.count())…, aggregate(k)/cap(k),
   * local(__.steps[.order(k[,dir])].limit(n)), tree(),
   * match(__.as(a).steps.as(b), …), dedup, limit,
   * order([k,asc|desc])/order().by(k[, order]), sample(d[,b]),
-  * path()[.by(k)], id, label, fold/unfold, count, values(k),
+  * coin(p) (deterministic hash-coin), path()[.by(k)], id, label,
+  * elementMap(ks), fold/unfold, count, values(k),
   * values(k).sum()/mean()/min()/max(), valueMap(ks),
-  * groupCount(k)/groupCount().by(k). Predicates: eq/neq/gt/gte/lt/
+  * groupCount(k)/groupCount().by(k), is(pred) (on the inject value
+  * pipeline or after a single-column terminal), and the
+  * g.inject(v1, v2, …) value source with its
+  * dedup/limit/skip/range/is/count/sum/mean/min/max/fold pipeline.
+  * Predicates: eq/neq/gt/gte/lt/
   * lte/between/inside/outside/within/without/textContains/containing/
   * startingWith/endingWith/notStartingWith/notEndingWith/
   * notContaining/contains/containsKey/textContainsAny.
@@ -50,6 +58,25 @@ object GremlinParser {
   // ---------- AST ----------
   sealed trait GStep
   final case class GSource(edge: Boolean, ids: Seq[Long]) extends GStep
+  /** g.inject(v1, v2, …) — the VALUE-TRAVERSER source: constant values
+    * enter the stream instead of graph elements. Supported follow-on
+    * steps form the value pipeline (dedup/limit/skip/range/is/count/
+    * sum/mean/min/max/fold); mid-chain inject on an element frontier
+    * is refused (heterogeneous element+value streams have no
+    * relational reading — use the source form).
+    */
+  final case class GInject(vals: Seq[Any]) extends GStep
+  /** is(pred) — filter the current VALUE traverser: legal on the
+    * inject value pipeline and directly after a single-column terminal
+    * (count()/sum()/values(k)…), TinkerPop's `count().is(gt(n))` idiom.
+    */
+  final case class GIs(p: P) extends GStep
+  /** coin(p) — deterministic hash-coin keep-with-probability-p
+    * (md5-bucket; same reproducibility stance as sample())
+    */
+  final case class GCoin(p: Double) extends GStep
+  /** elementMap(ks) terminal — id + label + requested properties */
+  final case class GElementMap(ks: Seq[String]) extends GStep
   final case class GHasLabel(ls: Seq[String]) extends GStep
   final case class GHas(k: String, p: P) extends GStep
   final case class GHasId(ids: Seq[Long]) extends GStep
@@ -66,6 +93,16 @@ object GremlinParser {
     * follows repeat, so loops()==n stops after exactly n rounds).
     */
   final case class GRepeatUntil(sub: Seq[GStep]) extends GStep
+  /** repeat(sub).until(<filter predicate>) — the TARGET-REACHED stop
+    * (`until(hasId(x))` / `until(has('k',v))` / `until(hasLabel('l'))`,
+    * chains allowed): a traverser halts and is emitted when the
+    * predicate matches it after a round; the rest keep expanding.
+    * Lowers onto [[Traversal.repeatUntilReached]] (per-round
+    * distributed stop-set test; the reference engine's conditional
+    * per-hop scan loop, TikvTable.java:30-58).
+    */
+  final case class GRepeatUntilStop(sub: Seq[GStep],
+                                    stop: Seq[GStep]) extends GStep
   /** id() terminal — the frontier's vertex ids */
   case object GId extends GStep
   /** label() terminal — element labels (vertex or edge frontier) */
@@ -210,11 +247,33 @@ object GremlinParser {
         val ids = parseLongArgs(cur)
         if (ids.nonEmpty) throw ParseException("E() takes no ids")
         GSource(edge = true, Nil)
+      case "inject" =>
+        val vals = parseLitArgs(cur)
+        if (vals.isEmpty) throw ParseException("inject() needs at least one value")
+        GInject(vals)
       case other => throw ParseException(s"unknown source step $other")
     }
     val steps = src +: parseSteps(cur)
     if (cur.peek.nonEmpty) throw ParseException(s"trailing tokens after step ${cur.peek.get}")
     fuseModulators(steps)
+  }
+
+  /** comma-separated literal args (strings / numbers / booleans) */
+  private def parseLitArgs(cur: Cursor): Seq[Any] = {
+    cur.expectPunct('(')
+    val vs = Vector.newBuilder[Any]
+    while (!cur.atPunct(')')) {
+      cur.next() match {
+        case TStr(s) => vs += s
+        case TNum(s) => vs += num(s)
+        case TIdent("true") => vs += true
+        case TIdent("false") => vs += false
+        case t => throw ParseException(s"expected literal, got $t")
+      }
+      if (cur.atPunct(',')) cur.next()
+    }
+    cur.expectPunct(')')
+    vs.result()
   }
 
   private def parseLongArgs(cur: Cursor): Seq[Long] = {
@@ -315,6 +374,30 @@ object GremlinParser {
       case "sample" =>
         val a = parseIntArgs(cur, 1, 2)
         GSample(a.head, if (a.length > 1) a(1) else 0)
+      case "is" =>
+        cur.expectPunct('(')
+        val p = cur.next() match {
+          case TIdent(pred) => parsePredicate(pred, cur)
+          case TStr(s) => P.Eq(s)
+          case TNum(s) => P.Eq(num(s))
+          case t => throw ParseException(
+            s"is() takes a literal or predicate, got $t")
+        }
+        cur.expectPunct(')')
+        GIs(p)
+      case "coin" =>
+        cur.expectPunct('(')
+        val p = cur.next() match {
+          case TNum(s) => s.toDouble
+          case t => throw ParseException(s"coin() takes a probability, got $t")
+        }
+        cur.expectPunct(')')
+        GCoin(p)
+      case "elementMap" => GElementMap(parseStrArgs(cur))
+      case "inject" => throw ParseException(
+        "inject() mid-traversal mixes element and value traversers, " +
+          "which has no relational reading — use the g.inject(...) " +
+          "source form")
       case "path" => emptyArgs(cur); GPath
       case "id" => emptyArgs(cur); GId
       case "label" => emptyArgs(cur); GLabel
@@ -425,19 +508,48 @@ object GremlinParser {
     }
   }
 
-  /** the two until() stop conditions with a distributable meaning:
+  /** the until() stop conditions with a distributable meaning:
     *  - __.count().is(0): "no traversers survived another round" — the
     *    no-new-vertices fixed point, lowered onto repeatUntil (every
     *    vertex reached at depth ≥ 1, dedup'd; emit() is implied by
     *    that contract, so with or without emit() the result is the
     *    same and both spellings are accepted);
-    *  - loops().is(n): stop after exactly n rounds = times(n).
+    *  - loops().is(n): stop after exactly n rounds = times(n);
+    *  - a FILTER predicate (hasId/has/hasLabel/hasNot chains) — the
+    *    target-reached stop: traversers matching it halt and are
+    *    emitted, the rest keep expanding (GRepeatUntilStop).
     */
+  private val UntilFilterHeads = Set("hasId", "has", "hasLabel", "hasNot")
+
   private def parseUntil(cur: Cursor, sub: Seq[GStep], emit: Boolean): GStep = {
     cur.expectPunct('(')
     if (cur.peek.contains(TIdent("__"))) { cur.next(); cur.expectPunct('.') }
     val head = cur.expectIdent()
+    def filterStep(name: String): GStep = name match {
+      case "hasId" => GHasId(parseLongArgs(cur))
+      case "has" => parseHas(cur)
+      case "hasLabel" => GHasLabel(parseStrArgs(cur))
+      case "hasNot" => GHasKey(parseStrArgs(cur) match {
+        case Seq(k) => k
+        case _ => throw ParseException("hasNot() takes exactly one key")
+      }, neg = true)
+      case other => throw ParseException(
+        s"until(<predicate>) supports hasId/has/hasLabel/hasNot " +
+          s"filter chains, got $other")
+    }
     val step = head match {
+      case h if UntilFilterHeads(h) =>
+        val stops = Vector.newBuilder[GStep]
+        stops += filterStep(h)
+        while (cur.atPunct('.')) {
+          cur.next()
+          stops += filterStep(cur.expectIdent())
+        }
+        if (emit) throw ParseException(
+          "repeat().emit().until(<predicate>) is not supported: the " +
+            "target-reached stop already emits exactly the halted " +
+            "traversers; drop emit() or use times(n)")
+        GRepeatUntilStop(sub, stops.result())
       case "count" =>
         emptyArgs(cur); cur.expectPunct('.')
         if (cur.expectIdent() != "is")
@@ -461,8 +573,9 @@ object GremlinParser {
             "semantics (loops is already 1 at the first check); use n >= 1")
         GRepeat(sub, n, emit)
       case other => throw ParseException(
-        s"until() supports __.count().is(0) (fixed point) or " +
-          s"loops().is(n) (= times(n)), got $other")
+        s"until() supports __.count().is(0) (fixed point), " +
+          s"loops().is(n) (= times(n)), or a hasId/has/hasLabel/hasNot " +
+          s"filter chain (target-reached stop), got $other")
     }
     cur.expectPunct(')')
     step
@@ -622,11 +735,16 @@ object GremlinParser {
 
   /** fold ByModulator placeholders into the preceding order()/groupCount(). */
   private def fuseModulators(steps: Seq[GStep]): Seq[GStep] = {
+    // on the inject value pipeline a bare sum()/mean()/min()/max()
+    // aggregates the value stream itself — no values('k') to fuse with
+    val injectChain = steps.headOption.exists(_.isInstanceOf[GInject])
     val out = Vector.newBuilder[GStep]
     var prev: Option[GStep] = None
     steps.foreach {
       case GAgg(op, "") => prev match {
         case Some(GValues(k)) => prev = Some(GAgg(op, k))
+        case _ if injectChain =>
+          prev.foreach(out += _); prev = Some(GAgg(op, ""))
         case _ => throw ParseException(s"$op() must follow values('k')")
       }
       case ByModulator(k, asc) => prev match {
@@ -712,6 +830,10 @@ object GremlinParser {
     def step(s: GStep): String = s match {
       case GSource(true, _) => "E()"
       case GSource(false, ids) => s"V(${ids.mkString(", ")})"
+      case GInject(vals) => s"inject(${vals.map(lit).mkString(", ")})"
+      case GIs(p) => s"is(${pred(p)})"
+      case GCoin(p) => s"coin($p)"
+      case GElementMap(ks) => s"elementMap(${strs(ks)})"
       case GHasLabel(ls) => s"hasLabel(${strs(ls)})"
       case GHas(k, p) => s"has('$k', ${pred(p)})"
       case GHasId(ids) => s"hasId(${ids.mkString(", ")})"
@@ -719,12 +841,16 @@ object GremlinParser {
       case GHasKey(k, true) => s"hasNot('$k')"
       // the fused form: values(k).op() re-fuses to GAgg(op, k) on parse
       case GAgg(op, k) if k.nonEmpty => s"values('$k').$op()"
+      // the bare form survives only on the inject value pipeline
+      case GAgg(op, _) => s"$op()"
       case GHop(kind, ls) => s"$kind(${strs(ls)})"
       case GToV(kind) => s"$kind()"
       case GRepeat(sub, n, emit) =>
         s"repeat(${anon(sub)})" + (if (emit) ".emit()" else "") + s".times($n)"
       case GRepeatUntil(sub) =>
         s"repeat(${anon(sub)}).until(__.count().is(0))"
+      case GRepeatUntilStop(sub, stop) =>
+        s"repeat(${anon(sub)}).until(${anon(stop)})"
       case GId => "id()"
       case GLabel => "label()"
       case GFold => "fold()"
@@ -786,6 +912,10 @@ object GremlinParser {
     */
   def run(g: PropertyGraph, query: String): DataFrame = {
     val steps = parse(query)
+    steps.head match {
+      case GInject(vals) => return runInject(g, vals, steps.tail)
+      case _ => ()
+    }
     val (src, rest) = (steps.head.asInstanceOf[GSource], steps.tail)
     var t = src match {
       case GSource(true, _) => g.E
@@ -813,14 +943,26 @@ object GremlinParser {
     var liveTags = Set.empty[String]
     var lostTags = Set.empty[String]
     rest.foreach { s =>
-      if (result.nonEmpty)
-        throw ParseException(s"step after terminal: $s")
+      if (result.nonEmpty) s match {
+        // count().is(gt(n)) / sum().is(...) / values(k).is(...) — the
+        // TinkerPop post-aggregate filter idiom: is() applies to any
+        // single-column terminal result (chains compose: each filters
+        // the running result)
+        case GIs(p) =>
+          val r = result.get
+          if (r.columns.length != 1) throw new IllegalArgumentException(
+            s"is() after a terminal needs a single-column result, got " +
+              s"(${r.columns.mkString(", ")})")
+          result = Some(r.filter(p.toColumn(col(r.columns.head))))
+        case _ => throw ParseException(s"step after terminal: $s")
+      }
+      else {
       if (folded.nonEmpty && s != GUnfold && s != GBarrier && s != GIdentity)
         throw new IllegalArgumentException(
           s"only unfold() may follow fold(), got $s")
       s match { // positional rider checks (never consumes the step)
         case GAs(l) => liveTags += l; lostTags -= l
-        case GFold | GRepeatUntil(_) =>
+        case GFold | GRepeatUntil(_) | GRepeatUntilStop(_, _) =>
           pathBroken = Some(if (s == GFold) "fold()" else "repeat().until()")
           lostTags ++= liveTags; liveTags = Set.empty
         case GPath | GTree | GSimplePath | GCyclicPath | GPathBy(_)
@@ -867,7 +1009,7 @@ object GremlinParser {
           // fine, the chain just never aggregated under this key
           result = Some(sideEffects.getOrElse(k,
             throw new IllegalArgumentException(
-              s"cap('$k') has no aggregate('$k') before it")))
+              s"cap('$k') has no aggregate('$k')/store('$k') before it")))
         case GAgg("sum", k) => result = Some(t.sumOf(k))
         case GAgg("mean", k) => result = Some(t.meanOf(k))
         case GAgg("min", k) => result = Some(t.minOf(k))
@@ -879,6 +1021,7 @@ object GremlinParser {
         case GCount => result = Some(t.count())
         case GValues(k) => result = Some(t.values(k))
         case GValueMap(ks) => result = Some(t.valueMap(ks: _*))
+        case GElementMap(ks) => result = Some(t.elementMap(ks: _*))
         case GGroupCount(k) => result = Some(t.groupCount(k))
         case GMatch(ps) =>
           result = Some(t.matchPatterns(ps.head._1,
@@ -890,12 +1033,93 @@ object GremlinParser {
           }): _*))
         case other => t = applyStep(t, other)
       }
+      }
     }
     result.orElse(folded).getOrElse(t.toDF)
   }
 
+  /** the inject() value pipeline: a constant value stream with the
+    * follow-on steps that have a clean relational reading over one
+    * `value` column. Homogeneous types only (all integral, all
+    * numeric, or all string) — a mixed list has no single column type.
+    */
+  private def runInject(g: PropertyGraph, vals: Seq[Any],
+                        rest: Seq[GStep]): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val vdf0: DataFrame =
+      if (vals.forall(_.isInstanceOf[Long]))
+        vals.map(_.asInstanceOf[Long]).toDF("value")
+      else if (vals.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
+        vals.map {
+          case l: Long => l.toDouble
+          case d: Double => d
+          case v => throw new IllegalArgumentException(s"unexpected $v")
+        }.toDF("value")
+      else if (vals.forall(_.isInstanceOf[String]))
+        vals.map(_.asInstanceOf[String]).toDF("value")
+      else throw new IllegalArgumentException(
+        "inject() values must be homogeneous (all numbers or all strings)")
+    var vdf = vdf0
+    var result: Option[DataFrame] = None
+    rest.foreach { s =>
+      if (result.nonEmpty) s match {
+        case GIs(p) =>
+          val r = result.get
+          result = Some(r.filter(p.toColumn(col(r.columns.head))))
+        case _ => throw ParseException(s"step after terminal: $s")
+      }
+      else s match {
+        case GDedup => vdf = vdf.distinct()
+        case GLimit(n) => vdf = vdf.limit(n)
+        case GSkip(n) => vdf = vdf.offset(n)
+        case GRange(lo, hi) => vdf = vdf.offset(lo).limit(hi - lo)
+        case GIs(p) => vdf = vdf.filter(p.toColumn(col("value")))
+        case GCount => result = Some(vdf.agg(count(lit(1)).as("cnt")))
+        case GAgg("sum", "") => result = Some(vdf.agg(sum(col("value")).as("sum_value")))
+        case GAgg("mean", "") => result = Some(vdf.agg(avg(col("value")).as("mean_value")))
+        case GAgg("min", "") => result = Some(vdf.agg(min(col("value")).as("min_value")))
+        case GAgg("max", "") => result = Some(vdf.agg(max(col("value")).as("max_value")))
+        case GFold => result = Some(
+          vdf.agg(sort_array(collect_list(col("value"))).as("values")))
+        case other => throw new IllegalArgumentException(
+          s"inject() value stream supports dedup/limit/skip/range/is/" +
+            s"count/sum/mean/min/max/fold, got $other")
+      }
+    }
+    result.getOrElse(vdf)
+  }
+
   private def subFn(sub: Seq[GStep]): Traversal => Traversal =
     t0 => sub.foldLeft(t0)(applyStep)
+
+  /** order-nondeterministic cut detection for choose() conds (ADVICE
+    * r12): an unordered limit/range/skip inside the cond makes its
+    * result set run-dependent, so the semi/anti pair could
+    * double-route or drop a row if the shared subplan were ever
+    * evaluated twice — such conds compile with `pinCond = true`
+    * (materialized once via localCheckpoint). order() before the cut
+    * restores determinism; sample() is hash-deterministic by design.
+    */
+  private def hasUnorderedCut(steps: Seq[GStep]): Boolean = {
+    var ordered = false
+    steps.exists {
+      case GOrder(_, _) => ordered = true; false
+      case GLimit(_) | GRange(_, _) | GSkip(_) => !ordered
+      case GLocal(sub, _, _, _) => hasUnorderedCut(sub)
+      case GUnion(subs) => subs.exists(hasUnorderedCut)
+      case GCoalesce(subs) => subs.exists(hasUnorderedCut)
+      case GWhere(sub, _) => hasUnorderedCut(sub)
+      case GOptional(sub) => hasUnorderedCut(sub)
+      case GChoose(c, tr, f) =>
+        hasUnorderedCut(c) || hasUnorderedCut(tr) || hasUnorderedCut(f)
+      case GRepeat(sub, _, _) => hasUnorderedCut(sub)
+      case GRepeatUntil(sub) => hasUnorderedCut(sub)
+      case GRepeatUntilStop(sub, stop) =>
+        hasUnorderedCut(sub) || hasUnorderedCut(stop)
+      case _ => false
+    }
+  }
 
   private def applyStep(t: Traversal, s: GStep): Traversal = s match {
     case GHasLabel(ls) => t.hasLabel(ls: _*)
@@ -913,14 +1137,18 @@ object GremlinParser {
     case GRepeat(sub, n, false) => t.repeat(n)(subFn(sub))
     case GRepeat(sub, n, true) => t.repeatEmit(n)(subFn(sub))
     case GRepeatUntil(sub) => t.repeatUntil(subFn(sub))
+    case GRepeatUntilStop(sub, stop) =>
+      t.repeatUntilReached(subFn(sub), subFn(stop))
     case GSimplePath => t.simplePath()
     case GCyclicPath => t.cyclicPath()
     case GWhere(sub, false) => t.where(subFn(sub))
     case GWhere(sub, true) => t.not(subFn(sub))
     case GUnion(subs) => t.union(subs.map(subFn): _*)
     case GCoalesce(subs) => t.coalesce(subs.map(subFn): _*)
-    case GChoose(c, tr, Nil) => t.choose(subFn(c), subFn(tr))
-    case GChoose(c, tr, f) => t.choose(subFn(c), subFn(tr), subFn(f))
+    case GChoose(c, tr, Nil) =>
+      t.choose(subFn(c), subFn(tr), pinCond = hasUnorderedCut(c))
+    case GChoose(c, tr, f) =>
+      t.choose(subFn(c), subFn(tr), subFn(f), pinCond = hasUnorderedCut(c))
     case GLocal(sub, k, asc, n) => t.localLimit(subFn(sub), n, k, asc)
     case GOptional(sub) => t.optional(subFn(sub))
     case GAs(l) => t.as(l)
@@ -934,6 +1162,11 @@ object GremlinParser {
     case GSkip(n) => t.skip(n)
     case GOrder(k, asc) => t.order(k, asc)
     case GSample(d, b) => t.sample(d, b)
+    case GCoin(p) => t.coin(p)
+    case GIs(_) => throw new IllegalArgumentException(
+      "is() filters a VALUE traverser — legal on the g.inject(...) " +
+        "pipeline or after a single-column terminal " +
+        "(count()/sum()/values('k')), not on an element frontier")
     // a placement error, not a parse error: terminals/side-effect
     // steps inside a sub-traversal parse fine but cannot compile there
     case other => throw new IllegalArgumentException(

@@ -317,10 +317,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     // per-traverser history, exactly as fold() does — and the parser
     // front-end gives clean positional errors when a LATER step would
     // have needed them.
-    require(!df.columns.contains(SFO),
-      "repeat().until() is a whole-frontier fixed point that dedups by " +
-        "vertex — it cannot run inside where()/not()/choose() " +
-        "sub-traversals; use repeat().times(n) there")
+    requireNotFilterContext("repeat().until()")
     // BFS state is ID-ONLY: frontiers, the visited set, and the reached
     // accumulator are narrow long columns, so every per-round shuffle,
     // dedup, and checkpoint moves 8-byte keys, not full property rows
@@ -374,6 +371,81 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     }
   }
 
+  /** the whole-frontier fixed points cannot run inside a per-origin
+    * context: they dedup by VERTEX, so every origin would collapse to
+    * one verdict. Detected by the SFO rider (where/not/choose) or the
+    * FCTX marker (coalesce/optional/local/project sub-traversals —
+    * those track origins via PATH/tag columns the barrier would
+    * consume, surfacing as an opaque unresolved-column error without
+    * this check).
+    */
+  private def requireNotFilterContext(what: String): Unit =
+    require(!df.columns.contains(SFO) && !df.columns.contains(FCTX),
+      s"$what is a whole-frontier fixed point that dedups by vertex — " +
+        "it cannot run inside where()/not()/choose()/coalesce()/" +
+        "optional()/local()/project() sub-traversals; use " +
+        "repeat().times(n) there")
+
+  /** Gremlin repeat(step).until(predicate) — the TARGET-REACHED stop
+    * (`repeat(out()).until(hasId(x) | has('k',v) | hasLabel('l'))`):
+    * BFS like [[repeatUntil]], but after each round the NEW frontier is
+    * tested against the stop sub-traversal — a traverser for which it
+    * yields ANY result HALTS and is emitted; the rest keep expanding.
+    * TinkerPop's post-check semantics (until after repeat tests AFTER
+    * each body execution, so depth-0 start vertices are not tested).
+    * Result = every halted vertex, dedup'd; visited-exclusion both
+    * terminates cycles and keeps the per-round state id-only, exactly
+    * as in [[repeatUntil]] (the reference engine serves this as a
+    * conditional per-hop scan loop over R2–R9, TikvTable.java:30-58).
+    *
+    * Scale shape per round: the step's distributed join + one
+    * anti-join against visited + the stop test — a semi-join of the
+    * (small) new frontier against the stop sub-traversal's origins,
+    * narrow ids throughout. Only the emptiness test touches the
+    * driver. The stop sub-traversal may itself hop (until(__.out('x'))
+    * = "stop when a vertex HAS an x-neighbor"): [[where]] semantics,
+    * one shared distributed subplan per round.
+    */
+  def repeatUntilReached(step: Traversal => Traversal,
+      stop: Traversal => Traversal, maxDepth: Int = 50): Traversal = {
+    requireV()
+    requireNotFilterContext("repeat().until(predicate)")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val ownE = g.edges.storageLevel == none
+    val gc = PropertyGraph(
+      g.vertices,
+      if (ownE) g.edges.persist(level) else g.edges,
+      g.edgesByDst)
+    try {
+      var frontierIds = df.select(col("id")).dropDuplicates("id").localCheckpoint()
+      var visited = frontierIds
+      var halted: Option[DataFrame] = None
+      var depth = 0
+      while (depth < maxDepth && !frontierIds.isEmpty) {
+        val frontierV = gc.vertices.join(frontierIds, Seq("id"), "left_semi")
+        val stepped = step(Traversal(gc, frontierV, isEdge = false))
+        require(!stepped.isEdge,
+          "repeatUntilReached step must end on a vertex frontier")
+        val nextIds = stepped.df.select(col("id")).dropDuplicates("id")
+          .join(visited, Seq("id"), "left_anti")
+          .localCheckpoint()
+        val nextV = gc.vertices.join(nextIds, Seq("id"), "left_semi")
+        val stopIds = Traversal(gc, nextV, isEdge = false)
+          .where(stop).df.select(col("id")).localCheckpoint()
+        halted = Some(halted.map(_.union(stopIds)).getOrElse(stopIds))
+        visited = visited.union(nextIds)
+        frontierIds = nextIds.join(stopIds, Seq("id"), "left_anti")
+          .localCheckpoint()
+        depth += 1
+      }
+      val ids = halted.getOrElse(df.limit(0).select(col("id")))
+      copy(df = g.vertices.join(ids, Seq("id"), "left_semi"))
+    } finally {
+      if (ownE) gc.edges.unpersist(blocking = true)
+    }
+  }
+
   /** Gremlin union(t1, t2, …): bag union of every branch applied to
     * this frontier — one plan-level Union of the branch joins, no
     * extra shuffle beyond what the branches themselves do.
@@ -399,7 +471,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   def coalesce(subs: (Traversal => Traversal)*): Traversal = {
     requireV()
     require(!hasPath, "coalesce does not compose with withPath")
-    val tagged = copy(df = df.withColumn(PATH, array(col("id"))))
+    val tagged = copy(df = df.withColumn(PATH, array(col("id")))
+      .withColumn(FCTX, lit(true)))
     val vcols = g.vertices.columns
     val branches = subs.zipWithIndex.map { case (s, i) =>
       val r = s(tagged)
@@ -443,7 +516,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     require(n >= 1, "local limit must be >= 1")
     val lk = "__local_origin"
     require(!df.columns.contains(TAG + lk), "nested local() not supported")
-    val r = sub(as(lk))
+    val tagged = as(lk)
+    val r = sub(tagged.copy(df = tagged.df.withColumn(FCTX, lit(true))))
     require(!r.isEdge, "local sub must end on a vertex frontier")
     val ord: Seq[Column] =
       (if (orderKey.isEmpty) Nil
@@ -453,7 +527,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     copy(df = r.df
       .withColumn("__lrn", row_number().over(w))
       .filter(col("__lrn") <= n)
-      .drop("__lrn", TAG + lk))
+      .drop("__lrn", TAG + lk, FCTX))
   }
 
   /** Gremlin match(patterns…) — conjunctive pattern matching as a
@@ -507,9 +581,23 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     * Gremlin form is `onFalse = identity` (non-matching travellers
     * pass through).
     */
+  /** CALLER CONTRACT (user-facing, not just a code comment — ADVICE
+    * r12): the exact true/false partition relies on the semi and anti
+    * join evaluating ONE shared cond subplan. That holds via exchange
+    * reuse for deterministic conds; a cond whose result set is
+    * ORDER-NONDETERMINISTIC (limit/range/skip without a total order
+    * inside the cond) could route a row to both branches or neither if
+    * the subplan were ever evaluated twice. Pass `pinCond = true` for
+    * such conds — the cond's origin set is then materialized once via
+    * localCheckpoint (one extra job) and the partition is exact by
+    * construction. The string front-end detects those steps and sets
+    * the pin automatically; the pin is also forced whenever
+    * spark.sql.exchange.reuse is disabled.
+    */
   def choose(cond: Traversal => Traversal,
              onTrue: Traversal => Traversal,
-             onFalse: Traversal => Traversal = identity): Traversal = {
+             onFalse: Traversal => Traversal = identity,
+             pinCond: Boolean = false): Traversal = {
     requireV()
     val origin = copy(df = df
       .withColumn(PATH, array(col("id")))
@@ -521,13 +609,16 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     // does not run per side, with no cache entry to leak and no job at
     // construction (an eager pin cost a distributed job just to BUILD
     // the query; a persist leaked a CacheManager entry per choose()
-    // for the life of the session). Callers needing a HARD pin across
-    // partition loss for a nondeterministic cond (e.g. unordered
-    // limit) should checkpoint the cond input upstream — the same
-    // contract every uncached Spark plan carries.
-    val reached = cond(origin).df
+    // for the life of the session). The pin (see scaladoc) is the
+    // opt-in hard guarantee for nondeterministic conds and the
+    // fallback when exchange reuse is off.
+    val shared = cond(origin).df
       .select(col(SFO).as("__origin"))
       .distinct()
+    val reuseOn =
+      try df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean
+      catch { case _: Throwable => true }
+    val reached = if (pinCond || !reuseOn) shared.localCheckpoint() else shared
     val tb = onTrue(copy(df =
       df.join(reached, col("id") === col("__origin"), "left_semi")))
     val fb = onFalse(copy(df =
@@ -554,7 +645,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     var cur = df
     fields.foreach {
       case (l, Traversal.BySubCount(sub)) =>
-        val origin = copy(df = df.withColumn(PATH, array(col("id"))))
+        val origin = copy(df = df.withColumn(PATH, array(col("id")))
+          .withColumn(FCTX, lit(true)))
         val pid = s"__pid_$l"
         val cnt = sub(origin).df
           .groupBy(element_at(col(PATH), 1).as(pid))
@@ -589,6 +681,36 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
   def valueMap(keys: String*): DataFrame = {
     requireV()
     df.select((Seq(col("id")) ++ keys.map(col)): _*)
+  }
+
+  /** terminal: Gremlin elementMap — id AND label plus the requested
+    * properties (the valueMap variant TinkerPop 3.4+ corpora reach for
+    * first). Vertex frontiers only: edges here have no surrogate id
+    * (identified by (src, label, sort_key, dst), like the reference's
+    * binary edge ids) — same clean shape error as id().
+    */
+  def elementMap(keys: String*): DataFrame = {
+    require(!isEdge,
+      "elementMap() needs a vertex frontier; edges are identified by " +
+        "(src, label, sort_key, dst) — select those explicitly")
+    df.select((Seq(col("id"), col("label")) ++ keys.map(col)): _*)
+  }
+
+  /** Gremlin coin(p) — keep each traverser with probability p. Like
+    * [[sample]], randomness is replaced by a DETERMINISTIC hash coin
+    * (md5 bucket of the element identity, threshold p·10⁴): stable
+    * across runs AND engines (a SQL oracle replays the md5 arithmetic
+    * exactly), which is the only reproducible reading of TinkerPop's
+    * unordered contract in a distributed engine.
+    */
+  def coin(p: Double): Traversal = {
+    require(p >= 0.0 && p <= 1.0, "coin(p) needs 0 <= p <= 1")
+    val key =
+      if (isEdge) concat_ws("|", col("src"), col("dst"), col("label"),
+        col("sort_key"))
+      else col("id").cast("string")
+    val bucket = conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 10000L
+    copy(df = df.filter(bucket < lit(math.round(p * 10000))))
   }
 
   /** terminal: Gremlin id() — the frontier's vertex ids (bag). Edge
@@ -793,6 +915,16 @@ object Traversal {
     * step would have needed them)
     */
   private[graph] val SFO = TAG + "__origin__"
+
+  /** filter-context marker for the origin-tracked contexts that do NOT
+    * use SFO (coalesce/optional via PATH element_at, localLimit via its
+    * TAG window, project BySubCount via PATH): TAG-namespaced so it
+    * rides every hop projection; whole-frontier barriers check its
+    * presence and refuse cleanly instead of dying downstream with an
+    * unresolved-column error when the barrier consumes the origin
+    * column (ADVICE r12). Dropped before each context's result leaves.
+    */
+  private[graph] val FCTX = TAG + "__filter_ctx__"
   private[graph] val OTHER = "__other"
   private[graph] val HOP = "__hop_id"
   private[graph] val PATH = "__path"

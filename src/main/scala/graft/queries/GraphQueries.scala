@@ -303,6 +303,56 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_stored"),
         sum(col("id") % 1000000007L).as("id_checksum"))
 
+  /** Parsed repeat().until(<predicate>) — the TARGET-REACHED stop, the
+    * most common real-Gremlin unbounded form after the count fixed
+    * point (round-12 verdict task 3): BUILDING customers walk
+    * located_in/part_of edges until they reach a region vertex.
+    * Round 1 lands on nations (predicate false — they keep walking),
+    * round 2 on regions (halt, emitted); the result is exactly the
+    * regions hosting BUILDING customers. Lowers onto
+    * [[graft.graph.Traversal.repeatUntilReached]]: per-round
+    * distributed stop-set semi-join, id-only BFS state —
+    * TraversalSpec pins sameResult against the DSL twin.
+    */
+  def g52UntilStop(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').has('mktsegment', eq('BUILDING'))" +
+        ".repeat(__.out('located_in', 'part_of'))" +
+        ".until(__.hasLabel('region')).id()")
+      .orderBy(col("id"))
+
+  /** Parsed elementMap() terminal — id + label + requested properties
+    * (the TinkerPop 3.4+ readout real corpora reach for before
+    * valueMap): the nation table with its encoded ids and labels.
+    */
+  def g53ElementMap(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('nation').elementMap('name')")
+      .orderBy(col("id"))
+
+  /** Parsed g.inject(...) value source + pipeline — constant value
+    * traversers through dedup/is/sum, plus the count().is(...) post-
+    * aggregate filter idiom on a graph chain. The oracle replays the
+    * literal value list relationally (VALUES) and the count filter as
+    * a HAVING.
+    */
+  def g54Inject(s: SparkSession, dir: String): DataFrame = {
+    val injected = graft.graph.GremlinParser.run(g(s, dir),
+      "g.inject(5, 3, 7, 3, 2).dedup().is(gt(2)).sum()")
+    val counted = graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('nation').count().is(gt(0))")
+    injected.crossJoin(counted)
+  }
+
+  /** Parsed coin(p) — the deterministic hash-coin keep-filter (md5
+    * bucket, threshold p·10⁴; same engine-portable stance as
+    * sample()): BUILDING customers kept at p = 0.25, counted. The
+    * oracle replays the md5 arithmetic over the encoded ids exactly.
+    */
+  def g55Coin(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').coin(0.25).count()")
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -615,6 +665,10 @@ object GraphQueries {
     "g44_match" -> (g44Match _),
     "g45_text_negations" -> (g45TextNegations _),
     "g46_until_parsed" -> (g46UntilParsed _),
+    "g52_until_stop" -> (g52UntilStop _),
+    "g53_element_map" -> (g53ElementMap _),
+    "g54_inject" -> (g54Inject _),
+    "g55_coin" -> (g55Coin _),
     "g47_fold_unfold" -> (g47FoldUnfold _),
     "g48_id_parsed" -> (g48IdParsed _),
     "g49_label_parsed" -> (g49LabelParsed _),
@@ -853,6 +907,33 @@ object GraphQueries {
         |  UNION ALL SELECT 'part', COUNT(*) FROM p0
         |  UNION ALL SELECT 'supplier', COUNT(*) FROM s0)
         |ORDER BY label""".stripMargin,
+    // target-reached until(): regions whose nations host BUILDING
+    // customers — nations pass through (predicate false), regions halt
+    "g52_until_stop" ->
+      s"""SELECT DISTINCT ${PropertyGraph.sqlEncode("region", "r_regionkey")} AS id
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |ORDER BY id""".stripMargin,
+    "g53_element_map" ->
+      s"""SELECT ${PropertyGraph.sqlEncode("nation", "n_nationkey")} AS id,
+         |  'nation' AS label, n_name AS name
+         |FROM nation ORDER BY id""".stripMargin,
+    // inject values replay as a VALUES relation; count().is(gt(0))
+    // replays as HAVING (an empty side empties the cross join in both
+    // engines)
+    "g54_inject" ->
+      """SELECT s.sum_value, c.cnt FROM
+        |  (SELECT CAST(SUM(DISTINCT v) AS BIGINT) AS sum_value
+        |   FROM (VALUES (5),(3),(7),(3),(2)) t(v) WHERE v > 2) s,
+        |  (SELECT COUNT(*) AS cnt FROM nation HAVING COUNT(*) > 0) c""".stripMargin,
+    // the coin's md5 bucket arithmetic, replayed over the encoded ids
+    "g55_coin" ->
+      s"""SELECT COUNT(*) AS cnt FROM customer
+         |WHERE CAST(concat('0x', substr(md5(CAST(
+         |    ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS VARCHAR)),
+         |  1, 8)) AS BIGINT) % 10000 < 2500""".stripMargin,
     // fold()→unfold() must be a lossless round trip of the supplier bag
     "g47_fold_unfold" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS cnt

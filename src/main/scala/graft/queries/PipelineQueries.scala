@@ -249,8 +249,11 @@ object PipelineQueries {
     * closure end-to-end.
     */
   def e18EmbDupClusters(s: SparkSession, dir: String): DataFrame = {
+    // nBits = 6 EXPLICIT: this gate is the oracle-literal regression
+    // pin for the fixed knob (the operator's default is now the sized
+    // rule; e19 certifies that path)
     val pairs = Dedup.embeddingNearDupBanded(
-      Tables.embeddings(s, dir), threshold = 0.4)
+      Tables.embeddings(s, dir), threshold = 0.4, nBits = 6)
     Dedup.dupClusters(pairs.select(col("a_id"), col("b_id")))
       .groupBy(col("comp").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"),
@@ -545,6 +548,24 @@ object PipelineQueries {
         tokenHash = Dedup.portableTokenHash)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** SimHash near-dup pairs through the SIZED banding path (d37): the
+    * e19 treatment for the hamming family — subset = 2 keys the
+    * candidate join on pairs-of-5-chunks (≥ 2^24 buckets instead of
+    * the classic scheme's fixed 2^16), the shape the
+    * [[Dedup.simhashSubsetForCorpus]] rule selects once the corpus
+    * passes ~2.1M docs. The gate FORCES subset = 2 because the rule
+    * itself picks m = 1 at every test SF (its decade thresholds are
+    * spec-pinned in DedupSpec); what needs a hash-oracled gate is the
+    * m = 2 PHYSICAL path. Pigeonhole keeps recall lossless at every
+    * subset size (5 chunks, ≤ 3 differ ⇒ some pair of chunks agrees),
+    * so the oracle is the SAME all-pairs hamming replay as d27 — the
+    * knob moves candidate volume only, never the output.
+    */
+  def d37SimhashSized(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(Tables.documents(s, dir), maxHamming = 3,
+        tokenHash = Dedup.portableTokenHash, subset = 2)
+      .orderBy(col("a_id"), col("b_id"))
+
   // -------------------------------------------------------- similarity
 
   private def queriesDf(s: SparkSession, dir: String, n: Long): DataFrame =
@@ -676,7 +697,10 @@ object PipelineQueries {
     * recall-floor reference in DedupSpec.
     */
   def e4EmbNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupBanded(Tables.embeddings(s, dir), threshold = 0.4)
+    // nBits = 6 EXPLICIT — the fixed-knob oracle pin (the operator
+    // default is the corpus-sized rule; e19 gates that path)
+    Dedup.embeddingNearDupBanded(Tables.embeddings(s, dir), threshold = 0.4,
+        nBits = 6)
       .orderBy(col("a_id"), col("b_id"))
 
   // -------------------------------------------------------- multimodal
@@ -1130,6 +1154,7 @@ object PipelineQueries {
     "d5_minhash_pairs" -> (d5MinhashPairs _),
     "d6_simhash_sigs" -> (d6SimhashSigs _),
     "d27_simhash_pairs" -> (d27SimhashPairs _),
+    "d37_simhash_sized" -> (d37SimhashSized _),
     "e1_knn_brute" -> (e1KnnBrute _),
     "e2_lsh_topk" -> (e2LshTopk _),
     "e3_ivf_topk" -> (e3IvfTopk _),
@@ -1785,6 +1810,16 @@ object PipelineQueries {
     "d5_minhash_pairs" -> minhashSql,
     "d6_simhash_sigs" -> simhashSql,
     "d27_simhash_pairs" ->
+      s"""WITH sigs AS (SELECT doc_id, simhash FROM ($simhashSql))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+    // d37 = the m=2 sized-banding physical path; recall is lossless by
+    // pigeonhole at EVERY subset size, so the oracle is the identical
+    // all-pairs hamming replay — the knob never moves the output
+    "d37_simhash_sized" ->
       s"""WITH sigs AS (SELECT doc_id, simhash FROM ($simhashSql))
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

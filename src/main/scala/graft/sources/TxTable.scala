@@ -47,9 +47,10 @@ object AtomicRenamePointer extends VersionPointer {
     val p = Paths.get(root).toAbsolutePath.normalize
     // resolve symlinks / case aliases when the directory exists, so
     // '/data/link/tbl' and '/data/real/tbl' share one monitor too;
-    // textual normalization is only the fallback for not-yet-created
-    // roots (which no concurrent committer can be racing on anyway —
-    // there is no _CURRENT.lock to collide over until init)
+    // compareAndSwap creates the root before calling this, so the
+    // textual fallback is reachable only for read-side callers racing
+    // nothing (the r12-ADVICE mid-race divergence is closed by the
+    // create)
     try p.toRealPath().toString
     catch { case _: java.io.IOException => p.toString }
   }
@@ -61,6 +62,13 @@ object AtomicRenamePointer extends VersionPointer {
 
   def compareAndSwap(root: String, v: String, expected: Option[String]): Unit = {
     import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+    // create the root BEFORE computing the monitor key (ADVICE r12
+    // TOCTOU): if thread A resolved the key via the textual fallback
+    // just as thread B created a symlinked root, the two could hold
+    // different monitors for one _CURRENT.lock and collide with
+    // OverlappingFileLockException; with the directory guaranteed to
+    // exist, every thread resolves the same real path
+    Files.createDirectories(Paths.get(root))
     val mon = monitors.computeIfAbsent(monitorKey(root), _ => new Object)
     mon.synchronized { // same-JVM serialization (FileLock is per-process)
       val ch = java.nio.channels.FileChannel.open(
@@ -79,6 +87,79 @@ object AtomicRenamePointer extends VersionPointer {
           Files.move(tmp, marker(root), StandardCopyOption.ATOMIC_MOVE)
         } finally flock.release()
       } finally ch.close()
+    }
+  }
+}
+
+/** The request/response surface an object store offers for a tiny
+  * metadata object: read-with-etag plus etag-conditioned put (S3
+  * If-Match/If-None-Match, GCS generation preconditions, a DynamoDB
+  * conditional UpdateItem — all the same shape). At-least-once
+  * delivery is part of the contract, made explicit: `put` may APPLY
+  * on the server and still throw [[ConditionalPutService.LostResponse]]
+  * (timeout after the server committed) — an adapter must disambiguate
+  * by re-reading, which is exactly the failure mode an atomic-rename
+  * pointer can never exhibit (r12 verdict task 7).
+  */
+trait ConditionalPutService {
+  /** (value, etag) of the object, if present */
+  def get(key: String): Option[(String, String)]
+
+  /** Conditional put: `ifMatch = Some(etag)` replaces iff the stored
+    * etag still matches; `None` creates iff absent. Throws
+    * [[ConditionalPutService.PreconditionFailed]] on a condition miss;
+    * may throw [[ConditionalPutService.LostResponse]] AFTER applying.
+    */
+  def put(key: String, value: String, ifMatch: Option[String]): Unit
+}
+object ConditionalPutService {
+  final class PreconditionFailed(msg: String) extends RuntimeException(msg)
+  /** the ambiguous outcome: the request may or may not have applied */
+  final class LostResponse(msg: String) extends RuntimeException(msg)
+}
+
+/** [[VersionPointer]] over a [[ConditionalPutService]] — the
+  * object-store pointer the TxTable class doc promises beyond the
+  * in-memory test double. Correctness leans on TxTable's unique
+  * version names: only THIS attempt ever proposes `v`, so after any
+  * ambiguous outcome (lost response, client retry = duplicate put) a
+  * re-read fully disambiguates — stored value == v means OUR put
+  * applied (success); == expected means it did not (retry); anything
+  * else means a concurrent committer won (refuse). The etag condition
+  * — not the value equality — is what excludes the lost update; the
+  * value check is the optimistic-refusal semantic.
+  */
+final class ConditionalPutPointer(svc: ConditionalPutService,
+    maxRetries: Int = 3) extends VersionPointer {
+  private def key(root: String): String =
+    Paths.get(root).toAbsolutePath.normalize.toString
+
+  def current(root: String): Option[String] =
+    svc.get(key(root)).map(_._1).filter(_.nonEmpty)
+
+  def compareAndSwap(root: String, v: String, expected: Option[String]): Unit = {
+    var attempt = 0
+    while (true) {
+      val now = svc.get(key(root))
+      val nowV = now.map(_._1).filter(_.nonEmpty)
+      if (nowV.contains(v)) return // an earlier ambiguous put DID apply
+      if (nowV != expected)
+        throw new java.util.ConcurrentModificationException(
+          s"TxTable $root advanced to ${nowV.orNull} since this commit " +
+            s"read ${expected.orNull} — refusing to drop the concurrent " +
+            "commit")
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"TxTable $root pointer state unresolved after $maxRetries " +
+            "ambiguous put attempts")
+      try { svc.put(key(root), v, now.map(_._2)); return }
+      catch {
+        // a miss here is either a concurrent winner or our own
+        // just-applied duplicate — the loop's re-read decides which
+        case _: ConditionalPutService.PreconditionFailed => ()
+        case _: ConditionalPutService.LostResponse => ()
+      }
     }
   }
 }

@@ -84,6 +84,40 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => Set(p._1, p._2).contains(2L) && p._1 != p._2))
   }
 
+  test("sized simhash banding is recall-lossless at every subset size: " +
+       "m=1/2/3 emit the identical pair set (the d37 invariant)") {
+    def pairsAt(m: Int): Set[(Long, Long, Int)] =
+      Dedup.simhashNearDup(longDocs, maxHamming = 3, subset = m)
+        .select("a_id", "b_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+    val m1 = pairsAt(1)
+    assert(m1.nonEmpty)
+    assert(pairsAt(2) == m1, "pair-of-chunks keys changed the output")
+    assert(pairsAt(3) == m1, "triple-of-chunks keys changed the output")
+  }
+
+  test("simhashSubsetForCorpus ladder: decade thresholds in integer " +
+       "arithmetic (h=3, target 32)") {
+    // m=1 holds while 32·2^16 >= n (≤ 2,097,152 docs)
+    assert(Dedup.simhashSubsetForCorpus(0L) == 1)
+    assert(Dedup.simhashSubsetForCorpus(32L << 16) == 1)
+    assert(Dedup.simhashSubsetForCorpus((32L << 16) + 1) == 2)
+    // m=2 (5 chunks, pair keys >= 24 bits) holds to 32·2^24
+    assert(Dedup.simhashSubsetForCorpus(32L << 24) == 2)
+    assert(Dedup.simhashSubsetForCorpus((32L << 24) + 1) == 3)
+    // m=3 is the clamp — never exceeded
+    assert(Dedup.simhashSubsetForCorpus(Long.MaxValue / 2) == 3)
+  }
+
+  test("simhash mega-bucket guard (opt-in) only ever drops pairs") {
+    val all = Dedup.simhashNearDup(longDocs, maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val guarded = Dedup.simhashNearDup(longDocs, maxHamming = 3,
+        subset = 1, maxBucketSize = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(guarded.subsetOf(all))
+  }
+
   test("dedupDocuments keeps one representative per near-dup cluster") {
     val kept = Dedup.dedupDocuments(docs, jaccardThreshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
@@ -222,9 +256,17 @@ class DedupSpec extends AnyFunSuite {
     val exact = Dedup.embeddingNearDup(emb, threshold = 0.4, maxVecId = n)
       .select("a_id", "b_id", "cosine")
       .as[(Long, Long, Double)].collect().toSet
+    // the DEFAULT is now the corpus-sized rule (round-12 verdict task
+    // 6): nBits omitted must equal an explicit nBitsForCorpus(count)
     val banded = Dedup.embeddingNearDupBanded(emb, threshold = 0.4)
       .select("a_id", "b_id", "cosine")
       .as[(Long, Long, Double)].collect().toSet
+    val explicitSized = Dedup.embeddingNearDupBanded(emb, threshold = 0.4,
+        nBits = Dedup.nBitsForCorpus(n))
+      .select("a_id", "b_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(banded == explicitSized,
+      "default banding must BE the sized rule on the actual corpus count")
     // soundness: every banded pair is a true pair with the exact cosine
     assert(banded.subsetOf(exact),
       s"banded face reported pairs the exact face rejects: ${banded -- exact}")

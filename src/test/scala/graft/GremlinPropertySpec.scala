@@ -70,6 +70,8 @@ class GremlinPropertySpec extends AnyFunSuite {
       ident.map(GStore),
       Gen.const(GBarrier),
       Gen.const(GIdentity),
+      predicate.map(GIs),
+      Gen.chooseNum(0, 100).map(n => GCoin(n / 100.0)),
       Gen.const(GSimplePath))
     val nested: Seq[Gen[GStep]] =
       if (depth <= 0) Nil
@@ -100,7 +102,18 @@ class GremlinPropertySpec extends AnyFunSuite {
             case (s, Some((k, a)), n) => GLocal(s, k, a, n)
           },
         subChain(depth - 1).map(GOptional),
-        subChain(depth - 1).map(GRepeatUntil))
+        subChain(depth - 1).map(GRepeatUntil),
+        {
+          // target-reached until(): the stop is a filter chain
+          val stopFilter: Gen[GStep] = Gen.oneOf(
+            Gen.zip(ident, predicate).map { case (k, p) => GHas(k, p) },
+            Gen.nonEmptyListOf(Gen.chooseNum(0L, 999L)).map(GHasId),
+            labels1.map(GHasLabel),
+            ident.map(k => GHasKey(k, neg = true)))
+          Gen.zip(subChain(depth - 1),
+              Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, stopFilter)))
+            .map { case (s, stop) => GRepeatUntilStop(s, stop) }
+        })
     Gen.oneOf((flat ++ nested).head, (flat ++ nested)(1),
       (flat ++ nested).drop(2): _*)
   }
@@ -116,6 +129,7 @@ class GremlinPropertySpec extends AnyFunSuite {
       .map { case (k, v, op) => GGroup(k, v, op) },
     Gen.nonEmptyListOf(ident).map(GValueMap(_)),
     ident.map(GGroupCount), Gen.const(GPath), Gen.const(GTree),
+    labels.map(GElementMap(_)),
     Gen.const(GId), Gen.const(GLabel), Gen.const(GFold),
     ident.map(GPathBy),
     ident.map(GCap),

@@ -358,4 +358,85 @@ class StorageSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
     graft.sources.TxTable.drop(root)
   }
+
+  /** fake etag-conditioned object store with injectable at-least-once
+    * pathologies: `loseNextResponse` applies the put on the "server"
+    * and then throws LostResponse (the ambiguous outcome a rename can
+    * never produce); `failNextPrecondition` simulates a replayed
+    * request hitting its own earlier apply.
+    */
+  private final class FlakyCondPutStore
+      extends graft.sources.ConditionalPutService {
+    private val state = new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Long)]()
+    @volatile var loseNextResponse = false
+    @volatile var applied = 0
+    def get(key: String): Option[(String, String)] =
+      Option(state.get(key)).map { case (v, g) => (v, g.toString) }
+    def put(key: String, value: String, ifMatch: Option[String]): Unit =
+      synchronized {
+        val cur = Option(state.get(key))
+        (ifMatch, cur) match {
+          case (None, None) => state.put(key, (value, 1L))
+          case (Some(e), Some((_, g))) if e == g.toString =>
+            state.put(key, (value, g + 1))
+          case _ => throw new graft.sources.ConditionalPutService
+            .PreconditionFailed(s"etag mismatch for $key")
+        }
+        applied += 1
+        if (loseNextResponse) {
+          loseNextResponse = false
+          throw new graft.sources.ConditionalPutService.LostResponse(
+            s"applied put for $key but the response was lost")
+        }
+      }
+  }
+
+  test("TxTable: the full matrix holds through ConditionalPutPointer — " +
+       "including a LOST-RESPONSE put (applied server-side, exception " +
+       "client-side), which the adapter must recover as success") {
+    val svc = new FlakyCondPutStore
+    val ptr = new graft.sources.ConditionalPutPointer(svc)
+    val root = freshTx("condsvc")
+    graft.sources.TxTable.init(spark, root,
+      Seq((1L, 1L)).toDF("k", "v"), ptr)
+    // lost response on the NEXT commit's CAS: the put applies on the
+    // server, the client sees LostResponse, the adapter re-reads and
+    // recognizes its own (unique) version name → commit SUCCEEDS with
+    // exactly one applied put for this swap
+    val before = svc.applied
+    svc.loseNextResponse = true
+    graft.sources.TxTable.commit(spark, root,
+      df => df.withColumn("v", col("v") + 1L), ptr)
+    assert(svc.applied == before + 1,
+      "lost-response recovery must not re-apply the put (duplicate put)")
+    assert(graft.sources.TxTable.read(spark, root, ptr)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+    // crash window: a staged version without a swap stays invisible
+    val base = graft.sources.TxTable.currentVersion(root, ptr)
+    graft.sources.TxTable.writeVersion(spark, root,
+      Seq((1L, 999L)).toDF("k", "v"), base, ptr)
+    assert(graft.sources.TxTable.read(spark, root, ptr)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+    // stale-base commit refused; winner's data intact — and a loser
+    // whose refusal races a lost response still refuses (the re-read
+    // sees the winner's value, not its own)
+    intercept[java.util.ConcurrentModificationException] {
+      graft.sources.TxTable.commit(spark, root, stale => {
+        svc.loseNextResponse = true // the winner's swap loses its response
+        graft.sources.TxTable.commit(spark, root,
+          df => df.withColumn("v", col("v") + 100L), ptr)
+        stale.withColumn("v", col("v") - 1L)
+      }, ptr)
+    }
+    assert(graft.sources.TxTable.read(spark, root, ptr)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 102L)))
+    // vacuum grace through the custom pointer: fresh dirs survive, old
+    // superseded/orphans go, the committed version never does
+    assert(graft.sources.TxTable.vacuum(root, pointer = ptr) == 0)
+    assert(graft.sources.TxTable.vacuum(root, graceMs = 0L, pointer = ptr) >= 2)
+    assert(graft.sources.TxTable.read(spark, root, ptr)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 102L)))
+    graft.sources.TxTable.drop(root)
+  }
 }

@@ -399,6 +399,145 @@ class TraversalSpec extends AnyFunSuite {
     assert(samePlan(lp, lt))
   }
 
+  test("repeatUntilReached halts matching traversers, expands the rest") {
+    // chain 10→11→12→13 with labels n,n,m,n: stop at label m halts at
+    // 12 and never reaches 13
+    val v = Seq((10L, "n", 0), (11L, "n", 0), (12L, "m", 0), (13L, "n", 0))
+      .toDF("id", "label", "score")
+    val e = Seq((10L, 11L, "next", 1L), (11L, 12L, "next", 2L),
+      (12L, 13L, "next", 3L)).toDF("src", "dst", "label", "sort_key")
+    val g = PropertyGraph(v, e)
+    val halted = g.V(10L)
+      .repeatUntilReached(_.out("next"), _.hasLabel("m"))
+      .toDF.select("id").as[Long].collect().toSet
+    assert(halted == Set(12L)) // 11 passed through, 13 never visited
+    // predicate never satisfied → empty result (frontier exhausts)
+    val none = g.V(10L)
+      .repeatUntilReached(_.out("next"), _.hasLabel("zzz"))
+      .toDF.count()
+    assert(none == 0)
+    // post-check semantics: a START vertex matching the stop is NOT
+    // emitted at depth 0 — it walks first (TinkerPop until-after-repeat)
+    val fromM = g.V(12L)
+      .repeatUntilReached(_.out("next"), _.hasLabel("m"))
+      .toDF.count()
+    assert(fromM == 0) // 12 steps to 13 (n), which never matches
+  }
+
+  test("parser: until(<predicate>) lowers onto repeatUntilReached — " +
+       "sameResult vs the DSL twin; hasId and chained filters work") {
+    val v = Seq((10L, "n", 0), (11L, "n", 5), (12L, "m", 9), (13L, "n", 0))
+      .toDF("id", "label", "score")
+    val e = Seq((10L, 11L, "next", 1L), (11L, 12L, "next", 2L),
+      (12L, 13L, "next", 3L)).toDF("src", "dst", "label", "sort_key")
+    val g = PropertyGraph(v, e)
+    val parsed = GremlinParser.run(g,
+      "g.V(10).repeat(__.out('next')).until(__.hasLabel('m')).id()")
+    val dsl = g.V(10L).repeatUntilReached(_.out("next"), _.hasLabel("m"))
+      .idsDF()
+    // the BFS materializes per-round localCheckpoints, so two
+    // invocations cannot be plan-identical — result equality is the
+    // twin pin (same stance as the g46/g18 fixed-point twin test)
+    assert(parsed.as[Long].collect().toSeq == dsl.as[Long].collect().toSeq)
+    assert(parsed.as[Long].collect().toSeq == Seq(12L))
+    // hasId target form
+    val byId = GremlinParser.run(g,
+      "g.V(10).repeat(__.out('next')).until(__.hasId(12)).id()")
+    assert(byId.as[Long].collect().toSeq == Seq(12L))
+    // chained stop filters AND the __-less spelling
+    val chained = GremlinParser.run(g,
+      "g.V(10).repeat(__.out('next'))" +
+        ".until(hasLabel('m').has('score', gt(5))).id()")
+    assert(chained.as[Long].collect().toSeq == Seq(12L))
+    // render round-trips the new AST
+    val ast = GremlinParser.parse(
+      "g.V(10).repeat(__.out('next')).until(__.hasId(12)).id()")
+    assert(GremlinParser.parse(GremlinParser.render(ast)) == ast)
+  }
+
+  test("filter-context guard covers coalesce/optional/local/project " +
+       "(the r12 ADVICE gap): clean refusal, not an unresolved column") {
+    def shapeMsg(q: String): String =
+      intercept[IllegalArgumentException](
+        GremlinParser.run(triangle, q).collect()).getMessage
+    assert(shapeMsg("g.V().optional(__.repeat(__.out('next'))" +
+      ".until(__.count().is(0))).count()").contains("fixed point"))
+    assert(shapeMsg("g.V().coalesce(__.repeat(__.out('next'))" +
+      ".until(__.count().is(0)), __.out('next')).count()")
+      .contains("fixed point"))
+    assert(shapeMsg("g.V().local(__.repeat(__.out('next'))" +
+      ".until(__.count().is(0)).limit(2)).count()").contains("fixed point"))
+    assert(shapeMsg("g.V().project('n').by(__.repeat(__.out('next'))" +
+      ".until(__.count().is(0)).count())").contains("fixed point"))
+    // the predicate-stop form refuses the same contexts
+    assert(shapeMsg("g.V().optional(__.repeat(__.out('next'))" +
+      ".until(__.hasId(2))).count()").contains("fixed point"))
+    // and the legitimate uses still work after the FCTX rider
+    assert(GremlinParser.run(triangle,
+      "g.V().coalesce(__.out('next'), __.in('next')).count()")
+      .head().getLong(0) == 3)
+    assert(GremlinParser.run(triangle,
+      "g.V().local(__.out('next').limit(1)).count()")
+      .head().getLong(0) == 3)
+    assert(GremlinParser.run(triangle,
+      "g.V().project('deg').by(__.out('next').count())").count() == 3)
+  }
+
+  test("parser: elementMap/inject/is/coin (the r12 tail steps)") {
+    // elementMap: id + label + properties, DSL twin plan-identical
+    val em = GremlinParser.run(triangle, "g.V().elementMap('score')")
+    assert(samePlan(em, triangle.V.elementMap("score")))
+    assert(em.columns.toSeq == Seq("id", "label", "score"))
+    assert(em.count() == 3)
+    // edge frontier refuses cleanly
+    assertThrows[IllegalArgumentException](triangle.E.elementMap("score"))
+    // inject value pipeline: dedup + is + sum
+    val inj = GremlinParser.run(triangle,
+      "g.inject(5, 3, 7, 3, 2).dedup().is(gt(2)).sum()")
+    assert(inj.columns.toSeq == Seq("sum_value"))
+    assert(inj.as[Long].collect().toSeq == Seq(15L))
+    // fold of an injected string stream
+    val sf = GremlinParser.run(triangle,
+      "g.inject('b', 'a', 'b').fold()")
+    assert(sf.as[Seq[String]].collect().toSeq == Seq(Seq("a", "b", "b")))
+    // count().is(...) post-aggregate filter: keep / drop
+    assert(GremlinParser.run(triangle,
+      "g.V().count().is(gt(0))").count() == 1)
+    assert(GremlinParser.run(triangle,
+      "g.V().count().is(gt(99))").count() == 0)
+    // chained is() after values(): value filter on the bag
+    val vi = GremlinParser.run(triangle,
+      "g.V().values('score').is(gte(20)).is(lt(30))")
+    assert(vi.as[Int].collect().toSeq == Seq(20))
+    // coin: deterministic (same subset twice), p=0 empty, p=1 total
+    val c1 = GremlinParser.run(triangle, "g.V().coin(0.5).id()")
+      .as[Long].collect().toSet
+    val c2 = GremlinParser.run(triangle, "g.V().coin(0.5).id()")
+      .as[Long].collect().toSet
+    assert(c1 == c2)
+    assert(GremlinParser.run(triangle, "g.V().coin(0.0).count()")
+      .head().getLong(0) == 0)
+    assert(GremlinParser.run(triangle, "g.V().coin(1.0).count()")
+      .head().getLong(0) == 3)
+    // shape errors: mid-chain inject, is() on an element frontier,
+    // unsupported step on the value pipeline
+    assertThrows[GremlinParser.ParseException](
+      GremlinParser.run(triangle, "g.V().inject(1).count()"))
+    assertThrows[IllegalArgumentException](
+      GremlinParser.run(triangle, "g.V().is(gt(1)).count()"))
+    assertThrows[IllegalArgumentException](
+      GremlinParser.run(triangle, "g.inject(1, 2).out('next').count()"))
+    assertThrows[IllegalArgumentException](
+      GremlinParser.run(triangle, "g.inject(1, 'x').count()"))
+    // render round-trips the new steps
+    Seq("g.V().elementMap('a', 'b')",
+        "g.inject(1, 2.5).is(gt(1)).sum()",
+        "g.V().coin(0.25).count()").foreach { q =>
+      val ast = GremlinParser.parse(q)
+      assert(GremlinParser.parse(GremlinParser.render(ast)) == ast, q)
+    }
+  }
+
   test("parser: id(), label(), fold()/unfold(), path().by()") {
     // id() ≡ DSL idsDF, plan-for-plan
     val ids = GremlinParser.run(triangle, "g.V().id()")
@@ -431,7 +570,12 @@ class TraversalSpec extends AnyFunSuite {
     def badShape(q: String): Unit =
       assertThrows[IllegalArgumentException](GremlinParser.run(triangle, q))
     badParse("g.V(1).repeat(__.out('next')).until(__.count().is(2))")
-    badParse("g.V(1).repeat(__.out('next')).until(__.has('score'))")
+    // a HOP is not a filter chain the target-reached stop accepts
+    badParse("g.V(1).repeat(__.out('next')).until(__.out('next'))")
+    // emit() + predicate stop: contradictory (the stop already emits
+    // exactly the halted traversers)
+    badParse("g.V(1).repeat(__.out('next')).emit()" +
+      ".until(__.hasId(3))")
     badParse("g.V(1).until(__.count().is(0))") // until without repeat
     badShape("g.V().unfold().count()")          // unfold without fold
     badShape("g.V().fold().out('next')")        // only unfold after fold
