@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * Grammar (recursive descent, tokens: ident/string/number/punct):
   * {{{
   * query  := 'g' '.' source step*
-  * source := 'V' '(' ids? ')' | 'E' '(' ')'
+  * source := 'V' '(' ids? ')' | 'E' '(' ')' | 'inject' '(' literals ')'
   * step   := '.' ident '(' args? ')'
   * args   := arg (',' arg)*
   * arg    := literal | pred '(' literal* ')' | '__' step+

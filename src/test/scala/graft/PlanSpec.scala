@@ -406,4 +406,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"pattern join must stay an equi-join tree:\n$p")
   }
+
+  test("d37 sized simhash: candidates only from (table, key) equi-joins — " +
+       "no cartesian at any subset size") {
+    val p = plan("d37_simhash_sized")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the banded hamming join must never plan all-pairs:\n$p")
+    assert(p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("g55 coin: the hash-coin is a scan residual — no join, no window") {
+    val p = plan("g55_coin")
+    assert(!p.contains("Join") && !p.contains("Window"), s"plan:\n$p")
+    // one partial+final count over the filtered scan
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"plan:\n$p")
+  }
+
+  test("g53 elementMap: pure projection over the vertex union — " +
+       "no join, no shuffle") {
+    val p = plan("g53_element_map")
+    assert(!p.contains("Join"), s"plan:\n$p")
+    // the only exchange allowed is the orderBy's range partitioning
+    assert(exchanges(p) <= 1, s"plan:\n$p")
+  }
 }
