@@ -225,13 +225,18 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")
-        val tag = "\"queries\":{"
-        val i = txt.indexOf(tag)
-        val j = if (i < 0) -1 else txt.indexOf('}', i)
-        if (i < 0 || j < 0) Map.empty
-        else "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
-          .findAllMatchIn(txt.substring(i + tag.length, j))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // whitespace-tolerant: a pretty-printed or re-serialized detail
+        // file ("queries": { ... }) must load too, not just Bench's own
+        // compact output
+        "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt) match {
+          case None => Map.empty
+          case Some(m) =>
+            val j = txt.indexOf('}', m.end)
+            if (j < 0) Map.empty
+            else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+              .findAllMatchIn(txt.substring(m.end, j))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+        }
       } catch { case _: Throwable => Map.empty }
     }
     if (refMedians.nonEmpty)

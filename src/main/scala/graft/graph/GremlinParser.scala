@@ -44,9 +44,11 @@ import org.apache.spark.sql.functions._
   * elementMap(ks), fold/unfold, count, values(k),
   * values(k).sum()/mean()/min()/max(), valueMap(ks),
   * groupCount(k)/groupCount().by(k), is(pred) (on the inject value
-  * pipeline or after a single-column terminal), and the
+  * pipeline or after a single-column terminal), the
   * g.inject(v1, v2, …) value source with its
-  * dedup/limit/skip/range/is/count/sum/mean/min/max/fold pipeline.
+  * dedup/limit/skip/range/is/count/sum/mean/min/max/fold pipeline,
+  * and the g.withSack(init) prefix with sack(sum|mult|min|max).by(k)
+  * accumulation + the sack() emit terminal.
   * Predicates: eq/neq/gt/gte/lt/
   * lte/between/inside/outside/within/without/textContains/containing/
   * startingWith/endingWith/notStartingWith/notEndingWith/
@@ -77,6 +79,16 @@ object GremlinParser {
   final case class GCoin(p: Double) extends GStep
   /** elementMap(ks) terminal — id + label + requested properties */
   final case class GElementMap(ks: Seq[String]) extends GStep
+  /** g.withSack(init) query prefix — per-traverser numeric accumulator
+    * riding the frontier as one double column (Traversal.withSackInit)
+    */
+  final case class GWithSack(init: Double) extends GStep
+  /** sack(op).by('k') — fold the current element's property into each
+    * traverser's sack; op ∈ sum/mult/min/max
+    */
+  final case class GSack(op: String, by: String) extends GStep
+  /** sack() terminal — emit each traverser's sack value (bag) */
+  case object GSackEmit extends GStep
   final case class GHasLabel(ls: Seq[String]) extends GStep
   final case class GHas(k: String, p: P) extends GStep
   final case class GHasId(ids: Seq[Long]) extends GStep
@@ -240,7 +252,19 @@ object GremlinParser {
     val cur = new Cursor(tokenize(q))
     if (cur.expectIdent() != "g") throw ParseException("query must start with g")
     cur.expectPunct('.')
-    val srcName = cur.expectIdent()
+    var srcName = cur.expectIdent()
+    var sackPrefix: Option[GStep] = None
+    if (srcName == "withSack") {
+      cur.expectPunct('(')
+      val init = cur.next() match {
+        case TNum(s) => s.toDouble
+        case t => throw ParseException(s"withSack() takes a number, got $t")
+      }
+      cur.expectPunct(')')
+      sackPrefix = Some(GWithSack(init))
+      cur.expectPunct('.')
+      srcName = cur.expectIdent()
+    }
     val src = srcName match {
       case "V" => GSource(edge = false, ids = parseLongArgs(cur))
       case "E" =>
@@ -253,7 +277,7 @@ object GremlinParser {
         GInject(vals)
       case other => throw ParseException(s"unknown source step $other")
     }
-    val steps = src +: parseSteps(cur)
+    val steps = sackPrefix.toSeq ++ (src +: parseSteps(cur))
     if (cur.peek.nonEmpty) throw ParseException(s"trailing tokens after step ${cur.peek.get}")
     fuseModulators(steps)
   }
@@ -394,6 +418,17 @@ object GremlinParser {
         cur.expectPunct(')')
         GCoin(p)
       case "elementMap" => GElementMap(parseStrArgs(cur))
+      case "sack" =>
+        cur.expectPunct('(')
+        if (cur.atPunct(')')) { cur.next(); GSackEmit }
+        else cur.next() match {
+          case TIdent(op) if Set("sum", "mult", "min", "max")(op) =>
+            cur.expectPunct(')'); GSack(op, "")
+          case t => throw ParseException(
+            s"sack() takes no args (emit) or sum/mult/min/max, got $t")
+        }
+      case "withSack" => throw ParseException(
+        "withSack() must prefix the source: g.withSack(init).V()...")
       case "inject" => throw ParseException(
         "inject() mid-traversal mixes element and value traversers, " +
           "which has no relational reading — use the g.inject(...) " +
@@ -748,6 +783,7 @@ object GremlinParser {
         case _ => throw ParseException(s"$op() must follow values('k')")
       }
       case ByModulator(k, asc) => prev match {
+        case Some(GSack(op, "")) => prev = Some(GSack(op, k))
         case Some(GOrder("", _)) => prev = Some(GOrder(k, asc))
         case Some(GGroupCount("")) => prev = Some(GGroupCount(k))
         case Some(GGroup("", "", "")) => prev = Some(GGroup(k, "", ""))
@@ -786,6 +822,9 @@ object GremlinParser {
         throw ParseException(
           s"project(${ls.mkString(", ")}) needs one .by() per label " +
             s"(got ${bys.length} of ${ls.length})")
+      case GSack(op, "") =>
+        throw ParseException(s"sack($op) needs .by('k'): which property " +
+          "folds into the sack")
       case s => s
     }
   }
@@ -831,6 +870,9 @@ object GremlinParser {
       case GSource(true, _) => "E()"
       case GSource(false, ids) => s"V(${ids.mkString(", ")})"
       case GInject(vals) => s"inject(${vals.map(lit).mkString(", ")})"
+      case GWithSack(init) => s"withSack($init)"
+      case GSack(op, k) => s"sack($op).by('$k')"
+      case GSackEmit => "sack()"
       case GIs(p) => s"is(${pred(p)})"
       case GCoin(p) => s"coin($p)"
       case GElementMap(ks) => s"elementMap(${strs(ks)})"
@@ -911,9 +953,16 @@ object GremlinParser {
     * a chain without a terminal yields the frontier's full frame.
     */
   def run(g: PropertyGraph, query: String): DataFrame = {
-    val steps = parse(query)
+    val steps0 = parse(query)
+    val (sackInit, steps) = steps0.head match {
+      case GWithSack(i) => (Some(i), steps0.tail)
+      case _ => (None, steps0)
+    }
     steps.head match {
-      case GInject(vals) => return runInject(g, vals, steps.tail)
+      case GInject(vals) =>
+        if (sackInit.nonEmpty) throw new IllegalArgumentException(
+          "withSack() does not compose with the inject() value source")
+        return runInject(g, vals, steps.tail)
       case _ => ()
     }
     val (src, rest) = (steps.head.asInstanceOf[GSource], steps.tail)
@@ -922,6 +971,7 @@ object GremlinParser {
       case GSource(false, Seq()) => g.V
       case GSource(false, ids) => g.V(ids: _*)
     }
+    sackInit.foreach(i => t = t.withSackInit(i))
     if (rest.contains(GPath) || rest.contains(GTree) ||
         rest.contains(GSimplePath) || rest.contains(GCyclicPath) ||
         rest.exists(_.isInstanceOf[GPathBy])) t = t.withPath
@@ -971,6 +1021,11 @@ object GremlinParser {
             s"path history does not survive ${pathBroken.get} (a " +
               "whole-frontier barrier); move the path step before it, " +
               "or use repeat().times(n)")
+        case GSack(_, _) | GSackEmit if pathBroken.nonEmpty =>
+          throw new IllegalArgumentException(
+            s"the sack does not survive ${pathBroken.get} (a " +
+              "whole-frontier barrier); read or aggregate the sack " +
+              "before it")
         case GSelect(ls) =>
           val dead = ls.filterNot(liveTags).filter(lostTags)
           if (dead.nonEmpty) throw new IllegalArgumentException(
@@ -1022,6 +1077,7 @@ object GremlinParser {
         case GValues(k) => result = Some(t.values(k))
         case GValueMap(ks) => result = Some(t.valueMap(ks: _*))
         case GElementMap(ks) => result = Some(t.elementMap(ks: _*))
+        case GSackEmit => result = Some(t.sackValues())
         case GGroupCount(k) => result = Some(t.groupCount(k))
         case GMatch(ps) =>
           result = Some(t.matchPatterns(ps.head._1,
@@ -1163,6 +1219,7 @@ object GremlinParser {
     case GOrder(k, asc) => t.order(k, asc)
     case GSample(d, b) => t.sample(d, b)
     case GCoin(p) => t.coin(p)
+    case GSack(op, k) if k.nonEmpty => t.sackOp(op, k)
     case GIs(_) => throw new IllegalArgumentException(
       "is() filters a VALUE traverser — legal on the g.inject(...) " +
         "pipeline or after a single-column terminal " +

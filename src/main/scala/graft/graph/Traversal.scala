@@ -784,6 +784,51 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     copy(df = joined)
   }
 
+  /** Gremlin withSack(init): attach a per-traverser numeric
+    * accumulator. The sack rides the frontier as ONE double column
+    * (TAG-namespaced, so every hop projection carries it — the same
+    * mechanism as as() tags), giving each traverser its own private
+    * copy through bag-semantics fan-out, exactly TinkerPop's sack
+    * contract, with zero joins. Whole-frontier barriers (fold,
+    * repeat().until()) and branch steps that rebuild rows
+    * (coalesce/optional) consume it — sack steps after them refuse
+    * with a clean error. dedup() on a sack-carrying frontier keeps an
+    * arbitrary survivor's sack (TinkerPop's unordered contract);
+    * deterministic pipelines should aggregate before deduping.
+    */
+  def withSackInit(init: Double): Traversal =
+    copy(df = df.withColumn(SACK, lit(init)))
+
+  /** Gremlin sack(op).by(key): fold the CURRENT element's `key`
+    * property into each traverser's sack — op ∈ sum/mult/min/max.
+    * Works on vertex AND edge frontiers (edge-weight accumulation,
+    * e.g. sack(sum).by('quantity'), is the classic use). One codegen'd
+    * column expression, no shuffle.
+    */
+  def sackOp(op: String, key: String): Traversal = {
+    require(df.columns.contains(SACK),
+      s"sack($op) has no sack: start the traversal with withSack(init) " +
+        "(a barrier or branch step may also have consumed it)")
+    val k = col(key).cast("double")
+    val next = op match {
+      case "sum" => col(SACK) + k
+      case "mult" => col(SACK) * k
+      case "min" => least(col(SACK), k)
+      case "max" => greatest(col(SACK), k)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported sack operator $other")
+    }
+    copy(df = df.withColumn(SACK, next))
+  }
+
+  /** terminal: Gremlin sack() — each traverser's sack value (bag). */
+  def sackValues(): DataFrame = {
+    require(df.columns.contains(SACK),
+      "sack() has no sack: start the traversal with withSack(init) " +
+        "(a barrier or branch step may also have consumed it)")
+    df.select(col(SACK).as("sack"))
+  }
+
   /** Gremlin `as(label)`: tag the CURRENT vertex so a later
     * [[selectStep]]/[[select]] can refer back to it. The tag is one
     * extra id column riding the frontier — carried through every hop
@@ -925,6 +970,11 @@ object Traversal {
     * column (ADVICE r12). Dropped before each context's result leaves.
     */
   private[graph] val FCTX = TAG + "__filter_ctx__"
+
+  /** per-traverser sack accumulator rider (TAG-namespaced so hop
+    * projections carry it; see Traversal.withSackInit)
+    */
+  private[graph] val SACK = TAG + "__sack__"
   private[graph] val OTHER = "__other"
   private[graph] val HOP = "__hop_id"
   private[graph] val PATH = "__path"

@@ -353,6 +353,23 @@ object GraphQueries {
     graft.graph.GremlinParser.run(g(s, dir),
       "g.V().hasLabel('customer').coin(0.25).count()")
 
+  /** Parsed withSack()/sack(op).by(k)/sack() — TinkerPop's
+    * per-traverser accumulator: BUILDING customers seed a 0 sack, fold
+    * in their own acctbal, hop to their orders, fold in totalprice;
+    * each walk's sack = acctbal + totalprice. The sack rides the
+    * frontier as ONE double column (no joins); the gate aggregates
+    * walk count + exact integer-cents sum so the oracle replays the
+    * per-row arithmetic bit-for-bit (Exact.cents pattern).
+    */
+  def g56Sack(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.withSack(0.0).V().hasLabel('customer')" +
+        ".has('mktsegment', eq('BUILDING'))" +
+        ".sack(sum).by('acctbal').out('placed')" +
+        ".sack(sum).by('totalprice').sack()")
+      .agg(count(lit(1)).as("n_walks"),
+        sum(graft.util.Exact.cents(col("sack"))).as("sack_cents"))
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -669,6 +686,7 @@ object GraphQueries {
     "g53_element_map" -> (g53ElementMap _),
     "g54_inject" -> (g54Inject _),
     "g55_coin" -> (g55Coin _),
+    "g56_sack" -> (g56Sack _),
     "g47_fold_unfold" -> (g47FoldUnfold _),
     "g48_id_parsed" -> (g48IdParsed _),
     "g49_label_parsed" -> (g49LabelParsed _),
@@ -934,6 +952,14 @@ object GraphQueries {
          |WHERE CAST(concat('0x', substr(md5(CAST(
          |    ${PropertyGraph.sqlEncode("customer", "c_custkey")} AS VARCHAR)),
          |  1, 8)) AS BIGINT) % 10000 < 2500""".stripMargin,
+    // sack accumulation replays as per-row arithmetic over the join;
+    // 0.0 + a == a exactly in IEEE, so both engines compute a + t
+    "g56_sack" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_walks,
+         |  CAST(SUM(${graft.util.Exact.sqlCents("c_acctbal + o_totalprice")})
+         |    AS BIGINT) AS sack_cents
+         |FROM customer JOIN orders ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     // fold()→unfold() must be a lossless round trip of the supplier bag
     "g47_fold_unfold" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS cnt

@@ -72,6 +72,8 @@ class GremlinPropertySpec extends AnyFunSuite {
       Gen.const(GIdentity),
       predicate.map(GIs),
       Gen.chooseNum(0, 100).map(n => GCoin(n / 100.0)),
+      Gen.zip(Gen.oneOf("sum", "mult", "min", "max"), ident)
+        .map { case (op, k) => GSack(op, k) },
       Gen.const(GSimplePath))
     val nested: Seq[Gen[GStep]] =
       if (depth <= 0) Nil
@@ -151,11 +153,14 @@ class GremlinPropertySpec extends AnyFunSuite {
     Gen.const(GSource(edge = true, Nil)))
 
   private val query: Gen[Seq[GStep]] = for {
+    sackPrefix <- Gen.option(
+      Gen.chooseNum(0, 100).map(n => GWithSack(n / 10.0)))
     s <- source
     chain <- subChain(2)
     hasTerm <- Gen.oneOf(true, false)
     term <- terminal
-  } yield (s +: chain) ++ (if (hasTerm) Seq(term) else Nil)
+  } yield sackPrefix.toSeq ++ (s +: chain) ++
+    (if (hasTerm) Seq(term) else Nil)
 
   test("parse ∘ render = identity over 500 random ASTs") {
     (1 to 500).foreach { seed =>

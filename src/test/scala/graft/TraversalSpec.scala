@@ -538,6 +538,46 @@ class TraversalSpec extends AnyFunSuite {
     }
   }
 
+  test("sack: per-traverser accumulator through hops (DSL + parser)") {
+    // triangle: scores 10, 20, 30 on vertices 1, 2, 3; edges 1→2→3→1
+    val dsl = triangle.V(1L).withSackInit(0.0)
+      .sackOp("sum", "score").out("next").sackOp("sum", "score")
+      .sackValues()
+    assert(dsl.as[Double].collect().toSeq == Seq(30.0)) // 10 + 20
+    val parsed = GremlinParser.run(triangle,
+      "g.withSack(0.0).V(1).sack(sum).by('score')" +
+        ".out('next').sack(sum).by('score').sack()")
+    assert(samePlan(parsed, dsl))
+    // mult/min/max ops
+    assert(GremlinParser.run(triangle,
+      "g.withSack(1.0).V(1).sack(mult).by('score')" +
+        ".out('next').sack(mult).by('score').sack()")
+      .as[Double].collect().toSeq == Seq(200.0))
+    assert(GremlinParser.run(triangle,
+      "g.withSack(25.0).V().sack(min).by('score').sack()")
+      .as[Double].collect().sorted.toSeq == Seq(10.0, 20.0, 25.0))
+    // bag semantics: each traverser owns its sack through fan-out
+    val fan = GremlinParser.run(triangle,
+      "g.withSack(0.0).V().sack(sum).by('score').out('next')" +
+        ".sack(sum).by('score').sack()")
+      .as[Double].collect().sorted.toSeq
+    assert(fan == Seq(30.0, 40.0, 50.0)) // 10+20, 30+10, 20+30
+    // shape errors: sack without withSack; op without by; sack after a
+    // whole-frontier barrier; misplaced withSack
+    assertThrows[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.V().sack(sum).by('score').count()"))
+    assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle,
+      "g.withSack(0.0).V().sack(sum).count()"))
+    assertThrows[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.withSack(0.0).V().sack(sum).by('score').fold().unfold().sack()"))
+    assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle,
+      "g.V().withSack(1.0).count()"))
+    // render round-trip
+    val ast = GremlinParser.parse(
+      "g.withSack(0.0).V(1).sack(max).by('score').sack()")
+    assert(GremlinParser.parse(GremlinParser.render(ast)) == ast)
+  }
+
   test("parser: id(), label(), fold()/unfold(), path().by()") {
     // id() ≡ DSL idsDF, plan-for-plan
     val ids = GremlinParser.run(triangle, "g.V().id()")
