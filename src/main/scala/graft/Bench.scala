@@ -220,8 +220,11 @@ object Bench {
     // ratio-vs-certified instead of absolute size. Empty map (no file,
     // no parse) degrades to the old absolute ordering.
     val refMedians: Map[String, Double] = {
+      // the COMMITTED envelope, not this run's output path: when
+      // SPARK_GRAFT_DETAIL redirects the output (drills, probes), the
+      // reference must still come from the repo's BENCH_DETAIL.json
       val path = sys.env.getOrElse("SPARK_GRAFT_REF_DETAIL",
-        sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json"))
+        "BENCH_DETAIL.json")
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")
