@@ -100,6 +100,25 @@ import org.apache.spark.sql.SparkSession
   *     applies to the single run, and every ≥3 s query is eligible
   *     for the end-of-bench re-pass, so a one-off spike still gets a
   *     second independent look; min(window, re-pass) ships.
+  *   - ENVELOPE WALL CAP + COVERAGE-FIRST (round-13 lesson: a
+  *     catastrophically stolen driver window — canary 2.4×, single
+  *     queries 17-20× — spent 342 s measuring ONE query to completion
+  *     and re-passing it, blew the budget, and shipped a 108/252
+  *     artifact via skipped_tail). Two mechanisms: (a) every timed run
+  *     races a watchdog that cancels its Spark job group once it
+  *     exceeds CapRatio× its committed-close median (floor CapFloorS);
+  *     an abandoned run is recorded as CAPPED, excluded from medians
+  *     when any completed run exists, and a query with only capped
+  *     runs ships the cap value flagged in "capped" — a marked lower
+  *     bound in a complete artifact beats both a 160 s "measurement"
+  *     of hypervisor weather and a hole. (b) a coverage-first
+  *     projection (committed envelope × observed window inflation)
+  *     drops every remaining query to a minimal capped single run as
+  *     soon as one-run-of-everything barely fits the budget, and a
+  *     COVERAGE PASS reclaims any skipped queries BEFORE any re-pass
+  *     budget is spent — one number for each beats three for half.
+  *     Forced-drill hooks (SPARK_GRAFT_DRILL_SLOW / _SPIKE) simulate
+  *     the r13 window shape to exercise all of this deterministically.
   */
 object Bench {
   private val SpreadMaxRatio = 3.0
@@ -150,6 +169,20 @@ object Bench {
   // ship a single timed run (the re-pass provides the second
   // independent sample for the top of the tail)
   private val HeavyOneRunSec = 3.0
+  // ENVELOPE WALL CAP (round-13 lesson: the driver window measured a
+  // 17×-stolen g18 to completion at 160.7 s and then re-passed it for
+  // another 181.8 s — 342 s, 12.7% of the whole budget, on ONE query
+  // whose canary already explained the inflation): a single run is
+  // ABANDONED (Spark job group cancelled) once it exceeds
+  // CapRatio × its committed-close median (floored at CapFloorS so
+  // sub-noise queries never trip on jitter). A capped run is not a
+  // measurement — it's a lower bound taken on the hypervisor's clock —
+  // so it is excluded from medians whenever any completed run exists;
+  // a query with ONLY capped runs ships the cap value, flagged in
+  // "capped" (and suspect) in both JSON outputs. Queries with no
+  // committed envelope run uncapped — there is no honest cap to apply.
+  private val CapRatio = 4.0
+  private val CapFloorS = 10.0
 
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
@@ -234,23 +267,63 @@ object Bench {
         "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt) match {
           case None => Map.empty
           case Some(m) =>
-            val j = txt.indexOf('}', m.end)
-            if (j < 0) Map.empty
+            // balanced-brace scan, not indexOf('}'): a future detail
+            // format nesting values (e.g. per-query run arrays) must
+            // not silently truncate the envelope (ADVICE r13)
+            var depth = 1
+            var j = m.end
+            while (j < txt.length && depth > 0) {
+              txt.charAt(j) match {
+                case '{' => depth += 1
+                case '}' => depth -= 1
+                case _ =>
+              }
+              j += 1
+            }
+            if (depth != 0) Map.empty
             else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-              .findAllMatchIn(txt.substring(m.end, j))
+              .findAllMatchIn(txt.substring(m.end, j - 1))
               .map(g => g.group(1) -> g.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty }
     }
-    if (refMedians.nonEmpty)
+    if (refMedians.nonEmpty) {
       System.err.println(s"[bench] reference envelope: ${refMedians.size} " +
-        "committed medians loaded for the outlier re-pass")
+        "committed medians loaded for the outlier re-pass + wall caps")
+      // an implausibly thin envelope means the parse truncated (or the
+      // detail file is from a much smaller suite) — say so rather than
+      // quietly degrading the re-pass to absolute ordering (ADVICE r13)
+      if (refMedians.size < names.length / 2)
+        System.err.println(s"[bench] WARNING: envelope covers only " +
+          s"${refMedians.size} of ${names.length} queries — parse " +
+          "truncation or stale detail file?")
+    }
+
+    // forced-drill hooks (round-13 task 1 acceptance: a simulated
+    // degraded window inside a tight budget must still emit EVERY
+    // query, with capped-run markers and no skipped entries).
+    // SPARK_GRAFT_DRILL_SLOW=<f> inflates every run's wall time f×
+    // (sleep in slices, so the wall cap can abandon the inflated run
+    // exactly as it would a stolen one); SPARK_GRAFT_DRILL_SPIKE=
+    // "name:f,name:f" adds per-query spikes on top — the r13 window's
+    // actual profile was a 2.4× aggregate with 17-20× single-query
+    // spikes. Production runs leave both unset (factor 1 = no-op).
+    val drillSlow = sys.env.getOrElse("SPARK_GRAFT_DRILL_SLOW", "1").toDouble
+    val drillSpike: Map[String, Double] =
+      sys.env.getOrElse("SPARK_GRAFT_DRILL_SPIKE", "").split(',')
+        .filter(_.contains(':')).map { kv =>
+          val Array(k, v) = kv.split(':'); k -> v.toDouble
+        }.toMap
+    if (drillSlow > 1.0 || drillSpike.nonEmpty)
+      System.err.println(s"[bench] DRILL MODE: slow=${drillSlow}x " +
+        s"spikes=$drillSpike — numbers are synthetic, do not commit")
 
     // ---- shared result state (also read by the shutdown hook; all
     // mutations and the hook's snapshot synchronize on `medians`) ----
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val suspect = scala.collection.mutable.LinkedHashSet.empty[String]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val capped = scala.collection.mutable.LinkedHashSet.empty[String]
     val skipped = scala.collection.mutable.LinkedHashSet.empty[String]
     val degradedTiers = scala.collection.mutable.LinkedHashSet.empty[String]
     val rerunsTaken = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -288,11 +361,11 @@ object Bench {
       // buffer here would throw and degrade the emergency artifact to
       // the minimal fallback line — the exact rc=124-corpse scenario
       // the hook exists to avoid
-      val (results, susp, fld, skip, reruns, tiers,
+      val (results, susp, fld, skip, capd, reruns, tiers,
            canarySnap, iterSnap, windowsSnap, repassSnap,
            stolenSnap, canaryRefSnap, iterRefSnap) = medians.synchronized {
         (names.flatMap(n => medians.get(n).map(n -> _)),
-          suspect.toSeq, failed.toSeq, skipped.toSeq,
+          suspect.toSeq, failed.toSeq, skipped.toSeq, capped.toSeq,
           rerunsTaken.toSeq, degradedTiers.toSeq,
           canaryChecks.toSeq, iterChecks.toSeq, windowsRerun.toSeq,
           repassLog.toSeq, stolenRuns, canaryRef, iterRef)
@@ -309,13 +382,14 @@ object Bench {
       val windowsJson = windowsSnap.mkString("[", ",", "]")
       val suspectJson = susp.map("\"" + _ + "\"").mkString("[", ",", "]")
       val failedJson = fld.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val cappedJson = capd.map("\"" + _ + "\"").mkString("[", ",", "]")
       val skippedJson = skip.map("\"" + _ + "\"").mkString("[", ",", "]")
       val tiersJson = tiers.map("\"" + _ + "\"").mkString("[", ",", "]")
       val repassJson = repassSnap
         .map { case (k, (a, b)) => "\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]" }
         .mkString("{", ",", "}")
       val detail =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"nexpected":${names.length},"contended":$contended,"degraded":$degraded,"aborted":$aborted,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"degraded_tiers":$tiersJson,"skipped":$skippedJson,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRefSnap)},"canary_checks":$canaryJson,"iter_canary":"nation-lpa-${IterCanaryRounds}r","iter_canary_ref":${fmt(iterRefSnap)},"iter_canary_checks":$iterJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenSnap,"suspect":$suspectJson,"failed":$failedJson,"repass":$repassJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"nexpected":${names.length},"contended":$contended,"degraded":$degraded,"aborted":$aborted,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"degraded_tiers":$tiersJson,"skipped":$skippedJson,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"reruns":$rerunJson,"canary":"$CanaryName","canary_ref":${fmt(canaryRefSnap)},"canary_checks":$canaryJson,"iter_canary":"nation-lpa-${IterCanaryRounds}r","iter_canary_ref":${fmt(iterRefSnap)},"iter_canary_checks":$iterJson,"windows_rerun":$windowsJson,"stolen_runs":$stolenSnap,"suspect":$suspectJson,"failed":$failedJson,"capped":$cappedJson,"repass":$repassJson,"queries":${qJson(results)},"sf":"$sfDir"}"""
       val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
       try {
         java.nio.file.Files.write(
@@ -344,6 +418,12 @@ object Bench {
         (if (extra > 0) kept ++ Seq("\"+" + extra + " more\"") else kept)
           .mkString("[", ",", "]")
       }
+      val cappedStdout = {
+        val kept = capd.take(6).map("\"" + _ + "\"")
+        val extra = capd.size - kept.size
+        (if (extra > 0) kept ++ Seq("\"+" + extra + " more\"") else kept)
+          .mkString("[", ",", "]")
+      }
       val budget = 1900
       val bySlow = results.sortBy(-_._2)
       def compact(n: Int): String = {
@@ -352,7 +432,7 @@ object Bench {
         val entries = if (kept.length < results.length)
           qJson(kept).dropRight(1) + s""","other":${fmt(rest)}}"""
         else qJson(kept)
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"degraded":$degraded,"aborted":$aborted,"stolen_runs":$stolenSnap,"suspect":$suspectStdout,"failed":$failedJson,"skipped":$skippedStdout,"queries":$entries,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"nqueries":${results.length},"contended":$contended,"degraded":$degraded,"aborted":$aborted,"stolen_runs":$stolenSnap,"suspect":$suspectStdout,"failed":$failedJson,"capped":$cappedStdout,"skipped":$skippedStdout,"queries":$entries,"sf":"$sfDir"}"""
       }
       val line = (results.length to 1 by -1).view.map(compact).find(_.length <= budget)
         .getOrElse(compact(1))
@@ -401,26 +481,72 @@ object Bench {
     loadBefore = loadAvg()
     contended = loadBefore > cpus.toInt / 2.0
 
-    // (seconds, succeeded, steal-clean): a run bracketed by a steal
-    // burst carries the hypervisor's timing, not ours
-    def timedRuns(name: String, n: Int): Seq[(Double, Boolean, Boolean)] =
+    // per-run wall-cap watchdog (daemon — never blocks shutdown): fires
+    // the envelope cap by cancelling the run's Spark job group
+    val watchdog = java.util.concurrent.Executors
+      .newSingleThreadScheduledExecutor((r: Runnable) => {
+        val t = new Thread(r, "bench-wall-cap"); t.setDaemon(true); t
+      })
+    def capFor(name: String): Option[Double] =
+      refMedians.get(name).filter(_ > 0)
+        .map(m => math.max(m * CapRatio, CapFloorS))
+
+    // (seconds, succeeded, steal-clean, capped): a run bracketed by a
+    // steal burst carries the hypervisor's timing, not ours; a capped
+    // run was ABANDONED at its envelope wall cap (CapRatio scaladoc) —
+    // the r13 driver window spent 342 s measuring one 17×-stolen query
+    // to completion, and the cap is what makes that impossible now
+    def timedRuns(name: String, n: Int): Seq[(Double, Boolean, Boolean, Boolean)] =
       (1 to n).map { _ =>
+        val cap = capFor(name)
+        val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val grp = s"bench-$name"
+        spark.sparkContext.setJobGroup(grp, s"bench $name",
+          interruptOnCancel = true)
+        val killer = cap.map(c => watchdog.schedule(new Runnable {
+          def run(): Unit = {
+            fired.set(true)
+            try spark.sparkContext.cancelJobGroup(grp)
+            catch { case _: Throwable => }
+          }
+        }, (c * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS))
         val s0 = stealJiffies()
         val t0 = System.nanoTime()
-        val ok =
+        var ok =
           try { materialize(name, sfDir); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            if (!fired.get)
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
+        // drill inflation: sliced sleep so the wall cap abandons the
+        // inflated run exactly as it would a genuinely stolen one
+        val factor = drillSlow * drillSpike.getOrElse(name, 1.0)
+        if (ok && factor > 1.0) {
+          val extraMs =
+            ((factor - 1.0) * (System.nanoTime() - t0) / 1e6).toLong
+          var slept = 0L
+          while (slept < extraMs && !fired.get) {
+            val s = math.min(250L, extraMs - slept)
+            Thread.sleep(s); slept += s
+          }
+        }
+        killer.foreach(_.cancel(false))
+        spark.sparkContext.clearJobGroup()
+        val wasCapped = fired.get
+        if (wasCapped) ok = false
         val el = (System.nanoTime() - t0) / 1e9
         val stolen = stealJiffies() - s0 > StealMaxJiffies
-        if (stolen) {
+        if (stolen && !wasCapped) {
           medians.synchronized { stolenRuns += 1 }
           System.err.println(f"[bench] $name run $el%.2f s lost >" +
             f"${StealMaxJiffies / 100.0}%.1f core-s to hypervisor steal")
         }
-        (el, ok, !stolen)
+        if (wasCapped)
+          System.err.println(f"[bench] $name run ABANDONED at " +
+            f"${cap.getOrElse(0.0)}%.1f s (${CapRatio}%.0f× committed " +
+            "median wall cap) — recorded as capped, not measured")
+        (el, ok, !stolen, wasCapped)
       }
 
     // one query's shipped median: one TIMED-but-unshipped priming run
@@ -454,11 +580,46 @@ object Bench {
     // never let that number displace a real measurement (round-10
     // lesson: a session kill mid-re-pass shipped 5 ms "timings" for
     // nine iterative queries).
-    def measure(name: String): (Double, Boolean, Boolean) = {
-      val tight = budgetFrac > 0.5
-      if (tight) medians.synchronized { degradedTiers += "single_run" }
-      val skipPrime = budgetFrac > 0.8
-      if (skipPrime) medians.synchronized { degradedTiers += "no_prime" }
+    // COVERAGE-FIRST projection (round-13 lesson: skipped_tail fired on
+    // 144 of 252 queries while 40-query repasses ran): estimate the
+    // cost of ONE run of every still-unmeasured query from the
+    // committed envelope scaled by the OBSERVED window inflation (the
+    // median measured/committed ratio so far — a 2.4× window projects
+    // 2.4× costs, which raw envelope sums would underestimate). Once
+    // the projection no longer fits 90% of the budget, every query
+    // drops to a minimal capped single run — one number for each beats
+    // three for half; the artifact's comparability lives on coverage.
+    def projectedTight: Boolean = {
+      if (refMedians.isEmpty) return false
+      val (remaining, ratios) = medians.synchronized {
+        (names.filterNot(medians.contains),
+          names.flatMap(n => for {
+            m <- medians.get(n); r <- refMedians.get(n) if r > 0
+          } yield m / r))
+      }
+      if (remaining.isEmpty) return false
+      val inflation =
+        if (ratios.isEmpty) 1.0
+        else math.max(1.0, ratios.sorted.apply(ratios.length / 2))
+      val avgRef = refMedians.values.sum / refMedians.size
+      val est = remaining.map(n => refMedians.getOrElse(n, avgRef)).sum * inflation
+      elapsedS + est > budgetS * 0.9
+    }
+
+    // returns (median, cleanOnly, anySuccess, anyCapped); minimal=true
+    // (the coverage pass) forces single-run/no-prime/no-retries without
+    // re-adding the budget-ladder tier names
+    def measure(name: String,
+        minimal: Boolean = false): (Double, Boolean, Boolean, Boolean) = {
+      val coverageFirst = !minimal && projectedTight
+      if (coverageFirst)
+        medians.synchronized { degradedTiers += "coverage_first" }
+      val tight = minimal || coverageFirst || budgetFrac > 0.5
+      if (tight && !minimal)
+        medians.synchronized { degradedTiers += "single_run" }
+      val skipPrime = minimal || coverageFirst || budgetFrac > 0.8
+      if (skipPrime && !minimal && budgetFrac > 0.8)
+        medians.synchronized { degradedTiers += "no_prime" }
       var heavy = false
       if (!skipPrime) {
         val t0 = System.nanoTime()
@@ -477,25 +638,31 @@ object Bench {
       }
       // every successful run steal-contaminated → retry batches (with
       // settle pauses so a burst can pass) until a clean run exists;
-      // bounded so a steal STORM cannot wedge the bench
+      // bounded so a steal STORM cannot wedge the bench. All-CAPPED
+      // gets exactly ONE retry batch — each retry costs up to the cap
+      // itself, and the re-pass supplies the later independent look
       var stealRetries = 0
       val stealBudget = if (tight) 0 else StealMaxRetryBatches
-      while (timed.exists(_._2) && !timed.exists(t => t._2 && t._3)
-          && stealRetries < stealBudget) {
+      def cleanExists = timed.exists(t => t._2 && t._3)
+      while (!cleanExists && stealRetries < stealBudget
+          && (timed.exists(_._2)
+            || (timed.exists(_._4) && stealRetries < 1))) {
         stealRetries += 1
-        System.err.println(s"[bench] $name: all runs steal-contaminated — " +
-          s"settling + retry batch $stealRetries/$stealBudget")
+        System.err.println(s"[bench] $name: all runs steal-contaminated/" +
+          s"capped — settling + retry batch $stealRetries/$stealBudget")
         Thread.sleep(3000)
         timed = timed ++ timedRuns(name, 1)
       }
       // median over SUCCESSFUL, STEAL-CLEAN runs — a near-instant
       // failure must not masquerade as a fast timing, and a run the
       // hypervisor paused measures the host, not the query; fall back
-      // to successful-any-steal, then to the worst time
+      // to successful-any-steal, then to the worst time (which for an
+      // all-capped query IS the cap value — a flagged lower bound)
       val clean = timed.filter(t => t._2 && t._3).map(_._1).sorted
       val good = if (clean.nonEmpty) clean
         else timed.filter(_._2).map(_._1).sorted
       val anySuccess = timed.exists(_._2)
+      val anyCapped = timed.exists(_._4)
       val med = if (good.nonEmpty) good(good.length / 2) else timed.map(_._1).max
       // Spark's ContextCleaner releases dead cache/localCheckpoint
       // blocks only when a GC notices them; across 150 queries the
@@ -504,7 +671,24 @@ object Bench {
       // 7.8 s / 54.8 s on the same query). Collect BETWEEN queries so
       // each starts with a clean heap and pays only its own garbage.
       System.gc()
-      (med, clean.nonEmpty || !anySuccess, anySuccess)
+      (med, clean.nonEmpty || !anySuccess, anySuccess, anyCapped)
+    }
+
+    // fold one measurement into the shared result state. An all-capped
+    // query ships its cap value flagged "capped" (+suspect) — a flagged
+    // lower bound in a complete artifact beats a hole; an all-failed
+    // query stays FAILED so a millisecond exception can never
+    // masquerade as a timing.
+    def record(n: String, r: (Double, Boolean, Boolean, Boolean)): Unit = {
+      val (med, cleanOnly, anyOk, anyCapped) = r
+      medians.synchronized {
+        medians(n) = med
+        skipped -= n
+        if (cleanOnly) suspect -= n else suspect += n
+        if (anyOk) { failed -= n; capped -= n }
+        else if (anyCapped) { capped += n; failed -= n; suspect += n }
+        else failed += n
+      }
     }
 
     // one canary observation: min of 2 back-to-back runs — a single
@@ -583,19 +767,17 @@ object Bench {
               degradedTiers += "skipped_tail"
             }
           } else {
-            val (med, cleanOnly, anyOk) = measure(n)
-            medians.synchronized {
-              medians(n) = med
-              skipped -= n
-              if (cleanOnly) suspect -= n else suspect += n
-              if (anyOk) failed -= n else failed += n
-            }
+            record(n, measure(n))
           }
         }
         attempt += 1
-        // past 50% of budget windows are never re-measured: the canary
-        // pair still logs its observations for the audit trail
-        if (!haveCanary || budgetFrac > 0.5) clean = true
+        // past 50% of budget — or once coverage-first projection says
+        // one run of everything barely fits — windows are never
+        // re-measured: the canary pair still logs its observations for
+        // the audit trail, but re-measuring a whole window under a
+        // persisting storm is exactly the budget burn that starved the
+        // r13 tail
+        if (!haveCanary || budgetFrac > 0.5 || projectedTight) clean = true
         else {
           val ref = canaryRef
           val c = canaryTime()
@@ -660,23 +842,42 @@ object Bench {
     def repassOver(set: Seq[String], stopFrac: Double): Unit =
       set.foreach { n =>
         if (budgetFrac < stopFrac) {
-          val (med2, cleanOnly2, anyOk2) = measure(n)
+          val (med2, cleanOnly2, anyOk2, _) = measure(n)
           val shipped = medians.synchronized {
             repassLog(n) = (medians(n), med2)
-            // an all-failed re-pass (e.g. the context was torn down
-            // under us) must never displace the real window measurement
+            // an all-failed/all-capped re-pass (e.g. the context was
+            // torn down under us, or the storm persisted) must never
+            // displace the real window measurement
             if (anyOk2 && med2 < medians(n)) {
               medians(n) = med2
               if (cleanOnly2) suspect -= n
+              capped -= n // a completed run supersedes a capped bound
             }
             medians(n)
           }
           System.err.println(
             f"[bench] re-pass $n: window ${repassLog(n)._1}%.2f s vs ${med2}%.2f s" +
-              (if (anyOk2) "" else " (ALL RUNS FAILED — discarded)") +
+              (if (anyOk2) "" else " (ALL RUNS FAILED/CAPPED — discarded)") +
               f" → shipped $shipped%.2f s")
         }
       }
+
+    // COVERAGE PASS (round-13 task 1 — the driver shipped a 108/252
+    // artifact while 40-query repasses ran): anything the in-window
+    // endgame skipped gets ONE minimal capped run BEFORE any re-pass
+    // spends budget polishing already-measured entries. skipped_tail is
+    // the last resort now, not a default under a stolen window — wall
+    // caps bound every run, so this pass costs at most Σ caps.
+    val uncovered = medians.synchronized { names.filterNot(medians.contains) }
+    if (uncovered.nonEmpty) {
+      medians.synchronized { degradedTiers += "coverage_pass" }
+      System.err.println(s"[bench] coverage pass: ${uncovered.length} " +
+        "unmeasured queries get minimal capped single runs before any re-pass")
+      uncovered.foreach { n =>
+        if (budgetFrac < 0.99) record(n, measure(n, minimal = true))
+      }
+    }
+
     if (budgetFrac < 0.7) {
       val repassSet = medians.synchronized {
         names.filter(n => medians.get(n).exists(_ >= RepassMinSec) || suspect(n))
