@@ -325,10 +325,16 @@ object Dedup {
     * no band replay at every knob setting (stronger than the e19
     * contract, where nBits is part of the semantics).
     *
-    * Scale shape: `subset` is the corpus-size knob
-    * ([[simhashSubsetForCorpus]]): m=1 reproduces the classic
-    * 4×16-bit scheme (2^16 buckets — the round-12 verdict's last
-    * fixed-knob Σ|b|² quadratic); m=2 keys on pairs of 5 chunks
+    * Scale shape: `subset` is the corpus-size knob. `subset = 0` (the
+    * DEFAULT) sizes it from the ACTUAL corpus count via
+    * [[simhashSubsetForCorpus]] — the same convention as
+    * [[embeddingNearDupBanded]]'s `nBits = 0`: the production caller
+    * never has to know the ladder exists, and a default-arg call on a
+    * 10M+ doc corpus gets m=2 instead of the fixed-knob Σ|b|²
+    * quadratic (the auto path costs one count() job up front —
+    * metadata-cheap next to the banding itself). Explicit m ∈ {1,2,3}
+    * stays for oracle-literal pins: m=1 reproduces the classic
+    * 4×16-bit scheme (2^16 buckets); m=2 keys on pairs of 5 chunks
     * (≥ 2^24 buckets), m=3 on triples of 6 (≥ 2^30) — mean bucket
     * population stays O(1) as the corpus decades up, so in-bucket
     * candidate volume tracks true near-dup density, not n²/2^16. The
@@ -342,13 +348,26 @@ object Dedup {
     * band table — so it is an explicit opt-in, not the default, and
     * gate oracles run with it off.
     */
+  /** The auto-sizing seam [[simhashNearDup]] goes through: subset = 0
+    * → one count() of `docs` feeds [[simhashSubsetForCorpus]];
+    * explicit subset passes through untouched. Package-visible so the
+    * spec can pin the WIRING (a synthetic 2.2M-row corpus really
+    * lands on m = 2) without paying a 2M-doc banding run.
+    */
+  private[graft] def simhashEffectiveSubset(docs: DataFrame,
+      maxHamming: Int, subset: Int): Int =
+    if (subset > 0) subset
+    else simhashSubsetForCorpus(docs.count(), maxHamming)
+
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
       tokenHash: Column => Column = fastTokenHash,
-      subset: Int = 1, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      subset: Int = 0, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
-    require(subset >= 1 && subset <= 3, "subset must be 1, 2 or 3")
+    require(subset >= 0 && subset <= 3,
+      "subset must be 0 (= size from the corpus), 1, 2 or 3")
     require(maxBucketSize >= 1, "maxBucketSize must be >= 1")
-    val c = maxHamming + subset
+    val m = simhashEffectiveSubset(docs, maxHamming, subset)
+    val c = maxHamming + m
     require(c <= 64, "maxHamming + subset must be <= 64 bits")
     val sh = simhash(docs, tokenHash)
     val bounds = simhashChunkBounds(c)
@@ -361,7 +380,7 @@ object Dedup {
     // values) — equal chunks hash equal (recall preserved); a 64-bit
     // hash collision only ADDS a candidate, which the exact verify
     // rejects, so correctness is unaffected
-    val tables = (0 until c).combinations(subset).toSeq.zipWithIndex
+    val tables = (0 until c).combinations(m).toSeq.zipWithIndex
     val keys = array(tables.map { case (idx, tid) =>
       struct(lit(tid).as("tbl"),
         xxhash64((lit(tid) +: idx.map(chunkVal)): _*).as("key"))

@@ -541,11 +541,14 @@ object PipelineQueries {
     * signature stage (detect step of the simhash dedup family). At
     * maxHamming = 3 the 4-chunk banding is recall-lossless, so the
     * oracle recomputes the same 60-bit portable signatures and takes
-    * plain all-pairs hamming ≤ 3 — band replay unnecessary.
+    * plain all-pairs hamming ≤ 3 — band replay unnecessary. subset = 1
+    * is EXPLICIT: this gate is the classic-scheme (m = 1) oracle pin;
+    * the API default is the corpus-sized auto path (round-13 verdict
+    * task 2), whose m choice DedupSpec pins separately.
     */
   def d27SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(s, dir), maxHamming = 3,
-        tokenHash = Dedup.portableTokenHash)
+        tokenHash = Dedup.portableTokenHash, subset = 1)
       .orderBy(col("a_id"), col("b_id"))
 
   /** SimHash near-dup pairs through the SIZED banding path (d37): the
