@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   * existence, hasId, as/select (one label = jump back, several =
   * projection terminal), out/in/both, outE/inE/bothE, inV/outV/otherV,
   * repeat(sub)[.emit()].times(n),
-  * repeat(sub).until(__.count().is(0) | loops().is(n) |
+  * repeat(sub)[.emit()].until(__.count().is(0) | loops().is(n) |
   * hasId/has/hasLabel/hasNot chain) (fixed-point reachability via
   * repeatUntil / times-sugar / target-reached stop via
-  * repeatUntilReached), simplePath
+  * repeatUntilReached — with emit(), every vertex reached at depth
+  * ≥ 1, stop still pruning expansion), simplePath
   * (auto-enables path tracking), where(sub), not(sub), union(subs),
   * coalesce(subs), choose(cond, onTrue[, onFalse]), optional(sub),
   * project(ls).by('k'|__.steps.count())…, aggregate(k)/cap(k),
@@ -44,7 +45,8 @@ import org.apache.spark.sql.functions._
   * elementMap(ks), fold/unfold, count, values(k),
   * values(k).sum()/mean()/min()/max(), valueMap(ks),
   * groupCount(k)/groupCount().by(k), is(pred) (on the inject value
-  * pipeline or after a single-column terminal), the
+  * pipeline or after a single-column terminal), math(expr) (per-
+  * traverser arithmetic over `_`, same value-stream positions), the
   * g.inject(v1, v2, …) value source with its
   * dedup/limit/skip/range/is/count/sum/mean/min/max/fold pipeline,
   * and the g.withSack(init) prefix with sack(sum|mult|min|max).by(k)
@@ -77,6 +79,18 @@ object GremlinParser {
     * (md5-bucket; same reproducibility stance as sample())
     */
   final case class GCoin(p: Double) extends GStep
+  /** math(expr) — per-traverser arithmetic over the current VALUE
+    * traverser (TinkerPop's math() step, the `_` operand form): legal
+    * after any single-column numeric terminal (values(k), count(),
+    * sum()/mean()/min()/max(), sack()) and on the inject value
+    * pipeline. The expression compiles to ONE codegen'd Column — no
+    * UDF, no per-row interpretation. Label operands (`math('a - b')`)
+    * are refused with a reasoned error: as()-tags here bind vertex
+    * ids, not by()-modulated properties, so the TinkerPop form has no
+    * faithful reading; select the property and compute relationally
+    * instead.
+    */
+  final case class GMath(expr: String) extends GStep
   /** elementMap(ks) terminal — id + label + requested properties */
   final case class GElementMap(ks: Seq[String]) extends GStep
   /** g.withSack(init) query prefix — per-traverser numeric accumulator
@@ -113,8 +127,8 @@ object GremlinParser {
     * distributed stop-set test; the reference engine's conditional
     * per-hop scan loop, TikvTable.java:30-58).
     */
-  final case class GRepeatUntilStop(sub: Seq[GStep],
-                                    stop: Seq[GStep]) extends GStep
+  final case class GRepeatUntilStop(sub: Seq[GStep], stop: Seq[GStep],
+                                    emit: Boolean = false) extends GStep
   /** id() terminal — the frontier's vertex ids */
   case object GId extends GStep
   /** label() terminal — element labels (vertex or edge frontier) */
@@ -446,6 +460,11 @@ object GremlinParser {
         case Seq(k) => k
         case _ => throw ParseException("values() takes exactly one key")
       })
+      case "math" => GMath(parseStrArgs(cur) match {
+        case Seq(e) => e
+        case _ => throw ParseException(
+          "math() takes exactly one expression string")
+      })
       case "valueMap" => GValueMap(parseStrArgs(cur))
       case "group" => emptyArgs(cur); GGroup("", "", "")
       case "groupCount" =>
@@ -580,11 +599,10 @@ object GremlinParser {
           cur.next()
           stops += filterStep(cur.expectIdent())
         }
-        if (emit) throw ParseException(
-          "repeat().emit().until(<predicate>) is not supported: the " +
-            "target-reached stop already emits exactly the halted " +
-            "traversers; drop emit() or use times(n)")
-        GRepeatUntilStop(sub, stops.result())
+        // emit() + target-reached stop (r13 verdict task 5): every
+        // vertex reached at depth >= 1 is emitted, the predicate still
+        // prunes expansion — repeatUntilReached's emitAll face
+        GRepeatUntilStop(sub, stops.result(), emit)
       case "count" =>
         emptyArgs(cur); cur.expectPunct('.')
         if (cur.expectIdent() != "is")
@@ -891,8 +909,9 @@ object GremlinParser {
         s"repeat(${anon(sub)})" + (if (emit) ".emit()" else "") + s".times($n)"
       case GRepeatUntil(sub) =>
         s"repeat(${anon(sub)}).until(__.count().is(0))"
-      case GRepeatUntilStop(sub, stop) =>
-        s"repeat(${anon(sub)}).until(${anon(stop)})"
+      case GRepeatUntilStop(sub, stop, emit) =>
+        s"repeat(${anon(sub)})" + (if (emit) ".emit()" else "") +
+          s".until(${anon(stop)})"
       case GId => "id()"
       case GLabel => "label()"
       case GFold => "fold()"
@@ -934,6 +953,7 @@ object GremlinParser {
       case GSimplePath => "simplePath()"
       case GCount => "count()"
       case GValues(k) => s"values('$k')"
+      case GMath(e) => s"math('$e')"
       case GValueMap(ks) => s"valueMap(${strs(ks)})"
       case GGroupCount(k) => s"groupCount('$k')"
       case GGroup(k, v, op) => s"group().by('$k').by(__.values('$v').$op())"
@@ -1004,6 +1024,15 @@ object GremlinParser {
             s"is() after a terminal needs a single-column result, got " +
               s"(${r.columns.mkString(", ")})")
           result = Some(r.filter(p.toColumn(col(r.columns.head))))
+        // math() over the value stream a terminal produced — the
+        // column keeps its name so is()/math() chains compose
+        case GMath(e) =>
+          val r = result.get
+          if (r.columns.length != 1) throw new IllegalArgumentException(
+            s"math() after a terminal needs a single-column result, got " +
+              s"(${r.columns.mkString(", ")})")
+          val cn = r.columns.head
+          result = Some(r.select(mathColumn(e, col(cn)).as(cn)))
         case _ => throw ParseException(s"step after terminal: $s")
       }
       else {
@@ -1012,7 +1041,7 @@ object GremlinParser {
           s"only unfold() may follow fold(), got $s")
       s match { // positional rider checks (never consumes the step)
         case GAs(l) => liveTags += l; lostTags -= l
-        case GFold | GRepeatUntil(_) | GRepeatUntilStop(_, _) =>
+        case GFold | GRepeatUntil(_) | GRepeatUntilStop(_, _, _) =>
           pathBroken = Some(if (s == GFold) "fold()" else "repeat().until()")
           lostTags ++= liveTags; liveTags = Set.empty
         case GPath | GTree | GSimplePath | GCyclicPath | GPathBy(_)
@@ -1097,7 +1126,8 @@ object GremlinParser {
   /** the inject() value pipeline: a constant value stream with the
     * follow-on steps that have a clean relational reading over one
     * `value` column. Homogeneous types only (all integral, all
-    * numeric, or all string) — a mixed list has no single column type.
+    * numeric, all string, or all boolean) — a mixed list has no single
+    * column type.
     */
   private def runInject(g: PropertyGraph, vals: Seq[Any],
                         rest: Seq[GStep]): DataFrame = {
@@ -1114,8 +1144,14 @@ object GremlinParser {
         }.toDF("value")
       else if (vals.forall(_.isInstanceOf[String]))
         vals.map(_.asInstanceOf[String]).toDF("value")
+      // the literal grammar accepts true/false, so the ladder must too
+      // (ADVICE r13: an all-boolean inject died with the misleading
+      // "all numbers or all strings" error at run time)
+      else if (vals.forall(_.isInstanceOf[Boolean]))
+        vals.map(_.asInstanceOf[Boolean]).toDF("value")
       else throw new IllegalArgumentException(
-        "inject() values must be homogeneous (all numbers or all strings)")
+        "inject() values must be homogeneous (all numbers, all strings " +
+          "or all booleans)")
     var vdf = vdf0
     var result: Option[DataFrame] = None
     rest.foreach { s =>
@@ -1131,6 +1167,13 @@ object GremlinParser {
         case GSkip(n) => vdf = vdf.offset(n)
         case GRange(lo, hi) => vdf = vdf.offset(lo).limit(hi - lo)
         case GIs(p) => vdf = vdf.filter(p.toColumn(col("value")))
+        case GMath(e) =>
+          if (vdf.schema.head.dataType ==
+              org.apache.spark.sql.types.StringType)
+            throw new IllegalArgumentException(
+              "math() needs a numeric value stream; this inject() " +
+                "pipeline carries strings")
+          vdf = vdf.select(mathColumn(e, col("value")).as("value"))
         case GCount => result = Some(vdf.agg(count(lit(1)).as("cnt")))
         case GAgg("sum", "") => result = Some(vdf.agg(sum(col("value")).as("sum_value")))
         case GAgg("mean", "") => result = Some(vdf.agg(avg(col("value")).as("mean_value")))
@@ -1140,7 +1183,7 @@ object GremlinParser {
           vdf.agg(sort_array(collect_list(col("value"))).as("values")))
         case other => throw new IllegalArgumentException(
           s"inject() value stream supports dedup/limit/skip/range/is/" +
-            s"count/sum/mean/min/max/fold, got $other")
+            s"math/count/sum/mean/min/max/fold, got $other")
       }
     }
     result.getOrElse(vdf)
@@ -1149,19 +1192,133 @@ object GremlinParser {
   private def subFn(sub: Seq[GStep]): Traversal => Traversal =
     t0 => sub.foldLeft(t0)(applyStep)
 
-  /** order-nondeterministic cut detection for choose() conds (ADVICE
-    * r12): an unordered limit/range/skip inside the cond makes its
-    * result set run-dependent, so the semi/anti pair could
+  /** compile a math() expression to ONE Column over the current value
+    * traverser (`_`). Recursive descent:
+    * {{{
+    * expr  := term (('+'|'-') term)*
+    * term  := pow (('*'|'/'|'%') pow)*
+    * pow   := unary ('^' pow)?          // right-associative
+    * unary := '-' unary | atom
+    * atom  := number | '_' | fn '(' expr ')' | '(' expr ')'
+    * }}}
+    * fn ∈ abs/ceil/floor/sqrt/exp/log/log10/signum/sin/cos/tan — each
+    * maps to the codegen'd Spark built-in, so the whole expression
+    * stays inside whole-stage codegen (and a SQL oracle replays it
+    * operator-for-operator: IEEE-754 doubles both sides). Any other
+    * identifier is refused with the label-operand explanation.
+    */
+  private def mathColumn(expr: String, in: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    type Col = org.apache.spark.sql.Column
+    var i = 0
+    def ws(): Unit = while (i < expr.length && expr.charAt(i).isWhitespace) i += 1
+    def peekCh: Char = if (i < expr.length) expr.charAt(i) else ' '
+    def fail(msg: String): Nothing =
+      throw ParseException(s"math('$expr') at position $i: $msg")
+    def atom(): Col = {
+      ws()
+      peekCh match {
+        case '(' =>
+          i += 1; val e = add(); ws()
+          if (peekCh != ')') fail("expected ')'")
+          i += 1; e
+        case '_' =>
+          i += 1
+          if (i < expr.length && (expr.charAt(i).isLetterOrDigit
+              || expr.charAt(i) == '_'))
+            fail("only '_' (the current value) is a legal operand")
+          in.cast("double")
+        case c if c.isDigit || c == '.' =>
+          val j = i
+          while (i < expr.length && (expr.charAt(i).isDigit
+            || expr.charAt(i) == '.')) i += 1
+          lit(expr.substring(j, i).toDouble)
+        case c if c.isLetter =>
+          val j = i
+          while (i < expr.length && expr.charAt(i).isLetter) i += 1
+          val name = expr.substring(j, i)
+          ws()
+          if (peekCh != '(')
+            fail(s"'$name' looks like a label operand — math() here " +
+              "computes over the current VALUE traverser ('_') only " +
+              "(as()-tags bind vertex ids, not by()-modulated " +
+              "properties); select the property and compute " +
+              "relationally instead")
+          i += 1; val arg = add(); ws()
+          if (peekCh != ')') fail("expected ')'")
+          i += 1
+          name match {
+            case "abs" => abs(arg)
+            case "ceil" => ceil(arg).cast("double")
+            case "floor" => floor(arg).cast("double")
+            case "sqrt" => sqrt(arg)
+            case "exp" => exp(arg)
+            case "log" => log(arg)
+            case "log10" => log10(arg)
+            case "signum" => signum(arg)
+            case "sin" => sin(arg)
+            case "cos" => cos(arg)
+            case "tan" => tan(arg)
+            case other => fail(s"unknown function '$other' (supported: " +
+              "abs/ceil/floor/sqrt/exp/log/log10/signum/sin/cos/tan)")
+          }
+        case _ => fail("expected a number, '_', a function, or '('")
+      }
+    }
+    def unary(): Col = {
+      ws()
+      if (peekCh == '-') { i += 1; lit(0.0) - unary() } else atom()
+    }
+    def powT(): Col = {
+      val base = unary(); ws()
+      if (peekCh == '^') { i += 1; pow(base, powT()) } else base
+    }
+    def mul(): Col = {
+      var e = powT(); ws()
+      while (peekCh == '*' || peekCh == '/' || peekCh == '%') {
+        val op = peekCh; i += 1
+        val r = powT()
+        e = op match {
+          case '*' => e * r
+          case '/' => e / r
+          case _ => e % r
+        }
+        ws()
+      }
+      e
+    }
+    def add(): Col = {
+      var e = mul(); ws()
+      while (peekCh == '+' || peekCh == '-') {
+        val op = peekCh; i += 1
+        val r = mul()
+        e = if (op == '+') e + r else e - r
+        ws()
+      }
+      e
+    }
+    val res = add(); ws()
+    if (i < expr.length) fail(s"trailing input '${expr.substring(i)}'")
+    res.cast("double")
+  }
+
+  /** nondeterministic-cut detection for choose() conds (ADVICE r12,
+    * tightened per ADVICE r13): a limit/range/skip inside the cond
+    * makes its result set run-dependent, so the semi/anti pair could
     * double-route or drop a row if the shared subplan were ever
     * evaluated twice — such conds compile with `pinCond = true`
-    * (materialized once via localCheckpoint). order() before the cut
-    * restores determinism; sample() is hash-deterministic by design.
+    * (materialized once via localCheckpoint). ANY cut pins: the old
+    * order()-before-the-cut exemption was unsound twice over — a hop
+    * or branch AFTER the order() destroys it, and order() on a
+    * tie-heavy property key is not a total order in the first place —
+    * and the pin costs one localCheckpoint of a narrow id set, far
+    * cheaper than the silent double-route window the exemption left
+    * open. sample() stays exempt: it is hash-deterministic by design
+    * (a pure function of the data, no ordering involved).
     */
-  private def hasUnorderedCut(steps: Seq[GStep]): Boolean = {
-    var ordered = false
+  private def hasUnorderedCut(steps: Seq[GStep]): Boolean =
     steps.exists {
-      case GOrder(_, _) => ordered = true; false
-      case GLimit(_) | GRange(_, _) | GSkip(_) => !ordered
+      case GLimit(_) | GRange(_, _) | GSkip(_) => true
       case GLocal(sub, _, _, _) => hasUnorderedCut(sub)
       case GUnion(subs) => subs.exists(hasUnorderedCut)
       case GCoalesce(subs) => subs.exists(hasUnorderedCut)
@@ -1171,11 +1328,10 @@ object GremlinParser {
         hasUnorderedCut(c) || hasUnorderedCut(tr) || hasUnorderedCut(f)
       case GRepeat(sub, _, _) => hasUnorderedCut(sub)
       case GRepeatUntil(sub) => hasUnorderedCut(sub)
-      case GRepeatUntilStop(sub, stop) =>
+      case GRepeatUntilStop(sub, stop, _) =>
         hasUnorderedCut(sub) || hasUnorderedCut(stop)
       case _ => false
     }
-  }
 
   private def applyStep(t: Traversal, s: GStep): Traversal = s match {
     case GHasLabel(ls) => t.hasLabel(ls: _*)
@@ -1193,8 +1349,8 @@ object GremlinParser {
     case GRepeat(sub, n, false) => t.repeat(n)(subFn(sub))
     case GRepeat(sub, n, true) => t.repeatEmit(n)(subFn(sub))
     case GRepeatUntil(sub) => t.repeatUntil(subFn(sub))
-    case GRepeatUntilStop(sub, stop) =>
-      t.repeatUntilReached(subFn(sub), subFn(stop))
+    case GRepeatUntilStop(sub, stop, emit) =>
+      t.repeatUntilReached(subFn(sub), subFn(stop), emitAll = emit)
     case GSimplePath => t.simplePath()
     case GCyclicPath => t.cyclicPath()
     case GWhere(sub, false) => t.where(subFn(sub))
@@ -1224,6 +1380,10 @@ object GremlinParser {
       "is() filters a VALUE traverser — legal on the g.inject(...) " +
         "pipeline or after a single-column terminal " +
         "(count()/sum()/values('k')), not on an element frontier")
+    case GMath(_) => throw new IllegalArgumentException(
+      "math() computes over a VALUE traverser — legal on the " +
+        "g.inject(...) pipeline or after a single-column terminal " +
+        "(values('k')/count()/sum()/sack()), not on an element frontier")
     // a placement error, not a parse error: terminals/side-effect
     // steps inside a sub-traversal parse fine but cannot compile there
     case other => throw new IllegalArgumentException(

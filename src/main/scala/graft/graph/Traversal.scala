@@ -364,6 +364,13 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
         frontierIds = nextIds
         depth += 1
       }
+      // the no-new-vertices fixed point not reached inside the cap is
+      // a truncated answer, not an answer (ADVICE r13) — refuse loudly
+      if (!frontierIds.isEmpty)
+        throw new IllegalStateException(
+          s"repeat().until(count().is(0)) did not reach its fixed point " +
+            s"within maxDepth=$maxDepth rounds — raise maxDepth (DSL " +
+            "repeatUntil parameter) or bound the walk with times(n)")
       val ids = reached.getOrElse(df.limit(0).select(col("id")))
       copy(df = g.vertices.join(ids, Seq("id"), "left_semi"))
     } finally {
@@ -405,9 +412,17 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     * driver. The stop sub-traversal may itself hop (until(__.out('x'))
     * = "stop when a vertex HAS an x-neighbor"): [[where]] semantics,
     * one shared distributed subplan per round.
+    *
+    * `emitAll = true` is `repeat().emit().until(<predicate>)` (r13
+    * verdict task 5): EVERY vertex reached at depth ≥ 1 is emitted —
+    * the halted ∪ expanded union the loop already tracks — while the
+    * stop predicate still prunes expansion (a halted vertex's
+    * neighbors are not explored through it). Same per-round plan; the
+    * only change is WHICH accumulator feeds the result.
     */
   def repeatUntilReached(step: Traversal => Traversal,
-      stop: Traversal => Traversal, maxDepth: Int = 50): Traversal = {
+      stop: Traversal => Traversal, maxDepth: Int = 50,
+      emitAll: Boolean = false): Traversal = {
     requireV()
     requireNotFilterContext("repeat().until(predicate)")
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -433,12 +448,21 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
         val nextV = gc.vertices.join(nextIds, Seq("id"), "left_semi")
         val stopIds = Traversal(gc, nextV, isEdge = false)
           .where(stop).df.select(col("id")).localCheckpoint()
-        halted = Some(halted.map(_.union(stopIds)).getOrElse(stopIds))
+        val emitted = if (emitAll) nextIds else stopIds
+        halted = Some(halted.map(_.union(emitted)).getOrElse(emitted))
         visited = visited.union(nextIds)
         frontierIds = nextIds.join(stopIds, Seq("id"), "left_anti")
           .localCheckpoint()
         depth += 1
       }
+      // a target deeper than maxDepth must not silently vanish from
+      // the result (ADVICE r13): surface the truncated fixed point
+      if (!frontierIds.isEmpty)
+        throw new IllegalStateException(
+          s"repeat().until(<predicate>) still had live traversers after " +
+            s"maxDepth=$maxDepth rounds — the stop target may be deeper " +
+            "than the cap; raise maxDepth (DSL repeatUntilReached " +
+            "parameter) or bound the walk with times(n)")
       val ids = halted.getOrElse(df.limit(0).select(col("id")))
       copy(df = g.vertices.join(ids, Seq("id"), "left_semi"))
     } finally {

@@ -321,6 +321,21 @@ object GraphQueries {
         ".until(__.hasLabel('region')).id()")
       .orderBy(col("id"))
 
+  /** repeat().emit().until(<predicate>) — the emit-everything form of
+    * the target-reached stop (r13 verdict task 5, the most common
+    * remaining real-Gremlin refusal): every vertex reached at depth
+    * ≥ 1 is emitted — nations (depth 1, predicate false, keep
+    * expanding) AND regions (depth 2, halted) — while the stop still
+    * prunes expansion. Same BFS plan as g52; only the accumulator
+    * changes (halted ∪ expanded instead of halted).
+    */
+  def g57EmitUntil(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').has('mktsegment', eq('BUILDING'))" +
+        ".repeat(__.out('located_in', 'part_of')).emit()" +
+        ".until(__.hasLabel('region')).id()")
+      .orderBy(col("id"))
+
   /** Parsed elementMap() terminal — id + label + requested properties
     * (the TinkerPop 3.4+ readout real corpora reach for before
     * valueMap): the nation table with its encoded ids and labels.
@@ -369,6 +384,22 @@ object GraphQueries {
         ".sack(sum).by('totalprice').sack()")
       .agg(count(lit(1)).as("n_walks"),
         sum(graft.util.Exact.cents(col("sack"))).as("sack_cents"))
+
+  /** Parsed math() — per-traverser arithmetic over the current value
+    * traverser (r13 verdict task 7, the last real-frequency TinkerPop
+    * step): BUILDING customers' acctbal stream through
+    * floor((_ * 2 + 100) / 3), aggregated to count + exact integer
+    * sum. The expression compiles to ONE codegen'd Column (no UDF);
+    * floor() lands on integer-valued doubles, so the sum is exact and
+    * order-independent and the DuckDB oracle replays the IEEE-754
+    * arithmetic operator-for-operator.
+    */
+  def g58Math(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').has('mktsegment', eq('BUILDING'))" +
+        ".values('acctbal').math('floor((_ * 2 + 100) / 3)')")
+      .agg(count(lit(1)).as("n_vals"),
+        sum(col("acctbal")).cast("long").as("msum"))
 
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
@@ -683,6 +714,8 @@ object GraphQueries {
     "g45_text_negations" -> (g45TextNegations _),
     "g46_until_parsed" -> (g46UntilParsed _),
     "g52_until_stop" -> (g52UntilStop _),
+    "g57_emit_until" -> (g57EmitUntil _),
+    "g58_math" -> (g58Math _),
     "g53_element_map" -> (g53ElementMap _),
     "g54_inject" -> (g54Inject _),
     "g55_coin" -> (g55Coin _),
@@ -934,6 +967,26 @@ object GraphQueries {
          |JOIN customer ON c_nationkey = n_nationkey
          |WHERE c_mktsegment = 'BUILDING'
          |ORDER BY id""".stripMargin,
+    // emit() + target-reached stop: depth-1 nations AND depth-2 regions
+    "g57_emit_until" ->
+      s"""SELECT id FROM (
+         |  SELECT DISTINCT ${PropertyGraph.sqlEncode("nation", "n_nationkey")} AS id
+         |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |  UNION
+         |  SELECT DISTINCT ${PropertyGraph.sqlEncode("region", "r_regionkey")} AS id
+         |  FROM region
+         |  JOIN nation ON n_regionkey = r_regionkey
+         |  JOIN customer ON c_nationkey = n_nationkey
+         |  WHERE c_mktsegment = 'BUILDING')
+         |ORDER BY id""".stripMargin,
+    // math() replays operator-for-operator (IEEE-754 doubles on both
+    // engines; floor() makes every term integer-valued, so the SUM is
+    // exact and order-independent)
+    "g58_math" ->
+      """SELECT COUNT(*) AS n_vals,
+        |  CAST(SUM(FLOOR((c_acctbal * 2 + 100) / 3)) AS BIGINT) AS msum
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "g53_element_map" ->
       s"""SELECT ${PropertyGraph.sqlEncode("nation", "n_nationkey")} AS id,
          |  'nation' AS label, n_name AS name

@@ -74,7 +74,27 @@ object AtomicRenamePointer extends VersionPointer {
       val ch = java.nio.channels.FileChannel.open(
         Paths.get(root, "_CURRENT.lock"), CREATE, WRITE)
       try {
-        val flock = ch.lock() // cross-process serialization
+        // cross-process serialization. RETRY on overlap (ADVICE r13's
+        // residual monitorKey TOCTOU): if a racing thread resolved a
+        // DIFFERENT monitor key for this root (the textual toRealPath
+        // fallback can diverge from the real path while the directory
+        // tree is mid-creation), both threads reach FileChannel.lock on
+        // one underlying lock file and the JVM throws
+        // OverlappingFileLockException instead of queuing — treat it as
+        // "locked by a sibling" and wait for the sibling's release
+        // rather than surfacing a spurious failure
+        def lockWithRetry(): java.nio.channels.FileLock = {
+          var backoff = 1L
+          while (true) {
+            try return ch.lock()
+            catch {
+              case _: java.nio.channels.OverlappingFileLockException =>
+                Thread.sleep(backoff); backoff = math.min(backoff * 2, 50L)
+            }
+          }
+          throw new IllegalStateException("unreachable")
+        }
+        val flock = lockWithRetry()
         try {
           val now = current(root)
           if (now != expected)
@@ -128,6 +148,22 @@ object ConditionalPutService {
   * else means a concurrent committer won (refuse). The etag condition
   * — not the value equality — is what excludes the lost update; the
   * value check is the optimistic-refusal semantic.
+  *
+  * RESIDUAL AMBIGUITY (ADVICE r13, inherent to unique version names):
+  * if a LostResponse put actually APPLIED and a concurrent committer
+  * then advanced the pointer past `v` before our re-read, the re-read
+  * sees neither `v` nor `expected` and this class throws
+  * ConcurrentModificationException for a commit that is durably
+  * applied — a caller that retries the whole commit re-commits its
+  * rows ON TOP of the applied version. Unique names alone cannot
+  * distinguish "lost" from "applied-then-superseded"; an adapter that
+  * must close this window has to record proposed versions out of band
+  * (e.g. a commit log the successor chain can be checked against) so a
+  * superseding chain CONTAINING `v` is recognized as success. TxTable
+  * callers tolerate the refusal because its commits are idempotent at
+  * the version level (the retry writes a fresh version directory; the
+  * stale applied one is vacuumed), but the semantic is surfaced here
+  * rather than silently assumed.
   */
 final class ConditionalPutPointer(svc: ConditionalPutService,
     maxRetries: Int = 3) extends VersionPointer {

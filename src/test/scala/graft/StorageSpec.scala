@@ -268,6 +268,37 @@ class StorageSpec extends AnyFunSuite {
     graft.sources.TxTable.drop(root)
   }
 
+  test("AtomicRenamePointer: threads racing compareAndSwap on a MISSING " +
+       "root (directory creation itself is part of the race) yield one " +
+       "winner + CME refusals, never OverlappingFileLockException " +
+       "(r13 verdict task 6)") {
+    val root = freshTx("mkroot") // freshTx names it; nothing creates it
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
+    val n = 8
+    val gate = new java.util.concurrent.CountDownLatch(n)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to n).map { i =>
+      new Thread(() => {
+        gate.countDown(); gate.await() // maximize the creation overlap
+        try {
+          graft.sources.AtomicRenamePointer
+            .compareAndSwap(root, s"v_$i", None)
+          outcomes.add("ok")
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            outcomes.add("cme")
+          case e: Throwable => outcomes.add(e.getClass.getSimpleName)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    val got = outcomes.toArray(Array.empty[String]).toSeq
+    assert(got.length == n && got.count(_ == "ok") == 1
+        && got.count(_ == "cme") == n - 1,
+      s"expected 1 winner + ${n - 1} CAS refusals, got $got")
+    graft.sources.TxTable.drop(root)
+  }
+
   test("TxTable: the CAS-refusal matrix holds through a conditional-put " +
        "VersionPointer (the object-store seam), not just atomic rename") {
     // test double: an in-memory conditional-put pointer — what a

@@ -279,15 +279,23 @@ class TraversalSpec extends AnyFunSuite {
     assert(fromIsolated == 0)
   }
 
-  test("repeatUntil respects maxDepth cap") {
+  test("repeatUntil maxDepth: a cap that cuts the walk short REFUSES " +
+       "(ADVICE r13 — no silent truncation); one past the frontier's " +
+       "natural exhaustion completes") {
     val v = Seq((10L, "n", 0), (11L, "n", 0), (12L, "n", 0), (13L, "n", 0))
       .toDF("id", "label", "score")
     val e = Seq((10L, 11L, "next", 1L), (11L, 12L, "next", 2L), (12L, 13L, "next", 3L))
       .toDF("src", "dst", "label", "sort_key")
     val g = PropertyGraph(v, e)
-    val capped = g.V(10L).repeatUntil(_.out("next"), maxDepth = 2).toDF
+    // maxDepth=2 exits with {13} still unexplored — refuse, don't trim
+    val ex = intercept[IllegalStateException] {
+      g.V(10L).repeatUntil(_.out("next"), maxDepth = 2).toDF.count()
+    }
+    assert(ex.getMessage.contains("maxDepth=2"))
+    // the fixed point needs round 4 to OBSERVE 13's empty expansion
+    val full = g.V(10L).repeatUntil(_.out("next"), maxDepth = 4).toDF
       .select("id").as[Long].collect().toSet
-    assert(capped == Set(11L, 12L))
+    assert(full == Set(11L, 12L, 13L))
   }
 
   test("union step bags all branches") {
@@ -455,6 +463,98 @@ class TraversalSpec extends AnyFunSuite {
     assert(GremlinParser.parse(GremlinParser.render(ast)) == ast)
   }
 
+  test("repeat().emit().until(<predicate>) emits every vertex reached at " +
+       "depth >= 1 while the stop still prunes expansion (r13 task 5)") {
+    val v = Seq((10L, "n", 0), (11L, "n", 5), (12L, "m", 9), (13L, "n", 0))
+      .toDF("id", "label", "score")
+    val e = Seq((10L, 11L, "next", 1L), (11L, 12L, "next", 2L),
+      (12L, 13L, "next", 3L)).toDF("src", "dst", "label", "sort_key")
+    val g = PropertyGraph(v, e)
+    // 10 → 11 (emitted, no match, expands) → 12 (emitted, m, HALTS);
+    // 13 is never reached: the halt pruned expansion through 12
+    val parsed = GremlinParser.run(g,
+      "g.V(10).repeat(__.out('next')).emit().until(__.hasLabel('m')).id()")
+    assert(parsed.as[Long].collect().sorted.toSeq == Seq(11L, 12L))
+    // DSL twin (result-pinned: the BFS checkpoints per round)
+    val dsl = g.V(10L)
+      .repeatUntilReached(_.out("next"), _.hasLabel("m"), emitAll = true)
+      .idsDF()
+    assert(dsl.as[Long].collect().sorted.toSeq == Seq(11L, 12L))
+    // without emit() only the halted vertex ships (the g52 contract)
+    assert(GremlinParser.run(g,
+      "g.V(10).repeat(__.out('next')).until(__.hasLabel('m')).id()")
+      .as[Long].collect().toSeq == Seq(12L))
+    // render round-trips the emit flag
+    val ast = GremlinParser.parse(
+      "g.V(10).repeat(__.out('next')).emit().until(__.hasId(12)).id()")
+    assert(GremlinParser.parse(GremlinParser.render(ast)) == ast)
+  }
+
+  test("repeat().until() refuses a fixed point truncated by maxDepth " +
+       "instead of silently dropping live traversers (ADVICE r13)") {
+    // triangle: 1→2→3→1; from V(1) the frontier empties at round 3
+    // (visited-exclusion), so maxDepth=2 exits with {3} still live
+    val exPred = intercept[IllegalStateException] {
+      triangle.V.hasId(1L).repeatUntilReached(
+        _.out("next"), _.has("score", P.Gt(99L)), maxDepth = 2).toDF.count()
+    }
+    assert(exPred.getMessage.contains("maxDepth=2"))
+    val exFix = intercept[IllegalStateException] {
+      triangle.V.hasId(1L).repeatUntil(_.out("next"), maxDepth = 2)
+        .toDF.count()
+    }
+    assert(exFix.getMessage.contains("maxDepth=2"))
+    // untruncated runs on the same walk still complete (reached
+    // excludes the depth-0 start: 2 and 3)
+    assert(triangle.V.hasId(1L).repeatUntil(_.out("next")).toDF.count() == 2)
+  }
+
+  test("math() computes per-traverser arithmetic over the value stream " +
+       "as one codegen'd Column (r13 task 7)") {
+    // inject pipeline: precedence, power (right-assoc), unary minus
+    assert(GremlinParser.run(triangle, "g.inject(3, 4).math('_ * 2 + 1')")
+      .as[Double].collect().sorted.toSeq == Seq(7.0, 9.0))
+    assert(GremlinParser.run(triangle, "g.inject(1).math('2 ^ 3 - -_')")
+      .as[Double].collect().toSeq == Seq(9.0))
+    assert(GremlinParser.run(triangle,
+      "g.inject(2).math('2 ^ 3 ^ 2')") // right-assoc: 2^(3^2) = 512
+      .as[Double].collect().toSeq == Seq(512.0))
+    // after values(k): functions + is() composition
+    val sq = GremlinParser.run(triangle,
+      "g.V().values('score').math('sqrt(_)').is(gt(4))")
+    assert(sq.count() == 2) // sqrt(10) = 3.16 drops; 20, 30 survive
+    // after count(): scalar arithmetic
+    assert(GremlinParser.run(triangle, "g.V().count().math('_ * 10')")
+      .as[Double].collect().toSeq == Seq(30.0))
+    // after sack(): per-walk arithmetic on the accumulator
+    val sk = GremlinParser.run(triangle,
+      "g.withSack(0.0).V().sack(sum).by('score').sack().math('_ / 10')")
+    assert(sk.as[Double].collect().sorted.toSeq == Seq(1.0, 2.0, 3.0))
+    // refusals: label operands, element frontier, string stream
+    assert(intercept[Exception](GremlinParser.run(triangle,
+      "g.V().values('score').math('a + 1')").collect())
+      .getMessage.contains("label operand"))
+    assert(intercept[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.V().math('_ + 1')").collect())
+      .getMessage.contains("VALUE traverser"))
+    assert(intercept[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.inject('a', 'b').math('_ + 1')").collect())
+      .getMessage.contains("numeric"))
+    // render round-trip
+    val ast = GremlinParser.parse("g.V().values('score').math('_ * 2')")
+    assert(GremlinParser.parse(GremlinParser.render(ast)) == ast)
+  }
+
+  test("inject() accepts homogeneous boolean literals (ADVICE r13)") {
+    assert(GremlinParser.run(triangle,
+      "g.inject(true, false, true).dedup().count()")
+      .as[Long].collect().toSeq == Seq(2L))
+    // mixed stays refused with the full type list
+    assert(intercept[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.inject(true, 1)").collect())
+      .getMessage.contains("booleans"))
+  }
+
   test("filter-context guard covers coalesce/optional/local/project " +
        "(the r12 ADVICE gap): clean refusal, not an unresolved column") {
     def shapeMsg(q: String): String =
@@ -612,10 +712,12 @@ class TraversalSpec extends AnyFunSuite {
     badParse("g.V(1).repeat(__.out('next')).until(__.count().is(2))")
     // a HOP is not a filter chain the target-reached stop accepts
     badParse("g.V(1).repeat(__.out('next')).until(__.out('next'))")
-    // emit() + predicate stop: contradictory (the stop already emits
-    // exactly the halted traversers)
-    badParse("g.V(1).repeat(__.out('next')).emit()" +
-      ".until(__.hasId(3))")
+    // emit() + predicate stop is SUPPORTED since r13 task 5 (emits
+    // every vertex reached at depth >= 1) — from 1, that's 2 then the
+    // halted 3
+    assert(GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).emit().until(__.hasId(3)).id()")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 3L))
     badParse("g.V(1).until(__.count().is(0))") // until without repeat
     badShape("g.V().unfold().count()")          // unfold without fold
     badShape("g.V().fold().out('next')")        // only unfold after fold
@@ -704,6 +806,54 @@ class TraversalSpec extends AnyFunSuite {
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(l)
     }
+  }
+
+  test("choose() pins ANY cut in the cond (ADVICE r13): order() before " +
+       "the cut no longer exempts — a later hop destroys the order and " +
+       "tie-heavy keys were never total — and the partition stays exact " +
+       "with exchange reuse disabled") {
+    // pin observability: the pin is an EAGER localCheckpoint, so a cond
+    // carrying a cut launches job(s) while the parser builds the plan —
+    // the no-cut form is the zero-job lazy case the test above pins
+    val gid = "choose-pin-probe"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (gid == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(gid, "pin probe")
+    try {
+      // order() precedes the cut, but the out() hop AFTER it destroys
+      // the ordering — the old exemption compiled this pinCond=false
+      val q = graft.graph.GremlinParser.run(triangle,
+        "g.V().choose(__.order('score', asc).out('next').limit(1), " +
+          "__.out('next'))")
+      Thread.sleep(1500) // listener bus drain
+      assert(jobs.get() >= 1,
+        "an order()-then-hop-then-cut cond must pin (eager checkpoint)")
+      // exact partition: limit(1) keeps ONE cond row → exactly one
+      // origin routes true (hops), the other two pass through — 3 rows,
+      // and the union of branch origins is exactly the frontier
+      assert(q.count() == 3)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    // with exchange reuse DISABLED the pin is forced for every cond;
+    // a nondeterministic cut cond still partitions exactly
+    val prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val ids = graft.graph.GremlinParser.run(triangle,
+        "g.V().choose(__.out('next').limit(1), __.out('next')).id()")
+        .as[Long].collect().sorted.toSeq
+      assert(ids.length == 3, s"double-route/drop under reuse-off: $ids")
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
   }
 
   test("parser: union, coalesce, order().by, groupCount().by, limit") {
