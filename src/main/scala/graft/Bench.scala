@@ -868,7 +868,14 @@ object Bench {
     // spends budget polishing already-measured entries. skipped_tail is
     // the last resort now, not a default under a stolen window — wall
     // caps bound every run, so this pass costs at most Σ caps.
+    // CHEAPEST-FIRST: when the budget is dying, filling holes per
+    // second is the objective — the sub-second relational/stream/write
+    // tail reclaims 10× more entries per budget-second than another
+    // heavy graph query (the first drill left 64 cheap queries skipped
+    // while alphabetical order spent the remnant on mid-cost ones);
+    // queries with no envelope go last
     val uncovered = medians.synchronized { names.filterNot(medians.contains) }
+      .sortBy(n => refMedians.getOrElse(n, Double.MaxValue))
     if (uncovered.nonEmpty) {
       medians.synchronized { degradedTiers += "coverage_pass" }
       System.err.println(s"[bench] coverage pass: ${uncovered.length} " +
