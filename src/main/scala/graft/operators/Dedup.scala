@@ -283,19 +283,29 @@ object Dedup {
     * an m-subset key spans at least m·(64/c) bits (integer division —
     * the narrowest subset), so buckets ≥ 2^(m·(64/c)): pick the
     * smallest m with targetBucket·2^(m·(64/c)) ≥ n. At the defaults
-    * (h = 3, target 32) the ladder is
-    *   m=1 (4×16-bit chunks, 2^16 buckets)  up to ~2.1M docs,
-    *   m=2 (5 chunks, pair keys ≥ 2^24)     up to ~537M docs,
-    *   m=3 (6 chunks, triple keys ≥ 2^30)   up to ~34G docs —
+    * (h = 3, target 2) the ladder is
+    *   m=1 (4×16-bit chunks, 2^16 buckets)  up to 131,072 docs,
+    *   m=2 (5 chunks, pair keys ≥ 2^24)     up to ~33.5M docs,
+    *   m=3 (6 chunks, triple keys ≥ 2^30)   up to ~2.1G docs, clamped —
     * mean in-bucket population stays O(1) per decade instead of
     * growing linearly (the Σ|b|² law the fixed 65,536-bucket knob
-    * measured as 10–22× per decade on the e4/e18 family). Integer
-    * arithmetic throughout so any engine replays the choice exactly;
-    * the OUTPUT doesn't depend on it (see [[simhashNearDup]]) — only
-    * the candidate volume does.
+    * measured as 10–22× per decade on the e4/e18 family).
+    *
+    * `targetBucket = 2`, not the 32 the e19/nBits family uses, is a
+    * MEASURED choice (round-14 knee probe, SCALE.md): the error is
+    * asymmetric. Switching up one m too early costs only the constant
+    * key-volume factor (C(c,m) band tables per doc — and the r13
+    * decade rows show m=2 is 1.3–1.7× FASTER than m=1 even at
+    * 500-doc corpora, so in practice it costs nothing), while
+    * switching late is quadratic: at 1.6M docs — BELOW the old
+    * target-32 knee of 2.1M, so the old rule still picked m=1 — the
+    * m=1 face measured 299 s vs 36.5 s for m=2 (8.2×, synthetic
+    * 12-token corpus). Integer arithmetic throughout so any engine
+    * replays the choice exactly; the OUTPUT doesn't depend on it
+    * (see [[simhashNearDup]]) — only the candidate volume does.
     */
   def simhashSubsetForCorpus(n: Long, maxHamming: Int = 3,
-      targetBucket: Int = 32): Int = {
+      targetBucket: Int = 2): Int = {
     require(n >= 0 && maxHamming >= 0 && targetBucket >= 1)
     var m = 1
     while (m < 3 && (targetBucket.toLong << (m * (64 / (maxHamming + m)))) < n)
@@ -330,7 +340,7 @@ object Dedup {
     * [[simhashSubsetForCorpus]] — the same convention as
     * [[embeddingNearDupBanded]]'s `nBits = 0`: the production caller
     * never has to know the ladder exists, and a default-arg call on a
-    * 10M+ doc corpus gets m=2 instead of the fixed-knob Σ|b|²
+    * 131k+ doc corpus gets m=2 instead of the fixed-knob Σ|b|²
     * quadratic (the auto path costs one count() job up front —
     * metadata-cheap next to the banding itself). Explicit m ∈ {1,2,3}
     * stays for oracle-literal pins: m=1 reproduces the classic

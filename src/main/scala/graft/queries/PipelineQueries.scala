@@ -556,7 +556,8 @@ object PipelineQueries {
     * candidate join on pairs-of-5-chunks (≥ 2^24 buckets instead of
     * the classic scheme's fixed 2^16), the shape the
     * [[Dedup.simhashSubsetForCorpus]] rule selects once the corpus
-    * passes ~2.1M docs. The gate FORCES subset = 2 because the rule
+    * passes 131k docs (the measured r14 knee; it was ~2.1M before the
+    * knee probe showed m=1 already 8.2× slower at 1.6M docs). The gate FORCES subset = 2 because the rule
     * itself picks m = 1 at every test SF (its decade thresholds are
     * spec-pinned in DedupSpec); what needs a hash-oracled gate is the
     * m = 2 PHYSICAL path. Pigeonhole keeps recall lossless at every

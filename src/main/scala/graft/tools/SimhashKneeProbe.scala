@@ -4,13 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Knee probe for the SimHash auto-sizing rule (round-13 verdict task
-  * 8): `simhashSubsetForCorpus` switches m=1 → m=2 at 32·2^16 =
-  * 2,097,152 docs — a spec-pinned integer threshold, but the r13 rows
-  * only measured the two faces at the test SFs (far below the knee).
-  * This probe SYNTHESIZES corpora bracketing the knee (default 1.6M
-  * and 3.2M docs) and measures the banded join under m=1, m=2, and
-  * the auto default, so the claim "the rule switches before the
-  * Σ|b|² quadratic bites" is a measured row, not an extrapolation.
+  * 8): synthesizes corpora bracketing the m=1 → m=2 threshold and
+  * measures the banded join under m=1, m=2, and the auto default, so
+  * the claim "the rule switches before the Σ|b|² quadratic bites" is
+  * a measured row, not an extrapolation.
+  *
+  * OUTCOME (round 14, SCALE.md): the probe FALSIFIED the original
+  * knee. At target-32 the rule switched at 2,097,152 docs, but at
+  * 1.6M (still m=1 under that rule) the m=1 face measured 299 s vs
+  * 36.5 s for m=2 — the quadratic bites an order of magnitude before
+  * mean-bucket-32 says it should, and the r13 decade rows already
+  * showed m=2 no slower even at 500-doc corpora. The default is now
+  * target-2 (switch at 131,072 docs): the error is asymmetric —
+  * early costs a constant key-volume factor, late costs Σ|b|².
   *
   * Corpus shape: 12 hash-derived tokens per doc from a 50k vocabulary
   * (unique per doc except planted pairs: 2 per 1,000 docs share a

@@ -97,22 +97,26 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhashSubsetForCorpus ladder: decade thresholds in integer " +
-       "arithmetic (h=3, target 32)") {
-    // m=1 holds while 32·2^16 >= n (≤ 2,097,152 docs)
+       "arithmetic (h=3, target 2 — the measured r14 knee, see SCALE.md)") {
+    // m=1 holds while 2·2^16 >= n (≤ 131,072 docs): the knee probe
+    // measured m=1 at 8.2× the m=2 cost already at 1.6M docs, so the
+    // switch must land well before the old target-32 boundary
     assert(Dedup.simhashSubsetForCorpus(0L) == 1)
-    assert(Dedup.simhashSubsetForCorpus(32L << 16) == 1)
-    assert(Dedup.simhashSubsetForCorpus((32L << 16) + 1) == 2)
-    // m=2 (5 chunks, pair keys >= 24 bits) holds to 32·2^24
-    assert(Dedup.simhashSubsetForCorpus(32L << 24) == 2)
-    assert(Dedup.simhashSubsetForCorpus((32L << 24) + 1) == 3)
+    assert(Dedup.simhashSubsetForCorpus(2L << 16) == 1)
+    assert(Dedup.simhashSubsetForCorpus((2L << 16) + 1) == 2)
+    // m=2 (5 chunks, pair keys >= 24 bits) holds to 2·2^24 (~33.5M)
+    assert(Dedup.simhashSubsetForCorpus(2L << 24) == 2)
+    assert(Dedup.simhashSubsetForCorpus((2L << 24) + 1) == 3)
     // m=3 is the clamp — never exceeded
     assert(Dedup.simhashSubsetForCorpus(Long.MaxValue / 2) == 3)
+    // the explicit-knob spelling of the OLD default replays its ladder
+    assert(Dedup.simhashSubsetForCorpus((32L << 16), targetBucket = 32) == 1)
   }
 
   test("simhashNearDup DEFAULT auto-sizes from the actual corpus count " +
-       "(r13 verdict task 2): past the ~2.1M knee the wiring lands m=2") {
-    // the auto seam counts the corpus, nothing more — a 2.2M-row
-    // range pins the choice without paying a 2M-doc banding run
+       "(r13 verdict task 2): past the knee the wiring lands m=2") {
+    // the auto seam counts the corpus, nothing more — a large range
+    // pins the choice without paying a 2M-doc banding run
     val past = spark.range(2200000L).toDF("doc_id")
       .withColumn("text", lit("x"))
     assert(Dedup.simhashEffectiveSubset(past, maxHamming = 3, subset = 0) == 2)
