@@ -38,6 +38,8 @@ import org.apache.spark.sql.functions._
   * (auto-enables path tracking), where(sub), not(sub), union(subs),
   * coalesce(subs), choose(cond, onTrue[, onFalse]), optional(sub),
   * project(ls).by('k'|__.steps.count())…, aggregate(k)/cap(k),
+  * sideEffect(__.steps.aggregate(k)|store(k)) (detour snapshot),
+  * subgraph(k) (edge-relation side effect, cap(k) emits it),
   * local(__.steps[.order(k[,dir])].limit(n)), tree(),
   * match(__.as(a).steps.as(b), …), dedup, limit,
   * order([k,asc|desc])/order().by(k[, order]), sample(d[,b]),
@@ -193,6 +195,23 @@ object GremlinParser {
     * coincide (a distinct node so parse ∘ render = identity holds)
     */
   final case class GStore(key: String) extends GStep
+  /** sideEffect(__.steps.aggregate('x')|store('x')) — run the sub for
+    * its SIDE EFFECT and pass the incoming frontier through untouched
+    * (TinkerPop's detour step). The only effects this engine has are
+    * the named snapshot stores, so the sub must END in aggregate()/
+    * store(); any other sub shape is refused with the reasoned error
+    * (an effect-free detour is identity — write the steps inline).
+    */
+  final case class GSideEffect(sub: Seq[GStep]) extends GStep
+  /** subgraph('x') — snapshot the EDGES of the current edge frontier
+    * into a named side effect; cap('x') then emits the edge relation
+    * (src, label, dst) — the relational reading of TinkerPop's
+    * side-effect Graph (an in-memory Graph object is a driver-side
+    * scale dead-end; the edge relation IS the subgraph, ready to
+    * re-enter PropertyGraph). The frontier passes through, so the
+    * traversal can keep walking (inV() etc.).
+    */
+  final case class GSubgraph(key: String) extends GStep
   /** barrier([maxSize]) — a no-op here: every step already executes as
     * a full distributed barrier; the optional size hint is accepted
     * and irrelevant (there is no traverser queue to cap)
@@ -369,6 +388,8 @@ object GremlinParser {
         if (ls.isEmpty) throw ParseException("project() needs at least one label")
         GProject(ls, Nil)
       case "aggregate" => GAggregate(oneKey(cur, "aggregate"))
+      case "sideEffect" => GSideEffect(parseSubArg(cur))
+      case "subgraph" => GSubgraph(oneKey(cur, "subgraph"))
       case "store" => GStore(oneKey(cur, "store"))
       case "barrier" => parseIntArgs(cur, 0, 1); GBarrier
       case "identity" => emptyArgs(cur); GIdentity
@@ -933,6 +954,8 @@ object GremlinParser {
       }.mkString(", ") + ")"
       case GAggregate(k) => s"aggregate('$k')"
       case GStore(k) => s"store('$k')"
+      case GSideEffect(sub) => s"sideEffect(${anon(sub)})"
+      case GSubgraph(k) => s"subgraph('$k')"
       case GBarrier => "barrier()"
       case GIdentity => "identity()"
       case GCap(k) => s"cap('$k')"
@@ -1074,6 +1097,32 @@ object GremlinParser {
         case GId => result = Some(t.idsDF())
         case GLabel => result = Some(t.labelsDF())
         case GPathBy(k) => result = Some(t.pathsBy(k))
+        case GSideEffect(sub) =>
+          val (body, key, name) = sub.lastOption match {
+            case Some(GAggregate(k)) => (sub.dropRight(1), k, "aggregate")
+            case Some(GStore(k)) => (sub.dropRight(1), k, "store")
+            case _ => throw new IllegalArgumentException(
+              "sideEffect(sub) must END in aggregate('k')/store('k') — " +
+                "named snapshots are the only side effects this engine " +
+                "has; an effect-free detour is identity (write the " +
+                "steps inline)")
+          }
+          val detour = subFn(body)(t)
+          if (detour.isEdge) throw new IllegalArgumentException(
+            s"sideEffect(...$name('$key')) needs a vertex frontier at " +
+              "the snapshot; end the detour with inV()/outV()/otherV()")
+          sideEffects(key) = detour.toDF.select(
+            org.apache.spark.sql.functions.col("id"))
+          // t is untouched — the detour is invisible to the main chain
+        case GSubgraph(k) =>
+          if (!t.isEdge) throw new IllegalArgumentException(
+            s"subgraph('$k') snapshots EDGES — put it after " +
+              "outE()/inE()/bothE() (a vertex frontier has no edge to " +
+              "collect)")
+          sideEffects(k) = t.toDF.select(
+            org.apache.spark.sql.functions.col("src"),
+            org.apache.spark.sql.functions.col("label"),
+            org.apache.spark.sql.functions.col("dst"))
         case GAggregate(_) | GStore(_) => // store = the legacy spelling
           val (k, name) = s match {
             case GAggregate(k0) => (k0, "aggregate")
@@ -1093,7 +1142,8 @@ object GremlinParser {
           // fine, the chain just never aggregated under this key
           result = Some(sideEffects.getOrElse(k,
             throw new IllegalArgumentException(
-              s"cap('$k') has no aggregate('$k')/store('$k') before it")))
+              s"cap('$k') has no aggregate('$k')/store('$k')/" +
+                s"subgraph('$k') before it")))
         case GAgg("sum", k) => result = Some(t.sumOf(k))
         case GAgg("mean", k) => result = Some(t.meanOf(k))
         case GAgg("min", k) => result = Some(t.minOf(k))

@@ -401,6 +401,30 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_vals"),
         sum(col("acctbal")).cast("long").as("msum"))
 
+  /** Parsed sideEffect() — TinkerPop's detour step: the sub runs for
+    * its snapshot side effect while the MAIN chain walks elsewhere
+    * (here: to nations), and cap() recalls the detour's bag. The
+    * detour is one extra distributed subplan — no per-traverser
+    * execution, and the main chain's plan is untouched.
+    */
+  def g59SideEffect(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').has('mktsegment', eq('BUILDING'))" +
+        ".sideEffect(__.out('placed').aggregate('ords'))" +
+        ".out('located_in').cap('ords')")
+      .orderBy(col("id"))
+
+  /** Parsed subgraph() — the traversed edge set as a side-effect
+    * RELATION (src, label, dst): the relational reading of TinkerPop's
+    * in-memory side-effect Graph (a driver-side Graph object is a
+    * scale dead-end; the edge relation re-enters PropertyGraph
+    * directly). The frontier passes through, so the walk continues.
+    */
+  def g60Subgraph(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('nation').outE('part_of').subgraph('sg').cap('sg')")
+      .orderBy(col("src"))
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -716,6 +740,8 @@ object GraphQueries {
     "g52_until_stop" -> (g52UntilStop _),
     "g57_emit_until" -> (g57EmitUntil _),
     "g58_math" -> (g58Math _),
+    "g59_side_effect" -> (g59SideEffect _),
+    "g60_subgraph" -> (g60Subgraph _),
     "g53_element_map" -> (g53ElementMap _),
     "g54_inject" -> (g54Inject _),
     "g55_coin" -> (g55Coin _),
@@ -987,6 +1013,19 @@ object GraphQueries {
       """SELECT COUNT(*) AS n_vals,
         |  CAST(SUM(FLOOR((c_acctbal * 2 + 100) / 3)) AS BIGINT) AS msum
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    // sideEffect detour: the snapshot is orders-of-BUILDING-customers
+    // regardless of where the main chain walked
+    "g59_side_effect" ->
+      s"""SELECT ${PropertyGraph.sqlEncode("order", "o_orderkey")} AS id
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |ORDER BY id""".stripMargin,
+    // subgraph: the nation->region edge relation, encoded endpoints
+    "g60_subgraph" ->
+      s"""SELECT ${PropertyGraph.sqlEncode("nation", "n_nationkey")} AS src,
+         |  'part_of' AS label,
+         |  ${PropertyGraph.sqlEncode("region", "n_regionkey")} AS dst
+         |FROM nation ORDER BY src""".stripMargin,
     "g53_element_map" ->
       s"""SELECT ${PropertyGraph.sqlEncode("nation", "n_nationkey")} AS id,
          |  'nation' AS label, n_name AS name

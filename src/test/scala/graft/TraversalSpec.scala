@@ -1002,6 +1002,45 @@ class TraversalSpec extends AnyFunSuite {
       GremlinParser.run(triangle, "g.V().group()"))
   }
 
+  test("parser: sideEffect() detour snapshots without moving the " +
+       "frontier; subgraph() collects the edge relation (r14)") {
+    // detour snapshot: out('next') from 1 = {2}, while the MAIN chain
+    // walks two more hops (1→2→3); cap recalls the detour bag
+    val se = GremlinParser.run(triangle,
+      "g.V(1).sideEffect(__.out('next').aggregate('n1'))" +
+        ".out('next').out('next').cap('n1')")
+    assert(se.as[Long].collect().toSeq == Seq(2L))
+    // pass-through: the detour is invisible to the main chain's count
+    assert(GremlinParser.run(triangle,
+      "g.V().sideEffect(__.out('next').store('x')).count()")
+      .as[Long].collect().toSeq == Seq(3L))
+    // subgraph: edge relation (src, label, dst), frontier walks on
+    val sg = GremlinParser.run(triangle,
+      "g.V(1).outE('next').subgraph('sg').cap('sg')")
+    assert(sg.columns.toSeq == Seq("src", "label", "dst"))
+    assert(sg.as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "next", 2L)))
+    assert(GremlinParser.run(triangle,
+      "g.V(1).outE('next').subgraph('sg').inV().id()")
+      .as[Long].collect().toSeq == Seq(2L))
+    // refusals: effect-free detour, vertex-frontier subgraph, and the
+    // cap message names all three spellings
+    assert(intercept[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.V().sideEffect(__.out('next')).count()").collect())
+      .getMessage.contains("aggregate"))
+    assert(intercept[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.V().subgraph('sg').count()").collect())
+      .getMessage.contains("EDGES"))
+    assert(intercept[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.V().cap('nope')").collect())
+      .getMessage.contains("subgraph"))
+    // render round-trips both steps
+    val ast = GremlinParser.parse("g.V(1)" +
+      ".sideEffect(__.out('next').aggregate('a'))" +
+      ".outE('next').subgraph('s').cap('s')")
+    assert(GremlinParser.parse(GremlinParser.render(ast)) == ast)
+  }
+
   test("parser: store()/barrier()/identity() legacy spellings") {
     // store == aggregate (both snapshot the frontier id bag as a lazy
     // plan); barrier/identity are pass-throughs in a full-barrier engine
