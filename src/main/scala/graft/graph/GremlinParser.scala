@@ -590,11 +590,14 @@ object GremlinParser {
     *    that contract, so with or without emit() the result is the
     *    same and both spellings are accepted);
     *  - loops().is(n): stop after exactly n rounds = times(n);
-    *  - a FILTER predicate (hasId/has/hasLabel/hasNot chains) — the
-    *    target-reached stop: traversers matching it halt and are
-    *    emitted, the rest keep expanding (GRepeatUntilStop).
+    *  - a FILTER predicate (hasId/has/hasLabel/hasNot chains, with
+    *    out/in/both hops allowed — "halt when the sub yields anything",
+    *    where() semantics) — the target-reached stop: traversers
+    *    matching it halt and are emitted, the rest keep expanding
+    *    (GRepeatUntilStop).
     */
-  private val UntilFilterHeads = Set("hasId", "has", "hasLabel", "hasNot")
+  private val UntilFilterHeads =
+    Set("hasId", "has", "hasLabel", "hasNot", "out", "in", "both")
 
   private def parseUntil(cur: Cursor, sub: Seq[GStep], emit: Boolean): GStep = {
     cur.expectPunct('(')
@@ -608,9 +611,13 @@ object GremlinParser {
         case Seq(k) => k
         case _ => throw ParseException("hasNot() takes exactly one key")
       }, neg = true)
+      case "out" => GHop("out", parseStrArgs(cur))
+      case "in" => GHop("in", parseStrArgs(cur))
+      case "both" => GHop("both", parseStrArgs(cur))
       case other => throw ParseException(
-        s"until(<predicate>) supports hasId/has/hasLabel/hasNot " +
-          s"filter chains, got $other")
+        s"until(<predicate>) supports hasId/has/hasLabel/hasNot filter " +
+          s"chains and out/in/both hop predicates (halt when the " +
+          s"sub yields anything — where() semantics), got $other")
     }
     val step = head match {
       case h if UntilFilterHeads(h) =>

@@ -425,6 +425,21 @@ object GraphQueries {
       "g.V().hasLabel('nation').outE('part_of').subgraph('sg').cap('sg')")
       .orderBy(col("src"))
 
+  /** until(<hop predicate>) — TinkerPop's "halt when the traverser
+    * HAS a matching neighbor" stop (until(__.out('x')) = where()
+    * semantics on the stop sub): BUILDING customers walk up the
+    * located_in/part_of chain and halt at the first element with an
+    * outgoing part_of edge — the nations (regions never get expanded
+    * through a halted traverser). One extra distributed hop subplan
+    * per BFS round; ids-only throughout.
+    */
+  def g61UntilHop(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').has('mktsegment', eq('BUILDING'))" +
+        ".repeat(__.out('located_in', 'part_of'))" +
+        ".until(__.out('part_of')).id()")
+      .orderBy(col("id"))
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -742,6 +757,7 @@ object GraphQueries {
     "g58_math" -> (g58Math _),
     "g59_side_effect" -> (g59SideEffect _),
     "g60_subgraph" -> (g60Subgraph _),
+    "g61_until_hop" -> (g61UntilHop _),
     "g53_element_map" -> (g53ElementMap _),
     "g54_inject" -> (g54Inject _),
     "g55_coin" -> (g55Coin _),
@@ -1013,6 +1029,13 @@ object GraphQueries {
       """SELECT COUNT(*) AS n_vals,
         |  CAST(SUM(FLOOR((c_acctbal * 2 + 100) / 3)) AS BIGINT) AS msum
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    // hop-predicate stop: the halted set = nations of BUILDING
+    // customers (each has an outgoing part_of edge)
+    "g61_until_hop" ->
+      s"""SELECT DISTINCT ${PropertyGraph.sqlEncode("nation", "n_nationkey")} AS id
+         |FROM nation JOIN customer ON c_nationkey = n_nationkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |ORDER BY id""".stripMargin,
     // sideEffect detour: the snapshot is orders-of-BUILDING-customers
     // regardless of where the main chain walked
     "g59_side_effect" ->

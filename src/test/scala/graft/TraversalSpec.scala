@@ -710,8 +710,9 @@ class TraversalSpec extends AnyFunSuite {
     def badShape(q: String): Unit =
       assertThrows[IllegalArgumentException](GremlinParser.run(triangle, q))
     badParse("g.V(1).repeat(__.out('next')).until(__.count().is(2))")
-    // a HOP is not a filter chain the target-reached stop accepts
-    badParse("g.V(1).repeat(__.out('next')).until(__.out('next'))")
+    // hop predicates are ACCEPTED since r14 (halt when the sub yields
+    // anything); an unsupported head still refuses at parse time
+    badParse("g.V(1).repeat(__.out('next')).until(__.values('score'))")
     // emit() + predicate stop is SUPPORTED since r13 task 5 (emits
     // every vertex reached at depth >= 1) — from 1, that's 2 then the
     // halted 3
@@ -1038,6 +1039,33 @@ class TraversalSpec extends AnyFunSuite {
     val ast = GremlinParser.parse("g.V(1)" +
       ".sideEffect(__.out('next').aggregate('a'))" +
       ".outE('next').subgraph('s').cap('s')")
+    assert(GremlinParser.parse(GremlinParser.render(ast)) == ast)
+  }
+
+  test("parser: until(<hop predicate>) halts when the stop sub yields " +
+       "anything — where() semantics (r14)") {
+    // triangle: every vertex has an out-neighbor, so the walk halts at
+    // depth 1 — from 1 that's exactly {2}
+    assert(GremlinParser.run(triangle,
+      "g.V(1).repeat(__.out('next')).until(__.out('next')).id()")
+      .as[Long].collect().toSeq == Seq(2L))
+    // hop + filter chain: halt when a NEIGHBOR matches
+    val v = Seq((10L, "n", 0), (11L, "n", 5), (12L, "m", 9), (13L, "n", 0))
+      .toDF("id", "label", "score")
+    val e = Seq((10L, 11L, "next", 1L), (11L, 12L, "next", 2L),
+      (12L, 13L, "next", 3L)).toDF("src", "dst", "label", "sort_key")
+    val g = PropertyGraph(v, e)
+    // from 10: 11 halts (its out-neighbor 12 is an 'm')
+    assert(GremlinParser.run(g,
+      "g.V(10).repeat(__.out('next')).until(__.out('next').hasLabel('m')).id()")
+      .as[Long].collect().toSeq == Seq(11L))
+    // DSL twin (result-pinned, per-round checkpoints)
+    assert(g.V(10L)
+      .repeatUntilReached(_.out("next"), _.out("next").hasLabel("m"))
+      .idsDF().as[Long].collect().toSeq == Seq(11L))
+    // render round-trip
+    val ast = GremlinParser.parse(
+      "g.V(10).repeat(__.out('next')).until(__.out('next')).id()")
     assert(GremlinParser.parse(GremlinParser.render(ast)) == ast)
   }
 
