@@ -255,10 +255,23 @@ object Bench {
     val refMedians: Map[String, Double] = {
       // the COMMITTED envelope, not this run's output path: when
       // SPARK_GRAFT_DETAIL redirects the output (drills, probes), the
-      // reference must still come from the repo's BENCH_DETAIL.json
-      val path = sys.env.getOrElse("SPARK_GRAFT_REF_DETAIL",
-        "BENCH_DETAIL.json")
+      // reference must still come from the repo's committed file.
+      // BENCH_ENVELOPE.json (written only at clean closes) is
+      // preferred over BENCH_DETAIL.json (every run's output — which
+      // an external harness can overwrite with a degraded artifact:
+      // the r13 driver committed its catastrophic 108-query window
+      // there, and an r14 close almost ran with 43%-coverage caps
+      // inflated up to 20× before the contamination was caught by
+      // hand; this two-file split makes that failure structural
+      // rather than a review catch)
+      val path = sys.env.get("SPARK_GRAFT_REF_DETAIL").getOrElse {
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get("BENCH_ENVELOPE.json")))
+          "BENCH_ENVELOPE.json"
+        else "BENCH_DETAIL.json"
+      }
       try {
+        System.err.println(s"[bench] reference envelope source: $path")
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")
         // whitespace-tolerant: a pretty-printed or re-serialized detail
