@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   *
   * Supported verbs: hasLabel, has(k,lit|pred), has(k)/hasNot(k)
   * existence, hasId, as/select (one label = jump back, several =
-  * projection terminal), out/in/both, outE/inE/bothE, inV/outV/otherV,
+  * projection terminal, with .by('k') modulators for property
+  * readouts — one by for all labels or one per label), out/in/both, outE/inE/bothE, inV/outV/otherV,
   * repeat(sub)[.emit()].times(n),
   * repeat(sub)[.emit()].until(__.count().is(0) | loops().is(n) |
   * hasId/has/hasLabel/hasNot chain) (fixed-point reachability via
@@ -154,7 +155,14 @@ object GremlinParser {
   final case class GOrder(key: String, asc: Boolean) extends GStep
   final case class GSample(denom: Int, bucket: Int) extends GStep
   final case class GAs(label: String) extends GStep
-  final case class GSelect(labels: Seq[String]) extends GStep
+  /** select(labels)[.by('k')…] — multi-label projection terminal:
+    * tagged vertex ids, or (with by-modulators) the tagged vertices'
+    * PROPERTY values — one .by applies to every label, N bys apply
+    * positionally (TinkerPop's round-robin restricted to its two
+    * unambiguous arities). One narrow (id, k) hash join per label.
+    */
+  final case class GSelect(labels: Seq[String],
+                           bys: Seq[String] = Nil) extends GStep
   case object GCount extends GStep
   final case class GValues(k: String) extends GStep
   final case class GAgg(op: String, k: String) extends GStep
@@ -836,8 +844,11 @@ object GremlinParser {
         case Some(GPath) => prev = Some(GPathBy(k))
         case Some(GProject(ls, bys)) if bys.length < ls.length =>
           prev = Some(GProject(ls, bys :+ GByKey(k)))
+        case Some(GSelect(ls, bys)) if ls.length > 1 && bys.length < ls.length =>
+          prev = Some(GSelect(ls, bys :+ k))
         case _ => throw ParseException(
-          ".by() must follow order(), group(), groupCount(), path() or project()")
+          ".by() must follow order(), group(), groupCount(), path(), " +
+            "project() or a multi-label select()")
       }
       case ByAggModulator(op, vk) => prev match {
         case Some(GGroup(key, "", "")) if key.nonEmpty =>
@@ -972,7 +983,8 @@ object GremlinParser {
           s".limit($n))"
       case GOptional(sub) => s"optional(${anon(sub)})"
       case GAs(l) => s"as('$l')"
-      case GSelect(ls) => s"select(${strs(ls)})"
+      case GSelect(ls, bys) =>
+        s"select(${strs(ls)})" + bys.map(k => s".by('$k')").mkString
       case GDedup => "dedup()"
       case GLimit(n) => s"limit($n)"
       case GRange(lo, hi) => s"range($lo, $hi)"
@@ -1085,7 +1097,7 @@ object GremlinParser {
             s"the sack does not survive ${pathBroken.get} (a " +
               "whole-frontier barrier); read or aggregate the sack " +
               "before it")
-        case GSelect(ls) =>
+        case GSelect(ls, _) =>
           val dead = ls.filterNot(liveTags).filter(lostTags)
           if (dead.nonEmpty) throw new IllegalArgumentException(
             s"as(${dead.map(l => s"'$l'").mkString(", ")}) does not " +
@@ -1156,7 +1168,9 @@ object GremlinParser {
         case GAgg("min", k) => result = Some(t.minOf(k))
         case GAgg("max", k) => result = Some(t.maxOf(k))
         case GGroup(k, v, op) => result = Some(t.group(k, v, op))
-        case GSelect(ls) if ls.length > 1 => result = Some(t.select(ls: _*))
+        case GSelect(ls, bys) if ls.length > 1 =>
+          result = Some(if (bys.isEmpty) t.select(ls: _*)
+            else t.selectBy(ls, bys))
         case GPath => result = Some(t.paths)
         case GTree => result = Some(t.treeEdges())
         case GCount => result = Some(t.count())
@@ -1424,7 +1438,10 @@ object GremlinParser {
     case GBarrier | GIdentity => t // full-barrier engine: pass-through
     case GHasKey(k, false) => t.hasKey(k)
     case GHasKey(k, true) => t.hasNot(k)
-    case GSelect(Seq(l)) => t.selectStep(l)
+    case GSelect(Seq(l), Seq()) => t.selectStep(l)
+    case GSelect(Seq(_), _) => throw new IllegalArgumentException(
+      "select('a').by('k') on one label is ambiguous with the jump-back " +
+        "step — use select('a').values('k') instead")
     case GDedup => t.dedup()
     case GLimit(n) => t.limit(n)
     case GRange(lo, hi) => t.range(lo, hi)

@@ -892,6 +892,33 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     df.select(labels.map(l => col(TAG + l).as(l)): _*)
   }
 
+  /** `select('a','b',…).by(k…)` — the by-modulated readout: each
+    * column is the tagged vertex's PROPERTY value instead of its id.
+    * One by-key applies to every label; N keys apply positionally
+    * (TinkerPop's round-robin restricted to its two unambiguous
+    * arities). Plan: one narrow hash join per label against the
+    * column-pruned (id, k) vertex projection — the standard star
+    * readout; nothing per-traverser, scans stay pruned to two columns.
+    */
+  def selectBy(labels: Seq[String], keys: Seq[String]): DataFrame = {
+    require(labels.nonEmpty, "select needs at least one label")
+    require(keys.length == 1 || keys.length == labels.length,
+      s"select(${labels.mkString(",")}) takes ONE .by (applies to all) " +
+        s"or one per label — got ${keys.length} of ${labels.length}")
+    labels.foreach(l => require(df.columns.contains(TAG + l),
+      s"select: no as('$l') tag"))
+    var cur = df.select(labels.map(l => col(TAG + l).as(s"__sel_$l")): _*)
+    labels.zipWithIndex.foreach { case (l, i) =>
+      val k = if (keys.length == 1) keys.head else keys(i)
+      require(g.vertices.columns.contains(k),
+        s"select().by('$k'): no such vertex property")
+      val vk = g.vertices.select(col("id").as(s"__vid_$l"),
+        col(k).as(s"__val_$l"))
+      cur = cur.join(vk, col(s"__sel_$l") === col(s"__vid_$l"))
+    }
+    cur.select(labels.map(l => col(s"__val_$l").as(l)): _*)
+  }
+
   def dedup(): Traversal =
     if (isEdge) copy(df = df.dropDuplicates("src", "dst", "label", "sort_key"))
     else copy(df = df.dropDuplicates("id"))

@@ -440,6 +440,17 @@ object GraphQueries {
         ".until(__.out('part_of')).id()")
       .orderBy(col("id"))
 
+  /** select().by() — the by-modulated multi-label readout (the
+    * TinkerPop idiom real traversals end on: names, not ids): one
+    * narrow (id, name) hash join per label, scans pruned to two
+    * columns.
+    */
+  def g62SelectBy(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').has('mktsegment', eq('BUILDING'))" +
+        ".as('c').out('located_in').as('n').select('c', 'n').by('name')")
+      .orderBy(col("c"), col("n"))
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -758,6 +769,7 @@ object GraphQueries {
     "g59_side_effect" -> (g59SideEffect _),
     "g60_subgraph" -> (g60Subgraph _),
     "g61_until_hop" -> (g61UntilHop _),
+    "g62_select_by" -> (g62SelectBy _),
     "g53_element_map" -> (g53ElementMap _),
     "g54_inject" -> (g54Inject _),
     "g55_coin" -> (g55Coin _),
@@ -1029,6 +1041,12 @@ object GraphQueries {
       """SELECT COUNT(*) AS n_vals,
         |  CAST(SUM(FLOOR((c_acctbal * 2 + 100) / 3)) AS BIGINT) AS msum
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    // by-modulated select: property readout per tagged label
+    "g62_select_by" ->
+      """SELECT c_name AS c, n_name AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c, n""".stripMargin,
     // hop-predicate stop: the halted set = nations of BUILDING
     // customers (each has an outgoing part_of edge)
     "g61_until_hop" ->

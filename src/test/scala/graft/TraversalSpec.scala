@@ -1069,6 +1069,43 @@ class TraversalSpec extends AnyFunSuite {
     assert(GremlinParser.parse(GremlinParser.render(ast)) == ast)
   }
 
+  test("parser: select().by() property readout — one by for all labels " +
+       "or one per label (r14)") {
+    // triangle has 'score'; one by applies to both labels
+    val one = GremlinParser.run(triangle,
+      "g.V(1).as('a').out('next').as('b').select('a', 'b').by('score')")
+    assert(one.columns.toSeq == Seq("a", "b"))
+    assert(one.as[(Int, Int)].collect().toSeq == Seq((10, 20)))
+    // positional bys: id-keyed first column, score second — use two
+    // DIFFERENT keys to pin the positional application
+    val two = GremlinParser.run(triangle,
+      "g.V(1).as('a').out('next').as('b').select('a', 'b')" +
+        ".by('id').by('score')")
+    assert(two.as[(Long, Int)].collect().toSeq == Seq((1L, 20)))
+    // DSL twin
+    val dsl = triangle.V(1L).as("a").out("next").as("b")
+      .selectBy(Seq("a", "b"), Seq("score"))
+    assert(dsl.as[(Int, Int)].collect().toSeq == Seq((10, 20)))
+    // refusals: wrong by arity (3 bys on 2 labels refused by the
+    // fuser's bys<labels guard falling through), unknown key,
+    // single-label ambiguity
+    assertThrows[GremlinParser.ParseException](GremlinParser.run(triangle,
+      "g.V(1).as('a').out('next').as('b').select('a','b')" +
+        ".by('score').by('score').by('score')"))
+    assert(intercept[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.V(1).as('a').out('next').as('b').select('a','b').by('nope')")
+      .collect()).getMessage.contains("no such vertex property"))
+    // single-label select().by refuses at PARSE time (the fuser only
+    // fuses multi-label selects — one label is the jump-back step)
+    assert(intercept[GremlinParser.ParseException](GremlinParser.run(triangle,
+      "g.V(1).as('a').out('next').select('a').by('score')"))
+      .getMessage.contains("multi-label"))
+    // render round-trip keeps the modulators
+    val ast = GremlinParser.parse(
+      "g.V(1).as('a').out('next').as('b').select('a','b').by('score')")
+    assert(GremlinParser.parse(GremlinParser.render(ast)) == ast)
+  }
+
   test("parser: store()/barrier()/identity() legacy spellings") {
     // store == aggregate (both snapshot the frontier id bag as a lazy
     // plan); barrier/identity are pass-throughs in a full-barrier engine
