@@ -500,6 +500,7 @@ object Bench {
       .newSingleThreadScheduledExecutor((r: Runnable) => {
         val t = new Thread(r, "bench-wall-cap"); t.setDaemon(true); t
       })
+    val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
     def capFor(name: String): Option[Double] =
       refMedians.get(name).filter(_ > 0)
         .map(m => math.max(m * CapRatio, CapFloorS))
@@ -512,13 +513,20 @@ object Bench {
     def timedRuns(name: String, n: Int): Seq[(Double, Boolean, Boolean, Boolean)] =
       (1 to n).map { _ =>
         val cap = capFor(name)
-        val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
-        val grp = s"bench-$name"
+        // ADVICE r14 race fix, two guards: (a) the job-group name is
+        // unique PER RUN, so a watchdog task that outlives its run can
+        // at worst cancel an empty group, never the query's next run;
+        // (b) a CAS state machine (0=running, 1=completed, 2=capped)
+        // arbitrates the fire-vs-finish race — the watchdog only
+        // cancels if it wins the CAS, and a run that completed before
+        // cancellation took effect counts as a valid measurement.
+        val runIdx = runCounter.incrementAndGet()
+        val grp = s"bench-$name-$runIdx"
+        val state = new java.util.concurrent.atomic.AtomicInteger(0)
         spark.sparkContext.setJobGroup(grp, s"bench $name",
           interruptOnCancel = true)
         val killer = cap.map(c => watchdog.schedule(new Runnable {
-          def run(): Unit = {
-            fired.set(true)
+          def run(): Unit = if (state.compareAndSet(0, 2)) {
             try spark.sparkContext.cancelJobGroup(grp)
             catch { case _: Throwable => }
           }
@@ -528,25 +536,32 @@ object Bench {
         var ok =
           try { materialize(name, sfDir); true }
           catch { case e: Throwable =>
-            if (!fired.get)
+            if (state.get != 2)
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
         // drill inflation: sliced sleep so the wall cap abandons the
         // inflated run exactly as it would a genuinely stolen one
+        var drillCapped = false
         val factor = drillSlow * drillSpike.getOrElse(name, 1.0)
         if (ok && factor > 1.0) {
           val extraMs =
             ((factor - 1.0) * (System.nanoTime() - t0) / 1e6).toLong
           var slept = 0L
-          while (slept < extraMs && !fired.get) {
+          while (slept < extraMs && state.get == 0) {
             val s = math.min(250L, extraMs - slept)
             Thread.sleep(s); slept += s
           }
+          drillCapped = state.get == 2
         }
+        state.compareAndSet(0, 1) // close the race window: run is over
         killer.foreach(_.cancel(false))
         spark.sparkContext.clearJobGroup()
-        val wasCapped = fired.get
+        // capped = the cancel actually cost us the run (or, in a
+        // drill, cut the simulated inflation short); a run that beat
+        // the watchdog to completion is a real measurement even if
+        // the cap task fired concurrently
+        val wasCapped = drillCapped || (state.get == 2 && !ok)
         if (wasCapped) ok = false
         val el = (System.nanoTime() - t0) / 1e9
         val stolen = stealJiffies() - s0 > StealMaxJiffies

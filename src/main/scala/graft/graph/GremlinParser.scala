@@ -162,7 +162,68 @@ object GremlinParser {
     * unambiguous arities). One narrow (id, k) hash join per label.
     */
   final case class GSelect(labels: Seq[String],
-                           bys: Seq[String] = Nil) extends GStep
+                           bys: Seq[GBy] = Nil) extends GStep
+  /** pageRank() — the TinkerPop withComputer OLAP step (r14 verdict
+    * task 1). Relational reading: rank every vertex of the WHOLE
+    * (optionally edge-filtered) graph via the certified
+    * [[Algorithms.pageRankExact]] integer-unit program, then decorate
+    * the CURRENT frontier — a terminal emitting (id, &lt;prop&gt;),
+    * rank in exact integer millionths (initial mass 1,000,000, the
+    * a_pagerank_exact convention — deterministic and engine-portable,
+    * where TinkerPop's doubles are not). Modulators:
+    * `.with('~tinkerpop.pageRank.edges', __.outE('l1', …))` restricts
+    * the walk's edge labels (outE only — rank flows along the stored
+    * src→dst orientation); `.with('~tinkerpop.pageRank.times', n)`
+    * sets the iteration count (default 10, the certified gate depth);
+    * `.by('rank')` / `.with('~tinkerpop.pageRank.propertyName', k)`
+    * names the output column (default TinkerPop's
+    * `gremlin.pageRankVertexProgram.pageRank`). The OLAP readout tail
+    * (order()/limit()/values()) composes after it.
+    */
+  final case class GPageRank(edgeLabels: Seq[String], times: Int,
+                             prop: String) extends GStep
+  /** connectedComponent() — TinkerPop's withComputer CC step, lowered
+    * onto the certified [[Algorithms.connectedComponents]] (component
+    * id = min member vertex id; isolated vertices are singleton
+    * components). Terminal emitting (id, &lt;prop&gt;) for the current
+    * frontier. `.with('~tinkerpop.connectedComponent.edges',
+    * __.outE/inE/bothE('l1', …))` restricts the edge labels (direction
+    * is irrelevant — reachability is undirected);
+    * `.with('~tinkerpop.connectedComponent.propertyName', k)` names
+    * the output column (default TinkerPop's
+    * `gremlin.connectedComponentVertexProgram.component`).
+    */
+  final case class GConnectedComponent(edgeLabels: Seq[String],
+                                       prop: String) extends GStep
+  /** shortestPath() — TinkerPop's withComputer shortest-path step,
+    * lowered onto the certified [[Algorithms.ssspHops]] /
+    * [[Algorithms.ssspWeighted]] Pregel programs. RELATIONAL READING:
+    * emits the distance relation (source, id, dist) — one row per
+    * reachable vertex per source — not materialized Path objects (a
+    * per-pair path list is the same driver-scale dead-end as
+    * subgraph()'s in-memory Graph; the distance relation is the
+    * scalable reading, and paths are recoverable by joining it with
+    * the edge relation). Must follow the source DIRECTLY with explicit
+    * ids (`g.V(id…).shortestPath()`) — each source is one certified
+    * single-source Pregel run, so sources are the user-typed bounded
+    * list, never a computed frontier. Modulators:
+    * `.with('~tinkerpop.shortestPath.edges', __.outE|inE('l1', …))` —
+    * labels + direction (inE walks edges dst→src, TinkerPop's
+    * Direction.IN reading; bothE is refused — the certified programs
+    * are directed);
+    * `.with('~tinkerpop.shortestPath.target', __.hasLabel/has/hasId/
+    * hasNot…)` — keep only distances to vertices matching the filter
+    * chain (one distributed semi-join);
+    * `.with('~tinkerpop.shortestPath.distance', 'edgeProp')` — weight
+    * hops by a non-negative INTEGER edge property (ssspWeighted's
+    * exact-Long contract; fractional weights have no engine-portable
+    * reading);
+    * `.with('~tinkerpop.shortestPath.maxDistance', n)` — drop rows
+    * with dist &gt; n.
+    */
+  final case class GShortestPath(edgeLabels: Seq[String],
+      reverse: Boolean, weightProp: String, target: Seq[GStep],
+      maxDist: Long) extends GStep
   case object GCount extends GStep
   final case class GValues(k: String) extends GStep
   final case class GAgg(op: String, k: String) extends GStep
@@ -500,6 +561,11 @@ object GremlinParser {
         val ks = parseStrArgs(cur)
         if (ks.length > 1) throw ParseException("groupCount() takes at most one key")
         GGroupCount(ks.headOption.getOrElse(""))
+      case "pageRank" => emptyArgs(cur); GPageRank(Nil, 10, "")
+      case "connectedComponent" => emptyArgs(cur); GConnectedComponent(Nil, "")
+      case "shortestPath" =>
+        emptyArgs(cur); GShortestPath(Nil, reverse = false, "", Nil, -1L)
+      case "with" => parseWithModulator(cur)
       case "times" | "until" =>
         throw ParseException(s"$name() must directly follow repeat(...)")
       case other => throw ParseException(s"unknown step $other")
@@ -543,6 +609,62 @@ object GremlinParser {
   private final case class ByModulator(k: String, asc: Boolean) extends GStep
   private final case class ByAggModulator(op: String, k: String) extends GStep
   private final case class BySubCountModulator(sub: Seq[GStep]) extends GStep
+
+  /** `.with('key', literal | __.sub)` — the TinkerPop configuration
+    * modulator for the OLAP steps (pageRank/connectedComponent/
+    * shortestPath); folded into the preceding step by fuseModulators.
+    * Keys accept both the full `~tinkerpop.<step>.<key>` spelling and
+    * the bare enum name (`edges`, `times`, `propertyName`, `target`,
+    * `distance`, `maxDistance`).
+    */
+  private final case class WithModulator(key: String,
+      lit: Option[Any], sub: Option[Seq[GStep]]) extends GStep
+
+  private def parseWithModulator(cur: Cursor): GStep = {
+    cur.expectPunct('(')
+    val key = cur.next() match {
+      case TStr(s) => s
+      case t => throw ParseException(s"with() expects a string key, got $t")
+    }
+    if (!cur.atPunct(','))
+      throw ParseException(
+        s"with('$key') needs a value: with('$key', <literal | __.sub>)")
+    cur.next()
+    val (l, s) =
+      if (cur.peek.contains(TIdent("__"))) (None, Some(parseAnon(cur)))
+      else cur.next() match {
+        case TStr(v) => (Some(v: Any), None)
+        case TNum(v) => (Some(num(v)), None)
+        case t => throw ParseException(
+          s"with('$key', …) value must be a literal or __.sub, got $t")
+      }
+    cur.expectPunct(')')
+    WithModulator(key, l, s)
+  }
+
+  /** normalize a with()-key: strip the `~tinkerpop.<family>.` prefix
+    * when it matches, refuse a prefix from a DIFFERENT step family
+    * (with('~tinkerpop.pageRank.edges') on shortestPath() is a user
+    * error, not an alias).
+    */
+  private def olapKey(key: String, family: String): String =
+    if (key.startsWith("~tinkerpop.")) {
+      val pre = s"~tinkerpop.$family."
+      if (!key.startsWith(pre)) throw ParseException(
+        s"with('$key') does not configure $family()")
+      key.stripPrefix(pre)
+    } else key
+
+  /** edge-set sub for the OLAP with('edges', __.outE/inE/bothE(...))
+    * modulators: one hop step, returns (labels, kind).
+    */
+  private def olapEdgeSub(sub: Seq[GStep], step: String): (Seq[String], String) =
+    sub match {
+      case Seq(GHop(kind, ls)) if Set("outE", "inE", "bothE")(kind) =>
+        (ls, kind)
+      case _ => throw ParseException(
+        s"$step().with(…edges…) takes one __.outE/inE/bothE('l1', …) hop")
+    }
 
   private def parseAsc(o: String): Boolean = o match {
     case "asc" | "incr" => true
@@ -842,13 +964,14 @@ object GremlinParser {
         case Some(GGroupCount("")) => prev = Some(GGroupCount(k))
         case Some(GGroup("", "", "")) => prev = Some(GGroup(k, "", ""))
         case Some(GPath) => prev = Some(GPathBy(k))
+        case Some(GPageRank(e, n, "")) => prev = Some(GPageRank(e, n, k))
         case Some(GProject(ls, bys)) if bys.length < ls.length =>
           prev = Some(GProject(ls, bys :+ GByKey(k)))
         case Some(GSelect(ls, bys)) if ls.length > 1 && bys.length < ls.length =>
-          prev = Some(GSelect(ls, bys :+ k))
+          prev = Some(GSelect(ls, bys :+ GByKey(k)))
         case _ => throw ParseException(
           ".by() must follow order(), group(), groupCount(), path(), " +
-            "project() or a multi-label select()")
+            "project(), pageRank() or a multi-label select()")
       }
       case ByAggModulator(op, vk) => prev match {
         case Some(GGroup(key, "", "")) if key.nonEmpty =>
@@ -859,8 +982,99 @@ object GremlinParser {
       case BySubCountModulator(sub) => prev match {
         case Some(GProject(ls, bys)) if bys.length < ls.length =>
           prev = Some(GProject(ls, bys :+ GBySubCount(sub)))
+        case Some(GSelect(ls, bys)) if ls.length > 1 && bys.length < ls.length =>
+          prev = Some(GSelect(ls, bys :+ GBySubCount(sub)))
         case _ => throw ParseException(
-          ".by(__.<steps>.count()) must follow project()")
+          ".by(__.<steps>.count()) must follow project() or a " +
+            "multi-label select()")
+      }
+      case WithModulator(key, l, s) => prev match {
+        case Some(p @ GPageRank(_, _, _)) =>
+          prev = Some(olapKey(key, "pageRank") match {
+            case "edges" =>
+              val (ls, kind) = olapEdgeSub(s.getOrElse(throw ParseException(
+                "pageRank().with(…edges…) takes a __.outE(…) sub")), "pageRank")
+              if (kind != "outE") throw ParseException(
+                s"pageRank().with(…edges, __.$kind…): rank flows along " +
+                  "the stored src→dst orientation — spell the walk with " +
+                  "__.outE(labels)")
+              p.copy(edgeLabels = ls)
+            case "times" => l match {
+              case Some(n: Long) if n >= 1 => p.copy(times = n.toInt)
+              case _ => throw ParseException(
+                "pageRank().with(…times, n) needs an integer n >= 1")
+            }
+            case "propertyName" => l match {
+              case Some(k: String) => p.copy(prop = k)
+              case _ => throw ParseException(
+                "pageRank().with(…propertyName, 'k') needs a string key")
+            }
+            case other => throw ParseException(
+              s"pageRank() has no '$other' configuration (supported: " +
+                "edges, times, propertyName)")
+          })
+        case Some(p @ GConnectedComponent(_, _)) =>
+          prev = Some(olapKey(key, "connectedComponent") match {
+            case "edges" =>
+              val (ls, _) = olapEdgeSub(s.getOrElse(throw ParseException(
+                "connectedComponent().with(…edges…) takes a " +
+                  "__.outE/inE/bothE(…) sub")), "connectedComponent")
+              p.copy(edgeLabels = ls)
+            case "propertyName" => l match {
+              case Some(k: String) => p.copy(prop = k)
+              case _ => throw ParseException(
+                "connectedComponent().with(…propertyName, 'k') needs a " +
+                  "string key")
+            }
+            case other => throw ParseException(
+              s"connectedComponent() has no '$other' configuration " +
+                "(supported: edges, propertyName)")
+          })
+        case Some(p @ GShortestPath(_, _, _, _, _)) =>
+          prev = Some(olapKey(key, "shortestPath") match {
+            case "edges" =>
+              val (ls, kind) = olapEdgeSub(s.getOrElse(throw ParseException(
+                "shortestPath().with(…edges…) takes a __.outE/inE(…) " +
+                  "sub")), "shortestPath")
+              if (kind == "bothE") throw ParseException(
+                "shortestPath().with(…edges, __.bothE…): the certified " +
+                  "single-source programs are DIRECTED — use __.outE " +
+                  "(src→dst) or __.inE (dst→src)")
+              p.copy(edgeLabels = ls, reverse = kind == "inE")
+            case "target" =>
+              val sub = s.getOrElse(throw ParseException(
+                "shortestPath().with(…target…) takes a filter sub"))
+              sub.foreach {
+                case GHasLabel(_) | GHas(_, _) | GHasId(_) | GHasKey(_, _) => ()
+                case st => throw ParseException(
+                  s"shortestPath().with(…target…) supports hasId/has/" +
+                    s"hasLabel/hasNot filter chains (each vertex either " +
+                    s"is or is not a target), got $st")
+              }
+              p.copy(target = sub)
+            case "distance" => l match {
+              case Some(k: String) => p.copy(weightProp = k)
+              case _ => throw ParseException(
+                "shortestPath().with(…distance, 'edgeProp') needs a " +
+                  "string edge-property key")
+            }
+            case "maxDistance" => l match {
+              case Some(n: Long) if n >= 0 => p.copy(maxDist = n)
+              case _ => throw ParseException(
+                "shortestPath().with(…maxDistance, n) needs an integer " +
+                  "n >= 0")
+            }
+            case "includeEdges" => throw ParseException(
+              "shortestPath().with(…includeEdges…): paths are not " +
+                "materialized here — the distance relation is the " +
+                "scalable reading; recover edges by joining it with E()")
+            case other => throw ParseException(
+              s"shortestPath() has no '$other' configuration (supported: " +
+                "edges, target, distance, maxDistance)")
+          })
+        case _ => throw ParseException(
+          ".with() must follow pageRank(), connectedComponent() or " +
+            "shortestPath()")
       }
       case s =>
         prev.foreach(out += _)
@@ -984,7 +1198,40 @@ object GremlinParser {
       case GOptional(sub) => s"optional(${anon(sub)})"
       case GAs(l) => s"as('$l')"
       case GSelect(ls, bys) =>
-        s"select(${strs(ls)})" + bys.map(k => s".by('$k')").mkString
+        s"select(${strs(ls)})" + bys.map {
+          case GByKey(k) => s".by('$k')"
+          case GBySubCount(sub) => s".by(${anon(sub)}.count())"
+        }.mkString
+      case GPageRank(ls, times, prop) =>
+        "pageRank()" +
+          (if (ls.nonEmpty)
+            s".with('~tinkerpop.pageRank.edges', __.outE(${strs(ls)}))"
+          else "") +
+          (if (times != 10)
+            s".with('~tinkerpop.pageRank.times', $times)" else "") +
+          (if (prop.nonEmpty) s".by('$prop')" else "")
+      case GConnectedComponent(ls, prop) =>
+        "connectedComponent()" +
+          (if (ls.nonEmpty)
+            s".with('~tinkerpop.connectedComponent.edges', __.outE(${strs(ls)}))"
+          else "") +
+          (if (prop.nonEmpty)
+            s".with('~tinkerpop.connectedComponent.propertyName', '$prop')"
+          else "")
+      case GShortestPath(ls, rev, w, target, maxDist) =>
+        "shortestPath()" +
+          (if (ls.nonEmpty || rev)
+            s".with('~tinkerpop.shortestPath.edges', " +
+              s"__.${if (rev) "inE" else "outE"}(${strs(ls)}))"
+          else "") +
+          (if (target.nonEmpty)
+            s".with('~tinkerpop.shortestPath.target', ${anon(target)})"
+          else "") +
+          (if (w.nonEmpty)
+            s".with('~tinkerpop.shortestPath.distance', '$w')" else "") +
+          (if (maxDist >= 0)
+            s".with('~tinkerpop.shortestPath.maxDistance', $maxDist)"
+          else "")
       case GDedup => "dedup()"
       case GLimit(n) => s"limit($n)"
       case GRange(lo, hi) => s"range($lo, $hi)"
@@ -1065,7 +1312,7 @@ object GremlinParser {
           if (r.columns.length != 1) throw new IllegalArgumentException(
             s"is() after a terminal needs a single-column result, got " +
               s"(${r.columns.mkString(", ")})")
-          result = Some(r.filter(p.toColumn(col(r.columns.head))))
+          result = Some(r.filter(p.toColumn(namedCol(r.columns.head))))
         // math() over the value stream a terminal produced — the
         // column keeps its name so is()/math() chains compose
         case GMath(e) =>
@@ -1074,7 +1321,24 @@ object GremlinParser {
             s"math() after a terminal needs a single-column result, got " +
               s"(${r.columns.mkString(", ")})")
           val cn = r.columns.head
-          result = Some(r.select(mathColumn(e, col(cn)).as(cn)))
+          result = Some(r.select(mathColumn(e, namedCol(cn)).as(cn)))
+        // the OLAP readout tail: order()/limit()/values() compose after
+        // any relation-producing terminal (TinkerPop's
+        // pageRank().order().by('rank').limit(k) idiom) — each is one
+        // Catalyst operator over the terminal's named columns
+        case GOrder(k, asc) =>
+          val r = result.get
+          if (!r.columns.contains(k)) throw new IllegalArgumentException(
+            s"order().by('$k') after a terminal: no such column " +
+              s"(have: ${r.columns.mkString(", ")})")
+          result = Some(r.orderBy(if (asc) namedCol(k).asc else namedCol(k).desc))
+        case GLimit(n) => result = Some(result.get.limit(n))
+        case GValues(k) =>
+          val r = result.get
+          if (!r.columns.contains(k)) throw new IllegalArgumentException(
+            s"values('$k') after a terminal: no such column " +
+              s"(have: ${r.columns.mkString(", ")})")
+          result = Some(r.select(namedCol(k)))
         case _ => throw ParseException(s"step after terminal: $s")
       }
       else {
@@ -1170,7 +1434,66 @@ object GremlinParser {
         case GGroup(k, v, op) => result = Some(t.group(k, v, op))
         case GSelect(ls, bys) if ls.length > 1 =>
           result = Some(if (bys.isEmpty) t.select(ls: _*)
-            else t.selectBy(ls, bys))
+            else t.selectByClauses(ls, bys.map {
+              case GByKey(k) => Traversal.ByKey(k)
+              case GBySubCount(sub) => Traversal.BySubCount(subFn(sub))
+            }))
+        case GPageRank(labels, iters, prop0) =>
+          if (t.isEdge) throw new IllegalArgumentException(
+            "pageRank() decorates a vertex frontier; move it after " +
+              "inV()/outV()/otherV()")
+          val prop =
+            if (prop0.isEmpty) "gremlin.pageRankVertexProgram.pageRank"
+            else prop0
+          val pr = Algorithms.pageRankExact(g.vertices.sparkSession, g,
+            labels = labels, iters = iters)
+          result = Some(t.idsDF().join(pr, "id")
+            .select(col("id"), col("pr").as(prop)))
+        case GConnectedComponent(labels, prop0) =>
+          if (t.isEdge) throw new IllegalArgumentException(
+            "connectedComponent() decorates a vertex frontier; move it " +
+              "after inV()/outV()/otherV()")
+          val prop =
+            if (prop0.isEmpty) "gremlin.connectedComponentVertexProgram.component"
+            else prop0
+          val gg =
+            if (labels.isEmpty) g
+            else PropertyGraph(g.vertices,
+              g.edges.filter(col("label").isin(labels: _*)))
+          val cc = Algorithms.connectedComponents(g.vertices.sparkSession, gg)
+          result = Some(t.idsDF().join(cc, "id")
+            .select(col("id"), col("component").as(prop)))
+        case GShortestPath(labels, reverse, wprop, target, maxDist) =>
+          val srcIds = src match {
+            case GSource(false, ids) => ids
+            case _ => Nil
+          }
+          if (srcIds.isEmpty || !rest.headOption.contains(s))
+            throw new IllegalArgumentException(
+              "shortestPath() runs the certified SINGLE-SOURCE programs " +
+                "— spell the sources as explicit ids directly after the " +
+                "source (g.V(id…).shortestPath()); a computed frontier " +
+                "would mean one Pregel run per frontier vertex")
+          val spark = g.vertices.sparkSession
+          if (wprop.nonEmpty && !g.edges.columns.contains(wprop))
+            throw new IllegalArgumentException(
+              s"shortestPath().with(…distance, '$wprop'): no such edge " +
+                s"property (have: ${g.edges.columns.mkString(", ")})")
+          var out = srcIds.map { sid =>
+            val d =
+              if (wprop.isEmpty)
+                Algorithms.ssspHops(spark, g, sid, labels, reverse)
+              else
+                Algorithms.ssspWeighted(spark, g, sid,
+                  col(wprop).cast("long"), labels, reverse)
+            d.select(lit(sid).as("source"), col("id"), col("dist"))
+          }.reduce(_ unionByName _)
+          if (maxDist >= 0) out = out.filter(col("dist") <= maxDist)
+          if (target.nonEmpty)
+            out = out.join(
+              subFn(target)(Traversal.vertices(g)).toDF.select(col("id")),
+              Seq("id"), "left_semi")
+          result = Some(out.select(col("source"), col("id"), col("dist")))
         case GPath => result = Some(t.paths)
         case GTree => result = Some(t.treeEdges())
         case GCount => result = Some(t.count())
@@ -1229,7 +1552,7 @@ object GremlinParser {
       if (result.nonEmpty) s match {
         case GIs(p) =>
           val r = result.get
-          result = Some(r.filter(p.toColumn(col(r.columns.head))))
+          result = Some(r.filter(p.toColumn(namedCol(r.columns.head))))
         case _ => throw ParseException(s"step after terminal: $s")
       }
       else s match {
@@ -1263,13 +1586,20 @@ object GremlinParser {
   private def subFn(sub: Seq[GStep]): Traversal => Traversal =
     t0 => sub.foldLeft(t0)(applyStep)
 
+  /** col() reads '.' as struct-field access — backtick-quote plain
+    * column names that contain one (the TinkerPop OLAP default
+    * property names: gremlin.pageRankVertexProgram.pageRank etc.).
+    */
+  private def namedCol(k: String): org.apache.spark.sql.Column =
+    col(if (k.contains(".")) s"`$k`" else k)
+
   /** compile a math() expression to ONE Column over the current value
     * traverser (`_`). Recursive descent:
     * {{{
     * expr  := term (('+'|'-') term)*
-    * term  := pow (('*'|'/'|'%') pow)*
-    * pow   := unary ('^' pow)?          // right-associative
-    * unary := '-' unary | atom
+    * term  := unary (('*'|'/'|'%') unary)*
+    * unary := '-' unary | pow           // '-' BELOW '^' (exp4j): -2^2 = -4
+    * pow   := atom ('^' unary)?         // right-associative, signed exponent ok
     * atom  := number | '_' | fn '(' expr ')' | '(' expr ')'
     * }}}
     * fn ∈ abs/ceil/floor/sqrt/exp/log/log10/signum/sin/cos/tan — each
@@ -1283,7 +1613,7 @@ object GremlinParser {
     type Col = org.apache.spark.sql.Column
     var i = 0
     def ws(): Unit = while (i < expr.length && expr.charAt(i).isWhitespace) i += 1
-    def peekCh: Char = if (i < expr.length) expr.charAt(i) else ' '
+    def peekCh: Char = if (i < expr.length) expr.charAt(i) else ' '
     def fail(msg: String): Nothing =
       throw ParseException(s"math('$expr') at position $i: $msg")
     def atom(): Col = {
@@ -1301,9 +1631,18 @@ object GremlinParser {
           in.cast("double")
         case c if c.isDigit || c == '.' =>
           val j = i
+          var dotSeen = false
           while (i < expr.length && (expr.charAt(i).isDigit
-            || expr.charAt(i) == '.')) i += 1
-          lit(expr.substring(j, i).toDouble)
+            || expr.charAt(i) == '.')) {
+            if (expr.charAt(i) == '.') {
+              if (dotSeen) fail("malformed number: second '.'")
+              dotSeen = true
+            }
+            i += 1
+          }
+          val s = expr.substring(j, i)
+          if (s == ".") fail("malformed number: '.' alone")
+          lit(s.toDouble)
         case c if c.isLetter =>
           val j = i
           while (i < expr.length && expr.charAt(i).isLetter) i += 1
@@ -1336,19 +1675,23 @@ object GremlinParser {
         case _ => fail("expected a number, '_', a function, or '('")
       }
     }
+    // Precedence matches TinkerPop's math() (exp4j): power binds TIGHTER
+    // than unary minus, so '-2^2' is -(2^2) = -4, while an exponent may
+    // itself be signed ('2^-3' = 0.125). Hence unary sits ABOVE powT and
+    // the exponent recurses through unary (right-associative).
     def unary(): Col = {
       ws()
-      if (peekCh == '-') { i += 1; lit(0.0) - unary() } else atom()
+      if (peekCh == '-') { i += 1; lit(0.0) - unary() } else powT()
     }
     def powT(): Col = {
-      val base = unary(); ws()
-      if (peekCh == '^') { i += 1; pow(base, powT()) } else base
+      val base = atom(); ws()
+      if (peekCh == '^') { i += 1; pow(base, unary()) } else base
     }
     def mul(): Col = {
-      var e = powT(); ws()
+      var e = unary(); ws()
       while (peekCh == '*' || peekCh == '/' || peekCh == '%') {
         val op = peekCh; i += 1
-        val r = powT()
+        val r = unary()
         e = op match {
           case '*' => e * r
           case '/' => e / r

@@ -900,21 +900,55 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     * column-pruned (id, k) vertex projection — the standard star
     * readout; nothing per-traverser, scans stay pruned to two columns.
     */
-  def selectBy(labels: Seq[String], keys: Seq[String]): DataFrame = {
+  def selectBy(labels: Seq[String], keys: Seq[String]): DataFrame =
+    selectByClauses(labels, keys.map(Traversal.ByKey(_)))
+
+  /** select(ls).by(…)… with the general by-clause forms project()
+    * supports (VERDICT r14 task 3 — the asymmetry closed): a property
+    * key (one narrow (id, k) hash join per label against the
+    * column-pruned vertex projection) or a per-tagged-vertex
+    * sub-traversal COUNT (`__.out(…).count()` — one origin-grouped
+    * aggregate over the sub's DISTINCT-origin distributed run,
+    * left-joined back on the tagged id, 0 where the sub reaches
+    * nothing). One .by applies to every label; N bys apply
+    * positionally (the same two TinkerPop arities as the key form).
+    */
+  def selectByClauses(labels: Seq[String],
+                      bys: Seq[Traversal.ProjectBy]): DataFrame = {
     require(labels.nonEmpty, "select needs at least one label")
-    require(keys.length == 1 || keys.length == labels.length,
+    require(bys.length == 1 || bys.length == labels.length,
       s"select(${labels.mkString(",")}) takes ONE .by (applies to all) " +
-        s"or one per label — got ${keys.length} of ${labels.length}")
+        s"or one per label — got ${bys.length} of ${labels.length}")
     labels.foreach(l => require(df.columns.contains(TAG + l),
       s"select: no as('$l') tag"))
     var cur = df.select(labels.map(l => col(TAG + l).as(s"__sel_$l")): _*)
     labels.zipWithIndex.foreach { case (l, i) =>
-      val k = if (keys.length == 1) keys.head else keys(i)
-      require(g.vertices.columns.contains(k),
-        s"select().by('$k'): no such vertex property")
-      val vk = g.vertices.select(col("id").as(s"__vid_$l"),
-        col(k).as(s"__val_$l"))
-      cur = cur.join(vk, col(s"__sel_$l") === col(s"__vid_$l"))
+      val by = if (bys.length == 1) bys.head else bys(i)
+      by match {
+        case Traversal.ByKey(k) =>
+          require(g.vertices.columns.contains(k),
+            s"select().by('$k'): no such vertex property")
+          val vk = g.vertices.select(col("id").as(s"__vid_$l"),
+            col(k).as(s"__val_$l"))
+          cur = cur.join(vk, col(s"__sel_$l") === col(s"__vid_$l"))
+        case Traversal.BySubCount(sub) =>
+          // origins = the DISTINCT tagged vertices (per-origin
+          // semantics without per-row execution, same discipline as
+          // project()'s count clauses)
+          val origin = copy(isEdge = false, df = g.vertices
+            .join(df.select(col(TAG + l).as("id")).distinct(), "id")
+            .withColumn(PATH, array(col("id")))
+            .withColumn(FCTX, lit(true)))
+          val pid = s"__pid_$l"
+          val cnt = sub(origin).df
+            .groupBy(element_at(col(PATH), 1).as(pid))
+            .agg(org.apache.spark.sql.functions.count(lit(1))
+              .as(s"__val_$l"))
+          cur = cur.join(cnt, col(s"__sel_$l") === col(pid), "left")
+            .drop(pid)
+            .withColumn(s"__val_$l", org.apache.spark.sql.functions
+              .coalesce(col(s"__val_$l"), lit(0L)))
+      }
     }
     cur.select(labels.map(l => col(s"__val_$l").as(l)): _*)
   }

@@ -376,10 +376,21 @@ object Dedup {
     require(subset >= 0 && subset <= 3,
       "subset must be 0 (= size from the corpus), 1, 2 or 3")
     require(maxBucketSize >= 1, "maxBucketSize must be >= 1")
-    val m = simhashEffectiveSubset(docs, maxHamming, subset)
+    // subset = 0 is EAGER: sizing needs the corpus count, so the call
+    // runs one Spark job before returning a plan (ADVICE r14 — callers
+    // with a cheap count should pass an explicit subset from
+    // simhashSubsetForCorpus instead). Persist around that count so an
+    // expensive upstream plan is computed ONCE, not once for the count
+    // and again for the banding; the MEMORY_AND_DISK cache is released
+    // by the ContextCleaner when the frame goes out of scope.
+    val input =
+      if (subset == 0)
+        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs
+    val m = simhashEffectiveSubset(input, maxHamming, subset)
     val c = maxHamming + m
     require(c <= 64, "maxHamming + subset must be <= 64 bits")
-    val sh = simhash(docs, tokenHash)
+    val sh = simhash(input, tokenHash)
     val bounds = simhashChunkBounds(c)
     def chunkVal(i: Int): Column = {
       val (shift, w) = bounds(i)

@@ -519,6 +519,23 @@ class TraversalSpec extends AnyFunSuite {
     assert(GremlinParser.run(triangle,
       "g.inject(2).math('2 ^ 3 ^ 2')") // right-assoc: 2^(3^2) = 512
       .as[Double].collect().toSeq == Seq(512.0))
+    // exp4j precedence (ADVICE r14): power binds TIGHTER than unary
+    // minus — '-2^2' is -(2^2) = -4, not (-2)^2 = 4 …
+    assert(GremlinParser.run(triangle, "g.inject(1).math('-2 ^ 2')")
+      .as[Double].collect().toSeq == Seq(-4.0))
+    assert(GremlinParser.run(triangle, "g.inject(1).math('-_ ^ 2')")
+      .as[Double].collect().toSeq == Seq(-1.0))
+    // … while a signed exponent still parses: 2^-2 = 0.25
+    assert(GremlinParser.run(triangle, "g.inject(1).math('2 ^ -2')")
+      .as[Double].collect().toSeq == Seq(0.25))
+    // malformed literals fail with the positioned ParseException, not a
+    // raw NumberFormatException (ADVICE r14)
+    assert(intercept[GremlinParser.ParseException](GremlinParser.run(
+      triangle, "g.inject(1).math('1.2.3 + _')"))
+      .getMessage.contains("second '.'"))
+    assert(intercept[GremlinParser.ParseException](GremlinParser.run(
+      triangle, "g.inject(1).math('. + _')"))
+      .getMessage.contains("'.' alone"))
     // after values(k): functions + is() composition
     val sq = GremlinParser.run(triangle,
       "g.V().values('score').math('sqrt(_)').is(gt(4))")
@@ -1134,5 +1151,220 @@ class TraversalSpec extends AnyFunSuite {
     bad("g.V().order()")                     // order with no key and no by
     bad("g.V().hasLabel('unclosed")          // unterminated string
     bad("g.V().count().out('next')")         // step after terminal
+  }
+
+  // ---- TinkerPop withComputer OLAP steps (r14 verdict task 1) ----
+
+  /** two components + an isolated vertex: 1→2→3 ('next'), 10→11
+    * ('next'), 20 isolated; 3→99 'mark' (the until-hop beacon)
+    */
+  lazy val islands: PropertyGraph = {
+    val v = Seq((1L, "node", 10), (2L, "node", 20), (3L, "node", 30),
+      (4L, "node", 40), (10L, "node", 50), (11L, "node", 60),
+      (20L, "iso", 70), (99L, "beacon", 0))
+      .toDF("id", "label", "score")
+    val e = Seq((1L, 2L, "next", 1L), (2L, 3L, "next", 2L),
+      (3L, 4L, "next", 3L), (10L, 11L, "next", 1L),
+      (3L, 99L, "mark", 1L))
+      .toDF("src", "dst", "label", "sort_key")
+    PropertyGraph(v, e)
+  }
+
+  test("parser: pageRank() lowers onto pageRankExact (sameResult twin)") {
+    import graft.graph.Algorithms
+    // default spelling: whole graph, 10 iterations, TinkerPop's
+    // default output property name
+    val got = GremlinParser.run(triangle, "g.V().pageRank()")
+    assert(got.columns.toSeq ==
+      Seq("id", "gremlin.pageRankVertexProgram.pageRank"))
+    val twin = Algorithms.pageRankExact(spark, triangle, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == twin)
+    // modulators: edge filter + times + by('rank') + the readout tail
+    val top = GremlinParser.run(islands,
+      "g.V().pageRank()" +
+        ".with('~tinkerpop.pageRank.edges', __.outE('next'))" +
+        ".with('~tinkerpop.pageRank.times', 5).by('rank')" +
+        ".order().by('rank', desc).limit(1)")
+    val twin2 = Algorithms.pageRankExact(spark, islands,
+        labels = Seq("next"), iters = 5)
+      .orderBy(col("pr").desc).limit(1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == twin2)
+    // frontier DECORATION: a filtered frontier keeps only its rows
+    val one = GremlinParser.run(triangle, "g.V(2).pageRank().by('r')")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // bare enum key aliases accept too
+    assert(GremlinParser.run(triangle,
+      "g.V().pageRank().with('times', 3).by('r')").count() == 3)
+    // values() readout after the terminal
+    assert(GremlinParser.run(triangle, "g.V().pageRank().by('r')" +
+      ".values('r')").columns.toSeq == Seq("r"))
+  }
+
+  test("parser: connectedComponent() lowers onto connectedComponents " +
+       "(sameResult twin)") {
+    import graft.graph.Algorithms
+    val got = GremlinParser.run(islands,
+      "g.V().connectedComponent()" +
+        ".with('~tinkerpop.connectedComponent.propertyName', 'cc')")
+    assert(got.columns.toSeq == Seq("id", "cc"))
+    val twin = Algorithms.connectedComponents(spark, islands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == twin)
+    // 20 is isolated: its own singleton component
+    assert(got.collect().collectFirst {
+      case r if r.getLong(0) == 20L => r.getLong(1) }.contains(20L))
+    // edge-label filter: dropping 'mark' splits 99 into a singleton
+    val nf = GremlinParser.run(islands,
+      "g.V(99).connectedComponent()" +
+        ".with('~tinkerpop.connectedComponent.edges', __.outE('next'))" +
+        ".with('~tinkerpop.connectedComponent.propertyName', 'cc')")
+    assert(nf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((99L, 99L)))
+    // default property name is TinkerPop's
+    assert(GremlinParser.run(islands, "g.V().connectedComponent()")
+      .columns.toSeq ==
+      Seq("id", "gremlin.connectedComponentVertexProgram.component"))
+  }
+
+  test("parser: shortestPath() lowers onto ssspHops/ssspWeighted " +
+       "(sameResult twins), relational distance reading") {
+    import graft.graph.Algorithms
+    // hop distances from 1 (source included at dist 0)
+    val got = GremlinParser.run(islands, "g.V(1).shortestPath()" +
+      ".with('~tinkerpop.shortestPath.edges', __.outE('next'))")
+    assert(got.columns.toSeq == Seq("source", "id", "dist"))
+    val twin = Algorithms.ssspHops(spark, islands, 1L, Seq("next"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      == twin)
+    // multi-source: one certified run per explicit id, source column
+    val multi = GremlinParser.run(islands, "g.V(1, 10).shortestPath()" +
+      ".with('~tinkerpop.shortestPath.edges', __.outE('next'))")
+    assert(multi.select("source").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 10L))
+    // inE = reversed walk (dst→src)
+    val rev = GremlinParser.run(islands, "g.V(4).shortestPath()" +
+      ".with('~tinkerpop.shortestPath.edges', __.inE('next'))")
+    assert(rev.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      == Set((4L, 0L), (3L, 1L), (2L, 2L), (1L, 3L)))
+    // target filter + maxDistance
+    val tgt = GremlinParser.run(islands, "g.V(1).shortestPath()" +
+      ".with('~tinkerpop.shortestPath.edges', __.outE('next'))" +
+      ".with('~tinkerpop.shortestPath.target', __.has('score', gt(15)))" +
+      ".with('~tinkerpop.shortestPath.maxDistance', 2)")
+    assert(tgt.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      == Set((2L, 1L), (3L, 2L))) // 1 fails target, 4 fails maxDist
+    // weighted: distance = sort_key, vs the ssspWeighted twin
+    val w = GremlinParser.run(triangle, "g.V(1).shortestPath()" +
+      ".with('~tinkerpop.shortestPath.distance', 'sort_key')")
+    val wt = Algorithms.ssspWeighted(spark, triangle, 1L,
+        col("sort_key").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w.collect().map(r => (r.getLong(1), r.getLong(2))).toSet == wt)
+  }
+
+  test("parser: OLAP step refusals are reasoned") {
+    // frontier shape
+    assert(intercept[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.E().pageRank()")).getMessage.contains("vertex frontier"))
+    // pageRank is src→dst oriented
+    assert(intercept[GremlinParser.ParseException](GremlinParser.parse(
+      "g.V().pageRank().with('~tinkerpop.pageRank.edges', __.inE('next'))"))
+      .getMessage.contains("src→dst"))
+    // cross-family prefix is a user error, not an alias
+    assert(intercept[GremlinParser.ParseException](GremlinParser.parse(
+      "g.V().pageRank().with('~tinkerpop.shortestPath.edges', __.outE('n'))"))
+      .getMessage.contains("does not configure"))
+    // shortestPath needs explicit source ids, directly after the source
+    assert(intercept[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.V().shortestPath()")).getMessage.contains("explicit ids"))
+    assert(intercept[IllegalArgumentException](GremlinParser.run(triangle,
+      "g.V(1).out('next').shortestPath()"))
+      .getMessage.contains("explicit ids"))
+    // undirected walk has no certified program
+    assert(intercept[GremlinParser.ParseException](GremlinParser.parse(
+      "g.V(1).shortestPath()" +
+        ".with('~tinkerpop.shortestPath.edges', __.bothE('next'))"))
+      .getMessage.contains("DIRECTED"))
+    // target must be a pure filter chain
+    assert(intercept[GremlinParser.ParseException](GremlinParser.parse(
+      "g.V(1).shortestPath()" +
+        ".with('~tinkerpop.shortestPath.target', __.out('next'))"))
+      .getMessage.contains("filter chains"))
+    // with() on a non-OLAP step
+    assert(intercept[GremlinParser.ParseException](GremlinParser.parse(
+      "g.V().out('next').with('edges', __.outE('n'))"))
+      .getMessage.contains("must follow"))
+    // unknown configuration key
+    assert(intercept[GremlinParser.ParseException](GremlinParser.parse(
+      "g.V().pageRank().with('epsilon', 7)"))
+      .getMessage.contains("no 'epsilon' configuration"))
+  }
+
+  test("parser: OLAP spellings render round-trip") {
+    Seq(
+      "g.V().pageRank()",
+      "g.V().pageRank().with('~tinkerpop.pageRank.edges', " +
+        "__.outE('next')).with('~tinkerpop.pageRank.times', 5).by('rank')",
+      "g.V().connectedComponent().with('~tinkerpop.connectedComponent" +
+        ".edges', __.outE('next')).with('~tinkerpop.connectedComponent" +
+        ".propertyName', 'cc')",
+      "g.V(1).shortestPath().with('~tinkerpop.shortestPath.edges', " +
+        "__.inE('next')).with('~tinkerpop.shortestPath.target', " +
+        "__.hasLabel('node')).with('~tinkerpop.shortestPath.distance', " +
+        "'sort_key').with('~tinkerpop.shortestPath.maxDistance', 4)",
+      "g.V(1).as('a').out('next').as('b').select('a', 'b')" +
+        ".by(__.out('next').count()).by('score')"
+    ).foreach { q =>
+      val ast = GremlinParser.parse(q)
+      assert(GremlinParser.parse(GremlinParser.render(ast)) == ast,
+        s"round-trip failed for $q")
+    }
+  }
+
+  test("parser: select().by(__.sub.count()) sub-traversal modulators " +
+       "(r14 verdict task 3)") {
+    // per-tagged-vertex degree readout: for each (1→2) walk, count
+    // the 'next' successors of BOTH tagged vertices
+    val got = GremlinParser.run(islands,
+      "g.V(1).as('a').out('next').as('b').select('a', 'b')" +
+        ".by(__.out('next').count()).by('score')")
+    assert(got.columns.toSeq == Seq("a", "b"))
+    // a = 1's out-degree over 'next' (1), b = vertex 2's score (20)
+    assert(got.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      == Seq((1L, 20)))
+    // count clause reaching NOTHING yields 0, not a dropped row
+    val zero = GremlinParser.run(islands,
+      "g.V(3).as('a').out('next').as('b').select('b', 'a')" +
+        ".by(__.out('next').count()).by('score')")
+    assert(zero.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      == Seq((0L, 30))) // b = 4 (chain end, degree 0), a = 3's score
+    // ONE sub-count by applies to every label (the single-by arity)
+    val all = GremlinParser.run(islands,
+      "g.V(3).as('a').out('next').as('b').select('a', 'b')" +
+        ".by(__.out('mark').count())")
+    assert(all.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 0L))) // 3 has a mark edge, its successors don't
+  }
+
+  test("parser: emit() composes with until(<hop predicate>) " +
+       "(r14 verdict task 4)") {
+    // until(__.out('mark')) halts vertex 3 (it has a mark edge); with
+    // emit(), every vertex REACHED at depth >= 1 ships, not just the
+    // halted one
+    val emitted = GremlinParser.run(islands,
+      "g.V(1).repeat(__.out('next')).emit().until(__.out('mark')).id()")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(emitted == Seq(2L, 3L))
+    // without emit(): the halted set only
+    val halted = GremlinParser.run(islands,
+      "g.V(1).repeat(__.out('next')).until(__.out('mark')).id()")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(halted == Seq(3L))
   }
 }
