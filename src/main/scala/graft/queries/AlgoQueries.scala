@@ -1112,7 +1112,12 @@ object AlgoQueries {
        |SELECT ${PropertyGraph.sqlEncode("nation", "n_nationkey")},
        |       ${PropertyGraph.sqlEncode("region", "n_regionkey")} FROM nation""".stripMargin
 
-  private val pagerankExactSql: String = {
+  /** geo-subgraph pageRankExact replay template: the 10 integer-unit
+    * rounds as chained CTEs, parameterized on the final readout so the
+    * a_pagerank_exact and g63_pagerank oracles share ONE unroll (no
+    * template drift between gates).
+    */
+  private[queries] def pagerankReplaySql(finalSelect: String): String = {
     val iters = 10
     val edgesSql = geoEdgesSql
     val steps = (1 to iters).map { i =>
@@ -1130,8 +1135,11 @@ object AlgoQueries {
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
        |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM v),
        |$steps
-       |SELECT id, pr FROM pr$iters ORDER BY pr DESC, id LIMIT 10""".stripMargin
+       |$finalSelect""".stripMargin
   }
+
+  private val pagerankExactSql: String = pagerankReplaySql(
+    "SELECT id, pr FROM pr10 ORDER BY pr DESC, id LIMIT 10")
 
   /** DuckDB replay of pageRankWeightedExact: the pagerankExactSql
     * template with per-edge weights and per-source weight sums — the

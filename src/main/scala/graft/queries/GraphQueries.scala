@@ -451,6 +451,72 @@ object GraphQueries {
         ".as('c').out('located_in').as('n').select('c', 'n').by('name')")
       .orderBy(col("c"), col("n"))
 
+  /** Parsed TinkerPop OLAP pageRank() (r14 verdict task 1): rank the
+    * geo subgraph via the certified exact-integer program
+    * (a_pagerank_exact's twin), decorate the nation∪region frontier,
+    * read out through the post-terminal order() tail. The oracle
+    * replays the same 10 unrolled rounds (shared template,
+    * AlgoQueries.pagerankReplaySql) filtered to the frontier's label
+    * namespaces.
+    */
+  def g63Pagerank(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('nation', 'region').pageRank()" +
+        ".with('~tinkerpop.pageRank.edges', __.outE('located_in', 'part_of'))" +
+        ".by('rank').order().by('id')")
+
+  /** Parsed TinkerPop OLAP connectedComponent() lowered onto the
+    * certified GraphX CC (a_components' twin — min-id component
+    * convention, isolated vertices as singletons), summarized to the
+    * same (component, size) shape so the two gates share one oracle.
+    */
+  def g64Cc(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().connectedComponent()" +
+        ".with('~tinkerpop.connectedComponent.propertyName', 'cc')")
+      .groupBy(col("cc").as("component")).agg(count(lit(1)).as("size"))
+      .orderBy(col("component"))
+
+  /** Parsed TinkerPop OLAP shortestPath() lowered onto the certified
+    * single-source Pregel (a_sssp_hops' twin): hop distances from
+    * region 0 walking part_of/located_in edges REVERSED (__.inE = the
+    * Direction.IN reading), summarized per distance ring.
+    */
+  def g65ShortestPath(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      s"g.V(${PropertyGraph.encodeId("region", 0L)}).shortestPath()" +
+        ".with('~tinkerpop.shortestPath.edges', " +
+        "__.inE('part_of', 'located_in'))")
+      .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      .orderBy(col("dist"))
+
+  /** emit() × until(<hop predicate>) composition (r14 verdict task 4):
+    * the stop sub is a HOP (halt when __.in('part_of') yields anything
+    * — only regions have an incoming part_of edge), and emit() ships
+    * every vertex reached at depth ≥ 1, so the result is g57's
+    * nations∪regions set from a structurally different stop compile
+    * (per-round ids-only hop subplan vs a filter predicate).
+    */
+  def g66EmitUntilHop(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').has('mktsegment', eq('BUILDING'))" +
+        ".repeat(__.out('located_in', 'part_of')).emit()" +
+        ".until(__.in('part_of')).id()")
+      .orderBy(col("id"))
+
+  /** select().by(__.sub.count()) sub-traversal modulators (r14 verdict
+    * task 3 — project() parity): per-BUILDING-customer order count
+    * (one origin-grouped aggregate over the distinct tagged ids,
+    * left-joined back, 0 where the sub reaches nothing) next to the
+    * nation-name key readout.
+    */
+  def g67SelectBySub(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GremlinParser.run(g(s, dir),
+      "g.V().hasLabel('customer').has('mktsegment', eq('BUILDING'))" +
+        ".as('c').out('located_in').as('n').select('c', 'n')" +
+        ".by(__.out('placed').count()).by('name')")
+      .orderBy(col("c"), col("n"))
+
   /** two-hop + dedup: distinct parts bought by BUILDING customers. */
   def g2TwoHopDistinct(s: SparkSession, dir: String): DataFrame =
     g(s, dir).V.hasLabel("customer").has("mktsegment", "BUILDING")
@@ -770,6 +836,11 @@ object GraphQueries {
     "g60_subgraph" -> (g60Subgraph _),
     "g61_until_hop" -> (g61UntilHop _),
     "g62_select_by" -> (g62SelectBy _),
+    "g63_pagerank" -> (g63Pagerank _),
+    "g64_cc" -> (g64Cc _),
+    "g65_shortest_path" -> (g65ShortestPath _),
+    "g66_emit_until_hop" -> (g66EmitUntilHop _),
+    "g67_select_by_sub" -> (g67SelectBySub _),
     "g53_element_map" -> (g53ElementMap _),
     "g54_inject" -> (g54Inject _),
     "g55_coin" -> (g55Coin _),
@@ -796,6 +867,24 @@ object GraphQueries {
     "g9_sort_key_range" -> (g9SortKeyRange _),
     "g10_text_traversal" -> (g10TextTraversal _),
   )
+
+  /** BUILDING-customer geo reach, emit-all form (depth-1 nations AND
+    * depth-2 regions) — shared by the g57 (filter-predicate stop) and
+    * g66 (hop-predicate stop) gates: two different stop compilations,
+    * one emitted set, one oracle.
+    */
+  private val emitUntilGeoSql: String =
+    s"""SELECT id FROM (
+       |  SELECT DISTINCT ${PropertyGraph.sqlEncode("nation", "n_nationkey")} AS id
+       |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+       |  WHERE c_mktsegment = 'BUILDING'
+       |  UNION
+       |  SELECT DISTINCT ${PropertyGraph.sqlEncode("region", "r_regionkey")} AS id
+       |  FROM region
+       |  JOIN nation ON n_regionkey = r_regionkey
+       |  JOIN customer ON c_nationkey = n_nationkey
+       |  WHERE c_mktsegment = 'BUILDING')
+       |ORDER BY id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // parsed-Gremlin-string gate: distinct parts inside expensive
@@ -1022,18 +1111,11 @@ object GraphQueries {
          |WHERE c_mktsegment = 'BUILDING'
          |ORDER BY id""".stripMargin,
     // emit() + target-reached stop: depth-1 nations AND depth-2 regions
-    "g57_emit_until" ->
-      s"""SELECT id FROM (
-         |  SELECT DISTINCT ${PropertyGraph.sqlEncode("nation", "n_nationkey")} AS id
-         |  FROM nation JOIN customer ON c_nationkey = n_nationkey
-         |  WHERE c_mktsegment = 'BUILDING'
-         |  UNION
-         |  SELECT DISTINCT ${PropertyGraph.sqlEncode("region", "r_regionkey")} AS id
-         |  FROM region
-         |  JOIN nation ON n_regionkey = r_regionkey
-         |  JOIN customer ON c_nationkey = n_nationkey
-         |  WHERE c_mktsegment = 'BUILDING')
-         |ORDER BY id""".stripMargin,
+    "g57_emit_until" -> emitUntilGeoSql,
+    // same emitted set, HOP-predicate stop (emit x until(<hop>)
+    // composition, r14 verdict task 4): regions halt because they have
+    // an incoming part_of edge, nations pass through and expand
+    "g66_emit_until_hop" -> emitUntilGeoSql,
     // math() replays operator-for-operator (IEEE-754 doubles on both
     // engines; floor() makes every term integer-valued, so the SUM is
     // exact and order-independent)
@@ -1044,6 +1126,24 @@ object GraphQueries {
     // by-modulated select: property readout per tagged label
     "g62_select_by" ->
       """SELECT c_name AS c, n_name AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c, n""".stripMargin,
+    // OLAP pageRank(): the shared 10-round integer replay, read out
+    // for the nation/region label namespaces (id div 2^40 in {5, 6})
+    "g63_pagerank" -> AlgoQueries.pagerankReplaySql(
+      """SELECT id, pr AS rank FROM pr10
+        |WHERE id // 1099511627776 IN (5, 6) ORDER BY id""".stripMargin),
+    // OLAP connectedComponent() summarizes to a_components' shape
+    "g64_cc" -> AlgoQueries.oracle("a_components"),
+    // OLAP shortestPath() summarizes to a_sssp_hops' distance rings
+    "g65_shortest_path" -> AlgoQueries.oracle("a_sssp_hops"),
+    // select().by(__.out('placed').count()): correlated order count
+    // next to the nation-name key readout
+    "g67_select_by_sub" ->
+      """SELECT (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+        |    AS c,
+        |  n_name AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c, n""".stripMargin,

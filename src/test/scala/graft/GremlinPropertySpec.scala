@@ -106,15 +106,20 @@ class GremlinPropertySpec extends AnyFunSuite {
         subChain(depth - 1).map(GOptional),
         subChain(depth - 1).map(GRepeatUntil),
         {
-          // target-reached until(): the stop is a filter chain
+          // target-reached until(): the stop is a filter chain or a
+          // hop predicate (halt when the sub yields anything), with or
+          // without emit()
           val stopFilter: Gen[GStep] = Gen.oneOf(
             Gen.zip(ident, predicate).map { case (k, p) => GHas(k, p) },
             Gen.nonEmptyListOf(Gen.chooseNum(0L, 999L)).map(GHasId),
             labels1.map(GHasLabel),
-            ident.map(k => GHasKey(k, neg = true)))
+            ident.map(k => GHasKey(k, neg = true)),
+            Gen.zip(Gen.oneOf("out", "in", "both"), labels)
+              .map { case (k, ls) => GHop(k, ls) })
           Gen.zip(subChain(depth - 1),
-              Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, stopFilter)))
-            .map { case (s, stop) => GRepeatUntilStop(s, stop) }
+              Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, stopFilter)),
+              Gen.oneOf(true, false))
+            .map { case (s, stop, e) => GRepeatUntilStop(s, stop, e) }
         })
     Gen.oneOf((flat ++ nested).head, (flat ++ nested)(1),
       (flat ++ nested).drop(2): _*)
@@ -144,6 +149,35 @@ class GremlinPropertySpec extends AnyFunSuite {
       Gen.chooseNum(1, 3)
         .flatMap(n => Gen.listOfN(n, Gen.zip(ident, by)))
         .map(ps => GProject(ps.map(_._1), ps.map(_._2)))
+    },
+    {
+      // select() with by-modulators: ONE by for all labels or one per
+      // label (the two TinkerPop arities the engine accepts)
+      val by: Gen[GBy] = Gen.oneOf(
+        ident.map(GByKey), subChain(1).map(GBySubCount))
+      Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, ident).flatMap(ls =>
+        Gen.oneOf(
+          by.map(b => GSelect(ls, Seq(b))),
+          Gen.listOfN(n, by).map(bs => GSelect(ls, bs)))))
+    },
+    // the TinkerPop withComputer OLAP steps
+    Gen.zip(labels, Gen.chooseNum(1, 20), Gen.option(ident))
+      .map { case (ls, n, p) => GPageRank(ls, n, p.getOrElse("")) },
+    Gen.zip(labels, Gen.option(ident))
+      .map { case (ls, p) => GConnectedComponent(ls, p.getOrElse("")) },
+    {
+      val targetFilter: Gen[GStep] = Gen.oneOf(
+        Gen.zip(ident, predicate).map { case (k, p) => GHas(k, p) },
+        Gen.nonEmptyListOf(Gen.chooseNum(0L, 999L)).map(GHasId),
+        labels1.map(GHasLabel),
+        ident.map(k => GHasKey(k, neg = true)))
+      Gen.zip(
+        Gen.zip(labels, Gen.oneOf(true, false)),
+        Gen.chooseNum(0, 2).flatMap(n => Gen.listOfN(n, targetFilter)),
+        Gen.option(ident),
+        Gen.oneOf(Gen.const(-1L), Gen.chooseNum(0L, 50L)))
+        .map { case ((ls, rev), tgt, w, md) =>
+          GShortestPath(ls, rev, w.getOrElse(""), tgt, md) }
     })
 
   private val source: Gen[GStep] = Gen.oneOf(
