@@ -221,7 +221,17 @@ object Bench {
     // old default of 4 silently benched at local[4] when launched
     // without the env var (round-9 mislabeled-artifact lesson)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // GraphX moves RDDs of Edge/vertex objects through the closure
+    // serializer (JavaSerializer by default) in every Pregel superstep
+    // and graph cache; Kryo + the GraphX class registrations is the
+    // configuration the GraphX docs mandate and cuts that CPU at any
+    // scale. DataFrame paths (Tungsten binary rows) are unaffected, so
+    // results cannot change — only the RDD-bridge gates get faster.
+    val kryoConf = new org.apache.spark.SparkConf()
+      .set("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    org.apache.spark.graphx.GraphXUtils.registerKryoClasses(kryoConf)
     val spark = SparkSession.builder()
+      .config(kryoConf)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

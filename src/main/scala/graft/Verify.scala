@@ -7,7 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Kryo + GraphX registrations — same configuration as Bench (the
+    // GraphX-documented serializer; value-neutral, speed-only)
+    val kryoConf = new org.apache.spark.SparkConf()
+      .set("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    org.apache.spark.graphx.GraphXUtils.registerKryoClasses(kryoConf)
     val spark = SparkSession.builder()
+      .config(kryoConf)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

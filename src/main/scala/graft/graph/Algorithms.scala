@@ -250,14 +250,23 @@ object Algorithms {
     try {
       val rc = new graft.util.Checkpoints.Rolling
       var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
-      for (_ <- 1 to iters) {
+      for (k <- 1 to iters) {
         val contrib = edgesDeg
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
-        pr = rc.roll(verts.join(contrib, Seq("id"), "left")
+        val next = verts.join(contrib, Seq("id"), "left")
           .select(col("id"),
-            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr")))
+            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+        // CHECKPOINT CADENCE 2 (the simRankExact lesson applied to the
+        // whole single-consumer loop family): each round's state feeds
+        // exactly ONE consumer — the next round's join — so skipping
+        // the barrier on odd rounds loses nothing to recomputation
+        // while saving a full materialization stop per skipped round.
+        // Lineage depth stays ≤ 2 rounds between cuts. The FINAL round
+        // always checkpoints: the returned frame must not reference
+        // the loop-scoped caches after the finally unpersists them.
+        pr = if (k % 2 == 0 || k == iters) rc.roll(next) else next
       }
       pr
     } finally {
@@ -303,14 +312,17 @@ object Algorithms {
     try {
       val rc = new graft.util.Checkpoints.Rolling
       var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
-      for (_ <- 1 to iters) {
+      for (k <- 1 to iters) {
         val contrib = edgesW
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .select(col("dst").as("id"), expr("(pr * w) div sw").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
-        pr = rc.roll(verts.join(contrib, Seq("id"), "left")
+        val next = verts.join(contrib, Seq("id"), "left")
           .select(col("id"),
-            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr")))
+            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+        // cadence-2 checkpointing — see pageRankExact (single-consumer
+        // state; final round always materializes before the unpersist)
+        pr = if (k % 2 == 0 || k == iters) rc.roll(next) else next
       }
       pr
     } finally {
@@ -830,15 +842,18 @@ object Algorithms {
     try {
       val rc = new graft.util.Checkpoints.Rolling
       var pr = rc.roll(vflag.select(col("id"), (col("seed") * 1000000L).as("pr")))
-      for (_ <- 1 to iters) {
+      for (k <- 1 to iters) {
         val contrib = edgesDeg
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
-        pr = rc.roll(vflag.join(contrib, Seq("id"), "left")
+        val next = vflag.join(contrib, Seq("id"), "left")
           .select(col("id"),
             (col("seed") * 150000L +
-              expr("(85L * coalesce(m, 0L)) div 100L")).as("pr")))
+              expr("(85L * coalesce(m, 0L)) div 100L")).as("pr"))
+        // cadence-2 checkpointing — see pageRankExact (single-consumer
+        // state; final round always materializes before the unpersist)
+        pr = if (k % 2 == 0 || k == iters) rc.roll(next) else next
       }
       pr
     } finally {
@@ -1194,14 +1209,17 @@ object Algorithms {
         val denom = 2L * maxInDeg
         val rc = new graft.util.Checkpoints.Rolling
         var x = rc.roll(verts.select(col("id"), lit(1000000L).as("score")))
-        for (_ <- 1 to iters) {
+        for (k <- 1 to iters) {
           val m = edges
             .join(x.select(col("id").as("src"), col("score")), "src")
             .groupBy(col("dst")).agg(sum(col("score")).as("m"))
-          x = rc.roll(verts
+          val next = verts
             .join(m.select(col("dst").as("id"), col("m")), Seq("id"), "left")
             .select(col("id"),
-              expr(s"1000000L + coalesce(m, 0L) div ${denom}L").as("score")))
+              expr(s"1000000L + coalesce(m, 0L) div ${denom}L").as("score"))
+          // cadence-2 checkpointing — see pageRankExact (single-consumer
+          // state; final round always materializes before the unpersist)
+          x = if (k % 2 == 0 || k == iters) rc.roll(next) else next
         }
         x
       } finally verts.unpersist(blocking = false)
@@ -1806,10 +1824,17 @@ object Algorithms {
   def bipartiteProjection(edges: DataFrame, minSupport: Long = 2L,
       maxBasketSize: Int = 1000): DataFrame = {
     val e = edges.select(col("src").as("bk"), col("dst").as("it")).distinct()
+    // EAGER checkpoint before the self-join (guide §2.4 — the d5/kTruss
+    // duplicated-subtree lesson): `sized` is referenced by BOTH sides
+    // of the pair join, and the r15 plan audit showed zero exchange
+    // reuse across the two references — the basket distinct + size
+    // filter (and the caller's whole edge derivation under it) ran
+    // twice per query. The frame is narrow (bk, it) rows.
     val sized = e.join(
       e.groupBy(col("bk")).agg(count(lit(1)).as("__bs")), "bk")
       .filter(col("__bs") <= maxBasketSize)
       .select(col("bk"), col("it"))
+      .localCheckpoint(eager = true)
     sized.as("a").join(sized.as("b"),
         col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
       .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
@@ -2258,8 +2283,13 @@ object Algorithms {
     // integer floor division by construction (ADVICE r10: double
     // division + cast matched the oracle's 1000000 // d only as long
     // as rounding never crossed an integer boundary)
+    // EAGER checkpoint before the self-join (the d5/bipartiteProjection
+    // duplicated-subtree lesson; r15 plan audit: zero exchange reuse
+    // across the x/y references, so the edge distinct + degree join ran
+    // twice). Narrow (z, p, w) rows.
     val w = e.join(deg, "z")
       .select(col("z"), col("p"), expr("1000000L div d").as("w"))
+      .localCheckpoint(eager = true)
     w.as("x").join(w.as("y"), "z")
       .filter(col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
@@ -2289,7 +2319,9 @@ object Algorithms {
       .select(col(pSide).as("p"), col(zSide).as("z")).distinct()
     val deg = e.groupBy(col("z")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxDeg && col("d") >= 2)
-    val ez = e.join(deg.select(col("z")), "z")
+    // EAGER checkpoint before the self-join (same duplicated-subtree
+    // fix as resourceAllocation — zero exchange reuse across x/y)
+    val ez = e.join(deg.select(col("z")), "z").localCheckpoint(eager = true)
     val pairs = ez.as("x").join(ez.as("y"), "z")
       .filter(col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))

@@ -451,8 +451,11 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
         val emitted = if (emitAll) nextIds else stopIds
         halted = Some(halted.map(_.union(emitted)).getOrElse(emitted))
         visited = visited.union(nextIds)
+        // LAZY: both inputs are already checkpointed, so the anti-join
+        // is a depth-1 plan over cached blocks — its two evaluations
+        // (the emptiness test + the next round's semi-join) cost less
+        // than the third checkpoint job per round this used to run
         frontierIds = nextIds.join(stopIds, Seq("id"), "left_anti")
-          .localCheckpoint()
         depth += 1
       }
       // a target deeper than maxDepth must not silently vanish from

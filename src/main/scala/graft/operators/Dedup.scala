@@ -149,13 +149,29 @@ object Dedup {
                      tokenHash: Column => Column = fastTokenHash): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, k, numHashes, tokenHash)
+    // ONE shingle pass for the whole operator (guide §2.4, remove the
+    // duplicated subtree): the hashed DISTINCT shingle rows feed BOTH
+    // the signature aggregation and the exact-Jaccard verify join.
+    // Previously minhashSignatures re-derived its own shingleRows, so
+    // the tokenize + explode (+ k-gram window) + distinct shuffle ran
+    // TWICE per query — and exchange reuse does not bridge the two
+    // consumers (different aggregates above the shared subtree). The
     // verify joins meet on the 63-bit shingle HASH, not the string —
-    // the shuffle carries (id, long) instead of (id, text); identical
-    // counts absent a 63-bit collision (the same caveat the band
-    // bucketing already accepts), and the oracle replays the hash join
+    // the cached rows are (doc_id, long), 16 bytes; identical counts
+    // absent a 63-bit collision (the same caveat the band bucketing
+    // already accepts), and the oracle replays the hash join. EAGER
+    // localCheckpoint, not a lazy persist: the kTruss lesson — a
+    // multi-scan consumer re-derives a lazily-cached input under each
+    // scan before the cache fills.
     val sh = shingleRows(docs, k)
       .select(col("doc_id"), tokenHash(col("s")).as("h"))
+      .localCheckpoint(eager = true)
+    val sigAggs = (0 until numHashes).map(i =>
+      min(derivedHash(col("h"), i)).as(s"m$i"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("signature"))
 
     // (band, bucket=hash(slice), doc) — one row per band per doc
     val bandStructs = array((0 until bands).map { b =>
@@ -550,6 +566,20 @@ object Dedup {
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp"))
         .localCheckpoint()
+      // convergence witness: the id set is constant across rounds and
+      // labels are monotone NON-INCREASING, so the exact decimal sum of
+      // comps is unchanged iff no label changed — ONE scalar aggregate
+      // over the just-checkpointed frame replaces the previous
+      // compare-join (+ its shuffle) per round (the stronglyConnected
+      // cSum discipline).
+      def cSum(df: DataFrame): java.math.BigDecimal = {
+        // SUM over zero rows is NULL — an empty pair list (e.g. a
+        // scanCluster corpus with no core-core edges) must converge on
+        // round 1, not NPE in the comparison
+        val d = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+        if (d == null) java.math.BigDecimal.ZERO else d
+      }
+      var prevSum = cSum(labels)
       var converged = false
       var it = 0
       while (!converged && it < maxIter) {
@@ -559,11 +589,11 @@ object Dedup {
         val next = labels.union(viaNbr)
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))
           .localCheckpoint()
-        converged = next.join(labels.select(col("id"),
-              col("comp").as("prev")), "id")
-          .filter(col("comp") =!= col("prev")).isEmpty
-        // round k−1's blocks are dead once the convergence check (the
-        // last reader of `labels`) has run — release deterministically
+        val s2 = cSum(next)
+        converged = s2.compareTo(prevSum) == 0
+        prevSum = s2
+        // round k−1's blocks are dead once `next` has materialized (its
+        // roll was labels' last reader) — release deterministically
         // instead of waiting for a GC (SCALE.md block-release item)
         graft.util.Checkpoints.release(labels)
         labels = next
@@ -594,8 +624,13 @@ object Dedup {
                     evalSplit: String = "test",
                     flagThreshold: Double = 0.2): DataFrame = {
     val lab = graft.operators.Sampling.assignSplit(docs, col("doc_id"), weights)
+    // EAGER checkpoint: the split-labelled shingle rows feed FOUR
+    // consumers (eval distinct, train side, per-doc totals, hit join) —
+    // without it the tokenize + k-gram window + distinct re-derives per
+    // consumer (the d5 duplicated-subtree lesson). Narrow rows.
     val sh = shingleRows(lab.select(col("doc_id"), col("text")), k)
       .join(lab.select(col("doc_id"), col("split")), "doc_id")
+      .localCheckpoint(eager = true)
     val ev = sh.filter(col("split") === evalSplit).select(col("s")).distinct()
     val tr = sh.filter(col("split") === "train").select(col("doc_id"), col("s"))
     val tot = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))

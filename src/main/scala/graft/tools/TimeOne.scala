@@ -15,7 +15,12 @@ object TimeOne {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // Kryo + GraphX registrations — keep the measurement session
+    // identical to Bench's (value-neutral, speed-only)
+    val kryoConf = new org.apache.spark.SparkConf()
+      .set("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    org.apache.spark.graphx.GraphXUtils.registerKryoClasses(kryoConf)
+    val spark = SparkSession.builder().config(kryoConf).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

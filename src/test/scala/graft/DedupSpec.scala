@@ -319,4 +319,26 @@ class DedupSpec extends AnyFunSuite {
       assert(mean <= 32.0 && mean >= 8.0, s"n=$n bits=$b mean=$mean")
     }
   }
+
+  test("dupClusters: multi-round chain converges to min-label components " +
+    "(sum-witness convergence — r15 optimization)") {
+    // a 7-link chain needs ~6 min-label propagation rounds (the label 10
+    // must walk the whole chain), so a broken convergence witness that
+    // stops one round early yields a non-min comp for the far end;
+    // plus a separate 2-cluster and a singleton pair to pin components
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (15L, 16L), (16L, 17L), // chain 10..17
+      (30L, 31L), (31L, 32L), // chain 30..32
+      (50L, 51L) // pair
+    ).toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val want = (10L to 17L).map(i => (i, 10L)) ++
+      (30L to 32L).map(i => (i, 30L)) ++ Seq((50L, 50L), (51L, 50L))
+    assert(got == want)
+    // empty pair list: converge round 1 with an empty frame (the SUM
+    // witness is NULL over zero rows — must not NPE)
+    assert(Dedup.dupClusters(pairs.limit(0)).isEmpty)
+  }
 }
