@@ -247,6 +247,17 @@ object Algorithms {
     val verts = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .persist(MEMORY_AND_DISK)
+    // vertices with NO in-edge receive zero propagated mass in every
+    // round, so their rank is the constant 150000 restart term —
+    // computed ONCE. contrib below covers exactly the has-in-edge
+    // set (pr always spans all vertices, so every dst gets a
+    // contribution row), which turns the per-round verts LEFT join —
+    // a full-vertex scan plus a broadcast build every round — into a
+    // shuffle-free union with this constant frame (r15, guide §2.4).
+    val noIn = verts
+      .join(edgesDeg.select(col("dst").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(150000L).as("pr"))
+      .persist(MEMORY_AND_DISK)
     try {
       val rc = new graft.util.Checkpoints.Rolling
       var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
@@ -255,9 +266,9 @@ object Algorithms {
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
-        val next = verts.join(contrib, Seq("id"), "left")
-          .select(col("id"),
-            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+        val next = contrib
+          .select(col("id"), expr("150000L + (85L * m) div 100L").as("pr"))
+          .unionByName(noIn)
         // CHECKPOINT CADENCE 2 (the simRankExact lesson applied to the
         // whole single-consumer loop family): each round's state feeds
         // exactly ONE consumer — the next round's join — so skipping
@@ -272,6 +283,7 @@ object Algorithms {
     } finally {
       edgesDeg.unpersist(blocking = false)
       verts.unpersist(blocking = false)
+      noIn.unpersist(blocking = false)
     }
   }
 
@@ -309,6 +321,11 @@ object Algorithms {
     val verts = edgesW.select(col("src").as("id"))
       .union(edgesW.select(col("dst").as("id"))).distinct()
       .persist(MEMORY_AND_DISK)
+    // constant no-in-edge frame — see pageRankExact (r15, guide §2.4)
+    val noIn = verts
+      .join(edgesW.select(col("dst").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(150000L).as("pr"))
+      .persist(MEMORY_AND_DISK)
     try {
       val rc = new graft.util.Checkpoints.Rolling
       var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
@@ -317,9 +334,9 @@ object Algorithms {
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .select(col("dst").as("id"), expr("(pr * w) div sw").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
-        val next = verts.join(contrib, Seq("id"), "left")
-          .select(col("id"),
-            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+        val next = contrib
+          .select(col("id"), expr("150000L + (85L * m) div 100L").as("pr"))
+          .unionByName(noIn)
         // cadence-2 checkpointing — see pageRankExact (single-consumer
         // state; final round always materializes before the unpersist)
         pr = if (k % 2 == 0 || k == iters) rc.roll(next) else next
@@ -328,6 +345,7 @@ object Algorithms {
     } finally {
       edgesW.unpersist(blocking = false)
       verts.unpersist(blocking = false)
+      noIn.unpersist(blocking = false)
     }
   }
 
@@ -839,6 +857,16 @@ object Algorithms {
         .withColumn("__seed", lit(1L)), Seq("id"), "left")
       .select(col("id"), coalesce(col("__seed"), lit(0L)).as("seed"))
       .persist(MEMORY_AND_DISK)
+    // constant no-in-edge frame (per-vertex seed restart mass only) —
+    // see pageRankExact; the contrib side re-attaches the seed flag by
+    // joining the SMALL seed set instead of the full vflag frame
+    val seedFlag = seeds.select(col("id")).distinct()
+      .withColumn("__seed", lit(1L))
+      .persist(MEMORY_AND_DISK)
+    val noIn = vflag
+      .join(edgesDeg.select(col("dst").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), (col("seed") * 150000L).as("pr"))
+      .persist(MEMORY_AND_DISK)
     try {
       val rc = new graft.util.Checkpoints.Rolling
       var pr = rc.roll(vflag.select(col("id"), (col("seed") * 1000000L).as("pr")))
@@ -847,10 +875,12 @@ object Algorithms {
           .join(pr.select(col("id").as("src"), col("pr")), "src")
           .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
-        val next = vflag.join(contrib, Seq("id"), "left")
+        val next = contrib
+          .join(seedFlag, Seq("id"), "left")
           .select(col("id"),
-            (col("seed") * 150000L +
-              expr("(85L * coalesce(m, 0L)) div 100L")).as("pr"))
+            (coalesce(col("__seed"), lit(0L)) * 150000L +
+              expr("(85L * m) div 100L")).as("pr"))
+          .unionByName(noIn)
         // cadence-2 checkpointing — see pageRankExact (single-consumer
         // state; final round always materializes before the unpersist)
         pr = if (k % 2 == 0 || k == iters) rc.roll(next) else next
@@ -859,6 +889,8 @@ object Algorithms {
     } finally {
       edgesDeg.unpersist(blocking = false)
       vflag.unpersist(blocking = false)
+      seedFlag.unpersist(blocking = false)
+      noIn.unpersist(blocking = false)
     }
   }
 
@@ -925,32 +957,36 @@ object Algorithms {
           .join(asg.select(col("id").as("n"), col("c").as("nc")), "n")
           .groupBy(col("v"), col("nc")).agg(count(lit(1)).as("kin"))
         // own community is always a candidate (kin contributes 0, so a
-        // plain SUM after the union cannot double-count)
-        val cand = kin
+        // plain SUM after the union cannot double-count). The union's
+        // own-row CARRIES the current community (own = 1 exactly on
+        // nc = cur, and max(when(own, nc)) = cur) — so neither the
+        // scored pass nor the state update needs a join back onto asg:
+        // two joins fewer per round than the r14 shape (r15, §2.4).
+        val cand = kin.withColumn("own", lit(0L))
           .unionByName(asg.select(col("id").as("v"), col("c").as("nc"),
-            lit(0L).as("kin")))
-          .groupBy(col("v"), col("nc")).agg(sum(col("kin")).as("kin"))
+            lit(0L).as("kin"), lit(1L).as("own")))
+          .groupBy(col("v"), col("nc"))
+          .agg(sum(col("kin")).as("kin"), max(col("own")).as("own"))
         val scored = cand
           .join(deg, "v")
           .join(tot.select(col("c").as("nc"), col("tot")), "nc")
-          .join(asg.select(col("id").as("v"), col("c").as("cur")), "v")
-          .select(col("v"), col("nc"), col("cur"),
+          .select(col("v"), col("nc"), col("own"),
             (lit(m2) * col("kin") - col("d") *
-              (col("tot") - when(col("nc") === col("cur"), col("d"))
+              (col("tot") - when(col("own") === 1L, col("d"))
                 .otherwise(lit(0L)))).as("score"))
-        // ONE aggregate carries both the argmax candidate and the
-        // stay-put score (own community is unique per v, so the
-        // conditional MAX is exact) — two shuffles fewer per round
-        // than separate best/own frames
+        // ONE aggregate carries the argmax candidate, the stay-put
+        // score AND the current community (own community is unique per
+        // v, so the conditional MAXes are exact)
         val best = scored.groupBy(col("v"))
           .agg(max(struct(col("score"), (-col("nc")).as("mn"))).as("b"),
-            max(when(col("nc") === col("cur"), col("score"))).as("os"))
+            max(when(col("own") === 1L, col("score"))).as("os"),
+            max(when(col("own") === 1L, col("nc"))).as("cur"))
           .select(col("v").as("id"), col("b.score").as("bs"),
-            (-col("b.mn")).as("bc"), col("os"))
-        asg = rc.roll(asg.join(best, "id")
+            (-col("b.mn")).as("bc"), col("os"), col("cur"))
+        asg = rc.roll(best
           .select(col("id"),
             when(col("id") % 2 === lit(r % 2) && col("bs") > col("os"),
-              col("bc")).otherwise(col("c")).as("c")))
+              col("bc")).otherwise(col("cur")).as("c")))
       }
       asg.localCheckpoint()
     } finally {
@@ -995,6 +1031,11 @@ object Algorithms {
       adj.unpersist(blocking = false)
       verts.unpersist(blocking = false)
     }
+    // r15 note: an iso-union round shape (state = pick ∪ constant
+    // isolated frame, licensed by filtering adj to labeled endpoints
+    // up front) was A/B'd in-JVM against this shape and REVERTED:
+    // the one-time endpoint semi-joins cost more than the removed
+    // per-round left join at bench scale (AbLoopProbe: 9.18 vs 11.24).
   }
 
   /** k-core: the maximal subgraph in which every vertex has at least k
@@ -1207,21 +1248,29 @@ object Algorithms {
         val maxInDeg = edges.groupBy(col("dst"))
           .agg(count(lit(1)).as("d")).agg(max(col("d"))).head().getLong(0)
         val denom = 2L * maxInDeg
-        val rc = new graft.util.Checkpoints.Rolling
-        var x = rc.roll(verts.select(col("id"), lit(1000000L).as("score")))
-        for (k <- 1 to iters) {
-          val m = edges
-            .join(x.select(col("id").as("src"), col("score")), "src")
-            .groupBy(col("dst")).agg(sum(col("score")).as("m"))
-          val next = verts
-            .join(m.select(col("dst").as("id"), col("m")), Seq("id"), "left")
-            .select(col("id"),
-              expr(s"1000000L + coalesce(m, 0L) div ${denom}L").as("score"))
-          // cadence-2 checkpointing — see pageRankExact (single-consumer
-          // state; final round always materializes before the unpersist)
-          x = if (k % 2 == 0 || k == iters) rc.roll(next) else next
-        }
-        x
+        // constant no-in-edge frame — see pageRankExact (r15, §2.4)
+        val noIn = verts
+          .join(edges.select(col("dst").as("id")), Seq("id"), "left_anti")
+          .select(col("id"), lit(1000000L).as("score"))
+          .persist(MEMORY_AND_DISK)
+        try {
+          val rc = new graft.util.Checkpoints.Rolling
+          var x = rc.roll(verts.select(col("id"), lit(1000000L).as("score")))
+          for (k <- 1 to iters) {
+            val m = edges
+              .join(x.select(col("id").as("src"), col("score")), "src")
+              .groupBy(col("dst")).agg(sum(col("score")).as("m"))
+            val next = m
+              .select(col("dst").as("id"),
+                expr(s"1000000L + m div ${denom}L").as("score"))
+              .unionByName(noIn)
+            // cadence-2 checkpointing — see pageRankExact
+            // (single-consumer state; final round always materializes
+            // before the unpersist)
+            x = if (k % 2 == 0 || k == iters) rc.roll(next) else next
+          }
+          x
+        } finally noIn.unpersist(blocking = false)
       } finally verts.unpersist(blocking = false)
     } finally edges.unpersist(blocking = false)
   }
@@ -2185,19 +2234,24 @@ object Algorithms {
         // "nothing moved" PROVES every chain is at its root.
         val jc = new graft.util.Checkpoints.Rolling(resetStats = true)
         var pj = jc.roll(par.withColumn("moved", lit(true)))
-        var unresolved = -1L
+        var anyMoved = true
         var j = 0
-        while (j < jumps && unresolved != 0L) {
+        while (j < jumps && anyMoved) {
           j += 1
           pj = jc.roll(pj.as("x").join(pj.select(col("c").as("p"),
               col("p").as("pp")).as("y"), "p")
             .select(col("x.c").as("c"), col("pp").as("p"),
               (col("pp") =!= col("x.p")).as("moved")))
-          unresolved = pj.filter(col("moved")).count()
+          // fixpoint probe: isEmpty (a take-1 over the just-rolled
+          // blocks, short-circuiting) instead of a full count per jump
+          // — the count only matters on the failure path, where it is
+          // recomputed for the message (r15, guide §1.2)
+          anyMoved = !pj.filter(col("moved")).isEmpty
         }
-        require(unresolved == 0L,
-          s"boruvkaMsf: $unresolved hook chains still moving after " +
-            s"$jumps jumps (depth > 2^$jumps) — raise the jump budget")
+        require(!anyMoved,
+          s"boruvkaMsf: ${pj.filter(col("moved")).count()} hook chains " +
+            s"still moving after $jumps jumps (depth > 2^$jumps) — " +
+            "raise the jump budget")
         pj = pj.select(col("c"), col("p")).localCheckpoint(true)
         jc.releaseLast()
         // contract: relabel endpoints to roots, drop intra-component

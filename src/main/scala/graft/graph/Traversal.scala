@@ -343,9 +343,22 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     // less than one eager build of the full wide cache (arrays/maps
     // for ~1M rows), which dominated the gate query's wall-clock.
     val ownE = g.edges.storageLevel == none
+    // swap the wide vertex union for a cached narrow (id, label) frame
+    // when the step provably never reads a vertex property — the
+    // in-loop joins are then one InMemoryTableScan instead of a
+    // 6-scan union re-derived (and re-broadcast) every round; the
+    // result hydration below still uses the ORIGINAL wide vertices.
+    // The loop's own edge cache is likewise pruned to (src, dst,
+    // label) when no edge property is referenced.
+    val ownV = !stepReferencesVertexProps(Seq(step))
+    val loopV = if (ownV) narrowLoopVertices(level) else g.vertices
+    val loopE =
+      if (!ownE) g.edges
+      else if (stepNeedsEdgeProps(Seq(step))) g.edges.persist(level)
+      else g.edges.select(col("src"), col("dst"), col("label")).persist(level)
     val gc = PropertyGraph(
-      g.vertices,
-      if (ownE) g.edges.persist(level) else g.edges,
+      loopV,
+      loopE,
       g.edgesByDst) // table-backed when present — cheap to rescan
     try {
       var frontierIds = df.select(col("id")).dropDuplicates("id").localCheckpoint()
@@ -374,7 +387,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
       val ids = reached.getOrElse(df.limit(0).select(col("id")))
       copy(df = g.vertices.join(ids, Seq("id"), "left_semi"))
     } finally {
-      if (ownE) gc.edges.unpersist(blocking = true)
+      if (ownE) loopE.unpersist(blocking = true)
+      if (ownV) loopV.unpersist(blocking = true)
     }
   }
 
@@ -392,6 +406,72 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
         "it cannot run inside where()/not()/choose()/coalesce()/" +
         "optional()/local()/project() sub-traversals; use " +
         "repeat().times(n) there")
+
+  /** Does any of the given sub-traversals reference a vertex PROPERTY
+    * column (anything beyond id/label)? Decides whether the BFS loops
+    * may swap the wide vertex union for a narrow cached (id, label)
+    * frame (r15 plan audit: the per-round semi-join was pushed below
+    * the 6-branch vertex Union — 6 SortMergeJoins + 12 Exchanges per
+    * round — and the otherV hydration broadcast-rebuilt the whole
+    * union from parquet EVERY round). Analysis-only: the probe plans
+    * are built against the real graph but never executed. Name-based
+    * and conservative — a shared name (e.g. the edge column
+    * `orderdate`) or any probe failure keeps the wide frame, which is
+    * always correct, just slower.
+    */
+  private def stepReferencesVertexProps(
+      fns: Seq[Traversal => Traversal]): Boolean =
+    stepRefNames(fns) match {
+      case Some(refs) =>
+        refs.intersect(g.vertices.columns.toSet -- Set("id", "label")).nonEmpty
+      case None => true
+    }
+
+  /** All column names the given sub-traversals' analyzed plans
+    * reference, or None when a probe plan cannot be built (unknown
+    * shape — callers fall back to the conservative wide frames).
+    * Analysis-only: nothing is executed.
+    */
+  private def stepRefNames(
+      fns: Seq[Traversal => Traversal]): Option[Set[String]] =
+    try {
+      val probe = Traversal(g, g.vertices, isEdge = false)
+      Some(fns.flatMap { fn =>
+        fn(probe).df.queryExecution.analyzed.collect {
+          case p => p.expressions.flatMap(_.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              a.name
+          })
+        }.flatten
+      }.toSet)
+    } catch { case _: Throwable => None }
+
+  /** May the loop's edge cache drop the edge PROPERTY columns
+    * (everything beyond src/dst/label)? Same introspection contract
+    * as [[stepReferencesVertexProps]]: the cache build then writes
+    * 3 narrow columns instead of 8 (the lineitem-backed `contains`
+    * branch carries 4 otherwise-unused property columns through the
+    * union), shrinking both the one-time materialization and every
+    * per-round scan. Conservative on shared names and probe failure.
+    */
+  private def stepNeedsEdgeProps(fns: Seq[Traversal => Traversal]): Boolean =
+    stepRefNames(fns) match {
+      case Some(refs) =>
+        refs.intersect(g.edges.columns.toSet -- Set("src", "dst", "label")).nonEmpty
+      case None => true
+    }
+
+  /** The narrow in-loop vertex frame: (id, label) only, shuffled onto
+    * the session's id-hash layout and sorted so every per-round join
+    * streams the cache with NO exchange and NO re-sort (the cached
+    * plan's partitioning/ordering survive InMemoryTableScan), and the
+    * round's dedup + visited anti-join inherit the id partitioning.
+    */
+  private def narrowLoopVertices(
+      level: org.apache.spark.storage.StorageLevel): DataFrame =
+    g.vertices.select(col("id"), col("label"))
+      .repartition(col("id")).sortWithinPartitions("id")
+      .persist(level)
 
   /** Gremlin repeat(step).until(predicate) — the TARGET-REACHED stop
     * (`repeat(out()).until(hasId(x) | has('k',v) | hasLabel('l'))`):
@@ -428,11 +508,31 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val none = org.apache.spark.storage.StorageLevel.NONE
     val ownE = g.edges.storageLevel == none
+    // narrow in-loop vertices / pruned edge cache when neither the
+    // step nor the stop predicate reads the property columns — see
+    // repeatUntil
+    val probeFns = Seq(step, (t: Traversal) => t.where(stop))
+    val ownV = !stepReferencesVertexProps(probeFns)
+    val loopV = if (ownV) narrowLoopVertices(level) else g.vertices
+    val loopE =
+      if (!ownE) g.edges
+      else if (stepNeedsEdgeProps(probeFns)) g.edges.persist(level)
+      else g.edges.select(col("src"), col("dst"), col("label")).persist(level)
     val gc = PropertyGraph(
-      g.vertices,
-      if (ownE) g.edges.persist(level) else g.edges,
+      loopV,
+      loopE,
       g.edgesByDst)
     try {
+      // The stop verdict is PER-VERTEX and frontier-independent: the
+      // sub-traversal sees one fresh traverser (PATH = [id]) per
+      // candidate, so whether it yields anything depends only on the
+      // (constant) graph. Evaluating it ONCE over all vertices and
+      // semi-joining each round's new frontier replaces the per-round
+      // where() subplan — for a hop stop that was 2-3 joins plus
+      // their broadcast builds EVERY round (r15 JobProbe: the g66
+      // hop-stop rounds carried ~20 broadcast-future jobs each).
+      val stopSet = Traversal(gc, gc.vertices, isEdge = false)
+        .where(stop).df.select(col("id")).localCheckpoint()
       var frontierIds = df.select(col("id")).dropDuplicates("id").localCheckpoint()
       var visited = frontierIds
       var halted: Option[DataFrame] = None
@@ -445,9 +545,9 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
         val nextIds = stepped.df.select(col("id")).dropDuplicates("id")
           .join(visited, Seq("id"), "left_anti")
           .localCheckpoint()
-        val nextV = gc.vertices.join(nextIds, Seq("id"), "left_semi")
-        val stopIds = Traversal(gc, nextV, isEdge = false)
-          .where(stop).df.select(col("id")).localCheckpoint()
+        // LAZY like frontierIds: a depth-1 semi-join over two
+        // checkpointed frames — no per-round stop job at all
+        val stopIds = nextIds.join(stopSet, Seq("id"), "left_semi")
         val emitted = if (emitAll) nextIds else stopIds
         halted = Some(halted.map(_.union(emitted)).getOrElse(emitted))
         visited = visited.union(nextIds)
@@ -455,7 +555,7 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
         // is a depth-1 plan over cached blocks — its two evaluations
         // (the emptiness test + the next round's semi-join) cost less
         // than the third checkpoint job per round this used to run
-        frontierIds = nextIds.join(stopIds, Seq("id"), "left_anti")
+        frontierIds = nextIds.join(stopSet, Seq("id"), "left_anti")
         depth += 1
       }
       // a target deeper than maxDepth must not silently vanish from
@@ -469,7 +569,8 @@ final case class Traversal(g: PropertyGraph, df: DataFrame, isEdge: Boolean) {
       val ids = halted.getOrElse(df.limit(0).select(col("id")))
       copy(df = g.vertices.join(ids, Seq("id"), "left_semi"))
     } finally {
-      if (ownE) gc.edges.unpersist(blocking = true)
+      if (ownE) loopE.unpersist(blocking = true)
+      if (ownV) loopV.unpersist(blocking = true)
     }
   }
 

@@ -1141,14 +1141,27 @@ object Similarity {
     */
   def pcaTopComponent(corpus: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1 && iters <= 16, "pcaTopComponent: 1 <= iters <= 16")
+    // ONE corpus pass: the exploded components are materialized
+    // pre-partitioned on the self-join key, so the Gram join reads
+    // cached narrow (vec_id, dim, q) blocks on both sides with no
+    // exchange — the r15 plan audit found the corpus scan + explode
+    // re-derived under each alias (zero exchange reuse), the same
+    // duplicated-subtree family as d5/a_linkpred (guide §2.4)
     val comps = corpus.select(col("vec_id"),
       posexplode(transform(col("embedding"),
         x => floor(x.cast("double") * 1000).cast("long")))
         .as(Seq("dim", "q")))
+      .repartition(col("vec_id"))
+      .localCheckpoint(true)
+    // d²-row frame, checkpointed: the broadcast max below would
+    // otherwise re-run the whole Gram join+agg a second time inside
+    // its build
     val gramRaw = comps.as("a")
       .join(comps.as("b"), col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.dim").as("j"), col("b.dim").as("k"))
       .agg(sum(col("a.q") * col("b.q")).as("g0"))
+      .localCheckpoint(true)
+    graft.util.Checkpoints.release(comps)
     val mg = gramRaw.agg(greatest(max(abs(col("g0"))), lit(1L)).as("mg"))
     val rc = new graft.util.Checkpoints.Rolling
     val gram = gramRaw.crossJoin(broadcast(mg))
@@ -1156,6 +1169,7 @@ object Similarity {
         (when(col("g0") < 0, lit(-1L)).otherwise(lit(1L))
           * expr("abs(g0) div (mg div 1000000 + 1)")).as("g"))
       .localCheckpoint(true)
+    graft.util.Checkpoints.release(gramRaw)
     var x = rc.seed(gram.select(col("j")).distinct()
       .withColumn("v", lit(1000L)).localCheckpoint(true))
     for (_ <- 1 to iters) {

@@ -644,22 +644,30 @@ object TextAnalysis {
         rules += top1.select(lit(r).as("merge_round"),
           col("lft"), col("rgt"), col("n"))
         // flag matches of THE rule, pick even-offset positions per run,
-        // rewrite flagged syms to the merged symbol, drop consumed rows
+        // rewrite flagged syms to the merged symbol, drop consumed rows.
+        // ONE window chain, ZERO joins (r15 restructure, guide §2.4 —
+        // the old shape joined a filtered self-derivation back twice,
+        // evaluating the lead() sort 3× per round): the hit-run group
+        // key is pos − (running hit count) — the same gaps-and-islands
+        // constant the filtered row_number computed — so run starts,
+        // even-offset merge picks, and the consumed-successor drop all
+        // ride windows over the SAME word partitioning.
         val fl = lk.crossJoin(broadcast(top1))
-          .withColumn("hit", col("sym") === col("lft") &&
-            col("nxt") === col("rgt"))
-        val runs = fl.filter(col("hit"))
-          .withColumn("grp", col("pos") - row_number().over(w))
+          .withColumn("hit", coalesce(col("sym") === col("lft") &&
+            col("nxt") === col("rgt"), lit(false)))
+        val wRun = Window.partitionBy(col("word")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wg = Window.partitionBy(col("word"), col("grp"))
-        val mg = runs
-          .withColumn("run_start", min(col("pos")).over(wg))
-          .filter(((col("pos") - col("run_start")) % 2) === 0)
-          .select(col("word"), col("pos"), lit(true).as("do_merge"))
         state = rc.roll(fl
-          .join(mg, Seq("word", "pos"), "left")
-          .join(mg.select(col("word"), (col("pos") + 1).as("pos"),
-            col("do_merge").as("consumed")), Seq("word", "pos"), "left")
-          .filter(col("consumed").isNull)
+          .withColumn("grp", col("pos") -
+            sum(when(col("hit"), 1L).otherwise(0L)).over(wRun))
+          .withColumn("run_start",
+            min(when(col("hit"), col("pos"))).over(wg))
+          .withColumn("do_merge", col("hit") &&
+            ((col("pos") - col("run_start")) % 2) === 0)
+          .withColumn("consumed",
+            coalesce(lag(col("do_merge"), 1).over(w), lit(false)))
+          .filter(!col("consumed"))
           .select(col("word"), col("freq"), col("pos"),
             when(col("do_merge"), concat(col("sym"), col("nxt")))
               .otherwise(col("sym")).as("sym"))

@@ -1,0 +1,187 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Same-JVM alternating A/B of the r15 loop restructures (old round
+  * shape vs new), so the hypervisor-steal weather hits both sides of
+  * the comparison equally: runs interleave A,B,A,B,... and the min of
+  * each side is reported (contention only ever ADDS time). Old shapes
+  * are copied verbatim from the r14 HEAD.
+  */
+object AbLoopProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val kryoConf = new org.apache.spark.SparkConf()
+      .set("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    org.apache.spark.graphx.GraphXUtils.registerKryoClasses(kryoConf)
+    val spark = SparkSession.builder().config(kryoConf).master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val g = graft.graph.PropertyGraph.fromTpch(spark, dir)
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---- LPA old shape (r14 HEAD) ----
+    def lpaOld(): DataFrame = {
+      val all = g.edges
+      val und = all.select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val adj = und.select(explode(array(
+          struct(col("a").as("v"), col("b").as("n")),
+          struct(col("b").as("v"), col("a").as("n")))).as("e"))
+        .select(col("e.v").as("v"), col("e.n").as("n"))
+        .repartition(col("n")).persist(MEMORY_AND_DISK)
+      val verts = g.vertices.select(col("id")).distinct()
+        .persist(MEMORY_AND_DISK)
+      try {
+        val rc = new graft.util.Checkpoints.Rolling
+        var lab = rc.roll(verts.select(col("id"), col("id").as("lbl")))
+        for (_ <- 1 to 4) {
+          val nb = adj.join(
+            lab.select(col("id").as("n"), col("lbl")).hint("shuffle_hash"), "n")
+          val pick = nb.groupBy(col("v"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("v"))
+            .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+            .select(col("v").as("id"), (-col("m.nl")).as("new_lbl"))
+          lab = rc.roll(lab.join(pick, Seq("id"), "left")
+            .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl")))
+        }
+        lab.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+          .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+          .orderBy(col("size")).localCheckpoint(true)
+      } finally {
+        adj.unpersist(blocking = false); verts.unpersist(blocking = false)
+      }
+    }
+
+    def lpaNew(): DataFrame = {
+      val out = graft.graph.Algorithms
+        .labelPropagation(spark, g, iters = 4)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+        .orderBy(col("size")).localCheckpoint(true)
+      out
+    }
+
+    // ---- pageRank old shape (r14 HEAD) ----
+    def prOld(): DataFrame = {
+      val edges = g.edges.select(col("src"), col("dst"))
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val edgesDeg = edges.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+        .persist(MEMORY_AND_DISK)
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .persist(MEMORY_AND_DISK)
+      try {
+        val rc = new graft.util.Checkpoints.Rolling
+        var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
+        for (k <- 1 to 10) {
+          val contrib = edgesDeg
+            .join(pr.select(col("id").as("src"), col("pr")), "src")
+            .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+            .groupBy(col("id")).agg(sum(col("c")).as("m"))
+          val next = verts.join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+          pr = if (k % 2 == 0 || k == 10) rc.roll(next) else next
+        }
+        pr
+      } finally {
+        edgesDeg.unpersist(blocking = false); verts.unpersist(blocking = false)
+      }
+    }
+
+    def prNew(): DataFrame =
+      graft.graph.Algorithms.pageRankExact(spark, g, Nil, 10)
+
+    // ---- Louvain old shape (r14 HEAD) ----
+    def louvainOld(): DataFrame = {
+      val all = g.edges.filter(col("label").isin("located_in", "part_of"))
+      val und = all.select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().persist(MEMORY_AND_DISK)
+      val sym = und.select(explode(array(
+          struct(col("a").as("v"), col("b").as("n")),
+          struct(col("b").as("v"), col("a").as("n")))).as("e"))
+        .select(col("e.v").as("v"), col("e.n").as("n"))
+        .repartition(col("n")).persist(MEMORY_AND_DISK)
+      val deg = und.select(col("a").as("v")).union(und.select(col("b")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d")).persist(MEMORY_AND_DISK)
+      try {
+        val m2 = 2L * und.count()
+        val rc = new graft.util.Checkpoints.Rolling
+        var asg = rc.roll(deg.select(col("v").as("id"), col("v").as("c")))
+        for (r <- 1 to 6) {
+          val tot = asg.join(deg.select(col("v").as("id"), col("d")), "id")
+            .groupBy(col("c")).agg(sum(col("d")).as("tot"))
+          val kin = sym
+            .join(asg.select(col("id").as("n"), col("c").as("nc")), "n")
+            .groupBy(col("v"), col("nc")).agg(count(lit(1)).as("kin"))
+          val cand = kin
+            .unionByName(asg.select(col("id").as("v"), col("c").as("nc"),
+              lit(0L).as("kin")))
+            .groupBy(col("v"), col("nc")).agg(sum(col("kin")).as("kin"))
+          val scored = cand
+            .join(deg, "v")
+            .join(tot.select(col("c").as("nc"), col("tot")), "nc")
+            .join(asg.select(col("id").as("v"), col("c").as("cur")), "v")
+            .select(col("v"), col("nc"), col("cur"),
+              (lit(m2) * col("kin") - col("d") *
+                (col("tot") - when(col("nc") === col("cur"), col("d"))
+                  .otherwise(lit(0L)))).as("score"))
+          val best = scored.groupBy(col("v"))
+            .agg(max(struct(col("score"), (-col("nc")).as("mn"))).as("b"),
+              max(when(col("nc") === col("cur"), col("score"))).as("os"))
+            .select(col("v").as("id"), col("b.score").as("bs"),
+              (-col("b.mn")).as("bc"), col("os"))
+          asg = rc.roll(asg.join(best, "id")
+            .select(col("id"),
+              when(col("id") % 2 === lit(r % 2) && col("bs") > col("os"),
+                col("bc")).otherwise(col("c")).as("c")))
+        }
+        asg.localCheckpoint()
+      } finally {
+        und.unpersist(blocking = false); sym.unpersist(blocking = false)
+        deg.unpersist(blocking = false)
+      }
+    }
+
+    def louvainNew(): DataFrame =
+      graft.graph.Algorithms.louvainLevel1(spark, g, rounds = 6,
+        labels = Seq("located_in", "part_of"))
+
+    val which = if (args.isEmpty) Seq("lpa", "pr") else args.toSeq
+    which.foreach { w =>
+      val (fa, fb): (() => DataFrame, () => DataFrame) = w match {
+        case "lpa" => (() => lpaOld(), () => lpaNew())
+        case "pr" => (() => prOld(), () => prNew())
+        case "louvain" => (() => louvainOld(), () => louvainNew())
+      }
+      // warmup both once
+      noop(fa()); noop(fb())
+      val as = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime(); noop(fa()); as += (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); noop(fb()); bs += (System.nanoTime() - t1) / 1e9
+      }
+      println(f"$w%-4s OLD min=${as.min}%6.2f runs=${as.map(x => f"$x%.2f").mkString(",")}")
+      println(f"$w%-4s NEW min=${bs.min}%6.2f runs=${bs.map(x => f"$x%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
