@@ -426,13 +426,23 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), explode(keys).as("tk"))
       .select(col("doc_id"), col("simhash"),
         col("tk.tbl").as("tbl"), col("tk.key").as("key"))
-    val sized =
+    val sizedRaw =
       if (maxBucketSize == Int.MaxValue) banded
       else banded
         .withColumn("bsize", count(lit(1))
           .over(Window.partitionBy(col("tbl"), col("key"))))
         .filter(col("bsize") <= maxBucketSize)
         .drop("bsize")
+    // EAGER checkpoint pre-partitioned on the band key (r15, guide
+    // §2.4 — the minhash wave-1 lesson applied to the simhash face):
+    // the a/b sides below otherwise re-derive the whole simhash
+    // tokenize+agg subtree each (zero exchange reuse across the alias
+    // split), and the aligned partitioning makes the band self-join
+    // exchange-free. Narrow (doc_id, simhash, tbl, key) rows, n·L of
+    // them.
+    val sized = sizedRaw
+      .repartition(col("tbl"), col("key"))
+      .localCheckpoint(eager = true)
     val a = sized.select(col("tbl"), col("key"),
       col("doc_id").as("a_id"), col("simhash").as("a_sim"))
     val b = sized.select(col("tbl"), col("key"),
@@ -515,8 +525,15 @@ object Dedup {
       Similarity.lshSignature(col("embedding"),
         Similarity.hyperplanes(bits, dim, seed = 42L + t))
     }: _*)
+    // EAGER checkpoint pre-partitioned on the band key (r15, §2.4):
+    // the band self-join's two sides otherwise each re-run the
+    // hyperplane signature pass (tables × bits dot products per
+    // vector), and the aligned partitioning removes both join
+    // exchanges. Narrow (vec_id, tbl, sig) rows.
     val banded = base
       .select(col("vec_id"), posexplode(sigs).as(Seq("tbl", "sig")))
+      .repartition(col("tbl"), col("sig"))
+      .localCheckpoint(eager = true)
     val cands = banded.select(col("tbl"), col("sig"), col("vec_id").as("a_id"))
       .join(banded.select(col("tbl"), col("sig"), col("vec_id").as("b_id")),
         Seq("tbl", "sig"))
