@@ -194,10 +194,16 @@ object Algorithms {
     // the closure semi-join); persist it so the distinct + two degree
     // joins upstream run once, not three times (exchange reuse is not
     // guaranteed across AQE-replanned stages).
+    // cached pre-partitioned AND pre-sorted on the wedge pivot: the
+    // wedge self-join below then reads both sides exchange-free and
+    // sort-free (r15, guide §2.4 — the cached plan's partitioning and
+    // ordering survive InMemoryTableScan), instead of exchanging the
+    // oriented list twice per query
     val o = withDeg.select(
         when(fwd, col("a")).otherwise(col("b")).as("u"),
         when(fwd, col("b")).otherwise(col("a")).as("w"),
         when(fwd, col("db")).otherwise(col("da")).as("dw"))
+      .repartition(col("u")).sortWithinPartitions("u")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val wedges = o.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
@@ -2052,9 +2058,11 @@ object Algorithms {
           .groupBy(col("id")).agg(min(col("parent")).as("parent"))
           .withColumn("dist", lit(d))
           .localCheckpoint()
+        // LAZY union of the already-checkpointed layers (the
+        // repeatUntil visited-set shape): re-checkpointing the whole
+        // set per layer wrote O(V) rows per round for nothing
         visited = visited
           .union(layer.select(col("id"), col("dist"), col("parent")))
-          .localCheckpoint()
         frontier = layer.select(col("id"))
         found = !layer.filter(col("id") === target).isEmpty
       }

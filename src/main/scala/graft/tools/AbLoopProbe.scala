@@ -164,12 +164,49 @@ object AbLoopProbe {
       graft.graph.Algorithms.louvainLevel1(spark, g, rounds = 6,
         labels = Seq("located_in", "part_of"))
 
+    // ---- triangle closure old shape (r14 HEAD, unpartitioned cache) ----
+    def triFrom(repart: Boolean): DataFrame = {
+      val e = g.edges.select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .persist(MEMORY_AND_DISK)
+      try {
+        val deg = e.select(col("a").as("v")).union(e.select(col("b")))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        val withDeg = e
+          .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+          .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        val fwd = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val o0 = withDeg.select(
+          when(fwd, col("a")).otherwise(col("b")).as("u"),
+          when(fwd, col("b")).otherwise(col("a")).as("w"),
+          when(fwd, col("db")).otherwise(col("da")).as("dw"))
+        val o = (if (repart) o0.repartition(col("u")).sortWithinPartitions("u")
+                 else o0).persist(MEMORY_AND_DISK)
+        try {
+          val wedges = o.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
+            .join(o.select(col("u"), col("w").as("w2"), col("dw").as("d2")), "u")
+            .filter(col("d1") < col("d2") ||
+              (col("d1") === col("d2") && col("w1") < col("w2")))
+            .select(col("w1"), col("w2"))
+          wedges.join(
+              o.select(col("u").as("w1"), col("w").as("w2")),
+              Seq("w1", "w2"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("total_triangles"))
+            .localCheckpoint(eager = true)
+        } finally o.unpersist(blocking = false)
+      } finally e.unpersist(blocking = false)
+    }
+
     val which = if (args.isEmpty) Seq("lpa", "pr") else args.toSeq
     which.foreach { w =>
       val (fa, fb): (() => DataFrame, () => DataFrame) = w match {
         case "lpa" => (() => lpaOld(), () => lpaNew())
         case "pr" => (() => prOld(), () => prNew())
         case "louvain" => (() => louvainOld(), () => louvainNew())
+        case "tri" => (() => triFrom(false), () => triFrom(true))
       }
       // warmup both once
       noop(fa()); noop(fb())
