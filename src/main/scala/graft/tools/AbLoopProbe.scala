@@ -200,6 +200,42 @@ object AbLoopProbe {
       } finally e.unpersist(blocking = false)
     }
 
+    // ---- g18 BFS old shape (r14 HEAD: wide in-loop vertices, full
+    // edge cache, per-round semi-join against the parquet union) ----
+    def g18Old(): DataFrame = {
+      val level = MEMORY_AND_DISK
+      import graft.graph.{PropertyGraph, Traversal}
+      val gc = PropertyGraph(g.vertices, g.edges.persist(level), g.edgesByDst)
+      try {
+        var frontierIds = gc.vertices
+          .filter(col("id") === PropertyGraph.encodeId("region", 0L))
+          .select(col("id")).dropDuplicates("id").localCheckpoint()
+        var visited = frontierIds
+        var reached: Option[DataFrame] = None
+        var depth = 0
+        while (depth < 50 && !frontierIds.isEmpty) {
+          val frontierV = gc.vertices.join(frontierIds, Seq("id"), "left_semi")
+          val stepped = Traversal(gc, frontierV, isEdge = false).in()
+          val nextIds = stepped.df.select(col("id")).dropDuplicates("id")
+            .join(visited, Seq("id"), "left_anti")
+            .localCheckpoint()
+          reached = Some(reached.map(_.union(nextIds)).getOrElse(nextIds))
+          visited = visited.union(nextIds)
+          frontierIds = nextIds
+          depth += 1
+        }
+        val ids = reached.get
+        g.vertices.join(ids, Seq("id"), "left_semi")
+          .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("label")).localCheckpoint(true)
+      } finally gc.edges.unpersist(blocking = true)
+    }
+
+    def g18New(): DataFrame = {
+      val out = graft.SparkEntry.queries("g18_reach_until")(spark, dir)
+      out.localCheckpoint(true)
+    }
+
     val which = if (args.isEmpty) Seq("lpa", "pr") else args.toSeq
     which.foreach { w =>
       val (fa, fb): (() => DataFrame, () => DataFrame) = w match {
@@ -207,6 +243,7 @@ object AbLoopProbe {
         case "pr" => (() => prOld(), () => prNew())
         case "louvain" => (() => louvainOld(), () => louvainNew())
         case "tri" => (() => triFrom(false), () => triFrom(true))
+        case "g18" => (() => g18Old(), () => g18New())
       }
       // warmup both once
       noop(fa()); noop(fb())
