@@ -247,8 +247,14 @@ object Algorithms {
     else g.edges.filter(col("label").isin(labels: _*))
     val edges = e0.select(col("src"), col("dst"))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // pre-partitioned on the per-round join key (r16): outdeg is small
+    // enough that the build join broadcasts it, so WITHOUT the explicit
+    // repartition the cache keeps the parquet scan layout and every
+    // round's state join re-exchanges (or re-sorts) the |E| side —
+    // the katz/weighted siblings already had this; measured A/B below
     val edgesDeg = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src"))
       .persist(MEMORY_AND_DISK)
     val verts = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
@@ -268,8 +274,12 @@ object Algorithms {
       val rc = new graft.util.Checkpoints.Rolling
       var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
       for (k <- 1 to iters) {
+        // shuffle_hash on the narrow state side: an SMJ would re-SORT
+        // the cached pre-partitioned adjacency every round (the LPA /
+        // ccAltRound lesson applied to the PR loop family, r16)
         val contrib = edgesDeg
-          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .join(pr.select(col("id").as("src"), col("pr"))
+            .hint("shuffle_hash"), "src")
           .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
         val next = contrib
@@ -337,7 +347,8 @@ object Algorithms {
       var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
       for (k <- 1 to iters) {
         val contrib = edgesW
-          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .join(pr.select(col("id").as("src"), col("pr"))
+            .hint("shuffle_hash"), "src") // stream the cache, build on state (r16)
           .select(col("dst").as("id"), expr("(pr * w) div sw").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
         val next = contrib
@@ -412,7 +423,8 @@ object Algorithms {
         // next round must share ONE materialization of the join+agg,
         // not recompute it (the hitsExact lesson — reading the
         // normalizer off the lazy frame doubles every step's work)
-        val m = rc.roll(adj.join(x.select(col("id").as("n"), col("score")), "n")
+        val m = rc.roll(adj.join(x.select(col("id").as("n"), col("score"))
+            .hint("shuffle_hash"), "n") // stream the cache, build on state (r16)
           .groupBy(col("v")).agg(sum(col("score")).as("m"))
           .select(col("v").as("id"), col("m")))
         val mx = m.agg(max(col("m"))).head().getLong(0)
@@ -715,10 +727,11 @@ object Algorithms {
       while (round < iters && !delta.isEmpty) {
         round += 1
         val cand = edges
-          .join(delta.select(col("id").as("src"), col("level")), "src")
+          .join(delta.select(col("id").as("src"), col("level"))
+            .hint("shuffle_hash"), "src") // stream the cache (r16)
           .groupBy(col("dst")).agg(max(col("level") + 1L).as("cand"))
           .select(col("dst").as("id"), col("cand"))
-        val merged = rc.roll(lvl.join(cand, Seq("id"), "left")
+        val merged = rc.roll(lvl.join(cand.hint("shuffle_hash"), Seq("id"), "left")
           .select(col("id"),
             greatest(col("level"), coalesce(col("cand"), col("level")))
               .as("level"),
@@ -856,6 +869,7 @@ object Algorithms {
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesDeg = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src")) // pre-partition for the per-round join (r16)
       .persist(MEMORY_AND_DISK)
     val vflag = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
@@ -878,7 +892,8 @@ object Algorithms {
       var pr = rc.roll(vflag.select(col("id"), (col("seed") * 1000000L).as("pr")))
       for (k <- 1 to iters) {
         val contrib = edgesDeg
-          .join(pr.select(col("id").as("src"), col("pr")), "src")
+          .join(pr.select(col("id").as("src"), col("pr"))
+            .hint("shuffle_hash"), "src") // stream the cache, build on state (r16)
           .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("m"))
         val next = contrib
@@ -1023,7 +1038,13 @@ object Algorithms {
         // adjacency every round (the ccAltRound lesson — ~0.9s/round)
         val nb = adj.join(
           lab.select(col("id").as("n"), col("lbl")).hint("shuffle_hash"), "n")
-        val pick = nb.groupBy(col("v"), col("lbl"))
+        // explicit repartition(v) BEFORE the two-level agg (r16): both
+        // groupBys then run map-side local over the same layout — one
+        // exchange instead of two (AbLoopProbe lpab: 6.00 → 5.55 min,
+        // consistently faster on every alternated run)
+        val pick = nb.select(col("v"), col("lbl"))
+          .repartition(col("v"))
+          .groupBy(col("v"), col("lbl"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("v"))
           // lexicographic struct max = (max count, then min label)
@@ -1264,7 +1285,8 @@ object Algorithms {
           var x = rc.roll(verts.select(col("id"), lit(1000000L).as("score")))
           for (k <- 1 to iters) {
             val m = edges
-              .join(x.select(col("id").as("src"), col("score")), "src")
+              .join(x.select(col("id").as("src"), col("score"))
+                .hint("shuffle_hash"), "src") // stream the cache (r16)
               .groupBy(col("dst")).agg(sum(col("score")).as("m"))
             val next = m
               .select(col("dst").as("id"),

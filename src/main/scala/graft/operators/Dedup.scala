@@ -578,6 +578,7 @@ object Dedup {
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src")) // pre-partition for the per-round join (r16)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = edges.select(col("src").as("id")).distinct()
@@ -601,7 +602,8 @@ object Dedup {
       var it = 0
       while (!converged && it < maxIter) {
         val viaNbr = edges
-          .join(labels.select(col("id").as("src"), col("comp")), "src")
+          .join(labels.select(col("id").as("src"), col("comp"))
+            .hint("shuffle_hash"), "src") // stream the cache (r16)
           .select(col("dst").as("id"), col("comp"))
         val next = labels.union(viaNbr)
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))

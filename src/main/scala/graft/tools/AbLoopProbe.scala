@@ -66,6 +66,48 @@ object AbLoopProbe {
       }
     }
 
+    // ---- LPA two-level-agg variant (r16 open item): repartition(v)
+    // once after the adjacency join, then BOTH aggs run exchange-free
+    // (HashPartitioning(v) satisfies ClusteredDistribution(v,lbl)) —
+    // trades the (v,lbl) partial-agg exchange + the (v) exchange for
+    // ONE raw-row exchange on v ----
+    def lpaTwoLevel(): DataFrame = {
+      val all = g.edges
+      val und = all.select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val adj = und.select(explode(array(
+          struct(col("a").as("v"), col("b").as("n")),
+          struct(col("b").as("v"), col("a").as("n")))).as("e"))
+        .select(col("e.v").as("v"), col("e.n").as("n"))
+        .repartition(col("n")).persist(MEMORY_AND_DISK)
+      val verts = g.vertices.select(col("id")).distinct()
+        .persist(MEMORY_AND_DISK)
+      try {
+        val rc = new graft.util.Checkpoints.Rolling
+        var lab = rc.roll(verts.select(col("id"), col("id").as("lbl")))
+        for (_ <- 1 to 4) {
+          val nb = adj.join(
+            lab.select(col("id").as("n"), col("lbl")).hint("shuffle_hash"), "n")
+          val pick = nb.select(col("v"), col("lbl"))
+            .repartition(col("v"))
+            .groupBy(col("v"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("v"))
+            .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+            .select(col("v").as("id"), (-col("m.nl")).as("new_lbl"))
+          lab = rc.roll(lab.join(pick, Seq("id"), "left")
+            .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl")))
+        }
+        lab.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+          .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+          .orderBy(col("size")).localCheckpoint(true)
+      } finally {
+        adj.unpersist(blocking = false); verts.unpersist(blocking = false)
+      }
+    }
+
     def lpaNew(): DataFrame = {
       val out = graft.graph.Algorithms
         .labelPropagation(spark, g, iters = 4)
@@ -106,6 +148,43 @@ object AbLoopProbe {
 
     def prNew(): DataFrame =
       graft.graph.Algorithms.pageRankExact(spark, g, Nil, 10)
+
+    // ---- pageRank r15 shape (constant noIn union + cadence-2, but
+    // UNpartitioned edge cache and no shuffle_hash hint) — the OLD
+    // side of the r16 partition+hint A/B ----
+    def prR15(): DataFrame = {
+      val edges = g.edges.select(col("src"), col("dst"))
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val edgesDeg = edges.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+        .persist(MEMORY_AND_DISK)
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .persist(MEMORY_AND_DISK)
+      val noIn = verts
+        .join(edgesDeg.select(col("dst").as("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(150000L).as("pr"))
+        .persist(MEMORY_AND_DISK)
+      try {
+        val rc = new graft.util.Checkpoints.Rolling
+        var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
+        for (k <- 1 to 10) {
+          val contrib = edgesDeg
+            .join(pr.select(col("id").as("src"), col("pr")), "src")
+            .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+            .groupBy(col("id")).agg(sum(col("c")).as("m"))
+          val next = contrib
+            .select(col("id"), expr("150000L + (85L * m) div 100L").as("pr"))
+            .unionByName(noIn)
+          pr = if (k % 2 == 0 || k == 10) rc.roll(next) else next
+        }
+        pr
+      } finally {
+        edgesDeg.unpersist(blocking = false)
+        verts.unpersist(blocking = false)
+        noIn.unpersist(blocking = false)
+      }
+    }
 
     // ---- Louvain old shape (r14 HEAD) ----
     def louvainOld(): DataFrame = {
@@ -236,6 +315,92 @@ object AbLoopProbe {
       out.localCheckpoint(true)
     }
 
+    // ---- g18 BFS r15 shape (narrow (id,label) loop cache + pruned
+    // edge cache, but ID-ONLY state with a per-round rehydration
+    // semi-join) — the OLD side of the r16 state-carry A/B ----
+    def g18R15(): DataFrame = {
+      val level = MEMORY_AND_DISK
+      import graft.graph.{PropertyGraph, Traversal}
+      val loopV = g.vertices.select(col("id"), col("label"))
+        .repartition(col("id")).sortWithinPartitions("id").persist(level)
+      val loopE = g.edges.select(col("src"), col("dst"), col("label"))
+        .persist(level)
+      val gc = PropertyGraph(loopV, loopE, g.edgesByDst)
+      try {
+        var frontierIds = g.vertices
+          .filter(col("id") === PropertyGraph.encodeId("region", 0L))
+          .select(col("id")).dropDuplicates("id").localCheckpoint()
+        var visited = frontierIds
+        var reached: Option[DataFrame] = None
+        var depth = 0
+        while (depth < 50 && !frontierIds.isEmpty) {
+          val frontierV = gc.vertices.join(frontierIds, Seq("id"), "left_semi")
+          val stepped = Traversal(gc, frontierV, isEdge = false).in()
+          val nextIds = stepped.df.select(col("id")).dropDuplicates("id")
+            .join(visited, Seq("id"), "left_anti")
+            .localCheckpoint()
+          reached = Some(reached.map(_.union(nextIds)).getOrElse(nextIds))
+          visited = visited.union(nextIds)
+          frontierIds = nextIds
+          depth += 1
+        }
+        val ids = reached.get
+        g.vertices.join(ids, Seq("id"), "left_semi")
+          .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("label")).localCheckpoint(true)
+      } finally {
+        loopE.unpersist(blocking = true)
+        loopV.unpersist(blocking = true)
+      }
+    }
+
+    // ---- g52 repeatUntilReached r15 shape (per-loop stop set, lazy
+    // stop joins, ID-ONLY state + rehydration semi-join) ----
+    def g52R15(): DataFrame = {
+      val level = MEMORY_AND_DISK
+      import graft.graph.{PropertyGraph, Traversal}
+      val loopV = g.vertices.select(col("id"), col("label"))
+        .repartition(col("id")).sortWithinPartitions("id").persist(level)
+      val loopE = g.edges.select(col("src"), col("dst"), col("label"))
+        .persist(level)
+      val gc = PropertyGraph(loopV, loopE, g.edgesByDst)
+      val stop: Traversal => Traversal = _.hasLabel("region")
+      try {
+        val stopSet = Traversal(gc, gc.vertices, isEdge = false)
+          .where(stop).df.select(col("id")).localCheckpoint()
+        var frontierIds = g.vertices
+          .filter(col("label") === "customer" && col("mktsegment") === "BUILDING")
+          .select(col("id")).dropDuplicates("id").localCheckpoint()
+        var visited = frontierIds
+        var halted: Option[DataFrame] = None
+        var depth = 0
+        while (depth < 50 && !frontierIds.isEmpty) {
+          val frontierV = gc.vertices.join(frontierIds, Seq("id"), "left_semi")
+          val stepped = Traversal(gc, frontierV, isEdge = false)
+            .out("located_in", "part_of")
+          val nextIds = stepped.df.select(col("id")).dropDuplicates("id")
+            .join(visited, Seq("id"), "left_anti")
+            .localCheckpoint()
+          val stopIds = nextIds.join(stopSet, Seq("id"), "left_semi")
+          halted = Some(halted.map(_.union(stopIds)).getOrElse(stopIds))
+          visited = visited.union(nextIds)
+          frontierIds = nextIds.join(stopSet, Seq("id"), "left_anti")
+          depth += 1
+        }
+        val ids = halted.get
+        g.vertices.join(ids, Seq("id"), "left_semi")
+          .select(col("id")).orderBy(col("id")).localCheckpoint(true)
+      } finally {
+        loopE.unpersist(blocking = true)
+        loopV.unpersist(blocking = true)
+      }
+    }
+
+    def g52New(): DataFrame = {
+      val out = graft.SparkEntry.queries("g52_until_stop")(spark, dir)
+      out.localCheckpoint(true)
+    }
+
     val which = if (args.isEmpty) Seq("lpa", "pr") else args.toSeq
     which.foreach { w =>
       val (fa, fb): (() => DataFrame, () => DataFrame) = w match {
@@ -244,6 +409,10 @@ object AbLoopProbe {
         case "louvain" => (() => louvainOld(), () => louvainNew())
         case "tri" => (() => triFrom(false), () => triFrom(true))
         case "g18" => (() => g18Old(), () => g18New())
+        case "g18b" => (() => g18R15(), () => g18New())
+        case "prb" => (() => prR15(), () => prNew())
+        case "lpab" => (() => lpaNew(), () => lpaTwoLevel())
+        case "g52b" => (() => g52R15(), () => g52New())
       }
       // warmup both once
       noop(fa()); noop(fb())

@@ -29,24 +29,32 @@ object BfsPlanProbe {
         .repartition(col("id")).sortWithinPartitions("id").persist(level)
     else g0.vertices
     val gc = PropertyGraph(loopV, g0.edges.persist(level), g0.edgesByDst)
-    var frontierIds = gc.vertices
+    // SPARK_GRAFT_STATECARRY=1 mirrors the r16 (id,label) state-carry
+    // loop: the per-round state IS the frontier frame — no rehydration
+    // semi-join against the vertex cache
+    val carry = sys.env.get("SPARK_GRAFT_STATECARRY").contains("1")
+    val stateCols =
+      if (carry) Seq(col("id"), col("label")) else Seq(col("id"))
+    var frontier = gc.vertices
       .filter(col("id") === PropertyGraph.encodeId("region", 0L))
-      .select(col("id")).dropDuplicates("id").localCheckpoint()
-    var visited = frontierIds
+      .select(stateCols: _*).dropDuplicates("id").localCheckpoint()
+    var visited = frontier.select(col("id"))
     var depth = 0
     val printAt = args.headOption.map(_.toInt).getOrElse(3)
-    while (depth < 6 && !frontierIds.isEmpty) {
-      val frontierV = gc.vertices.join(frontierIds, Seq("id"), "left_semi")
+    while (depth < 6 && !frontier.isEmpty) {
+      val frontierV =
+        if (carry) frontier
+        else gc.vertices.join(frontier, Seq("id"), "left_semi")
       val stepped = Traversal(gc, frontierV, isEdge = false).in()
-      val nextIds = stepped.df.select(col("id")).dropDuplicates("id")
+      val next = stepped.df.select(stateCols: _*).dropDuplicates("id")
         .join(visited, Seq("id"), "left_anti")
       if (depth == printAt) {
-        println(s"\n===== round $depth nextIds plan =====")
-        nextIds.explain("formatted")
+        println(s"\n===== round $depth next-state plan (carry=$carry) =====")
+        next.explain("formatted")
       }
-      val ck = nextIds.localCheckpoint()
-      visited = visited.union(ck)
-      frontierIds = ck
+      val ck = next.localCheckpoint()
+      visited = visited.union(ck.select(col("id")))
+      frontier = ck
       depth += 1
     }
     spark.stop()
