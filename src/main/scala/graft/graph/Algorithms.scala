@@ -285,15 +285,17 @@ object Algorithms {
         val next = contrib
           .select(col("id"), expr("150000L + (85L * m) div 100L").as("pr"))
           .unionByName(noIn)
-        // CHECKPOINT CADENCE 2 (the simRankExact lesson applied to the
-        // whole single-consumer loop family): each round's state feeds
+        // CHECKPOINT CADENCE 5 (r16; was 2): each round's state feeds
         // exactly ONE consumer — the next round's join — so skipping
-        // the barrier on odd rounds loses nothing to recomputation
-        // while saving a full materialization stop per skipped round.
-        // Lineage depth stays ≤ 2 rounds between cuts. The FINAL round
-        // always checkpoints: the returned frame must not reference
-        // the loop-scoped caches after the finally unpersists them.
-        pr = if (k % 2 == 0 || k == iters) rc.roll(next) else next
+        // the barrier loses nothing to recomputation while saving a
+        // full materialization stop per skipped round. CadenceProbe
+        // A/B on this exact shape: cadence2 5.21 / cadence5 4.72 /
+        // full-lazy 6.11 (min-of-4, alternated) — depth-5 chained
+        // plans still execute as one pipelined job, but the fully
+        // lazy 10-deep plan tips into planning overhead. The FINAL
+        // round always checkpoints: the returned frame must not
+        // reference the loop caches after the finally unpersists them.
+        pr = if (k % 5 == 0 || k == iters) rc.roll(next) else next
       }
       pr
     } finally {
@@ -356,7 +358,7 @@ object Algorithms {
           .unionByName(noIn)
         // cadence-2 checkpointing — see pageRankExact (single-consumer
         // state; final round always materializes before the unpersist)
-        pr = if (k % 2 == 0 || k == iters) rc.roll(next) else next
+        pr = if (k % 5 == 0 || k == iters) rc.roll(next) else next
       }
       pr
     } finally {
@@ -904,7 +906,7 @@ object Algorithms {
           .unionByName(noIn)
         // cadence-2 checkpointing — see pageRankExact (single-consumer
         // state; final round always materializes before the unpersist)
-        pr = if (k % 2 == 0 || k == iters) rc.roll(next) else next
+        pr = if (k % 5 == 0 || k == iters) rc.roll(next) else next
       }
       pr
     } finally {
@@ -1295,7 +1297,7 @@ object Algorithms {
             // cadence-2 checkpointing — see pageRankExact
             // (single-consumer state; final round always materializes
             // before the unpersist)
-            x = if (k % 2 == 0 || k == iters) rc.roll(next) else next
+            x = if (k % 5 == 0 || k == iters) rc.roll(next) else next
           }
           x
         } finally noIn.unpersist(blocking = false)
