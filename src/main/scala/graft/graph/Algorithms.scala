@@ -252,9 +252,14 @@ object Algorithms {
     // repartition the cache keeps the parquet scan layout and every
     // round's state join re-exchanges (or re-sorts) the |E| side —
     // the katz/weighted siblings already had this; measured A/B below
+    // size-derived partition count (r16, guide §2): tiny gate
+    // subgraphs collapse to one task per round-stage instead of
+    // paying the session's full fan-out; measured in Partitioning's
+    // scaladoc. Costs one count() job up front.
     val edgesDeg = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(col("src"))
+      .repartition(graft.util.Partitioning.loopParts(s, edges.count()),
+        col("src"))
       .persist(MEMORY_AND_DISK)
     val verts = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
@@ -334,7 +339,8 @@ object Algorithms {
     val sw = ew.groupBy(col("src")).agg(sum(col("w")).as("sw"))
     val edgesW = ew.join(sw, "src")
       .select(col("src"), col("dst"), col("w"), col("sw"))
-      .repartition(col("src"))
+      .repartition(graft.util.Partitioning.loopParts(s, ew.count()),
+        col("src")) // size-derived (r16) — see pageRankExact
       .persist(MEMORY_AND_DISK)
     val verts = edgesW.select(col("src").as("id"))
       .union(edgesW.select(col("dst").as("id"))).distinct()
@@ -406,7 +412,8 @@ object Algorithms {
     // expand the plan tree exponentially across 10 steps)
     val adj = sym.union(
         sym.select(col("v")).distinct().select(col("v"), col("v").as("n")))
-      .repartition(col("n"))
+      .repartition(graft.util.Partitioning.loopParts(s, sym.count()),
+        col("n")) // size-derived (r16) — see pageRankExact
       .persist(MEMORY_AND_DISK)
     try {
       // vertex-set contract: scores are defined over vertices incident
@@ -871,7 +878,8 @@ object Algorithms {
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesDeg = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(col("src")) // pre-partition for the per-round join (r16)
+      .repartition(graft.util.Partitioning.loopParts(s, edges.count()),
+        col("src")) // pre-partitioned + size-derived (r16)
       .persist(MEMORY_AND_DISK)
     val vflag = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
@@ -1264,7 +1272,8 @@ object Algorithms {
     val e0 = if (labels.isEmpty) g.edges
     else g.edges.filter(col("label").isin(labels: _*))
     val edges = e0.select(col("src"), col("dst"))
-      .repartition(col("src"))
+      .repartition(graft.util.Partitioning.loopParts(s,
+        e0.select(col("src")).count()), col("src")) // size-derived (r16)
       .persist(MEMORY_AND_DISK)
     try {
       val verts = edges.select(col("src").as("id"))

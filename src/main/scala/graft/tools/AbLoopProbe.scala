@@ -186,6 +186,52 @@ object AbLoopProbe {
       }
     }
 
+    // ---- r16 shape with PARAMETERIZED cache partition count:
+    // session-default (32) vs size-derived (loopParts → 1 at sf0.1).
+    // Isolates the per-round task-scheduling fan-out cost.
+    def prParts(sized: Boolean): DataFrame = {
+      val geoOnly = sys.env.get("SPARK_GRAFT_PRN_GEO").forall(_ == "1")
+      val e00 = if (geoOnly)
+        g.edges.filter(col("label").isin("located_in", "part_of"))
+      else g.edges
+      val edges = e00.select(col("src"), col("dst"))
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val edgesDeg0 = edges.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+      val edgesDeg = (if (sized) {
+        val n = graft.util.Partitioning.loopParts(spark, edges.count(),
+          sys.env.get("SPARK_GRAFT_PRN_RPP").map(_.toLong).getOrElse(2000000L))
+        edgesDeg0.repartition(n, col("src"))
+      } else edgesDeg0.repartition(col("src"))).persist(MEMORY_AND_DISK)
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .persist(MEMORY_AND_DISK)
+      val noIn = verts
+        .join(edgesDeg.select(col("dst").as("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(150000L).as("pr"))
+        .persist(MEMORY_AND_DISK)
+      try {
+        val rc = new graft.util.Checkpoints.Rolling
+        var pr = rc.roll(verts.select(col("id"), lit(1000000L).as("pr")))
+        for (k <- 1 to 10) {
+          val contrib = edgesDeg
+            .join(pr.select(col("id").as("src"), col("pr"))
+              .hint("shuffle_hash"), "src")
+            .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+            .groupBy(col("id")).agg(sum(col("c")).as("m"))
+          val next = contrib
+            .select(col("id"), expr("150000L + (85L * m) div 100L").as("pr"))
+            .unionByName(noIn)
+          pr = if (k % 5 == 0 || k == 10) rc.roll(next) else next
+        }
+        pr.orderBy(col("pr").desc, col("id")).limit(10).localCheckpoint(true)
+      } finally {
+        edgesDeg.unpersist(blocking = false)
+        verts.unpersist(blocking = false)
+        noIn.unpersist(blocking = false)
+      }
+    }
+
     // ---- Louvain old shape (r14 HEAD) ----
     def louvainOld(): DataFrame = {
       val all = g.edges.filter(col("label").isin("located_in", "part_of"))
@@ -413,6 +459,7 @@ object AbLoopProbe {
         case "prb" => (() => prR15(), () => prNew())
         case "lpab" => (() => lpaNew(), () => lpaTwoLevel())
         case "g52b" => (() => g52R15(), () => g52New())
+        case "prn" => (() => prParts(false), () => prParts(true))
       }
       // warmup both once
       noop(fa()); noop(fb())
