@@ -1512,15 +1512,29 @@ object Algorithms {
         // shuffle carries half the volume — then symmetrize the
         // surviving pairs back map-side (explode) for the next round's
         // two-sided lookup
-        def expandAgg(pairs: DataFrame, eRound: DataFrame): DataFrame =
+        // BROADCAST the edge frame into both expansion joins when it
+        // is small enough (r16): the Σ expansion's STREAM side (the
+        // pair state, 14M rows into the final aggregate at sf0.1)
+        // then never shuffles for the joins — only the final groupBy
+        // exchange remains. Simrank10Probe, same JVM, output-equal:
+        // final round 9.32 s → 4.62 s. Size-conditional because a
+        // 100 TB edge relation must NOT be broadcast: ≤4M rows
+        // (~100 MB hashed) broadcasts, above that the r15 shuffle
+        // shape is kept unchanged. e is already persisted, so the
+        // count is a cache scan.
+        val eBcast = e.count() <= 4000000L
+        def expandAgg(pairs: DataFrame, eRound: DataFrame): DataFrame = {
+          val l = eRound.select(col("src").as("i"), col("dst").as("a"),
+            col("d").as("da"))
+          val r = eRound.select(col("src").as("j"), col("dst").as("b"),
+            col("d").as("db"))
           pairs
-            .join(eRound.select(col("src").as("i"), col("dst").as("a"),
-              col("d").as("da")), "i")
-            .join(eRound.select(col("src").as("j"), col("dst").as("b"),
-              col("d").as("db")), "j")
+            .join(if (eBcast) broadcast(l) else l, "i")
+            .join(if (eBcast) broadcast(r) else r, "j")
             .filter(col("a") < col("b"))
             .groupBy(col("a"), col("b"), col("da"), col("db"))
             .agg(sum(col("s")).as("m"))
+        }
         // DIAG SPLIT (round-10 Σ lever): state = diag ∪ off, and the
         // expansion of a state ROW touches only that row, so the
         // per-round aggregate decomposes into expandAgg(diag) ⊎

@@ -460,6 +460,26 @@ object AbLoopProbe {
         case "lpab" => (() => lpaNew(), () => lpaTwoLevel())
         case "g52b" => (() => g52R15(), () => g52New())
         case "prn" => (() => prParts(false), () => prParts(true))
+        // g18 with AQE on (current) vs OFF for the whole query: the
+        // JobProbe decomposition shows ~80% of g18's job time in
+        // tiny AQE-stage/broadcast futures (~17/round) — this tests
+        // whether adaptive re-planning is net overhead for the
+        // checkpoint-rooted BFS round plans (static planner still
+        // broadcasts small frontiers off LogicalRDD stats).
+        case "g18aqe" => (
+          () => g18New(),
+          () => {
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try g18New()
+            finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+          })
+        case "praqe" => (
+          () => prParts(true),
+          () => {
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try prParts(true)
+            finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+          })
       }
       // warmup both once
       noop(fa()); noop(fb())
